@@ -1,0 +1,56 @@
+"""Engine configuration.
+
+Pinned defaults come from SURVEY.md §2.4 (detector numerics) and §2.8
+(codec block sizing). Everything here is a plain dataclass so configs are
+picklable into pandas-UDF closures without dragging Spark objects along.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+#: Retention tiers, finest → coarsest. Cascade order matters: 1h is built
+#: from 1m partials, 1d from 1h partials (SURVEY.md §2.3).
+TIERS = ("1m", "1h", "1d")
+
+#: Spark date_trunc unit per tier.
+TIER_TRUNC = {"1m": "minute", "1h": "hour", "1d": "day"}
+
+#: Tier bucket width in microseconds (timestamps are µs, UTC).
+TIER_US = {"1m": 60_000_000, "1h": 3_600_000_000, "1d": 86_400_000_000}
+
+#: Tier width as a Spark INTERVAL literal (gap-fill spine generation).
+TIER_INTERVAL = {"1m": "INTERVAL 1 MINUTE", "1h": "INTERVAL 1 HOUR", "1d": "INTERVAL 1 DAY"}
+
+#: Which finer tier each tier cascades from (None = from raw).
+CASCADE_FROM = {"1m": None, "1h": "1m", "1d": "1h"}
+
+#: Default retention horizon per tier, in days (R1). None = keep forever.
+TIER_RETENTION_DAYS = {"1m": 14, "1h": 90, "1d": None}
+
+
+@dataclass(frozen=True)
+class DetectorConfig:
+    """Pinned detector numerics (SURVEY.md §2.4). These values are part of
+    the parity contract between the Spark kernels and the NumPy oracle."""
+
+    window: int = 60          # z-score trailing window W (min_periods=W)
+    tau: float = 3.0          # |z| >= tau  =>  anomaly
+    alpha: float = 0.3        # EWMA smoothing (adjust=False)
+    eps: float = 1e-12        # EW variance floor for score stability
+    value_col: str = "n_tok_mean"  # primary series; "cnt" is the secondary
+
+
+@dataclass(frozen=True)
+class RollupConfig:
+    tiers: tuple = TIERS
+    detector: DetectorConfig = field(default_factory=DetectorConfig)
+    #: two-phase aggregation salt fan-out for skewed sources (K2);
+    #: None disables salting (Catalyst partial agg only).
+    salt_buckets: int | None = 8
+    #: shuffle partitions used for repartitionByRange before kernels (K1).
+    range_partitions: int = 32
+    #: gap-fill interpolation method for value columns: "locf" | "linear".
+    gapfill_method: str = "locf"
+    #: codec block width = 1 day of buckets (SURVEY.md §2.8).
+    block_interval: str = "1d"

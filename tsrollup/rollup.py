@@ -1,0 +1,148 @@
+"""Continuous aggregates: bucketize → (salted) aggregate → tier cascade.
+
+Exactness contract (SURVEY.md §2.2): every stored aggregate is algebraic —
+int64 counters compose associatively, so shuffles may reorder partials
+freely without changing a byte. Means are ALWAYS derived (`sum/cnt`) and
+never averaged across tiers, which is what makes the cascade exact and
+cross-parallelism byte-parity achievable.
+
+Token-level statistics (A2) never explode the `tokens` array: a per-row
+pre-reduction with `F.aggregate` / `array_min` / `array_max` runs inside
+whole-stage codegen, then ordinary hash aggregation runs over scalars.
+At 10^12 sequences an explode would be ~10^14–10^15 rows — a non-starter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .config import CASCADE_FROM, TIER_TRUNC, RollupConfig
+
+#: columns every rollup row carries, in canonical order (matches
+#: schemas.ROLLUP_SCHEMA).
+ROLLUP_COLS = [
+    "source", "bucket_start", "tier",
+    "cnt", "n_tok_sum", "n_tok_min", "n_tok_max", "n_tok_mean",
+    "tok_sum", "tok_cnt", "tok_min", "tok_max", "tok_mean",
+    "gap_filled",
+]
+
+
+def bucketize(df: DataFrame, tier: str, ts_col: str = "event_ts") -> DataFrame:
+    """B1 — floor event time to the tier bucket."""
+    return df.withColumn("bucket_start", F.date_trunc(TIER_TRUNC[tier], F.col(ts_col)))
+
+
+def token_prereduce(df: DataFrame) -> DataFrame:
+    """A2 pre-step — collapse the tokens array to per-row scalars inside
+    codegen (no explode, no Python). tok_cnt uses `size(tokens)` rather than
+    trusting the denormalized n_tok, so the stats stay honest even if an
+    upstream writer let them drift; n_tok itself is aggregated separately."""
+    return df.select(
+        "doc_id",
+        "source",
+        "bucket_start",
+        F.col("n_tok").cast("long").alias("n_tok_l"),
+        F.col("n_tok").alias("n_tok_i"),
+        F.aggregate("tokens", F.lit(0).cast("long"), lambda acc, x: acc + x.cast("long")).alias("row_tok_sum"),
+        F.size("tokens").cast("long").alias("row_tok_cnt"),
+        F.array_min("tokens").alias("row_tok_min"),
+        F.array_max("tokens").alias("row_tok_max"),
+    )
+
+
+def _partial_aggs():
+    return [
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("n_tok_l").alias("n_tok_sum"),
+        F.min("n_tok_i").alias("n_tok_min"),
+        F.max("n_tok_i").alias("n_tok_max"),
+        F.sum("row_tok_sum").alias("tok_sum"),
+        F.sum("row_tok_cnt").alias("tok_cnt"),
+        F.min("row_tok_min").alias("tok_min"),
+        F.max("row_tok_max").alias("tok_max"),
+    ]
+
+
+def _combine_aggs():
+    return [
+        F.sum("cnt").alias("cnt"),
+        F.sum("n_tok_sum").alias("n_tok_sum"),
+        F.min("n_tok_min").alias("n_tok_min"),
+        F.max("n_tok_max").alias("n_tok_max"),
+        F.sum("tok_sum").alias("tok_sum"),
+        F.sum("tok_cnt").alias("tok_cnt"),
+        F.min("tok_min").alias("tok_min"),
+        F.max("tok_max").alias("tok_max"),
+    ]
+
+
+def _finalize(df: DataFrame, tier: str) -> DataFrame:
+    """Derive means, stamp tier/gap_filled, order columns canonically."""
+    return df.select(
+        "source",
+        "bucket_start",
+        F.lit(tier).alias("tier"),
+        "cnt",
+        "n_tok_sum",
+        "n_tok_min",
+        "n_tok_max",
+        (F.col("n_tok_sum").cast("double") / F.col("cnt")).alias("n_tok_mean"),
+        "tok_sum",
+        "tok_cnt",
+        "tok_min",
+        "tok_max",
+        (F.col("tok_sum").cast("double") / F.col("tok_cnt")).alias("tok_mean"),
+        F.lit(False).alias("gap_filled"),
+    )
+
+
+def rollup_from_raw(df: DataFrame, tier: str, salt_buckets: int | None = None) -> DataFrame:
+    """A1+A2 (+K2) — per-(source, bucket) aggregate of the raw sequence table.
+
+    With `salt_buckets`, runs the two-phase salted aggregation for skewed
+    sources (SURVEY.md §2.6): phase 1 groups by (source, bucket, salt) —
+    the shuffle spreads a hot (source, bucket) over `salt_buckets` reducers —
+    phase 2 combines the algebraic partials exactly. Catalyst's map-side
+    partial aggregation already bounds common skew; salting is the explicit
+    escape hatch the spec mandates for 10^12-row hot keys.
+    """
+    pre = token_prereduce(bucketize(df, tier))
+    if salt_buckets and salt_buckets > 1:
+        salted = pre.withColumn("_salt", F.pmod(F.xxhash64("doc_id"), F.lit(salt_buckets)))
+        phase1 = salted.groupBy("source", "bucket_start", "_salt").agg(*_partial_aggs())
+        agg = phase1.groupBy("source", "bucket_start").agg(*_combine_aggs())
+    else:
+        agg = pre.groupBy("source", "bucket_start").agg(*_partial_aggs())
+    return _finalize(agg, tier)
+
+
+def cascade(finer: DataFrame, to_tier: str) -> DataFrame:
+    """A3 — build a coarser tier exactly from the finer tier's partials.
+
+    Gap-filled rows are excluded (they carry no mass, SURVEY.md §2.3);
+    the coarser tier re-runs its own gap-fill afterwards.
+    """
+    unit = TIER_TRUNC[to_tier]
+    agg = (
+        finer.where(~F.col("gap_filled"))
+        .withColumn("bucket_start", F.date_trunc(unit, "bucket_start"))
+        .groupBy("source", "bucket_start")
+        .agg(*_combine_aggs())
+    )
+    return _finalize(agg, to_tier)
+
+
+def build_all_tiers(df: DataFrame, cfg: RollupConfig | None = None) -> dict[str, DataFrame]:
+    """raw → 1m → 1h → 1d. The 1m result is the only tier computed from raw;
+    coarser tiers cascade (cheaper, and exact by §2.2)."""
+    cfg = cfg or RollupConfig()
+    tiers: dict[str, DataFrame] = {}
+    for tier in cfg.tiers:
+        src = CASCADE_FROM[tier]
+        if src is None:
+            tiers[tier] = rollup_from_raw(df, tier, cfg.salt_buckets)
+        else:
+            tiers[tier] = cascade(tiers[src], tier)
+    return tiers

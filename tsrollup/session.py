@@ -1,0 +1,44 @@
+"""SparkSession builder with the engine's pinned configuration.
+
+Single place that owns session-level tuning (SURVEY.md §4): Arrow exchange
+on, AQE + skew-join on, shuffle partitions sized for the sandbox. Production
+deploys pass a real master / Iceberg catalog through `extra_conf`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CONF = {
+    # Arrow-vectorized JVM<->Python exchange — mandatory for the pandas
+    # kernels ("no per-row Python", BASELINE.json).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    # AQE: post-shuffle coalescing + skew-join splitting (K3).
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.shuffle.partitions": "32",
+    # Keep timestamps µs/UTC everywhere (testdata parquet is timestamp[us]).
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
+    # quieter local runs
+    "spark.ui.enabled": "false",
+    "spark.driver.memory": "8g",
+}
+
+
+def get_spark(
+    master: str = "local[*]",
+    app_name: str = "tsrollup",
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    b = SparkSession.builder.master(master).appName(app_name)
+    conf = dict(DEFAULT_CONF)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,93 @@
+"""Storage layer: Iceberg in production, Parquet shim in the sandbox.
+
+The sandbox has no Iceberg runtime jar and no network (SURVEY.md §0), so all
+local paths go through Parquet with the SAME DataFrame code. `fmt='iceberg'`
+switches to an Iceberg catalog table at deploy time — the engine never
+depends on which one is active.
+
+Layout (S2): rollups/scores/blocks partitioned by (tier, day) so retention
+(R1) and time-range reads are partition-pruned; `source_bucket` (a stable
+hash bucket of source) bounds per-partition file counts at 10^12 scale
+without creating one directory per source.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import schemas
+
+N_SOURCE_BUCKETS = 64
+
+
+def read_sequences(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
+    """S1 — scan of the sequence table.
+
+    Keeps predicates pushable: returns the raw declared-schema scan; callers
+    add plain column filters (never UDFs in predicates, SURVEY.md §4).
+    """
+    if fmt == "iceberg":
+        df = spark.read.format("iceberg").load(path)
+    else:
+        df = spark.read.schema(schemas.SEQUENCE_SCHEMA).parquet(path)
+    return df
+
+
+def resolve_event_time(df: DataFrame) -> DataFrame:
+    """Single owner of the event-time decision (SURVEY.md §1.2): use
+    `event_ts` when present; otherwise derive a deterministic timestamp
+    from doc_id (stable hash spread over a fixed 30-day window)."""
+    if "event_ts" in df.columns:
+        return df
+    span_s = 30 * 86400
+    return df.withColumn(
+        "event_ts",
+        F.timestamp_seconds(
+            F.lit(1704067200) + F.pmod(F.xxhash64("doc_id"), F.lit(span_s))
+        ),
+    )
+
+
+def with_source_bucket(df: DataFrame) -> DataFrame:
+    return df.withColumn(
+        "source_bucket", F.pmod(F.xxhash64("source"), F.lit(N_SOURCE_BUCKETS)).cast("int")
+    )
+
+
+def write_partitioned(df: DataFrame, path: str, partition_cols=("tier", "day"), mode: str = "overwrite") -> None:
+    """S2 — partitioned columnar sink. Adds a `day` partition column derived
+    from bucket_start/block_start when absent."""
+    if "day" not in df.columns:
+        ts_col = "bucket_start" if "bucket_start" in df.columns else "block_start"
+        df = df.withColumn("day", F.to_date(ts_col))
+    (df.write.mode(mode).partitionBy(*partition_cols).parquet(path))
+
+
+def drop_expired_partitions(base_path: str, tier: str, horizon_days: int | None, now_day: str) -> list[str]:
+    """R1 — retention enforcement, sandbox realization: prune partition
+    directories older than the tier horizon. Iceberg deploy would instead
+    issue `DELETE WHERE day < cutoff` + `expire_snapshots`.
+
+    Returns the list of removed partition dirs. `now_day` is 'YYYY-MM-DD'
+    (passed in — the engine never reads the wall clock in kernels)."""
+    import datetime as _dt
+
+    if horizon_days is None:
+        return []
+    cutoff = _dt.date.fromisoformat(now_day) - _dt.timedelta(days=horizon_days)
+    tier_dir = os.path.join(base_path, f"tier={tier}")
+    removed = []
+    if not os.path.isdir(tier_dir):
+        return removed
+    for name in sorted(os.listdir(tier_dir)):
+        if not name.startswith("day="):
+            continue
+        day = _dt.date.fromisoformat(name.split("=", 1)[1])
+        if day < cutoff:
+            shutil.rmtree(os.path.join(tier_dir, name))
+            removed.append(os.path.join(tier_dir, name))
+    return removed

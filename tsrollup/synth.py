@@ -1,0 +1,181 @@
+"""Deterministic synthetic sequence-table generator (FIXTURES.md §A).
+
+Generates the engine's real input shape — (doc_id, tokens:array<int32>,
+n_tok, source, event_ts) — with zipf-skewed sources, per-source Poisson
+arrivals, and planted anomalies (spikes / level shift / gaps) emitted as an
+`expected_anomalies` side table. Pure NumPy + pyarrow: no Spark needed to
+build fixtures, and every byte is a function of (n_rows, n_sources, seed).
+
+Determinism rules (FIXTURES.md): single rng stream, draw order fixed,
+rows written sorted by (source, event_ts) into ONE parquet file;
+re-partitioning for tests happens at read time, never at generation time.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+VOCAB = 50257
+EPOCH_US = np.int64(1_704_067_200_000_000)  # 2024-01-01T00:00:00Z in µs
+
+
+@dataclass(frozen=True)
+class PlantedWindow:
+    source: str
+    start_us: int
+    end_us: int
+    kind: str  # 'spike' | 'shift' | 'gap'
+
+
+def _sequence_arrow_schema() -> pa.schema:
+    return pa.schema(
+        [
+            pa.field("doc_id", pa.string(), nullable=False),
+            pa.field("tokens", pa.list_(pa.field("element", pa.int32(), nullable=False)), nullable=False),
+            pa.field("n_tok", pa.int32(), nullable=False),
+            pa.field("source", pa.string(), nullable=False),
+            pa.field("event_ts", pa.timestamp("us", tz="UTC"), nullable=False),
+        ]
+    )
+
+
+def synthesize(
+    n_rows: int = 10_000,
+    n_sources: int = 20,
+    seed: int = 42,
+    plant_anomalies: bool = True,
+) -> tuple[pa.Table, list[PlantedWindow]]:
+    """Build the sequence table + planted-anomaly windows, fully in memory.
+
+    Returns (arrow_table sorted by (source, event_ts), planted_windows).
+    """
+    rng = np.random.default_rng(seed)
+
+    # (1) source assignment: zipf(a=1.5), clipped to [0, K)
+    k = np.minimum(rng.zipf(1.5, n_rows) - 1, n_sources - 1).astype(np.int64)
+
+    # (2) per-source arrival-rate multipliers in [0.2, 5) events/minute
+    rate = rng.uniform(0.2, 5.0, n_sources)
+
+    # (3) per-source Poisson arrivals: exponential inter-arrival gaps (µs),
+    #     strictly increasing per source (gap >= 1µs). Drawn in source order.
+    ts_us = np.empty(n_rows, dtype=np.int64)
+    src_start_us = np.full(n_sources, -1, dtype=np.int64)
+    src_end_us = np.full(n_sources, -1, dtype=np.int64)
+    for s in range(n_sources):
+        idx = np.flatnonzero(k == s)
+        if idx.size == 0:
+            continue
+        scale_us = 60_000_000.0 / rate[s]
+        gaps = np.maximum(rng.exponential(scale_us, idx.size).astype(np.int64), 1)
+        t = EPOCH_US + np.cumsum(gaps)
+        ts_us[idx] = t
+        src_start_us[s] = t[0]
+        src_end_us[s] = t[-1]
+
+    # (4) base n_tok: lognormal(5.5, 0.6) clipped to [8, 4096]
+    n_tok = np.clip(rng.lognormal(5.5, 0.6, n_rows), 8, 4096).astype(np.int64)
+
+    # (5) planted anomalies on the most-frequent sources (deterministic
+    #     role assignment: counts desc, source index asc as tie-break).
+    planted: list[PlantedWindow] = []
+    keep = np.ones(n_rows, dtype=bool)
+    if plant_anomalies and n_sources >= 6:
+        counts = np.bincount(k, minlength=n_sources)
+        order = np.lexsort((np.arange(n_sources), -counts))
+        spike_srcs, shift_src, gap_srcs = order[0:3], order[3], order[4:6]
+        minute = 60_000_000
+        for s in spike_srcs:
+            w0 = src_start_us[s] + 60 * minute
+            w1 = w0 + 10 * minute
+            m = (k == s) & (ts_us >= w0) & (ts_us < w1)
+            n_tok[m] = np.minimum(n_tok[m] * 4, 4 * 4096)
+            planted.append(PlantedWindow(f"src-{s:03d}", int(w0), int(w1), "spike"))
+        s = shift_src
+        w0 = (src_start_us[s] + src_end_us[s]) // 2
+        m = (k == s) & (ts_us >= w0)
+        n_tok[m] = np.minimum(n_tok[m] * 2, 2 * 4096)
+        planted.append(PlantedWindow(f"src-{s:03d}", int(w0), int(src_end_us[s]), "shift"))
+        for s in gap_srcs:
+            w0 = src_start_us[s] + 120 * minute
+            w1 = w0 + 60 * minute
+            m = (k == s) & (ts_us >= w0) & (ts_us < w1)
+            keep &= ~m
+            planted.append(PlantedWindow(f"src-{s:03d}", int(w0), int(w1), "gap"))
+
+    # (6) apply the gap deletions, then generate tokens for surviving rows
+    #     only, in i order (fixed draw order).
+    idx_keep = np.flatnonzero(keep)
+    n_tok = n_tok[idx_keep]
+    k = k[idx_keep]
+    ts_us = ts_us[idx_keep]
+    total_tok = int(n_tok.sum())
+    flat_tokens = rng.integers(0, VOCAB, total_tok, dtype=np.int32)
+    offsets = np.zeros(idx_keep.size + 1, dtype=np.int64)
+    np.cumsum(n_tok, out=offsets[1:])
+
+    doc_id = np.array([f"doc-{i:012d}" for i in idx_keep], dtype=object)
+    source = np.array([f"src-{s:03d}" for s in k], dtype=object)
+
+    # (7) sort by (source, event_ts) — generation order stays i-based above.
+    perm = np.lexsort((ts_us, k))
+    tok_list = pa.LargeListArray.from_arrays(pa.array(offsets), pa.array(flat_tokens))
+    tok_sorted = tok_list.take(pa.array(perm))
+    # cast large_list<int32> -> list<element: int32 not null>
+    tok_sorted = tok_sorted.cast(pa.list_(pa.field("element", pa.int32(), nullable=False)))
+
+    table = pa.Table.from_arrays(
+        [
+            pa.array(doc_id[perm], type=pa.string()),
+            tok_sorted,
+            pa.array(n_tok[perm].astype(np.int32), type=pa.int32()),
+            pa.array(source[perm], type=pa.string()),
+            pa.array(ts_us[perm], type=pa.timestamp("us", tz="UTC")),
+        ],
+        schema=_sequence_arrow_schema(),
+    )
+    return table, planted
+
+
+def planted_to_table(planted: list[PlantedWindow]) -> pa.Table:
+    return pa.Table.from_pydict(
+        {
+            "source": [p.source for p in planted],
+            "window_start": pa.array([p.start_us for p in planted], pa.timestamp("us", tz="UTC")),
+            "window_end": pa.array([p.end_us for p in planted], pa.timestamp("us", tz="UTC")),
+            "kind": [p.kind for p in planted],
+        }
+    )
+
+
+def write_fixture(
+    out_dir: str,
+    n_rows: int = 10_000,
+    n_sources: int = 20,
+    seed: int = 42,
+    plant_anomalies: bool = True,
+) -> str:
+    """Write sequences.parquet + expected_anomalies.parquet under out_dir.
+
+    Idempotent cache: if the fixture for these params already exists
+    (marker file records the params), it is reused.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    marker = os.path.join(out_dir, "_FIXTURE")
+    tag = f"n={n_rows} k={n_sources} seed={seed} anomalies={plant_anomalies} v=1"
+    seq_path = os.path.join(out_dir, "sequences.parquet")
+    if os.path.exists(marker) and os.path.exists(seq_path):
+        with open(marker) as f:
+            if f.read().strip() == tag:
+                return seq_path
+    table, planted = synthesize(n_rows, n_sources, seed, plant_anomalies)
+    pq.write_table(table, seq_path, row_group_size=max(1024, n_rows // 64))
+    pq.write_table(planted_to_table(planted), os.path.join(out_dir, "expected_anomalies.parquet"))
+    with open(marker, "w") as f:
+        f.write(tag)
+    return seq_path
