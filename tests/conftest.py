@@ -16,7 +16,14 @@ FIXTURE_DIR = "/tmp/tsrollup_fixtures"
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark("local[8]", app_name="tsrollup-tests")
+    # fewer shuffle partitions: test inputs are tiny, scheduling overhead
+    # dominates at 32; correctness is partition-count-invariant by design
+    # (and test_partitioning_invariance proves it).
+    s = get_spark(
+        "local[8]",
+        app_name="tsrollup-tests",
+        extra_conf={"spark.sql.shuffle.partitions": "8"},
+    )
     yield s
     s.stop()
 

@@ -29,7 +29,12 @@ def seq_pdf(seq_fixture_small):
 @pytest.fixture(scope="module")
 def spark_tiers(spark, seq_fixture_small):
     df = read_sequences(spark, seq_fixture_small)
-    return build_all_tiers(df, RollupConfig())
+    tiers = build_all_tiers(df, RollupConfig())
+    # persist: every parity test re-actions these lazy plans otherwise
+    tiers = {t: d.persist() for t, d in tiers.items()}
+    yield tiers
+    for d in tiers.values():
+        d.unpersist()
 
 
 @pytest.fixture(scope="module")

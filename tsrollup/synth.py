@@ -102,8 +102,12 @@ def synthesize(
         n_tok[m] = np.minimum(n_tok[m] * 2, 2 * 4096)
         planted.append(PlantedWindow(f"src-{s:03d}", int(w0), int(src_end_us[s]), "shift"))
         for s in gap_srcs:
-            w0 = src_start_us[s] + 120 * minute
-            w1 = w0 + 60 * minute
+            # plant the deletion mid-span so rows exist on BOTH sides of the
+            # gap — otherwise it truncates the series and the gap-fill spine
+            # (which ends at the source's max bucket) never sees it.
+            span = src_end_us[s] - src_start_us[s]
+            w0 = src_start_us[s] + span // 3
+            w1 = w0 + min(60 * minute, span // 3)
             m = (k == s) & (ts_us >= w0) & (ts_us < w1)
             keep &= ~m
             planted.append(PlantedWindow(f"src-{s:03d}", int(w0), int(w1), "gap"))
@@ -167,7 +171,7 @@ def write_fixture(
     """
     os.makedirs(out_dir, exist_ok=True)
     marker = os.path.join(out_dir, "_FIXTURE")
-    tag = f"n={n_rows} k={n_sources} seed={seed} anomalies={plant_anomalies} v=1"
+    tag = f"n={n_rows} k={n_sources} seed={seed} anomalies={plant_anomalies} v=2"
     seq_path = os.path.join(out_dir, "sequences.parquet")
     if os.path.exists(marker) and os.path.exists(seq_path):
         with open(marker) as f:
