@@ -72,11 +72,12 @@ RESIDUAL_STATS_SCHEMA = StructType(
     ]
 )
 
-#: Compressed block table: one row per (source, tier, block_start).
+#: Compressed block table: one row per (source, tier, metric, block_start).
 BLOCK_SCHEMA = StructType(
     [
         StructField("source", StringType(), nullable=False),
         StructField("tier", StringType(), nullable=False),
+        StructField("metric", StringType(), nullable=False),
         StructField("block_start", TimestampType(), nullable=False),
         StructField("n_points", IntegerType(), nullable=False),
         StructField("ts_dod_blob", BinaryType(), nullable=False),
