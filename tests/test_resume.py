@@ -1,0 +1,135 @@
+"""Resume / lineage / retention tests (SURVEY.md §5.4d, §2.9, R1):
+incremental runs converge to the single-shot result byte-exactly, a crash
+between output-write and ledger-commit is repaired idempotently, and
+retention prunes expired partitions."""
+
+import glob
+import os
+import shutil
+
+import pyarrow.parquet as pq
+import pytest
+
+from tsrollup.config import RollupConfig
+from tsrollup.pipeline import ROLLUP_DIR, SCORES_DIR, rollup_build
+from tsrollup.resume import LEDGER_DIRNAME
+
+from .conftest import assert_frame_byte_equal, normalize_ts
+
+BASE = "/tmp/tsrollup_resume_test"
+
+
+@pytest.fixture(scope="module")
+def split_inputs(seq_fixture_small):
+    """Split the fixture at a day boundary (units are (source_bucket, day),
+    so a mid-day split would leave half-complete committed units)."""
+    import pyarrow.compute as pc
+
+    t = pq.read_table(seq_fixture_small)
+    days = pc.cast(t["event_ts"], "date32")
+    uniq = sorted(set(days.to_pylist()))
+    cut = uniq[len(uniq) // 2]
+    first = t.filter(pc.less(days, cut))
+    assert 0 < first.num_rows < t.num_rows
+    os.makedirs(BASE, exist_ok=True)
+    p1 = os.path.join(BASE, "input_first.parquet")
+    pq.write_table(first, p1)
+    return p1, seq_fixture_small
+
+
+def _read_sorted(spark, path, keys):
+    df = normalize_ts(spark.read.parquet(path).toPandas(), ("bucket_start",))
+    drop = [c for c in ("day", "source_bucket") if c in df.columns]
+    return df.drop(columns=drop)
+
+
+def test_incremental_equals_single_shot(spark, split_inputs):
+    first, full = split_inputs
+    out_incr = os.path.join(BASE, "incr")
+    out_full = os.path.join(BASE, "full")
+    shutil.rmtree(out_incr, ignore_errors=True)
+    shutil.rmtree(out_full, ignore_errors=True)
+    cfg = RollupConfig()
+
+    s1 = rollup_build(spark, first, out_incr, cfg, run_id="r1")
+    assert s1["pending_units"] > 0
+    s2 = rollup_build(spark, full, out_incr, cfg, run_id="r2")
+    assert 0 < s2["pending_units"]
+    # resume skipped the committed units: second run saw only the new rows
+    assert s2["input_rows"] < s1["input_rows"] + s2["input_rows"]
+
+    s3 = rollup_build(spark, full, out_full, cfg, run_id="r3")
+    assert s3["input_rows"] == s1["input_rows"] + s2["input_rows"]
+
+    keys = ["tier", "source", "bucket_start"]
+    a = _read_sorted(spark, os.path.join(out_incr, ROLLUP_DIR), keys)
+    e = _read_sorted(spark, os.path.join(out_full, ROLLUP_DIR), keys)
+    assert_frame_byte_equal(a, e, keys, msg="incremental rollup store")
+
+    ka = ["tier", "source", "detector", "bucket_start"]
+    a = _read_sorted(spark, os.path.join(out_incr, SCORES_DIR), ka)
+    e = _read_sorted(spark, os.path.join(out_full, SCORES_DIR), ka)
+    assert_frame_byte_equal(a, e, ka, msg="incremental scores")
+
+
+def test_noop_rerun_skips_everything(spark, split_inputs):
+    _first, full = split_inputs
+    out_full = os.path.join(BASE, "full")  # built by previous test
+    s = rollup_build(spark, full, out_full, RollupConfig(), run_id="r4", derived=False)
+    assert s["pending_units"] == 0
+    assert s.get("skipped") is True
+
+
+def test_crash_between_write_and_commit_is_repaired(spark, split_inputs):
+    first, _full = split_inputs
+    out = os.path.join(BASE, "crash")
+    ref = os.path.join(BASE, "crashref")
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(ref, ignore_errors=True)
+    cfg = RollupConfig()
+
+    # "crash": outputs written, then ledger commit lost
+    rollup_build(spark, first, out, cfg, run_id="c1", derived=False)
+    for f in glob.glob(os.path.join(out, LEDGER_DIRNAME, "*.parquet")):
+        os.remove(f)
+    # rerun repairs by overwriting the unledgered units' partitions
+    s = rollup_build(spark, first, out, cfg, run_id="c2", derived=False)
+    assert s["pending_units"] > 0
+
+    rollup_build(spark, first, ref, cfg, run_id="c3", derived=False)
+    keys = ["tier", "source", "bucket_start"]
+    a = _read_sorted(spark, os.path.join(out, ROLLUP_DIR), keys)
+    e = _read_sorted(spark, os.path.join(ref, ROLLUP_DIR), keys)
+    assert_frame_byte_equal(a, e, keys, msg="crash-repaired store")
+    # ledger holds exactly one commit per unit
+    led = pq.read_table(os.path.join(out, LEDGER_DIRNAME)).to_pandas()
+    assert led["unit_id"].is_unique
+
+
+def test_ledger_token_checksum_present(spark, split_inputs):
+    out_full = os.path.join(BASE, "full")
+    led = pq.read_table(os.path.join(out_full, LEDGER_DIRNAME)).to_pandas()
+    assert (led["input_rows"] > 0).all()
+    assert (led["token_checksum"] != 0).all()
+    assert (led[["out_rows_1m", "out_rows_1h", "out_rows_1d"]].sum(axis=1) > 0).all()
+
+
+def test_retention_prunes_expired_partitions(spark, split_inputs):
+    from tsrollup.storage import drop_expired_partitions
+
+    out_full = os.path.join(BASE, "full")
+    rollup_path = os.path.join(out_full, ROLLUP_DIR)
+    days = sorted(
+        d.split("=")[1] for d in os.listdir(os.path.join(rollup_path, "tier=1m")) if d.startswith("day=")
+    )
+    assert len(days) >= 2
+    # horizon chosen so the earliest day expires relative to the latest
+    import datetime as dt
+
+    span = (dt.date.fromisoformat(days[-1]) - dt.date.fromisoformat(days[0])).days
+    removed = drop_expired_partitions(rollup_path, "1m", horizon_days=span - 1, now_day=days[-1])
+    assert any(f"day={days[0]}" in r for r in removed)
+    left = [d for d in os.listdir(os.path.join(rollup_path, "tier=1m")) if d.startswith("day=")]
+    assert f"day={days[0]}" not in left
+    # coarser tiers untouched
+    assert os.path.isdir(os.path.join(rollup_path, "tier=1d"))

@@ -1,0 +1,153 @@
+"""Top-level entry points (SURVEY.md §3): rollup_build and score.
+
+rollup_build is the flagship batch job:
+
+    scan → resume-filter (anti-join vs ledger) → salted 1m aggregate →
+    cascade 1h/1d → dynamic-partition-overwrite the pending units' rollup
+    partitions → ledger commit → derived phase (gap-fill → detectors →
+    residual stats → Gorilla blocks) over the full rollup store.
+
+The aggregate phase is incremental and exactly-resumable (unit-local
+outputs, SURVEY.md §2.9). The derived phase is a full recompute over the
+rollup store — at production scale the store is ~10^6× smaller than the
+raw corpus (one row per source-minute vs one row per sequence), so
+re-deriving is cheap relative to the scan and keeps detector recurrences
+whole-series exact.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import resume as res
+from .codec import compress_tier
+from .config import RollupConfig
+from .detect import residual_stats, score_tier
+from .gapfill import gapfill
+from .rollup import ROLLUP_COLS, build_all_tiers
+from .storage import read_sequences, resolve_event_time
+
+ROLLUP_DIR = "rollup"
+SCORES_DIR = "scores"
+BLOCKS_DIR = "blocks"
+STATS_DIR = "residual_stats"
+
+
+def _write_units(df: DataFrame, path: str) -> None:
+    """Dynamic partition overwrite: only the (tier, day, source_bucket)
+    partitions present in `df` — i.e. exactly the pending units — are
+    replaced; committed units' partitions are untouched."""
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("tier", "day", "source_bucket")
+        .parquet(path)
+    )
+
+
+def rollup_build(
+    spark: SparkSession,
+    input_path: str,
+    out_base: str,
+    cfg: RollupConfig | None = None,
+    run_id: str | None = None,
+    derived: bool = True,
+) -> dict:
+    """Returns a summary dict: {pending_units, input_rows, rows_per_tier,
+    wall_agg_s, wall_derived_s, skipped}."""
+    cfg = cfg or RollupConfig()
+    run_id = run_id or uuid.uuid4().hex
+    t0 = time.monotonic()
+
+    seq = res.with_unit(resolve_event_time(read_sequences(spark, input_path)))
+    done = res.completed_unit_ids(spark, out_base)
+    pending = res.filter_pending(seq, done)
+
+    metrics = {r["unit_id"]: dict(r.asDict()) for r in res.unit_metrics(pending).collect()}
+    summary: dict = {"pending_units": len(metrics), "run_id": run_id}
+    rollup_path = os.path.join(out_base, ROLLUP_DIR)
+
+    if metrics:
+        tiers = build_all_tiers(pending, cfg)
+        tagged = None
+        for tier, df in tiers.items():
+            t = df.select(*ROLLUP_COLS).withColumn("day", F.to_date("bucket_start")).withColumn(
+                "source_bucket",
+                F.pmod(F.xxhash64("source"), F.lit(res.N_SOURCE_BUCKETS)).cast("int"),
+            )
+            tagged = t if tagged is None else tagged.unionByName(t)
+        _write_units(tagged, rollup_path)
+
+        # per-unit output-row counts for the ledger
+        out_counts = (
+            spark.read.parquet(rollup_path)
+            .withColumn("unit_id", res.unit_id_col())
+            .groupBy("unit_id", "tier")
+            .count()
+            .collect()
+        )
+        wall_ms = int((time.monotonic() - t0) * 1000)
+        for r in out_counts:
+            if r["unit_id"] in metrics:
+                metrics[r["unit_id"]][f"out_rows_{r['tier']}"] = r["count"]
+        for m in metrics.values():
+            m["wall_ms"] = wall_ms
+        res.commit_ledger(out_base, list(metrics.values()), run_id)
+        summary["input_rows"] = sum(m["input_rows"] for m in metrics.values())
+    else:
+        summary["input_rows"] = 0
+        summary["skipped"] = True
+
+    summary["wall_agg_s"] = time.monotonic() - t0
+
+    if derived:
+        t1 = time.monotonic()
+        summary["rows_per_tier"] = derive(spark, out_base, cfg)
+        summary["wall_derived_s"] = time.monotonic() - t1
+    return summary
+
+
+def derive(spark: SparkSession, out_base: str, cfg: RollupConfig | None = None) -> dict:
+    """Derived phase: gap-fill → scores → residual stats → blocks per tier,
+    full overwrite (derived tables are pure functions of the rollup store)."""
+    cfg = cfg or RollupConfig()
+    rollup_path = os.path.join(out_base, ROLLUP_DIR)
+    store = spark.read.parquet(rollup_path)
+    rows_per_tier = {}
+    scores_all = stats_all = blocks_all = None
+    for tier in cfg.tiers:
+        tier_df = store.where(F.col("tier") == tier).select(*ROLLUP_COLS)
+        filled = gapfill(tier_df, tier, cfg).persist()
+        rows_per_tier[tier] = filled.count()
+        sc = score_tier(filled, tier, cfg)
+        st = residual_stats(filled, tier, cfg)
+        bl = compress_tier(filled, tier, cfg)
+        scores_all = sc if scores_all is None else scores_all.unionByName(sc)
+        stats_all = st if stats_all is None else stats_all.unionByName(st)
+        blocks_all = bl if blocks_all is None else blocks_all.unionByName(bl)
+    (
+        scores_all.withColumn("day", F.to_date("bucket_start"))
+        .write.mode("overwrite").partitionBy("tier", "day").parquet(os.path.join(out_base, SCORES_DIR))
+    )
+    stats_all.write.mode("overwrite").partitionBy("tier").parquet(os.path.join(out_base, STATS_DIR))
+    (
+        blocks_all.withColumn("day", F.to_date("block_start"))
+        .write.mode("overwrite").partitionBy("tier", "day").parquet(os.path.join(out_base, BLOCKS_DIR))
+    )
+    return rows_per_tier
+
+
+def score(
+    spark: SparkSession, out_base: str, tier: str, cfg: RollupConfig | None = None
+) -> DataFrame:
+    """§3.2 — detector-only pass over an existing rollup store (re-score
+    with new tau/alpha/W without re-aggregating). Partition-pruned read."""
+    cfg = cfg or RollupConfig()
+    store = spark.read.parquet(os.path.join(out_base, ROLLUP_DIR))
+    tier_df = store.where(F.col("tier") == tier).select(*ROLLUP_COLS)
+    return score_tier(gapfill(tier_df, tier, cfg), tier, cfg)

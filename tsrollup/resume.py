@@ -1,0 +1,122 @@
+"""Per-partition lineage + exact resume (SURVEY.md §2.9, S3/J4).
+
+Work unit = (source_bucket, day): a stable hash bucket of `source` crossed
+with the event-time day. This keying makes EVERY tier's rollup rows
+unit-local — 1m/1h/1d buckets never cross a day boundary and a source lives
+in exactly one hash bucket — so a unit's outputs occupy exactly one
+(tier, day, source_bucket) partition directory per tier, and exact resume is
+"dynamic-partition-overwrite the pending units' directories, then commit
+ledger rows". At-least-once writes + last-commit-wins = exactly-once effect.
+
+The ledger is an append-only directory of small parquet files (one per
+completed batch), written via an atomic tmp-file rename. `token_checksum`
+(bit_xor of per-row xxhash64 over the tokens array — order-independent)
+is the cheap always-on guard for the bit-identity invariant; full elementwise
+equality runs in tests.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .storage import N_SOURCE_BUCKETS
+
+LEDGER_DIRNAME = "_ledger"
+
+
+def with_unit(df: DataFrame) -> DataFrame:
+    """Tag each input row with its work-unit key columns."""
+    return df.withColumn(
+        "source_bucket", F.pmod(F.xxhash64("source"), F.lit(N_SOURCE_BUCKETS)).cast("int")
+    ).withColumn("day", F.to_date("event_ts"))
+
+
+def unit_id_col():
+    return F.concat_ws("/", F.col("source_bucket").cast("string"), F.col("day").cast("string"))
+
+
+def read_ledger(spark: SparkSession, base_path: str) -> DataFrame | None:
+    path = os.path.join(base_path, LEDGER_DIRNAME)
+    if not os.path.isdir(path) or not any(n.endswith(".parquet") for n in os.listdir(path)):
+        return None
+    return spark.read.parquet(path)
+
+
+def completed_unit_ids(spark: SparkSession, base_path: str) -> DataFrame | None:
+    led = read_ledger(spark, base_path)
+    if led is None:
+        return None
+    return led.select("unit_id").distinct()
+
+
+def filter_pending(df: DataFrame, done_units: DataFrame | None) -> DataFrame:
+    """J4 — keep only rows whose unit has no ledger commit. The done-unit
+    list is tiny relative to the input (one row per (bucket, day)), so the
+    anti-join broadcasts."""
+    df = df.withColumn("unit_id", unit_id_col())
+    if done_units is None:
+        return df
+    return df.join(F.broadcast(done_units), "unit_id", "left_anti")
+
+
+def unit_metrics(df: DataFrame) -> DataFrame:
+    """Per-unit input_rows + order-independent token checksum (bit_xor of
+    per-row xxhash64 — associative/commutative, overflow-free under ANSI)."""
+    return (
+        df.groupBy("unit_id")
+        .agg(
+            F.count(F.lit(1)).alias("input_rows"),
+            F.expr("bit_xor(xxhash64(tokens))").alias("token_checksum"),
+        )
+    )
+
+
+def commit_ledger(
+    base_path: str,
+    rows: list[dict],
+    run_id: str | None = None,
+) -> str:
+    """Atomically append one parquet file of ledger rows (the commit point:
+    outputs are written BEFORE this; a crash in between leaves unledgered
+    outputs that the next run simply overwrites)."""
+    path = os.path.join(base_path, LEDGER_DIRNAME)
+    os.makedirs(path, exist_ok=True)
+    run_id = run_id or uuid.uuid4().hex
+    table = pa.Table.from_pylist(
+        [
+            {
+                "run_id": run_id,
+                "unit_id": r["unit_id"],
+                "input_rows": int(r["input_rows"]),
+                "token_checksum": int(r["token_checksum"]) if r["token_checksum"] is not None else 0,
+                "out_rows_1m": int(r.get("out_rows_1m") or 0),
+                "out_rows_1h": int(r.get("out_rows_1h") or 0),
+                "out_rows_1d": int(r.get("out_rows_1d") or 0),
+                "wall_ms": int(r.get("wall_ms") or 0),
+            }
+            for r in rows
+        ],
+        schema=pa.schema(
+            [
+                ("run_id", pa.string()),
+                ("unit_id", pa.string()),
+                ("input_rows", pa.int64()),
+                ("token_checksum", pa.int64()),
+                ("out_rows_1m", pa.int64()),
+                ("out_rows_1h", pa.int64()),
+                ("out_rows_1d", pa.int64()),
+                ("wall_ms", pa.int64()),
+            ]
+        ),
+    )
+    final = os.path.join(path, f"commit-{run_id}.parquet")
+    tmp = final + ".tmp"
+    pq.write_table(table, tmp)
+    os.rename(tmp, final)  # atomic on POSIX — the commit point
+    return final
