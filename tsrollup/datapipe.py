@@ -1,0 +1,137 @@
+"""Training-data-pipeline operators beyond the rollup core: LSH-bucketed
+approximate nearest neighbor and multimodal-column plumbing.
+
+The SQL-expressible pipeline ops (exact dedup, MinHash+LSH near-dup,
+quality scoring, token counting, fingerprinting, language-ID shape,
+brute-force cosine top-k) live in driver_queries.py with DuckDB oracles.
+The two here genuinely need NumPy kernels, so they get rows-only checks
+from the driver and dedicated tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# ------------------------------------------------------------------ ANN/LSH
+
+
+def _planes(n_planes: int, dim: int) -> np.ndarray:
+    """Deterministic random hyperplanes (seeded; same on driver & workers)."""
+    return np.random.default_rng(20240101).standard_normal((n_planes, dim)).astype(np.float64)
+
+
+def with_lsh_bucket(df: DataFrame, n_planes: int = 12, dim: int = 64, vec_col: str = "embedding") -> DataFrame:
+    """Random-hyperplane (SimHash) LSH: bucket = sign-bit string of the
+    vector's dot products with fixed planes. Vectorized pandas UDF — one
+    matmul per Arrow batch, no per-row Python.
+
+    Scale path: the bucket column becomes the shuffle/partition key, so
+    candidate generation is a per-bucket local join instead of a full
+    cross-join — at 10^9 vectors the cross-join is impossible and this
+    is the standard production ANN sharding."""
+    planes = _planes(n_planes, dim)
+
+    @F.pandas_udf("string")
+    def bucket_udf(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy())  # (batch, dim) float32 -> float64 matmul
+        bits = (m.astype(np.float64) @ planes.T) >= 0.0
+        weights = 1 << np.arange(n_planes, dtype=np.int64)
+        codes = (bits @ weights).astype(np.int64)
+        return pd.Series([format(c, "x") for c in codes])
+
+    return df.withColumn("lsh_bucket", bucket_udf(F.col(vec_col)))
+
+
+def ann_lsh_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    n_query: int = 3,
+    k: int = 5,
+    n_planes: int = 5,
+) -> DataFrame:
+    """ANN: candidates share an LSH bucket with the query; exact cosine
+    re-rank within the bucket. Returns (q_id, vec_id, cos_sim, rnk)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    emb = with_lsh_bucket(emb, n_planes=n_planes, vec_col="v")
+    q = emb.where(F.col("vec_id") < n_query).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), "lsh_bucket"
+    )
+    dot = F.aggregate(F.zip_with("qv", "v", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x)
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    cand = q.join(emb, "lsh_bucket").where(F.col("vec_id") != F.col("q_id"))
+    sims = cand.select(
+        "q_id", "vec_id", F.round(dot / (norm(F.col("qv")) * norm(F.col("v"))), 6).alias("cos_sim")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return sims.select("q_id", "vec_id", "cos_sim", F.row_number().over(w).alias("rnk")).where(
+        F.col("rnk") <= k
+    )
+
+
+# ------------------------------------------------------------- multimodal
+
+
+MM_FEATURE_SCHEMA = (
+    "doc_id string, media_type string, n_bytes int, width int, height int, "
+    "feature array<double>"
+)
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str, feat_dim: int = 8) -> DataFrame:
+    """Multimodal-column plumbing: opaque binary payloads + typed metadata,
+    decoded/feature-extracted in Arrow-batched mapInPandas.
+
+    The sandbox has no image/audio libraries, so the payloads are utf-8
+    bytes of `documents.text` and `_decode_stub` produces deterministic
+    fake features — but the Spark-side plumbing (binary column, metadata
+    struct, batch iteration, declared output schema, partition-parallel
+    execution) is exactly what a real decoder plugs into: swap
+    `_decode_stub` for PIL/ffmpeg and nothing else changes."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("media_type"),
+            F.col("n_chars").cast("int").alias("n_chars"),
+            F.col("lang").alias("lang"),
+        ).alias("meta"),
+    )
+
+    def extract(batches):
+        for pdf in batches:
+            payloads = pdf["payload"]
+            feats = [_decode_stub(p, feat_dim) for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": [m["media_type"] for m in pdf["meta"]],
+                    "n_bytes": [len(p) for p in payloads],
+                    "width": [f[0] for f in feats],
+                    "height": [f[1] for f in feats],
+                    "feature": [f[2] for f in feats],
+                }
+            )
+
+    return d.mapInPandas(extract, schema=MM_FEATURE_SCHEMA)
+
+
+def _decode_stub(payload: bytes, feat_dim: int):
+    """STUB for the media decoder (no PIL/ffmpeg in this container).
+    Deterministic fake: 'dimensions' from the byte length, 'features' from
+    a rolling byte histogram. A real implementation would raise
+    NotImplementedError for unsupported media rather than fake it."""
+    n = len(payload)
+    width = n % 640
+    height = (n * 7) % 480
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    if arr.size == 0:
+        return width, height, np.zeros(feat_dim, dtype=np.float64)
+    hist = np.bincount(arr % feat_dim, minlength=feat_dim).astype(np.float64)
+    return width, height, hist / arr.size

@@ -1,0 +1,751 @@
+"""Driver-harness operator queries (SURVEY.md §5.2, __spark_entry__ contract).
+
+One named query per SQL-expressible operator row of SURVEY.md §2.1, plus the
+training-data-pipeline operators (dedup / similarity / text analysis) over
+the driver's `documents` / `embeddings` tables. Each entry is a pair:
+
+    SPARK[name](spark, sf_dir) -> DataFrame      (idiomatic DataFrame API)
+    ORACLE[name] = ANSI-ish SQL string           (DuckDB, same column names)
+
+The driver compares row-count + schema + order-insensitive value-hash at
+sf0.01. Rules this file obeys everywhere:
+- every computed column is aliased IDENTICALLY on both sides;
+- cross-engine float traps avoided: integer sums stay integer, decimal sums
+  for money, one-division means, round(x, N) where float paths could differ
+  in the last bit (window stddev, cosine);
+- timestamps returned as epoch BIGINT (tz-rendering differs across engines).
+
+Entries with no ORACLE (engine-internal ops: detector kernels, codec,
+LSH-ANN, multimodal plumbing) get the driver's weaker rows-only check and
+are covered byte-exactly by tests/ instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+SPARK: dict = {}
+ORACLE: dict[str, str] = {}
+
+
+def q(name: str, sql: str | None = None):
+    def reg(fn):
+        SPARK[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return reg
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------- A1 / F1
+
+@q(
+    "a1_doc_agg",
+    """
+    SELECT source, count(*) AS cnt,
+           CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+           min(n_chars) AS chars_min, max(n_chars) AS chars_max,
+           CAST(sum(n_chars) AS DOUBLE) / count(*) AS chars_mean
+    FROM documents GROUP BY source
+    """,
+)
+def a1_doc_agg(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("n_chars").alias("chars_sum"),
+            F.min("n_chars").alias("chars_min"),
+            F.max("n_chars").alias("chars_max"),
+            (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("chars_mean"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- B1
+
+@q(
+    "b1_bucket_agg",
+    """
+    SELECT event_type,
+           CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket_s,
+           count(*) AS cnt,
+           CAST(sum(user_id) AS BIGINT) AS usr_sum,
+           min(value) AS val_min, max(value) AS val_max
+    FROM events GROUP BY event_type, date_trunc('hour', ts)
+    """,
+)
+def b1_bucket_agg(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("user_id").alias("usr_sum"),
+            F.min("value").alias("val_min"),
+            F.max("value").alias("val_max"),
+        )
+        .select(
+            "event_type",
+            F.unix_timestamp("bucket").alias("bucket_s"),
+            "cnt", "usr_sum", "val_min", "val_max",
+        )
+    )
+
+
+# ---------------------------------------------------------------- A3 cascade
+
+@q(
+    "a3_cascade",
+    """
+    SELECT event_type,
+           CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS bucket_s,
+           count(*) AS cnt,
+           CAST(sum(user_id) AS BIGINT) AS usr_sum,
+           min(value) AS val_min, max(value) AS val_max
+    FROM events GROUP BY event_type, date_trunc('day', ts)
+    """,
+)
+def a3_cascade(spark, sf_dir):
+    """Day tier built FROM the hour tier (the engine's cascade) must equal
+    the oracle's direct day aggregation — algebraic exactness (§2.3)."""
+    hourly = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("user_id").alias("usr_sum"),
+            F.min("value").alias("val_min"),
+            F.max("value").alias("val_max"),
+        )
+    )
+    return (
+        hourly.groupBy("event_type", F.date_trunc("day", "bucket").alias("bucket"))
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("usr_sum").alias("usr_sum"),
+            F.min("val_min").alias("val_min"),
+            F.max("val_max").alias("val_max"),
+        )
+        .select(
+            "event_type",
+            F.unix_timestamp("bucket").alias("bucket_s"),
+            "cnt", "usr_sum", "val_min", "val_max",
+        )
+    )
+
+
+# ---------------------------------------------------------------- A4
+
+@q(
+    "a4_distinct",
+    "SELECT event_type, count(DISTINCT user_id) AS users FROM events GROUP BY event_type",
+)
+def a4_distinct(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("users"))
+    )
+
+
+# ---------------------------------------------------------------- G1 spine
+
+@q(
+    "g1_spine_count",
+    """
+    SELECT user_id, count(*) AS n_buckets FROM (
+      SELECT user_id, unnest(generate_series(b0, b1, INTERVAL 1 MINUTE)) AS bucket
+      FROM (SELECT user_id, date_trunc('minute', min(ts)) AS b0,
+                   date_trunc('minute', max(ts)) AS b1
+            FROM events GROUP BY user_id)
+    ) GROUP BY user_id
+    """,
+)
+def g1_spine_count(spark, sf_dir):
+    bounds = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.date_trunc("minute", F.min("ts")).alias("b0"),
+            F.date_trunc("minute", F.max("ts")).alias("b1"),
+        )
+    )
+    return (
+        bounds.select(
+            "user_id", F.explode(F.expr("sequence(b0, b1, INTERVAL 1 MINUTE)")).alias("bucket")
+        )
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_buckets"))
+    )
+
+
+# ---------------------------------------------------------------- G2 LOCF
+
+@q(
+    "g2_locf",
+    """
+    SELECT event_id,
+           last_value(CASE WHEN event_type = 'view' THEN value END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_value
+    FROM events
+    """,
+)
+def g2_locf(spark, sf_dir):
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    v = F.when(F.col("event_type") == "view", F.col("value"))
+    return t(spark, sf_dir, "events").select(
+        "event_id", F.last(v, ignorenulls=True).over(w).alias("locf_value")
+    )
+
+
+# ---------------------------------------------------------------- W4 windows
+
+@q(
+    "w4_topk_per_group",
+    """
+    SELECT event_type, event_id, value, rnk FROM (
+      SELECT event_type, event_id, value,
+             row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rnk
+      FROM events
+    ) WHERE rnk <= 3
+    """,
+)
+def w4_topk_per_group(spark, sf_dir):
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        t(spark, sf_dir, "events")
+        .select("event_type", "event_id", "value", F.row_number().over(w).alias("rnk"))
+        .where(F.col("rnk") <= 3)
+    )
+
+
+@q(
+    "w4_lag_delta",
+    """
+    SELECT event_id,
+           value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+    FROM events
+    """,
+)
+def w4_lag_delta(spark, sf_dir):
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return t(spark, sf_dir, "events").select(
+        "event_id", (F.col("value") - F.lag("value").over(w)).alias("delta")
+    )
+
+
+# ---------------------------------------------------------------- W1 (SQL twin)
+
+@q(
+    "w1_zscore_sql",
+    """
+    SELECT event_id,
+           CASE WHEN cnt_w = 5 AND sigma > 0 THEN round((value - mu) / sigma, 6)
+                WHEN cnt_w = 5 THEN 0.0 END AS z
+    FROM (
+      SELECT event_id, value,
+             avg(value)        OVER w AS mu,
+             stddev_pop(value) OVER w AS sigma,
+             count(*)          OVER w AS cnt_w
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    )
+    """,
+)
+def w1_zscore_sql(spark, sf_dir):
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-4, 0)
+    df = t(spark, sf_dir, "events").select(
+        "event_id",
+        "value",
+        F.avg("value").over(w).alias("mu"),
+        F.stddev_pop("value").over(w).alias("sigma"),
+        F.count(F.lit(1)).over(w).alias("cnt_w"),
+    )
+    return df.select(
+        "event_id",
+        F.when(
+            (F.col("cnt_w") == 5) & (F.col("sigma") > 0),
+            F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 6),
+        )
+        .when(F.col("cnt_w") == 5, F.lit(0.0))
+        .alias("z"),
+    )
+
+
+# ---------------------------------------------------------------- joins
+
+@q(
+    "j1_broadcast_join",
+    """
+    SELECT r_name, count(*) AS cnt,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acct_sum
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def j1_broadcast_join(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("acct_sum"),
+        )
+    )
+
+
+@q(
+    "j2_orders_lineitem",
+    """
+    SELECT o_orderpriority, count(*) AS cnt,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty_sum
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def j2_orders_lineitem(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("qty_sum"),
+        )
+    )
+
+
+@q(
+    "j3_left_join",
+    """
+    SELECT c_custkey, count(o_orderkey) AS n_orders
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey
+    """,
+)
+def j3_left_join(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@q(
+    "j4_anti_join",
+    """
+    SELECT c_custkey FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def j4_anti_join(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
+
+
+@q(
+    "j5_bucket_join",
+    """
+    SELECT e.event_id, h.hour_cnt FROM events e
+    JOIN (SELECT date_trunc('hour', ts) AS bucket, count(*) AS hour_cnt
+          FROM events GROUP BY date_trunc('hour', ts)) h
+      ON date_trunc('hour', e.ts) = h.bucket
+    """,
+)
+def j5_bucket_join(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("hour_cnt"))
+    )
+    return (
+        e.withColumn("bucket", F.date_trunc("hour", "ts"))
+        .join(hourly, "bucket")
+        .select("event_id", "hour_cnt")
+    )
+
+
+# ---------------------------------------------------------------- O1 / O2
+
+@q(
+    "o1_global_topk",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def o1_global_topk(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .limit(10)
+    )
+
+
+@q(
+    "o2_setops",
+    """
+    SELECT user_id FROM events WHERE event_type = 'click'
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'error'
+    """,
+)
+def o2_setops(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    clicks = e.where("event_type = 'click'").select("user_id")
+    errors = e.where("event_type = 'error'").select("user_id")
+    return clicks.distinct().exceptAll(errors.distinct())
+
+
+# ---------------------------------------------------------------- F1 scalars
+
+@q(
+    "f1_scalar_funcs",
+    """
+    SELECT event_id,
+           CAST(hour(ts) AS INT) AS hr,
+           upper(event_type) AS et,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k,
+           concat_ws('-', event_type, CAST(user_id AS VARCHAR)) AS tag,
+           round(sqrt(abs(value)), 6) AS sq
+    FROM events
+    """,
+)
+def f1_scalar_funcs(spark, sf_dir):
+    return t(spark, sf_dir, "events").select(
+        "event_id",
+        F.hour("ts").alias("hr"),
+        F.upper("event_type").alias("et"),
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+        F.concat_ws("-", F.col("event_type"), F.col("user_id").cast("string")).alias("tag"),
+        F.round(F.sqrt(F.abs("value")), 6).alias("sq"),
+    )
+
+
+# ---------------------------------------------------------------- K2 salting
+
+@q(
+    "k2_salted_agg",
+    """
+    SELECT source, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS chars_sum
+    FROM documents GROUP BY source
+    """,
+)
+def k2_salted_agg(spark, sf_dir):
+    """Two-phase salted aggregation (the engine's skew pattern) must equal
+    the oracle's plain GROUP BY — algebraic-partial exactness."""
+    d = t(spark, sf_dir, "documents").withColumn(
+        "_salt", F.pmod(F.xxhash64("doc_id"), F.lit(8))
+    )
+    phase1 = d.groupBy("source", "_salt").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("n_chars").alias("chars_sum")
+    )
+    return phase1.groupBy("source").agg(
+        F.sum("cnt").alias("cnt"), F.sum("chars_sum").alias("chars_sum")
+    )
+
+
+# ---------------------------------------------------------------- P2 pruning
+
+@q(
+    "p2_pruned_filter",
+    """
+    SELECT event_type, count(*) AS cnt FROM events
+    WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-15 00:00:00'
+      AND event_type IN ('click', 'view')
+    GROUP BY event_type
+    """,
+)
+def p2_pruned_filter(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "events")
+        .where(
+            (F.col("ts") >= F.lit("2024-01-08 00:00:00").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-15 00:00:00").cast("timestamp"))
+            & F.col("event_type").isin("click", "view")
+        )
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+# ================================================================ datapipe ops
+
+
+@q(
+    "dd_exact_dedup",
+    """
+    SELECT source, count(*) AS n_docs,
+           count(DISTINCT md5(text)) AS n_unique,
+           count(*) - count(DISTINCT md5(text)) AS n_dups
+    FROM documents GROUP BY source
+    """,
+)
+def dd_exact_dedup(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").withColumn("h", F.md5("text"))
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("h").alias("n_unique"),
+        (F.count(F.lit(1)) - F.count_distinct("h")).alias("n_dups"),
+    )
+
+
+@q(
+    "dd_dup_groups",
+    """
+    SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dd_dup_groups(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "documents")
+        .groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+@q(
+    "dd_minhash_lsh",
+    """
+    WITH words AS (
+      SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS w
+      FROM documents
+    ),
+    sigs AS (
+      SELECT doc_id, b, min(md5(CAST(b AS VARCHAR) || ':' || w)) AS sig
+      FROM words CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b)
+      GROUP BY doc_id, b
+    ),
+    cand AS (
+      SELECT DISTINCT s1.doc_id AS doc_a, s2.doc_id AS doc_b
+      FROM sigs s1 JOIN sigs s2 ON s1.b = s2.b AND s1.sig = s2.sig
+      WHERE s1.doc_id < s2.doc_id
+    ),
+    wc AS (SELECT doc_id, count(DISTINCT w) AS nw FROM words GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS ni
+      FROM cand c
+      JOIN words wa ON wa.doc_id = c.doc_a
+      JOIN words wb ON wb.doc_id = c.doc_b AND wa.w = wb.w
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT i.doc_a, i.doc_b,
+           round(CAST(i.ni AS DOUBLE) / (wa.nw + wb.nw - i.ni), 6) AS jaccard
+    FROM inter i
+    JOIN wc wa ON wa.doc_id = i.doc_a
+    JOIN wc wb ON wb.doc_id = i.doc_b
+    WHERE CAST(i.ni AS DOUBLE) / (wa.nw + wb.nw - i.ni) >= 0.7
+    """,
+)
+def dd_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup: portable signatures (lexicographic min of
+    md5(band:word)) so Spark and DuckDB compute identical bands; candidates
+    from band-bucket self-join; exact unigram-Jaccard verify at 0.7."""
+    d = t(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split(F.lower("text"), " "))).alias("w")
+    )
+    bands = F.explode(F.array(*[F.lit(b) for b in range(4)])).alias("b")
+    sigs = (
+        words.select("doc_id", "w", bands)
+        .groupBy("doc_id", "b")
+        .agg(F.min(F.md5(F.concat(F.col("b").cast("string"), F.lit(":"), F.col("w")))).alias("sig"))
+    )
+    s1 = sigs.alias("s1")
+    s2 = sigs.alias("s2")
+    cand = (
+        s1.join(s2, (F.col("s1.b") == F.col("s2.b")) & (F.col("s1.sig") == F.col("s2.sig")))
+        .where(F.col("s1.doc_id") < F.col("s2.doc_id"))
+        .select(F.col("s1.doc_id").alias("doc_a"), F.col("s2.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    wc = words.groupBy("doc_id").agg(F.count_distinct("w").alias("nw"))
+    wa = words.alias("wa")
+    wb = words.alias("wb")
+    inter = (
+        cand.join(wa, F.col("wa.doc_id") == F.col("doc_a"))
+        .join(wb, (F.col("wb.doc_id") == F.col("doc_b")) & (F.col("wa.w") == F.col("wb.w")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    j = (
+        inter.join(wc.alias("ca"), F.col("ca.doc_id") == F.col("doc_a"))
+        .join(wc.alias("cb"), F.col("cb.doc_id") == F.col("doc_b"))
+        .withColumn(
+            "jacc_raw",
+            F.col("ni").cast("double") / (F.col("ca.nw") + F.col("cb.nw") - F.col("ni")),
+        )
+        .where(F.col("jacc_raw") >= 0.7)
+    )
+    return j.select("doc_a", "doc_b", F.round("jacc_raw", 6).alias("jaccard"))
+
+
+@q(
+    "tx_quality",
+    """
+    SELECT doc_id,
+           length(text) AS char_cnt,
+           CAST(len(string_split(text, ' ')) AS INT) AS word_cnt,
+           round(CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+                 / length(text), 6) AS alpha_ratio
+    FROM documents WHERE length(text) > 0
+    """,
+)
+def tx_quality(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").where(F.length("text") > 0)
+    return d.select(
+        "doc_id",
+        F.length("text").alias("char_cnt"),
+        F.size(F.split("text", " ", -1)).alias("word_cnt"),
+        F.round(
+            F.length(F.regexp_replace("text", "[^a-z]", "")).cast("double") / F.length("text"),
+            6,
+        ).alias("alpha_ratio"),
+    )
+
+
+@q(
+    "tx_token_count",
+    r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS INT)
+             AS n_tokens
+    FROM documents
+    """,
+)
+def tx_token_count(spark, sf_dir):
+    return t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), 0)).alias(
+            "n_tokens"
+        ),
+    )
+
+
+@q(
+    "tx_fingerprint",
+    """
+    SELECT doc_id, md5(replace(lower(text), ' ', '')) AS fp FROM documents
+    """,
+)
+def tx_fingerprint(spark, sf_dir):
+    return t(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.replace(F.lower("text"), F.lit(" "), F.lit(""))).alias("fp")
+    )
+
+
+@q(
+    "tx_langid",
+    """
+    SELECT lang, count(*) AS n,
+           CAST(sum(CASE WHEN strpos(text, 'the ') > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS has_the
+    FROM documents GROUP BY lang
+    """,
+)
+def tx_langid(spark, sf_dir):
+    """n-gram-heuristic language-ID shape: stopword-marker incidence per
+    declared lang (the fixture's text is synthetic; the real engine would
+    score n-gram profiles — the Spark plumbing is identical)."""
+    d = t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.instr("text", "the ") > 0, 1).otherwise(0)).alias("has_the"),
+    )
+
+
+@q(
+    "emb_stats",
+    """
+    SELECT label, count(*) AS cnt,
+           CAST(max(len(embedding)) AS INT) AS dim,
+           CAST(min(list_min(embedding)) AS DOUBLE) AS min_val,
+           CAST(max(list_max(embedding)) AS DOUBLE) AS max_val
+    FROM embeddings GROUP BY label
+    """,
+)
+def emb_stats(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    return e.groupBy("label").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.max(F.size("embedding")).alias("dim"),
+        F.min(F.array_min("embedding")).cast("double").alias("min_val"),
+        F.max(F.array_max("embedding")).cast("double").alias("max_val"),
+    )
+
+
+@q(
+    "ann_cosine_topk",
+    """
+    WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 3),
+    sims AS (
+      SELECT q.q_id, e.vec_id,
+             round(list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])), 4) AS cos_sim
+      FROM q CROSS JOIN embeddings e
+      WHERE e.vec_id != q.q_id
+    )
+    SELECT q_id, vec_id, cos_sim FROM (
+      SELECT q_id, vec_id, cos_sim,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rnk
+      FROM sims
+    ) WHERE rnk <= 5
+    """,
+)
+def ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k: the exact baseline for ANN. Dot/norms fold
+    left-to-right over the array in both engines; ranking happens on the
+    ROUNDED similarity so low-bit float drift can't flip ranks."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    qv = e.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "v", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    sims = (
+        qv.crossJoin(e)
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(dot / (norm(F.col("qv")) * norm(F.col("v"))), 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        sims.select("q_id", "vec_id", "cos_sim", F.row_number().over(w).alias("rnk"))
+        .where(F.col("rnk") <= 5)
+        .select("q_id", "vec_id", "cos_sim")
+    )
