@@ -1,0 +1,108 @@
+"""Per-round benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline = the flagship rollup_build (full engine: scan → salted tiered
+aggregation → gap-fill → detectors → Gorilla blocks → lineage commit) over a
+synthetic sequence fixture scaled to the sf tier (the engine's real input
+shape, FIXTURES.md §A — cached across runs), plus representative operator
+queries over the driver's testdata tables. Extra keys report sequence
+throughput and compression ratio; the scaling-efficiency evidence
+(local[8] vs local[32]) is produced by bench/scaling.py into BENCH/.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+#: fixture size per sf tier: (n_rows, n_sources)
+FIXTURE_SIZE = {
+    "sf0.001": (50_000, 50),
+    "sf0.01": (200_000, 100),
+    "sf0.1": (1_000_000, 200),
+}
+BENCH_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    n_rows, n_sources = FIXTURE_SIZE.get(sf_name, (200_000, 100))
+
+    from pyspark.sql import functions as F
+
+    from tsrollup.config import RollupConfig
+    from tsrollup.driver_queries import SPARK
+    from tsrollup.pipeline import BLOCKS_DIR, rollup_build
+    from tsrollup.session import get_spark
+    from tsrollup.synth import write_fixture
+
+    spark = get_spark(
+        f"local[{cpus}]",
+        app_name="tsrollup-bench",
+        extra_conf={"spark.sql.shuffle.partitions": str(2 * cpus)},
+    )
+
+    timings: dict[str, float] = {}
+    extras: dict = {}
+
+    # ---- headline: full rollup_build over the synthetic sequence fixture
+    fx_dir = os.path.join(BENCH_CACHE, f"fx_{sf_name}")
+    seq_path = write_fixture(fx_dir, n_rows, n_sources, seed=42)
+    out_base = os.path.join(BENCH_CACHE, f"out_{sf_name}_{cpus}")
+    shutil.rmtree(out_base, ignore_errors=True)
+    t0 = time.monotonic()
+    summary = rollup_build(spark, seq_path, out_base, RollupConfig())
+    timings["rollup_build"] = round(time.monotonic() - t0, 3)
+    extras["rollup_seq_per_s"] = round(summary["input_rows"] / timings["rollup_build"], 1)
+    extras["rollup_rows_per_tier"] = summary["rows_per_tier"]
+
+    blocks = spark.read.parquet(os.path.join(out_base, BLOCKS_DIR))
+    st = blocks.agg(
+        F.sum("n_points").alias("pts"),
+        F.sum(F.length("ts_dod_blob") + F.length("val_xor_blob")).alias("nbytes"),
+    ).collect()[0]
+    extras["compression_ratio"] = round((st.pts * 16) / st.nbytes, 2)
+
+    # ---- operator queries over the driver's testdata tables
+    for name in (
+        "b1_bucket_agg",
+        "j2_orders_lineitem",
+        "w1_zscore_sql",
+        "g2_locf",
+        "dd_minhash_lsh",
+        "ann_cosine_topk",
+        "tx_quality",
+    ):
+        t0 = time.monotonic()
+        SPARK[name](spark, sf_dir).count()
+        timings[f"q_{name}"] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "tsrollup_bench_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_name,
+                "cpus": cpus,
+                "fixture_rows": n_rows,
+                **extras,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -29,7 +29,7 @@ from .codec import compress_tier
 from .config import RollupConfig
 from .detect import residual_stats, score_tier
 from .gapfill import gapfill
-from .rollup import ROLLUP_COLS, build_all_tiers
+from .rollup import ROLLUP_COLS, cascade, rollup_from_raw
 from .storage import read_sequences, resolve_event_time
 
 ROLLUP_DIR = "rollup"
@@ -41,9 +41,14 @@ STATS_DIR = "residual_stats"
 def _write_units(df: DataFrame, path: str) -> None:
     """Dynamic partition overwrite: only the (tier, day, source_bucket)
     partitions present in `df` — i.e. exactly the pending units — are
-    replaced; committed units' partitions are untouched."""
+    replaced; committed units' partitions are untouched.
+
+    The repartition on the partition columns is the small-files guard:
+    without it every shuffle partition writes a sliver into every dir
+    (dirs × shuffle.partitions files); with it each dir gets one file."""
     (
-        df.write.mode("overwrite")
+        df.repartition("tier", "day", "source_bucket")
+        .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("tier", "day", "source_bucket")
         .parquet(path)
@@ -67,39 +72,62 @@ def rollup_build(
     seq = res.with_unit(resolve_event_time(read_sequences(spark, input_path)))
     done = res.completed_unit_ids(spark, out_base)
     pending = res.filter_pending(seq, done)
-
-    metrics = {r["unit_id"]: dict(r.asDict()) for r in res.unit_metrics(pending).collect()}
-    summary: dict = {"pending_units": len(metrics), "run_id": run_id}
     rollup_path = os.path.join(out_base, ROLLUP_DIR)
+    summary: dict = {"run_id": run_id}
+
+    # ONE scan of the raw corpus: the 1m aggregation carries a per-bucket
+    # bit_xor token-hash partial, so unit metrics (row counts + token
+    # checksum) fall out of the persisted 1m tier instead of a second pass.
+    r1m = rollup_from_raw(pending, "1m", cfg.salt_buckets, with_hash=True).persist()
+    unit_stats = (
+        r1m.withColumn("unit_id", res.unit_id_col_from_bucket())
+        .groupBy("unit_id")
+        .agg(
+            F.sum("cnt").alias("input_rows"),
+            F.expr("bit_xor(hash_xor)").alias("token_checksum"),
+        )
+        .collect()
+    )
+    metrics = {r["unit_id"]: dict(r.asDict()) for r in unit_stats}
+    summary["pending_units"] = len(metrics)
 
     if metrics:
-        tiers = build_all_tiers(pending, cfg)
+        tiers = {"1m": r1m.select(*ROLLUP_COLS)}
+        tiers["1h"] = cascade(tiers["1m"], "1h").persist()
+        tiers["1h"].count()  # materialize before 1d branches off it
+        tiers["1d"] = cascade(tiers["1h"], "1d").persist()
         tagged = None
-        for tier, df in tiers.items():
-            t = df.select(*ROLLUP_COLS).withColumn("day", F.to_date("bucket_start")).withColumn(
+        for df in tiers.values():
+            t = df.withColumn("day", F.to_date("bucket_start")).withColumn(
                 "source_bucket",
                 F.pmod(F.xxhash64("source"), F.lit(res.N_SOURCE_BUCKETS)).cast("int"),
             )
             tagged = t if tagged is None else tagged.unionByName(t)
         _write_units(tagged, rollup_path)
 
-        # per-unit output-row counts for the ledger
-        out_counts = (
-            spark.read.parquet(rollup_path)
-            .withColumn("unit_id", res.unit_id_col())
-            .groupBy("unit_id", "tier")
-            .count()
-            .collect()
-        )
+        # per-unit output-row counts from the persisted (in-memory) tiers —
+        # never rescan the store: it grows with history, this batch doesn't.
+        out_counts = []
+        for tier, df in tiers.items():
+            out_counts += (
+                df.withColumn("unit_id", res.unit_id_col_from_bucket())
+                .groupBy("unit_id")
+                .agg(F.count(F.lit(1)).alias("n"), F.lit(tier).alias("tier"))
+                .collect()
+            )
         wall_ms = int((time.monotonic() - t0) * 1000)
         for r in out_counts:
             if r["unit_id"] in metrics:
-                metrics[r["unit_id"]][f"out_rows_{r['tier']}"] = r["count"]
+                metrics[r["unit_id"]][f"out_rows_{r['tier']}"] = r["n"]
         for m in metrics.values():
             m["wall_ms"] = wall_ms
         res.commit_ledger(out_base, list(metrics.values()), run_id)
         summary["input_rows"] = sum(m["input_rows"] for m in metrics.values())
+        for df in tiers.values():
+            df.unpersist()
+        r1m.unpersist()
     else:
+        r1m.unpersist()
         summary["input_rows"] = 0
         summary["skipped"] = True
 
@@ -132,11 +160,16 @@ def derive(spark: SparkSession, out_base: str, cfg: RollupConfig | None = None) 
         blocks_all = bl if blocks_all is None else blocks_all.unionByName(bl)
     (
         scores_all.withColumn("day", F.to_date("bucket_start"))
+        .repartition("tier", "day")
         .write.mode("overwrite").partitionBy("tier", "day").parquet(os.path.join(out_base, SCORES_DIR))
     )
-    stats_all.write.mode("overwrite").partitionBy("tier").parquet(os.path.join(out_base, STATS_DIR))
+    (
+        stats_all.repartition("tier")
+        .write.mode("overwrite").partitionBy("tier").parquet(os.path.join(out_base, STATS_DIR))
+    )
     (
         blocks_all.withColumn("day", F.to_date("block_start"))
+        .repartition("tier", "day")
         .write.mode("overwrite").partitionBy("tier", "day").parquet(os.path.join(out_base, BLOCKS_DIR))
     )
     return rows_per_tier

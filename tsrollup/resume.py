@@ -41,6 +41,16 @@ def unit_id_col():
     return F.concat_ws("/", F.col("source_bucket").cast("string"), F.col("day").cast("string"))
 
 
+def unit_id_col_from_bucket():
+    """Unit key recovered from rollup rows: the unit's (source_bucket, day)
+    is a pure function of (source, bucket_start) — buckets never cross days."""
+    return F.concat_ws(
+        "/",
+        F.pmod(F.xxhash64("source"), F.lit(N_SOURCE_BUCKETS)).cast("int").cast("string"),
+        F.to_date("bucket_start").cast("string"),
+    )
+
+
 def read_ledger(spark: SparkSession, base_path: str) -> DataFrame | None:
     path = os.path.join(base_path, LEDGER_DIRNAME)
     if not os.path.isdir(path) or not any(n.endswith(".parquet") for n in os.listdir(path)):

@@ -34,26 +34,32 @@ def bucketize(df: DataFrame, tier: str, ts_col: str = "event_ts") -> DataFrame:
     return df.withColumn("bucket_start", F.date_trunc(TIER_TRUNC[tier], F.col(ts_col)))
 
 
-def token_prereduce(df: DataFrame) -> DataFrame:
+def token_prereduce(df: DataFrame, with_hash: bool = False) -> DataFrame:
     """A2 pre-step — collapse the tokens array to per-row scalars inside
     codegen (no explode, no Python). tok_cnt uses `size(tokens)` rather than
     trusting the denormalized n_tok, so the stats stay honest even if an
-    upstream writer let them drift; n_tok itself is aggregated separately."""
-    return df.select(
-        "doc_id",
-        "source",
-        "bucket_start",
+    upstream writer let them drift; n_tok itself is aggregated separately.
+
+    with_hash adds xxhash64(tokens) so the lineage token-checksum rides the
+    SAME scan as the aggregation — one pass over the raw corpus, not two."""
+    cols = [
+        F.col("doc_id"),
+        F.col("source"),
+        F.col("bucket_start"),
         F.col("n_tok").cast("long").alias("n_tok_l"),
         F.col("n_tok").alias("n_tok_i"),
         F.aggregate("tokens", F.lit(0).cast("long"), lambda acc, x: acc + x.cast("long")).alias("row_tok_sum"),
         F.size("tokens").cast("long").alias("row_tok_cnt"),
         F.array_min("tokens").alias("row_tok_min"),
         F.array_max("tokens").alias("row_tok_max"),
-    )
+    ]
+    if with_hash:
+        cols.append(F.xxhash64("tokens").alias("row_hash"))
+    return df.select(*cols)
 
 
-def _partial_aggs():
-    return [
+def _partial_aggs(with_hash: bool = False):
+    aggs = [
         F.count(F.lit(1)).alias("cnt"),
         F.sum("n_tok_l").alias("n_tok_sum"),
         F.min("n_tok_i").alias("n_tok_min"),
@@ -63,10 +69,13 @@ def _partial_aggs():
         F.min("row_tok_min").alias("tok_min"),
         F.max("row_tok_max").alias("tok_max"),
     ]
+    if with_hash:
+        aggs.append(F.expr("bit_xor(row_hash)").alias("hash_xor"))
+    return aggs
 
 
-def _combine_aggs():
-    return [
+def _combine_aggs(with_hash: bool = False):
+    aggs = [
         F.sum("cnt").alias("cnt"),
         F.sum("n_tok_sum").alias("n_tok_sum"),
         F.min("n_tok_min").alias("n_tok_min"),
@@ -76,10 +85,14 @@ def _combine_aggs():
         F.min("tok_min").alias("tok_min"),
         F.max("tok_max").alias("tok_max"),
     ]
+    if with_hash:
+        aggs.append(F.expr("bit_xor(hash_xor)").alias("hash_xor"))
+    return aggs
 
 
-def _finalize(df: DataFrame, tier: str) -> DataFrame:
+def _finalize(df: DataFrame, tier: str, with_hash: bool = False) -> DataFrame:
     """Derive means, stamp tier/gap_filled, order columns canonically."""
+    extra = [F.col("hash_xor")] if with_hash else []
     return df.select(
         "source",
         "bucket_start",
@@ -95,10 +108,13 @@ def _finalize(df: DataFrame, tier: str) -> DataFrame:
         "tok_max",
         (F.col("tok_sum").cast("double") / F.col("tok_cnt")).alias("tok_mean"),
         F.lit(False).alias("gap_filled"),
+        *extra,
     )
 
 
-def rollup_from_raw(df: DataFrame, tier: str, salt_buckets: int | None = None) -> DataFrame:
+def rollup_from_raw(
+    df: DataFrame, tier: str, salt_buckets: int | None = None, with_hash: bool = False
+) -> DataFrame:
     """A1+A2 (+K2) — per-(source, bucket) aggregate of the raw sequence table.
 
     With `salt_buckets`, runs the two-phase salted aggregation for skewed
@@ -108,14 +124,14 @@ def rollup_from_raw(df: DataFrame, tier: str, salt_buckets: int | None = None) -
     partial aggregation already bounds common skew; salting is the explicit
     escape hatch the spec mandates for 10^12-row hot keys.
     """
-    pre = token_prereduce(bucketize(df, tier))
+    pre = token_prereduce(bucketize(df, tier), with_hash)
     if salt_buckets and salt_buckets > 1:
         salted = pre.withColumn("_salt", F.pmod(F.xxhash64("doc_id"), F.lit(salt_buckets)))
-        phase1 = salted.groupBy("source", "bucket_start", "_salt").agg(*_partial_aggs())
-        agg = phase1.groupBy("source", "bucket_start").agg(*_combine_aggs())
+        phase1 = salted.groupBy("source", "bucket_start", "_salt").agg(*_partial_aggs(with_hash))
+        agg = phase1.groupBy("source", "bucket_start").agg(*_combine_aggs(with_hash))
     else:
-        agg = pre.groupBy("source", "bucket_start").agg(*_partial_aggs())
-    return _finalize(agg, tier)
+        agg = pre.groupBy("source", "bucket_start").agg(*_partial_aggs(with_hash))
+    return _finalize(agg, tier, with_hash)
 
 
 def cascade(finer: DataFrame, to_tier: str) -> DataFrame:
