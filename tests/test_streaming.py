@@ -1,0 +1,100 @@
+"""Streaming-variant tests (SURVEY.md §2.10): the streamed 1m rollup must
+byte-match the batch rollup on every FINALIZED bucket (those behind the
+final watermark), and the stateful Welford finals must equal the batch
+kernel run over the same events in event-time order."""
+
+import glob
+import os
+import shutil
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from tsrollup import kernels
+from tsrollup.rollup import rollup_from_raw
+from tsrollup.storage import read_sequences
+from tsrollup.streaming import run_streaming_rollup, run_streaming_welford
+
+from .conftest import assert_frame_byte_equal, normalize_ts
+
+BASE = "/tmp/tsrollup_stream_test"
+
+
+@pytest.fixture(scope="module")
+def stream_input(seq_fixture_small):
+    """Split the fixture into 3 files by event-time thirds — processed as
+    ordered micro-batches via maxFilesPerTrigger=1."""
+    import pyarrow.compute as pc
+
+    t = pq.read_table(seq_fixture_small)
+    ts = t["event_ts"]
+    qs = [0.0, 1 / 3, 2 / 3, 1.0]
+    srt = pc.sort_indices(ts)
+    shutil.rmtree(BASE, ignore_errors=True)
+    in_dir = os.path.join(BASE, "in")
+    os.makedirs(in_dir)
+    n = t.num_rows
+    for i in range(3):
+        lo, hi = int(qs[i] * n), int(qs[i + 1] * n)
+        part = t.take(srt.slice(lo, hi - lo))
+        pq.write_table(part, os.path.join(in_dir, f"part-{i}.parquet"))
+    return in_dir
+
+
+def test_streaming_rollup_matches_batch(spark, stream_input):
+    out = os.path.join(BASE, "rollup_out")
+    ckpt = os.path.join(BASE, "rollup_ckpt")
+    run_streaming_rollup(spark, stream_input, out, ckpt, watermark="10 minutes",
+                         max_files_per_trigger=1)
+    got = spark.read.parquet(out).toPandas()
+    assert len(got) > 0, "no finalized buckets emitted"
+    # batch twin over the same input
+    batch = rollup_from_raw(read_sequences(spark, stream_input), "1m", None).toPandas()
+    got = normalize_ts(got, ("bucket_start",))
+    batch = normalize_ts(batch, ("bucket_start",))
+    # streaming emits only buckets finalized behind the last watermark:
+    # compare exactly on the emitted set, and check the set is the right one
+    emitted = set(zip(got["source"], got["bucket_start"]))
+    sub = batch[[(s, b) in emitted for s, b in zip(batch["source"], batch["bucket_start"])]]
+    assert_frame_byte_equal(got, sub, ["source", "bucket_start"], msg="streamed rollup")
+    # nothing behind the watermark horizon was missed: every batch bucket
+    # older than (max_ts - watermark) must have been emitted
+    horizon = batch["bucket_start"].max() - np.timedelta64(20, "m")
+    missed = batch[(batch["bucket_start"] < horizon)]
+    missed = missed[[(s, b) not in emitted for s, b in zip(missed["source"], missed["bucket_start"])]]
+    assert len(missed) == 0, f"{len(missed)} finalized buckets missing from stream output"
+
+
+def test_streaming_welford_matches_batch_kernel(spark, stream_input):
+    out = os.path.join(BASE, "welford_out")
+    ckpt = os.path.join(BASE, "welford_ckpt")
+    run_streaming_welford(spark, stream_input, out, ckpt, max_files_per_trigger=1)
+    batch_dirs = sorted(glob.glob(os.path.join(out, "batch_id=*")))
+    assert len(batch_dirs) >= 2, "expected multiple micro-batches"
+    # final stats = last batch's emission per source
+    import pandas as pd
+
+    frames = []
+    for d in batch_dirs:
+        bid = int(d.rsplit("=", 1)[1])
+        pdf = pq.read_table(d).to_pandas()
+        pdf["batch_id"] = bid
+        frames.append(pdf)
+    allb = pd.concat(frames, ignore_index=True)
+    finals = (
+        allb.sort_values("batch_id")
+        .groupby("source", sort=True)
+        .tail(1)
+        .set_index("source")
+        .sort_index()
+    )
+    # oracle: sequential Welford over each source's n_tok in event order
+    seq = pq.read_table(stream_input).to_pandas()
+    for src, grp in seq.groupby("source", sort=True):
+        grp = grp.sort_values("event_ts", kind="mergesort")
+        n, mean, var_pop = kernels.welford(grp["n_tok"].to_numpy(dtype="float64"))
+        row = finals.loc[src]
+        assert row["n"] == n, src
+        assert row["mean"] == mean, src
+        assert row["var_pop"] == var_pop, src

