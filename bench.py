@@ -46,6 +46,10 @@ def main() -> None:
     from tsrollup.session import get_spark
     from tsrollup.synth import write_fixture
 
+    # sandbox partition-size targeting: at 1M fixture rows, 64 source
+    # buckets × days × tiers would mean ~5700 near-empty partition dirs;
+    # 8 buckets keeps dirs proportionate (it's a size target — see storage)
+    os.environ.setdefault("TSROLLUP_SOURCE_BUCKETS", "8")
     spark = get_spark(
         f"local[{cpus}]",
         app_name="tsrollup-bench",
@@ -54,6 +58,13 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     extras: dict = {}
+
+    # JVM/JIT + Python-worker warmup (untimed): a small end-to-end pass so
+    # the measured run reflects steady-state throughput, not first-run JIT
+    warm_fx = write_fixture(os.path.join(BENCH_CACHE, "fx_warm"), 20_000, 20, seed=1)
+    warm_out = os.path.join(BENCH_CACHE, "out_warm")
+    shutil.rmtree(warm_out, ignore_errors=True)
+    rollup_build(spark, warm_fx, warm_out, RollupConfig())
 
     # ---- headline: full rollup_build over the synthetic sequence fixture
     fx_dir = os.path.join(BENCH_CACHE, f"fx_{sf_name}")

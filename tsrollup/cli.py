@@ -1,0 +1,115 @@
+"""spark-submit entry point (BASELINE.json ship artifact:
+`spark-submit --py-files tsrollup.zip -m tsrollup.cli ...`).
+
+Subcommands:
+  build   — rollup_build: incremental, exactly-resumable batch job
+  score   — detector-only pass over an existing rollup store
+  stream  — availableNow streaming drain (tumbling 1m rollup)
+  synth   — write a deterministic synthetic fixture
+  retain  — enforce per-tier retention on a rollup store
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="tsrollup")
+    p.add_argument("--master", default="local[*]")
+    p.add_argument("--shuffle-partitions", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build")
+    b.add_argument("--input", required=True)
+    b.add_argument("--out", required=True)
+    b.add_argument("--salt", type=int, default=8)
+    b.add_argument("--gapfill", choices=["locf", "linear"], default="locf")
+    b.add_argument("--no-derived", action="store_true")
+
+    s = sub.add_parser("score")
+    s.add_argument("--out", required=True)
+    s.add_argument("--tier", default="1h")
+    s.add_argument("--window", type=int, default=60)
+    s.add_argument("--tau", type=float, default=3.0)
+    s.add_argument("--alpha", type=float, default=0.3)
+
+    st = sub.add_parser("stream")
+    st.add_argument("--input", required=True)
+    st.add_argument("--out", required=True)
+    st.add_argument("--checkpoint", required=True)
+    st.add_argument("--watermark", default="10 minutes")
+
+    sy = sub.add_parser("synth")
+    sy.add_argument("--out", required=True)
+    sy.add_argument("--rows", type=int, default=200_000)
+    sy.add_argument("--sources", type=int, default=50)
+    sy.add_argument("--seed", type=int, default=42)
+
+    r = sub.add_parser("retain")
+    r.add_argument("--out", required=True)
+    r.add_argument("--now-day", required=True, help="YYYY-MM-DD")
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "synth":
+        from .synth import write_fixture
+
+        path = write_fixture(args.out, args.rows, args.sources, args.seed)
+        print(json.dumps({"fixture": path}))
+        return 0
+
+    from .config import TIER_RETENTION_DAYS, DetectorConfig, RollupConfig
+    from .session import get_spark
+
+    extra = {}
+    if args.shuffle_partitions:
+        extra["spark.sql.shuffle.partitions"] = str(args.shuffle_partitions)
+    spark = get_spark(args.master, app_name=f"tsrollup-{args.cmd}", extra_conf=extra)
+
+    if args.cmd == "build":
+        from .pipeline import rollup_build
+
+        cfg = RollupConfig(salt_buckets=args.salt or None, gapfill_method=args.gapfill)
+        summary = rollup_build(spark, args.input, args.out, cfg, derived=not args.no_derived)
+        print(json.dumps(summary, default=str))
+        return 0
+
+    if args.cmd == "score":
+        from .pipeline import score
+
+        cfg = RollupConfig(
+            detector=DetectorConfig(window=args.window, tau=args.tau, alpha=args.alpha)
+        )
+        n = score(spark, args.out, args.tier, cfg).where("is_anomaly").count()
+        print(json.dumps({"tier": args.tier, "anomalies": n}))
+        return 0
+
+    if args.cmd == "stream":
+        from .streaming import run_streaming_rollup
+
+        run_streaming_rollup(spark, args.input, args.out, args.checkpoint, args.watermark)
+        print(json.dumps({"status": "drained"}))
+        return 0
+
+    if args.cmd == "retain":
+        import os
+
+        from .pipeline import ROLLUP_DIR
+        from .storage import drop_expired_partitions
+
+        removed = []
+        for tier, horizon in TIER_RETENTION_DAYS.items():
+            removed += drop_expired_partitions(
+                os.path.join(args.out, ROLLUP_DIR), tier, horizon, args.now_day
+            )
+        print(json.dumps({"removed_partitions": removed}))
+        return 0
+
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

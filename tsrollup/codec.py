@@ -253,7 +253,6 @@ def compress_tier(filled: DataFrame, tier: str, cfg: RollupConfig | None = None)
         F.date_trunc("day", "bucket_start").alias("block_start"),
         *[F.col(m).cast("double").alias(m) for m in BLOCK_METRICS],
     )
-    slim = slim.repartitionByRange(cfg.range_partitions, "source", "block_start")
 
     def encode_block(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("bucket_start", kind="mergesort").reset_index(drop=True)

@@ -48,7 +48,9 @@ class RollupConfig:
     #: two-phase aggregation salt fan-out for skewed sources (K2);
     #: None disables salting (Catalyst partial agg only).
     salt_buckets: int | None = 8
-    #: shuffle partitions used for repartitionByRange before kernels (K1).
+    #: partition count for explicit range repartitions (ordered writes); the
+    #: grouped-map kernels intentionally do NOT range-partition first (their
+    #: required hash-clustering Exchange supersedes it — see detect.py).
     range_partitions: int = 32
     #: gap-fill interpolation method for value columns: "locf" | "linear".
     gapfill_method: str = "locf"

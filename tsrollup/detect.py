@@ -7,9 +7,12 @@ tsrollup.kernels are inherently sequential (EWMA/Welford), and running
 them per-group in a defined sort order is what makes output independent
 of parallelism level.
 
-Before the grouped map, the frame is range-partitioned on
-(source, bucket_start) (K1) so each task receives contiguous per-source
-slices and AQE doesn't have to fix up skew after the fact.
+Partitioning note (measured, see git history): grouped-map requires hash
+clustering on the group key and inserts its own Exchange; a
+repartitionByRange in front of it does NOT satisfy that requirement and
+just doubles the shuffles. The gap-fill window has already hash-partitioned
+the frame by source, so the grouped-map here reuses that layout where
+Catalyst allows and otherwise performs the one required shuffle.
 """
 
 from __future__ import annotations
@@ -64,7 +67,6 @@ def score_tier(
     cfg = cfg or RollupConfig()
     det = cfg.detector
     slim = filled.select("source", "bucket_start", det.value_col)
-    slim = slim.repartitionByRange(cfg.range_partitions, "source", "bucket_start")
     return slim.groupBy("source").applyInPandas(
         _score_kernel(det, tier), schema=schemas.SCORE_SCHEMA
     )
@@ -100,7 +102,6 @@ def residual_stats(
     cfg = cfg or RollupConfig()
     det = cfg.detector
     slim = filled.select("source", "bucket_start", det.value_col)
-    slim = slim.repartitionByRange(cfg.range_partitions, "source", "bucket_start")
     return slim.groupBy("source").applyInPandas(
         _residual_kernel(det, tier), schema=schemas.RESIDUAL_STATS_SCHEMA
     )

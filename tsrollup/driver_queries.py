@@ -533,44 +533,55 @@ def dd_dup_groups(spark, sf_dir):
 @q(
     "dd_minhash_lsh",
     """
-    WITH words AS (
-      SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS w
-      FROM documents
+    WITH sets AS (
+      SELECT doc_id,
+             list_distinct(
+               [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                for i in generate_series(1, len(ws) - 2)]) AS shingles
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents)
+      WHERE len(ws) >= 3
     ),
     sigs AS (
       SELECT doc_id, b, min(md5(CAST(b AS VARCHAR) || ':' || w)) AS sig
-      FROM words CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b)
+      FROM (SELECT doc_id, unnest(shingles) AS w FROM sets)
+      CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b)
       GROUP BY doc_id, b
     ),
     cand AS (
       SELECT DISTINCT s1.doc_id AS doc_a, s2.doc_id AS doc_b
       FROM sigs s1 JOIN sigs s2 ON s1.b = s2.b AND s1.sig = s2.sig
       WHERE s1.doc_id < s2.doc_id
-    ),
-    wc AS (SELECT doc_id, count(DISTINCT w) AS nw FROM words GROUP BY doc_id),
-    inter AS (
-      SELECT c.doc_a, c.doc_b, count(*) AS ni
-      FROM cand c
-      JOIN words wa ON wa.doc_id = c.doc_a
-      JOIN words wb ON wb.doc_id = c.doc_b AND wa.w = wb.w
-      GROUP BY c.doc_a, c.doc_b
     )
-    SELECT i.doc_a, i.doc_b,
-           round(CAST(i.ni AS DOUBLE) / (wa.nw + wb.nw - i.ni), 6) AS jaccard
-    FROM inter i
-    JOIN wc wa ON wa.doc_id = i.doc_a
-    JOIN wc wb ON wb.doc_id = i.doc_b
-    WHERE CAST(i.ni AS DOUBLE) / (wa.nw + wb.nw - i.ni) >= 0.7
+    SELECT doc_a, doc_b, round(jacc_raw, 6) AS jaccard FROM (
+      SELECT c.doc_a, c.doc_b,
+             CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+               / (len(sa.shingles) + len(sb.shingles)
+                  - len(list_intersect(sa.shingles, sb.shingles))) AS jacc_raw
+      FROM cand c
+      JOIN sets sa ON sa.doc_id = c.doc_a
+      JOIN sets sb ON sb.doc_id = c.doc_b
+    ) WHERE jacc_raw >= 0.7
     """,
 )
 def dd_minhash_lsh(spark, sf_dir):
-    """MinHash+LSH near-dup: portable signatures (lexicographic min of
-    md5(band:word)) so Spark and DuckDB compute identical bands; candidates
-    from band-bucket self-join; exact unigram-Jaccard verify at 0.7."""
+    """MinHash+LSH near-dup over 3-word shingles: portable signatures
+    (lexicographic min of md5(band:shingle)) so Spark and DuckDB compute
+    identical bands; candidates from the band-bucket self-join; exact
+    shingle-set-Jaccard verify at 0.7. Shingles (not unigrams) keep the
+    signature space discriminative — with a small vocabulary, unigram sets
+    collide for almost every pair and candidates go quadratic."""
     d = t(spark, sf_dir, "documents")
-    words = d.select(
-        "doc_id", F.explode(F.array_distinct(F.split(F.lower("text"), " "))).alias("w")
+    shingles = F.expr(
+        "transform(sequence(0, size(ws) - 3), "
+        "i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"
     )
+    sets = (
+        d.select("doc_id", F.split(F.lower("text"), " ").alias("ws"))
+        .where(F.size("ws") >= 3)
+        .select("doc_id", F.array_distinct(shingles).alias("shingles"))
+        .cache()  # reused by sigs AND both sides of the verify join
+    )
+    words = sets.select("doc_id", F.explode("shingles").alias("w"))
     bands = F.explode(F.array(*[F.lit(b) for b in range(4)])).alias("b")
     sigs = (
         words.select("doc_id", "w", bands)
@@ -585,21 +596,16 @@ def dd_minhash_lsh(spark, sf_dir):
         .select(F.col("s1.doc_id").alias("doc_a"), F.col("s2.doc_id").alias("doc_b"))
         .distinct()
     )
-    wc = words.groupBy("doc_id").agg(F.count_distinct("w").alias("nw"))
-    wa = words.alias("wa")
-    wb = words.alias("wb")
-    inter = (
-        cand.join(wa, F.col("wa.doc_id") == F.col("doc_a"))
-        .join(wb, (F.col("wb.doc_id") == F.col("doc_b")) & (F.col("wa.w") == F.col("wb.w")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("ni"))
-    )
+    ni = F.size(F.array_intersect(F.col("sa.shingles"), F.col("sb.shingles")))
+    # no broadcast hint: at corpus scale `sets` is huge and `cand` is the
+    # small side — AQE picks the right build side in either regime
     j = (
-        inter.join(wc.alias("ca"), F.col("ca.doc_id") == F.col("doc_a"))
-        .join(wc.alias("cb"), F.col("cb.doc_id") == F.col("doc_b"))
+        cand.join(sets.alias("sa"), F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sets.alias("sb"), F.col("sb.doc_id") == F.col("doc_b"))
         .withColumn(
             "jacc_raw",
-            F.col("ni").cast("double") / (F.col("ca.nw") + F.col("cb.nw") - F.col("ni")),
+            ni.cast("double")
+            / (F.size(F.col("sa.shingles")) + F.size(F.col("sb.shingles")) - ni),
         )
         .where(F.col("jacc_raw") >= 0.7)
     )

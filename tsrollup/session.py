@@ -22,6 +22,10 @@ DEFAULT_CONF = {
     # Keep timestamps µs/UTC everywhere (testdata parquet is timestamp[us]).
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
+    # v2 commit: single rename per task, not per file — matters when a
+    # partitioned write lands thousands of dirs (cloud deploys would use a
+    # manifest/Iceberg commit instead and skip renames entirely)
+    "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version": "2",
     # quieter local runs
     "spark.ui.enabled": "false",
     "spark.driver.memory": "8g",

@@ -21,7 +21,11 @@ from pyspark.sql import functions as F
 
 from . import schemas
 
-N_SOURCE_BUCKETS = 64
+# Source hash-bucket count: sized so each (tier, day, source_bucket)
+# partition holds a healthy parquet file (hundreds of MB at production
+# scale). It is a SIZE target, not a fixed constant — 64+ at 10^12 rows,
+# smaller for sandbox fixtures (overridable via env for benches).
+N_SOURCE_BUCKETS = int(os.environ.get("TSROLLUP_SOURCE_BUCKETS", "64"))
 
 
 def read_sequences(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
