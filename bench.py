@@ -68,7 +68,7 @@ def main() -> None:
 
     # ---- headline: full rollup_build over the synthetic sequence fixture
     fx_dir = os.path.join(BENCH_CACHE, f"fx_{sf_name}")
-    seq_path = write_fixture(fx_dir, n_rows, n_sources, seed=42)
+    seq_path = write_fixture(fx_dir, n_rows, n_sources, seed=42, rate_scale=100.0)
     out_base = os.path.join(BENCH_CACHE, f"out_{sf_name}_{cpus}")
     shutil.rmtree(out_base, ignore_errors=True)
     t0 = time.monotonic()

@@ -29,7 +29,7 @@ SPARK_SUBMIT = os.environ.get("SPARK_SUBMIT", "/opt/spark/bin/spark-submit")
 
 RUNNER = r"""
 import json, shutil, sys, time
-sys.path.insert(0, {repo!r})
+sys.path.insert(0, "@REPO@")
 from tsrollup.session import get_spark
 from tsrollup.pipeline import rollup_build
 from tsrollup.config import RollupConfig
@@ -47,18 +47,21 @@ print("SCALING_RESULT " + json.dumps({"wall_s": wall, "input_rows": s["input_row
 """
 
 
-def run_once(master: str, fixture: str, out: str, warm_fx: str) -> dict:
+def run_once(master: str, fixture: str, out: str, warm_fx: str, tag: str = "run") -> dict:
     runner_path = "/tmp/tsrollup_scaling_runner.py"
     with open(runner_path, "w") as f:
-        f.write(RUNNER.format(repo=REPO))
+        f.write(RUNNER.replace("@REPO@", REPO))
     cmd = [SPARK_SUBMIT, "--master", master, runner_path, master, fixture, out, warm_fx]
     env = dict(os.environ)
     env.setdefault("TSROLLUP_SOURCE_BUCKETS", "8")
+    log_path = f"/tmp/scaling_{master.replace('[', '').replace(']', '')}_{tag}.log"
     res = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=3600)
+    with open(log_path, "w") as f:
+        f.write(res.stdout + "\n==== STDERR ====\n" + res.stderr)
     for line in res.stdout.splitlines():
         if line.startswith("SCALING_RESULT "):
             return json.loads(line.split(" ", 1)[1])
-    raise RuntimeError(f"no result from {master}:\n{res.stdout[-2000:]}\n{res.stderr[-2000:]}")
+    raise RuntimeError(f"no result from {master}; full log at {log_path}\n{res.stderr[-1500:]}")
 
 
 def main() -> None:
@@ -74,7 +77,9 @@ def main() -> None:
 
     cache = os.path.join(REPO, ".bench_cache")
     fixture = write_fixture(
-        os.path.join(cache, f"fx_scaling_{args.rows}"), args.rows, args.sources, seed=42
+        os.path.join(cache, f"fx_scaling_{args.rows}"),
+        args.rows, args.sources, seed=42,
+        rate_scale=100.0,  # production-density profile (see synth.synthesize)
     )
     warm_fx = write_fixture(os.path.join(cache, "fx_warm"), 20_000, 20, seed=1)
 
@@ -84,7 +89,7 @@ def main() -> None:
         rows = None
         for i in range(args.runs):
             out = os.path.join("/tmp", f"scaling_out_{master.replace('[','').replace(']','')}")
-            r = run_once(master, fixture, out, warm_fx)
+            r = run_once(master, fixture, out, warm_fx, tag=str(i))
             walls.append(r["wall_s"])
             rows = r["input_rows"]
             print(f"{master} run {i + 1}/{args.runs}: {r['wall_s']:.1f}s", file=sys.stderr)

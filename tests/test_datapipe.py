@@ -1,0 +1,80 @@
+"""Datapipe operator tests: LSH-ANN determinism and bucket sanity,
+multimodal plumbing invariants, flagship entry smoke."""
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tsrollup.datapipe import ann_lsh_topk, multimodal_features, with_lsh_bucket
+
+from .conftest import TESTDATA
+
+SF = os.path.join(TESTDATA, "sf0.001")
+
+
+def test_lsh_bucket_deterministic(spark):
+    e = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    b1 = with_lsh_bucket(e, n_planes=5, vec_col="v").select("vec_id", "lsh_bucket").toPandas()
+    b2 = (
+        with_lsh_bucket(e.repartition(7), n_planes=5, vec_col="v")
+        .select("vec_id", "lsh_bucket")
+        .toPandas()
+    )
+    b1 = b1.sort_values("vec_id").reset_index(drop=True)
+    b2 = b2.sort_values("vec_id").reset_index(drop=True)
+    assert (b1["lsh_bucket"] == b2["lsh_bucket"]).all()
+    assert b1["lsh_bucket"].nunique() > 1, "all vectors in one bucket — planes broken"
+
+
+def test_ann_lsh_vs_bruteforce(spark):
+    """LSH candidates are a subset: every LSH hit's similarity is <= the
+    brute-force best, and the per-query ranking is internally consistent."""
+    from tsrollup.driver_queries import SPARK
+
+    lsh = ann_lsh_topk(spark, SF).toPandas()
+    assert len(lsh) > 0
+    brute = SPARK["ann_cosine_topk"](spark, SF).toPandas()
+    best_brute = brute.groupby("q_id")["cos_sim"].max()
+    for q_id, grp in lsh.groupby("q_id"):
+        grp = grp.sort_values("rnk")
+        sims = grp["cos_sim"].to_numpy()
+        assert (np.diff(sims) <= 1e-12).all(), "rnk must be sim-descending"
+        if q_id in best_brute.index:
+            assert sims[0] <= best_brute[q_id] + 1e-4
+
+
+def test_multimodal_plumbing(spark):
+    feats = multimodal_features(spark, SF).toPandas()
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "n_chars").toPandas()
+    assert len(feats) == len(docs)
+    merged = feats.merge(docs.astype({"doc_id": str}), on="doc_id")
+    # ascii text: payload bytes == n_chars
+    assert (merged["n_bytes"] == merged["n_chars"]).all()
+    assert (merged["media_type"] == "text/plain").all()
+    nonempty = merged[merged["n_bytes"] > 0]
+    sums = np.array([np.asarray(f).sum() for f in nonempty["feature"]])
+    assert np.allclose(sums, 1.0), "byte-histogram features must normalize to 1"
+    # deterministic stub: width/height are functions of byte length
+    assert (merged["width"] == merged["n_bytes"] % 640).all()
+
+
+def test_entry_smoke(spark):
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", os.path.join(os.path.dirname(os.path.dirname(__file__)), "__spark_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    df = mod.entry(spark)
+    assert df.count() > 0
+    assert set(df.columns) == {
+        "source", "bucket_start", "tier", "detector", "value", "score", "is_anomaly",
+    }
+    # every oracle has a query, and names line up
+    qs, osql = mod.queries(), mod.oracle_sql()
+    assert set(osql) <= set(qs)

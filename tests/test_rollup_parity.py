@@ -108,6 +108,20 @@ def test_token_bit_identity(spark, seq_fixture_small, seq_pdf):
         assert np.array_equal(a, e)
 
 
+def test_cascade_equals_direct(spark, spark_tiers, seq_fixture_small):
+    """§5.4(b) cascade exactness: every cascaded tier equals the same tier
+    aggregated DIRECTLY from raw (algebraic partials compose exactly)."""
+    from tsrollup.rollup import rollup_from_raw
+
+    df = read_sequences(spark, seq_fixture_small)
+    for tier in ("1h", "1d"):
+        direct = normalize_ts(rollup_from_raw(df, tier, None).toPandas(), TS_COLS)
+        casc = normalize_ts(spark_tiers[tier].toPandas(), TS_COLS)
+        assert_frame_byte_equal(
+            casc, direct, ["source", "bucket_start"], msg=f"cascade {tier} vs direct"
+        )
+
+
 def test_partitioning_invariance(spark, seq_fixture_small):
     """Engine output is independent of physical partitioning: salted vs
     unsalted aggregation, different range-partition counts, and an input

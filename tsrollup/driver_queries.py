@@ -707,6 +707,42 @@ def emb_stats(spark, sf_dir):
 
 
 @q(
+    "dd_embedding_neardup",
+    """
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), 4) >= 0.45
+    """,
+)
+def dd_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup: all pairs above a similarity threshold.
+    Brute-force O(n²) is the exact small-scale baseline; the scale path is
+    datapipe.ann_lsh_topk's bucket join (candidates share an LSH bucket)."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    sims = (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a", "vec_b",
+            F.round(dot / (norm(F.col("va")) * norm(F.col("vb"))), 4).alias("cos_sim"),
+        )
+    )
+    return sims.where(F.col("cos_sim") >= 0.45)
+
+
+@q(
     "ann_cosine_topk",
     """
     WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv

@@ -148,9 +148,11 @@ def derive(spark: SparkSession, out_base: str, cfg: RollupConfig | None = None) 
     store = spark.read.parquet(rollup_path)
     rows_per_tier = {}
     scores_all = stats_all = blocks_all = None
+    persisted = []
     for tier in cfg.tiers:
         tier_df = store.where(F.col("tier") == tier).select(*ROLLUP_COLS)
         filled = gapfill(tier_df, tier, cfg).persist()
+        persisted.append(filled)
         rows_per_tier[tier] = filled.count()
         sc = score_tier(filled, tier, cfg)
         st = residual_stats(filled, tier, cfg)
@@ -172,6 +174,8 @@ def derive(spark: SparkSession, out_base: str, cfg: RollupConfig | None = None) 
         .repartition("tier", "day")
         .write.mode("overwrite").partitionBy("tier", "day").parquet(os.path.join(out_base, BLOCKS_DIR))
     )
+    for df in persisted:
+        df.unpersist()
     return rows_per_tier
 
 

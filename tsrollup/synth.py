@@ -49,8 +49,15 @@ def synthesize(
     n_sources: int = 20,
     seed: int = 42,
     plant_anomalies: bool = True,
+    rate_scale: float = 1.0,
 ) -> tuple[pa.Table, list[PlantedWindow]]:
     """Build the sequence table + planted-anomaly windows, fully in memory.
+
+    rate_scale multiplies every source's arrival rate: 1.0 is the sparse
+    unit-test profile (0.2–5 events/min, FIXTURES.md §A); benches use a
+    dense profile (e.g. 100×) matching the production regime where 10^12
+    sequences mean thousands of rows per source-minute, so per-bucket
+    reduction — not per-bucket file overhead — dominates.
 
     Returns (arrow_table sorted by (source, event_ts), planted_windows).
     """
@@ -60,7 +67,7 @@ def synthesize(
     k = np.minimum(rng.zipf(1.5, n_rows) - 1, n_sources - 1).astype(np.int64)
 
     # (2) per-source arrival-rate multipliers in [0.2, 5) events/minute
-    rate = rng.uniform(0.2, 5.0, n_sources)
+    rate = rng.uniform(0.2, 5.0, n_sources) * rate_scale
 
     # (3) per-source Poisson arrivals: exponential inter-arrival gaps (µs),
     #     strictly increasing per source (gap >= 1µs). Drawn in source order.
@@ -163,6 +170,7 @@ def write_fixture(
     n_sources: int = 20,
     seed: int = 42,
     plant_anomalies: bool = True,
+    rate_scale: float = 1.0,
 ) -> str:
     """Write sequences.parquet + expected_anomalies.parquet under out_dir.
 
@@ -171,13 +179,13 @@ def write_fixture(
     """
     os.makedirs(out_dir, exist_ok=True)
     marker = os.path.join(out_dir, "_FIXTURE")
-    tag = f"n={n_rows} k={n_sources} seed={seed} anomalies={plant_anomalies} v=2"
+    tag = f"n={n_rows} k={n_sources} seed={seed} anomalies={plant_anomalies} rs={rate_scale} v=2"
     seq_path = os.path.join(out_dir, "sequences.parquet")
     if os.path.exists(marker) and os.path.exists(seq_path):
         with open(marker) as f:
             if f.read().strip() == tag:
                 return seq_path
-    table, planted = synthesize(n_rows, n_sources, seed, plant_anomalies)
+    table, planted = synthesize(n_rows, n_sources, seed, plant_anomalies, rate_scale)
     pq.write_table(table, seq_path, row_group_size=max(1024, n_rows // 64))
     pq.write_table(planted_to_table(planted), os.path.join(out_dir, "expected_anomalies.parquet"))
     with open(marker, "w") as f:
