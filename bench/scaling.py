@@ -51,7 +51,12 @@ def run_once(master: str, fixture: str, out: str, warm_fx: str, tag: str = "run"
     runner_path = "/tmp/tsrollup_scaling_runner.py"
     with open(runner_path, "w") as f:
         f.write(RUNNER.replace("@REPO@", REPO))
-    cmd = [SPARK_SUBMIT, "--master", master, runner_path, master, fixture, out, warm_fx]
+    # --driver-memory must be on the submit line: session-builder conf is
+    # ignored once the JVM exists (1g default heap OOMs 32 scan threads)
+    cmd = [
+        SPARK_SUBMIT, "--master", master, "--driver-memory", "16g",
+        runner_path, master, fixture, out, warm_fx,
+    ]
     env = dict(os.environ)
     env.setdefault("TSROLLUP_SOURCE_BUCKETS", "8")
     log_path = f"/tmp/scaling_{master.replace('[', '').replace(']', '')}_{tag}.log"

@@ -106,15 +106,14 @@ def rollup_build(
         _write_units(tagged, rollup_path)
 
         # per-unit output-row counts from the persisted (in-memory) tiers —
-        # never rescan the store: it grows with history, this batch doesn't.
-        out_counts = []
-        for tier, df in tiers.items():
-            out_counts += (
-                df.withColumn("unit_id", res.unit_id_col_from_bucket())
-                .groupBy("unit_id")
-                .agg(F.count(F.lit(1)).alias("n"), F.lit(tier).alias("tier"))
-                .collect()
-            )
+        # never rescan the store (it grows with history, a batch doesn't);
+        # one job over the already-built union instead of one per tier.
+        out_counts = (
+            tagged.select(res.unit_id_col().alias("unit_id"), "tier")
+            .groupBy("unit_id", "tier")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
         wall_ms = int((time.monotonic() - t0) * 1000)
         for r in out_counts:
             if r["unit_id"] in metrics:
