@@ -8,6 +8,7 @@ import os
 import shutil
 
 import numpy as np
+import pandas as pd
 import pyarrow.parquet as pq
 import pytest
 
@@ -64,6 +65,49 @@ def test_streaming_rollup_matches_batch(spark, stream_input):
     missed = batch[(batch["bucket_start"] < horizon)]
     missed = missed[[(s, b) not in emitted for s, b in zip(missed["source"], missed["bucket_start"])]]
     assert len(missed) == 0, f"{len(missed)} finalized buckets missing from stream output"
+
+
+def test_late_rows_dropped_and_counted(spark, stream_input):
+    """T3: rows arriving behind the watermark are dropped by the engine and
+    surfaced via numRowsDroppedByWatermark; the emitted output is unaffected
+    by the late file."""
+    import pyarrow as pa
+
+    late_dir = os.path.join(BASE, "in_late")
+    shutil.rmtree(late_dir, ignore_errors=True)
+    shutil.copytree(stream_input, late_dir)
+    # a 4th file, arriving last, whose rows are 2 days older than everything
+    t = pq.read_table(os.path.join(stream_input, "part-0.parquet")).slice(0, 100)
+    ts = t["event_ts"].to_numpy().astype("datetime64[us]") - np.timedelta64(2, "D")
+    t = t.set_column(
+        t.schema.get_field_index("event_ts"),
+        t.schema.field("event_ts"),
+        pa.array(ts.astype("int64"), pa.timestamp("us", tz="UTC")),
+    )
+    pq.write_table(t, os.path.join(late_dir, "part-9-late.parquet"))
+
+    out = os.path.join(BASE, "late_out")
+    ckpt = os.path.join(BASE, "late_ckpt")
+    metrics = run_streaming_rollup(
+        spark, late_dir, out, ckpt, watermark="10 minutes", max_files_per_trigger=1
+    )
+    assert metrics["batches"] >= 4
+    # the counter tallies post-partial-aggregation group rows, not raw rows
+    assert metrics["late_rows_dropped"] > 0
+    got = normalize_ts(spark.read.parquet(out).toPandas(), ("bucket_start",))
+    # none of the late rows' (2-days-old) buckets were emitted
+    cutoff = got["bucket_start"].min()
+    late_min = pd.Timestamp(ts.min())
+    assert late_min < cutoff - pd.Timedelta(days=1)
+    # emitted rows are uncontaminated: byte-equal to the batch twin over the
+    # ON-TIME files only
+    batch = normalize_ts(
+        rollup_from_raw(read_sequences(spark, stream_input), "1m", None).toPandas(),
+        ("bucket_start",),
+    )
+    emitted = set(zip(got["source"], got["bucket_start"]))
+    sub = batch[[(s, b) in emitted for s, b in zip(batch["source"], batch["bucket_start"])]]
+    assert_frame_byte_equal(got, sub, ["source", "bucket_start"], msg="late-input stream")
 
 
 def test_streaming_welford_matches_batch_kernel(spark, stream_input):

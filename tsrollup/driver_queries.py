@@ -494,6 +494,46 @@ def p2_pruned_filter(spark, sf_dir):
     )
 
 
+@q(
+    "t2_session_window",
+    """
+    SELECT user_id, session_id, count(*) AS n_events,
+           CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_s
+    FROM (
+      SELECT user_id, ts,
+             sum(CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 5 MINUTE
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+      FROM (SELECT user_id, event_id, ts,
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+            FROM events)
+    ) GROUP BY user_id, session_id
+    """,
+)
+def t2_session_window(spark, sf_dir):
+    """T2 — session windows (5-minute inactivity gap). Expressed as the
+    portable lag/cumsum sessionization so the DuckDB twin is exact;
+    F.session_window drives the same semantics in the streaming surface."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = (
+        e.select("user_id", "event_id", "ts", F.lag("ts").over(w).alias("prev_ts"))
+        .withColumn(
+            "is_new",
+            F.when(
+                F.col("prev_ts").isNull()
+                | (F.col("ts") > F.col("prev_ts") + F.expr("INTERVAL 5 MINUTES")),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("session_id", F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.unix_timestamp(F.min("ts")).alias("session_start_s"),
+    )
+
+
 # ================================================================ datapipe ops
 
 

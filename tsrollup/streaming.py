@@ -4,9 +4,11 @@ Batch is primary: the 10^12 rollup is an `availableNow` batch job. The
 streaming surface reuses the SAME algebraic aggregates and pinned kernels:
 
   T1/T3  tumbling 1-minute aggregates with a watermark; late rows beyond the
-         watermark are dropped by the engine and counted via an observation
-         metric — the batch backfill path re-rolls affected buckets instead
-         of merging late data into live state (keeps state tiny).
+         watermark are dropped by the engine and surfaced via the query's
+         numRowsDroppedByWatermark progress metric (returned by
+         run_streaming_rollup) — the batch backfill path re-rolls affected
+         buckets instead of merging late data into live state (keeps state
+         tiny).
   T4     per-source Welford residual state via applyInPandasWithState —
          the same (n, mean, M2) update order as kernels.welford, so
          streaming finals equal the batch oracle's when events arrive in
@@ -82,9 +84,13 @@ def run_streaming_rollup(
     checkpoint: str,
     watermark: str = "10 minutes",
     max_files_per_trigger: int | None = None,
-) -> None:
+) -> dict:
     """availableNow batch-drain of the stream into a parquet sink (T5 via
-    the built-in file-sink transaction log: exactly-once per batch)."""
+    the built-in file-sink transaction log: exactly-once per batch).
+
+    Returns run metrics, including the T3 late-data accounting:
+    {batches, late_rows_dropped} — late_rows_dropped sums the engine's
+    numRowsDroppedByWatermark across micro-batches."""
     stream = read_sequence_stream(spark, in_dir, max_files_per_trigger)
     rolled = streaming_rollup_1m(stream, watermark)
     q = (
@@ -96,6 +102,13 @@ def run_streaming_rollup(
         .start()
     )
     q.awaitTermination()
+    late = 0
+    batches = 0
+    for prog in q.recentProgress:
+        batches += 1
+        for op in prog.get("stateOperators", []) or []:
+            late += int(op.get("numRowsDroppedByWatermark", 0) or 0)
+    return {"batches": batches, "late_rows_dropped": late}
 
 
 # ------------------------------------------------------------------ T4

@@ -17,6 +17,7 @@ import os
 from dataclasses import dataclass
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
@@ -120,23 +121,40 @@ def synthesize(
             planted.append(PlantedWindow(f"src-{s:03d}", int(w0), int(w1), "gap"))
 
     # (6) apply the gap deletions, then generate tokens for surviving rows
-    #     only, in i order (fixed draw order).
+    #     only, in i order (fixed draw order). Token ids come from the float
+    #     path (uniform * VOCAB): this box draws bounded ints at ~1.5M/s but
+    #     float64 uniforms at ~150M/s — same determinism, 100x faster.
     idx_keep = np.flatnonzero(keep)
     n_tok = n_tok[idx_keep]
     k = k[idx_keep]
     ts_us = ts_us[idx_keep]
     total_tok = int(n_tok.sum())
-    flat_tokens = rng.integers(0, VOCAB, total_tok, dtype=np.int32)
+    flat_tokens = np.empty(total_tok, dtype=np.int32)
+    CHUNK = 64_000_000  # bound the float64 temp to ~512 MB
+    for lo in range(0, total_tok, CHUNK):
+        hi = min(lo + CHUNK, total_tok)
+        flat_tokens[lo:hi] = (rng.random(hi - lo) * VOCAB).astype(np.int32)
     offsets = np.zeros(idx_keep.size + 1, dtype=np.int64)
     np.cumsum(n_tok, out=offsets[1:])
 
-    doc_id = np.array([f"doc-{i:012d}" for i in idx_keep], dtype=object)
-    source = np.array([f"src-{s:03d}" for s in k], dtype=object)
+    doc_id = ("doc-" + pd.Series(idx_keep).astype(str).str.zfill(12)).to_numpy(dtype=object)
+    source = ("src-" + pd.Series(k).astype(str).str.zfill(3)).to_numpy(dtype=object)
 
     # (7) sort by (source, event_ts) — generation order stays i-based above.
+    #     The token gather is done in NumPy (repeat + fancy index): pyarrow's
+    #     list-take walks elements and is ~30x slower at this size.
     perm = np.lexsort((ts_us, k))
-    tok_list = pa.LargeListArray.from_arrays(pa.array(offsets), pa.array(flat_tokens))
-    tok_sorted = tok_list.take(pa.array(perm))
+    lens_sorted = n_tok[perm]
+    new_offsets = np.zeros(idx_keep.size + 1, dtype=np.int64)
+    np.cumsum(lens_sorted, out=new_offsets[1:])
+    gather = (
+        np.repeat(offsets[:-1][perm], lens_sorted)
+        + np.arange(total_tok, dtype=np.int64)
+        - np.repeat(new_offsets[:-1], lens_sorted)
+    )
+    flat_sorted = flat_tokens[gather]
+    del gather, flat_tokens
+    tok_sorted = pa.LargeListArray.from_arrays(pa.array(new_offsets), pa.array(flat_sorted))
     # cast large_list<int32> -> list<element: int32 not null>
     tok_sorted = tok_sorted.cast(pa.list_(pa.field("element", pa.int32(), nullable=False)))
 
@@ -179,7 +197,7 @@ def write_fixture(
     """
     os.makedirs(out_dir, exist_ok=True)
     marker = os.path.join(out_dir, "_FIXTURE")
-    tag = f"n={n_rows} k={n_sources} seed={seed} anomalies={plant_anomalies} rs={rate_scale} v=2"
+    tag = f"n={n_rows} k={n_sources} seed={seed} anomalies={plant_anomalies} rs={rate_scale} v=3"
     seq_path = os.path.join(out_dir, "sequences.parquet")
     if os.path.exists(marker) and os.path.exists(seq_path):
         with open(marker) as f:
