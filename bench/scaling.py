@@ -34,28 +34,33 @@ from tsrollup.session import get_spark
 from tsrollup.pipeline import rollup_build
 from tsrollup.config import RollupConfig
 
-master, fixture, out, warm_fx = sys.argv[1:5]
+master, fixture, out, warm_fx, runs = sys.argv[1:6]
 spark = get_spark(master, app_name="scaling")
-# untimed warmup (JIT + python workers)
+# untimed warmup (JIT + python workers + JVM heap first-touch: this VM
+# materializes fresh memory at ~8 MB/s, so one JVM serves all runs)
 shutil.rmtree(out + "_warm", ignore_errors=True)
 rollup_build(spark, warm_fx, out + "_warm", RollupConfig())
-shutil.rmtree(out, ignore_errors=True)
-t0 = time.monotonic()
-s = rollup_build(spark, fixture, out, RollupConfig())
-wall = time.monotonic() - t0
-print("SCALING_RESULT " + json.dumps({"wall_s": wall, "input_rows": s["input_rows"]}))
+walls = []
+rows = 0
+for i in range(int(runs)):
+    shutil.rmtree(out, ignore_errors=True)
+    t0 = time.monotonic()
+    s = rollup_build(spark, fixture, out, RollupConfig())
+    walls.append(time.monotonic() - t0)
+    rows = s["input_rows"]
+print("SCALING_RESULT " + json.dumps({"walls_s": walls, "input_rows": rows}))
 """
 
 
-def run_once(master: str, fixture: str, out: str, warm_fx: str, tag: str = "run") -> dict:
+def run_once(master: str, fixture: str, out: str, warm_fx: str, tag: str = "run", runs: int = 3) -> dict:
     runner_path = "/tmp/tsrollup_scaling_runner.py"
     with open(runner_path, "w") as f:
         f.write(RUNNER.replace("@REPO@", REPO))
     # --driver-memory must be on the submit line: session-builder conf is
     # ignored once the JVM exists (1g default heap OOMs 32 scan threads)
     cmd = [
-        SPARK_SUBMIT, "--master", master, "--driver-memory", "16g",
-        runner_path, master, fixture, out, warm_fx,
+        SPARK_SUBMIT, "--master", master, "--driver-memory", "8g",
+        runner_path, master, fixture, out, warm_fx, str(runs),
     ]
     env = dict(os.environ)
     env.setdefault("TSROLLUP_SOURCE_BUCKETS", "8")
@@ -75,13 +80,14 @@ def main() -> None:
     ap.add_argument("--sources", type=int, default=200)
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--masters", default="local[8],local[32]")
+    ap.add_argument("--fixture", default=None, help="pre-built sequences.parquet (skips synth)")
     args = ap.parse_args()
 
     sys.path.insert(0, REPO)
     from tsrollup.synth import write_fixture
 
     cache = os.path.join(REPO, ".bench_cache")
-    fixture = write_fixture(
+    fixture = args.fixture or write_fixture(
         os.path.join(cache, f"fx_scaling_{args.rows}"),
         args.rows, args.sources, seed=42,
         rate_scale=100.0,  # production-density profile (see synth.synthesize)
@@ -90,14 +96,11 @@ def main() -> None:
 
     results = {}
     for master in args.masters.split(","):
-        walls = []
-        rows = None
-        for i in range(args.runs):
-            out = os.path.join("/tmp", f"scaling_out_{master.replace('[','').replace(']','')}")
-            r = run_once(master, fixture, out, warm_fx, tag=str(i))
-            walls.append(r["wall_s"])
-            rows = r["input_rows"]
-            print(f"{master} run {i + 1}/{args.runs}: {r['wall_s']:.1f}s", file=sys.stderr)
+        out = os.path.join("/tmp", f"scaling_out_{master.replace('[','').replace(']','')}")
+        r = run_once(master, fixture, out, warm_fx, tag="all", runs=args.runs)
+        walls = r["walls_s"]
+        rows = r["input_rows"]
+        print(f"{master} walls: {[round(w, 1) for w in walls]}", file=sys.stderr)
         med = statistics.median(walls)
         results[master] = {
             "walls_s": [round(w, 1) for w in walls],

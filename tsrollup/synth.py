@@ -141,19 +141,25 @@ def synthesize(
     source = ("src-" + pd.Series(k).astype(str).str.zfill(3)).to_numpy(dtype=object)
 
     # (7) sort by (source, event_ts) — generation order stays i-based above.
-    #     The token gather is done in NumPy (repeat + fancy index): pyarrow's
-    #     list-take walks elements and is ~30x slower at this size.
+    #     The token gather copies per-row slices into ONE preallocated
+    #     buffer: this sandbox's VM materializes fresh anon memory at only
+    #     ~8 MB/s on first touch, so the vectorized repeat+fancy-index
+    #     gather (3 extra total_tok-sized temporaries) loses to a plain
+    #     row loop that allocates nothing. pyarrow's list-take is slower
+    #     still (element-walking).
     perm = np.lexsort((ts_us, k))
     lens_sorted = n_tok[perm]
     new_offsets = np.zeros(idx_keep.size + 1, dtype=np.int64)
     np.cumsum(lens_sorted, out=new_offsets[1:])
-    gather = (
-        np.repeat(offsets[:-1][perm], lens_sorted)
-        + np.arange(total_tok, dtype=np.int64)
-        - np.repeat(new_offsets[:-1], lens_sorted)
-    )
-    flat_sorted = flat_tokens[gather]
-    del gather, flat_tokens
+    flat_sorted = np.empty(total_tok, dtype=np.int32)
+    starts = offsets[:-1]
+    pos = 0
+    for j in perm:
+        ln = n_tok[j]
+        st = starts[j]
+        flat_sorted[pos : pos + ln] = flat_tokens[st : st + ln]
+        pos += ln
+    del flat_tokens
     tok_sorted = pa.LargeListArray.from_arrays(pa.array(new_offsets), pa.array(flat_sorted))
     # cast large_list<int32> -> list<element: int32 not null>
     tok_sorted = tok_sorted.cast(pa.list_(pa.field("element", pa.int32(), nullable=False)))
