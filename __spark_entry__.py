@@ -63,7 +63,19 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ann_lsh_topk(spark, sf_dir)
 
     def mm_features(spark, sf_dir):
-        return multimodal_features(spark, sf_dir)
+        # The driver canonicalizer sorts/hashes every column, and pandas
+        # can't factorize list cells — project the feature array to a
+        # fixed-precision string so the rows-only check is hashable.
+        from pyspark.sql import functions as F
+
+        df = multimodal_features(spark, sf_dir)
+        feat_str = F.concat_ws(
+            ",", F.transform("feature", lambda x: F.format_string("%.6f", x))
+        )
+        return df.select(
+            "doc_id", "media_type", "n_bytes", "width", "height",
+            feat_str.alias("feature_csv"),
+        )
 
     return {
         "engine_zscore_1h": engine_zscore_1h,

@@ -38,6 +38,12 @@ def main() -> None:
     sf_name = os.path.basename(os.path.normpath(sf_dir))
     n_rows, n_sources = FIXTURE_SIZE.get(sf_name, (200_000, 100))
 
+    # sandbox partition-size targeting: at 1M fixture rows, 64 source
+    # buckets × days × tiers would mean ~5700 near-empty partition dirs;
+    # 8 buckets keeps dirs proportionate (it's a size target — see storage).
+    # Set BEFORE any tsrollup import AND read at call time by storage.
+    os.environ.setdefault("TSROLLUP_SOURCE_BUCKETS", "8")
+
     from pyspark.sql import functions as F
 
     from tsrollup.config import RollupConfig
@@ -46,10 +52,6 @@ def main() -> None:
     from tsrollup.session import get_spark
     from tsrollup.synth import write_fixture
 
-    # sandbox partition-size targeting: at 1M fixture rows, 64 source
-    # buckets × days × tiers would mean ~5700 near-empty partition dirs;
-    # 8 buckets keeps dirs proportionate (it's a size target — see storage)
-    os.environ.setdefault("TSROLLUP_SOURCE_BUCKETS", "8")
     spark = get_spark(
         f"local[{cpus}]",
         app_name="tsrollup-bench",

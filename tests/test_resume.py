@@ -114,6 +114,49 @@ def test_ledger_token_checksum_present(spark, split_inputs):
     assert (led[["out_rows_1m", "out_rows_1h", "out_rows_1d"]].sum(axis=1) > 0).all()
 
 
+def test_invalidate_units_enables_backfill_reroll(spark, split_inputs):
+    """Late-data reconciliation: tombstone a committed unit, re-run, and the
+    unit is re-rolled; the re-commit supersedes the tombstone; skipped-row
+    accounting reports what the anti-join dropped."""
+    from tsrollup.resume import completed_unit_ids, invalidate_units
+
+    first, _full = split_inputs
+    out = os.path.join(BASE, "reroll")
+    shutil.rmtree(out, ignore_errors=True)
+    cfg = RollupConfig()
+
+    s1 = rollup_build(spark, first, out, cfg, run_id="v1", derived=False)
+    done1 = {r["unit_id"] for r in completed_unit_ids(spark, out).collect()}
+    assert len(done1) == s1["pending_units"]
+
+    # no-op rerun: everything already committed, accounted for explicitly
+    s2 = rollup_build(spark, first, out, cfg, run_id="v2", derived=False)
+    assert s2["pending_units"] == 0
+    assert s2["rows_skipped_committed"] == s1["input_rows"]
+
+    # tombstone two units -> they become pending again
+    victims = sorted(done1)[:2]
+    invalidate_units(out, victims)
+    done2 = {r["unit_id"] for r in completed_unit_ids(spark, out).collect()}
+    assert done2 == done1 - set(victims)
+
+    # re-run re-rolls exactly the tombstoned units; commit supersedes
+    s3 = rollup_build(spark, first, out, cfg, run_id="v3", derived=False)
+    assert s3["pending_units"] == len(victims)
+    assert s3["rows_skipped_committed"] + s3["input_rows"] == s1["input_rows"]
+    done3 = {r["unit_id"] for r in completed_unit_ids(spark, out).collect()}
+    assert done3 == done1
+
+    # store byte-equal to an uninterrupted build
+    ref = os.path.join(BASE, "rerollref")
+    shutil.rmtree(ref, ignore_errors=True)
+    rollup_build(spark, first, ref, cfg, run_id="v4", derived=False)
+    keys = ["tier", "source", "bucket_start"]
+    a = _read_sorted(spark, os.path.join(out, ROLLUP_DIR), keys)
+    e = _read_sorted(spark, os.path.join(ref, ROLLUP_DIR), keys)
+    assert_frame_byte_equal(a, e, keys, msg="post-reroll store")
+
+
 def test_retention_prunes_expired_partitions(spark, split_inputs):
     from tsrollup.storage import drop_expired_partitions
 

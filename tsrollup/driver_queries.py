@@ -501,9 +501,10 @@ def p2_pruned_filter(spark, sf_dir):
            CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_s
     FROM (
       SELECT user_id, ts,
-             sum(CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 5 MINUTE
-                      THEN 1 ELSE 0 END)
-               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+             CAST(sum(CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 5 MINUTE
+                           THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+               AS session_id
       FROM (SELECT user_id, event_id, ts,
                    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
             FROM events)

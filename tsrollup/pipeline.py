@@ -30,7 +30,7 @@ from .config import RollupConfig
 from .detect import residual_stats, score_tier
 from .gapfill import gapfill
 from .rollup import ROLLUP_COLS, cascade, rollup_from_raw
-from .storage import read_sequences, resolve_event_time
+from .storage import n_source_buckets, read_sequences, resolve_event_time
 
 ROLLUP_DIR = "rollup"
 SCORES_DIR = "scores"
@@ -74,6 +74,12 @@ def rollup_build(
     pending = res.filter_pending(seq, done)
     rollup_path = os.path.join(out_base, ROLLUP_DIR)
     summary: dict = {"run_id": run_id}
+    if done is not None:
+        # Accounting for rows anti-joined away as already-committed (late
+        # data for committed units is NOT silently merged — re-roll it via
+        # resume.invalidate_units). The count is an empty-projection scan
+        # (parquet footers), cheap even at corpus scale.
+        summary["rows_skipped_committed"] = seq.count()  # pending subtracted below
 
     # ONE scan of the raw corpus: the 1m aggregation carries a per-bucket
     # bit_xor token-hash partial, so unit metrics (row counts + token
@@ -100,7 +106,7 @@ def rollup_build(
         for df in tiers.values():
             t = df.withColumn("day", F.to_date("bucket_start")).withColumn(
                 "source_bucket",
-                F.pmod(F.xxhash64("source"), F.lit(res.N_SOURCE_BUCKETS)).cast("int"),
+                F.pmod(F.xxhash64("source"), F.lit(n_source_buckets())).cast("int"),
             )
             tagged = t if tagged is None else tagged.unionByName(t)
         _write_units(tagged, rollup_path)
@@ -122,6 +128,8 @@ def rollup_build(
             m["wall_ms"] = wall_ms
         res.commit_ledger(out_base, list(metrics.values()), run_id)
         summary["input_rows"] = sum(m["input_rows"] for m in metrics.values())
+        if "rows_skipped_committed" in summary:
+            summary["rows_skipped_committed"] -= summary["input_rows"]
         for df in tiers.values():
             df.unpersist()
         r1m.unpersist()

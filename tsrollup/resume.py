@@ -25,7 +25,7 @@ import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .storage import N_SOURCE_BUCKETS
+from .storage import n_source_buckets
 
 LEDGER_DIRNAME = "_ledger"
 
@@ -33,7 +33,7 @@ LEDGER_DIRNAME = "_ledger"
 def with_unit(df: DataFrame) -> DataFrame:
     """Tag each input row with its work-unit key columns."""
     return df.withColumn(
-        "source_bucket", F.pmod(F.xxhash64("source"), F.lit(N_SOURCE_BUCKETS)).cast("int")
+        "source_bucket", F.pmod(F.xxhash64("source"), F.lit(n_source_buckets())).cast("int")
     ).withColumn("day", F.to_date("event_ts"))
 
 
@@ -46,23 +46,85 @@ def unit_id_col_from_bucket():
     is a pure function of (source, bucket_start) — buckets never cross days."""
     return F.concat_ws(
         "/",
-        F.pmod(F.xxhash64("source"), F.lit(N_SOURCE_BUCKETS)).cast("int").cast("string"),
+        F.pmod(F.xxhash64("source"), F.lit(n_source_buckets())).cast("int").cast("string"),
         F.to_date("bucket_start").cast("string"),
     )
 
 
+def _ledger_files(path: str, prefix: str) -> list[str]:
+    if not os.path.isdir(path):
+        return []
+    return [
+        os.path.join(path, n)
+        for n in os.listdir(path)
+        if n.startswith(prefix) and n.endswith(".parquet")
+    ]
+
+
+def _next_seq(path: str) -> int:
+    """Monotone commit/tombstone sequence, allocated from filenames
+    (single-driver store; the ledger dir is the coordination point)."""
+    seq = 0
+    if os.path.isdir(path):
+        for n in os.listdir(path):
+            parts = n.split("-")
+            if len(parts) >= 3 and parts[0] in ("commit", "invalidate"):
+                try:
+                    seq = max(seq, int(parts[1]))
+                except ValueError:
+                    continue
+    return seq + 1
+
+
 def read_ledger(spark: SparkSession, base_path: str) -> DataFrame | None:
-    path = os.path.join(base_path, LEDGER_DIRNAME)
-    if not os.path.isdir(path) or not any(n.endswith(".parquet") for n in os.listdir(path)):
+    files = _ledger_files(os.path.join(base_path, LEDGER_DIRNAME), "commit-")
+    if not files:
         return None
-    return spark.read.parquet(path)
+    return spark.read.parquet(*files)
+
+
+def read_tombstones(spark: SparkSession, base_path: str) -> DataFrame | None:
+    files = _ledger_files(os.path.join(base_path, LEDGER_DIRNAME), "invalidate-")
+    if not files:
+        return None
+    return spark.read.parquet(*files)
 
 
 def completed_unit_ids(spark: SparkSession, base_path: str) -> DataFrame | None:
+    """Units whose newest commit outlives any tombstone: a unit is pending
+    again after invalidate_units() until a fresh commit supersedes the
+    tombstone (the backfill re-roll path)."""
     led = read_ledger(spark, base_path)
     if led is None:
         return None
-    return led.select("unit_id").distinct()
+    committed = led.groupBy("unit_id").agg(F.max("seq").alias("cseq"))
+    tomb = read_tombstones(spark, base_path)
+    if tomb is None:
+        return committed.select("unit_id")
+    tombed = tomb.groupBy("unit_id").agg(F.max("seq").alias("tseq"))
+    return (
+        committed.join(tombed, "unit_id", "left")
+        .where(F.col("cseq") > F.coalesce(F.col("tseq"), F.lit(-1)))
+        .select("unit_id")
+    )
+
+
+def invalidate_units(base_path: str, unit_ids: list[str]) -> str:
+    """Mark committed units pending again (late-data backfill): appends an
+    atomic tombstone file; the next rollup_build re-rolls those units and
+    its commit (higher seq) supersedes the tombstone."""
+    path = os.path.join(base_path, LEDGER_DIRNAME)
+    os.makedirs(path, exist_ok=True)
+    seq = _next_seq(path)
+    table = pa.Table.from_pylist(
+        [{"unit_id": u, "seq": seq} for u in unit_ids],
+        schema=pa.schema([("unit_id", pa.string()), ("seq", pa.int64())]),
+    )
+    final = os.path.join(path, f"invalidate-{seq:08d}-{uuid.uuid4().hex}.parquet")
+    tmp = final + ".tmp"
+    pq.write_table(table, tmp)
+    os.rename(tmp, final)
+    return final
 
 
 def filter_pending(df: DataFrame, done_units: DataFrame | None) -> DataFrame:
@@ -98,10 +160,12 @@ def commit_ledger(
     path = os.path.join(base_path, LEDGER_DIRNAME)
     os.makedirs(path, exist_ok=True)
     run_id = run_id or uuid.uuid4().hex
+    seq = _next_seq(path)
     table = pa.Table.from_pylist(
         [
             {
                 "run_id": run_id,
+                "seq": seq,
                 "unit_id": r["unit_id"],
                 "input_rows": int(r["input_rows"]),
                 "token_checksum": int(r["token_checksum"]) if r["token_checksum"] is not None else 0,
@@ -115,6 +179,7 @@ def commit_ledger(
         schema=pa.schema(
             [
                 ("run_id", pa.string()),
+                ("seq", pa.int64()),
                 ("unit_id", pa.string()),
                 ("input_rows", pa.int64()),
                 ("token_checksum", pa.int64()),
@@ -125,7 +190,7 @@ def commit_ledger(
             ]
         ),
     )
-    final = os.path.join(path, f"commit-{run_id}.parquet")
+    final = os.path.join(path, f"commit-{seq:08d}-{run_id}.parquet")
     tmp = final + ".tmp"
     pq.write_table(table, tmp)
     os.rename(tmp, final)  # atomic on POSIX — the commit point

@@ -24,8 +24,13 @@ from . import schemas
 # Source hash-bucket count: sized so each (tier, day, source_bucket)
 # partition holds a healthy parquet file (hundreds of MB at production
 # scale). It is a SIZE target, not a fixed constant — 64+ at 10^12 rows,
-# smaller for sandbox fixtures (overridable via env for benches).
-N_SOURCE_BUCKETS = int(os.environ.get("TSROLLUP_SOURCE_BUCKETS", "64"))
+# smaller for sandbox fixtures (overridable via env for benches). Read at
+# CALL time, not import time, so harnesses may set the env var after
+# importing tsrollup (an import-time constant silently ignored it).
+
+
+def n_source_buckets() -> int:
+    return int(os.environ.get("TSROLLUP_SOURCE_BUCKETS", "64"))
 
 
 def read_sequences(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
@@ -58,7 +63,7 @@ def resolve_event_time(df: DataFrame) -> DataFrame:
 
 def with_source_bucket(df: DataFrame) -> DataFrame:
     return df.withColumn(
-        "source_bucket", F.pmod(F.xxhash64("source"), F.lit(N_SOURCE_BUCKETS)).cast("int")
+        "source_bucket", F.pmod(F.xxhash64("source"), F.lit(n_source_buckets())).cast("int")
     )
 
 

@@ -6,9 +6,10 @@ streaming surface reuses the SAME algebraic aggregates and pinned kernels:
   T1/T3  tumbling 1-minute aggregates with a watermark; late rows beyond the
          watermark are dropped by the engine and surfaced via the query's
          numRowsDroppedByWatermark progress metric (returned by
-         run_streaming_rollup) — the batch backfill path re-rolls affected
-         buckets instead of merging late data into live state (keeps state
-         tiny).
+         run_streaming_rollup) — late data is reconciled by the batch path:
+         resume.invalidate_units() tombstones the affected (source_bucket,
+         day) units and the next rollup_build re-rolls them (keeps
+         streaming state tiny).
   T4     per-source Welford residual state via applyInPandasWithState —
          the same (n, mean, M2) update order as kernels.welford, so
          streaming finals equal the batch oracle's when events arrive in
@@ -21,11 +22,40 @@ streaming surface reuses the SAME algebraic aggregates and pinned kernels:
 from __future__ import annotations
 
 import os
+import time
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQueryListener
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+class _ProgressAccumulator(StreamingQueryListener):
+    """T3 metrics accumulator: sums per-batch watermark-drop counts across
+    ALL progress events (per query id), immune to the recentProgress cap."""
+
+    def __init__(self) -> None:
+        self.batches: dict[str, int] = {}
+        self.late_rows: dict[str, int] = {}
+
+    def onQueryStarted(self, event) -> None:  # noqa: D102
+        pass
+
+    def onQueryProgress(self, event) -> None:  # noqa: D102
+        p = event.progress
+        qid = str(p.id)
+        self.batches[qid] = self.batches.get(qid, 0) + 1
+        late = 0
+        for op in p.stateOperators or []:
+            late += int(op.numRowsDroppedByWatermark or 0)
+        self.late_rows[qid] = self.late_rows.get(qid, 0) + late
+
+    def onQueryIdle(self, event) -> None:  # noqa: D102
+        pass
+
+    def onQueryTerminated(self, event) -> None:  # noqa: D102
+        pass
 
 from . import schemas
 from .rollup import _partial_aggs
@@ -93,22 +123,40 @@ def run_streaming_rollup(
     numRowsDroppedByWatermark across micro-batches."""
     stream = read_sequence_stream(spark, in_dir, max_files_per_trigger)
     rolled = streaming_rollup_1m(stream, watermark)
-    q = (
-        rolled.writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", checkpoint)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    late = 0
-    batches = 0
-    for prog in q.recentProgress:
-        batches += 1
-        for op in prog.get("stateOperators", []) or []:
-            late += int(op.get("numRowsDroppedByWatermark", 0) or 0)
-    return {"batches": batches, "late_rows_dropped": late}
+    # Accumulate metrics with a listener: recentProgress retains only the
+    # last ~100 updates, which silently undercounts runs with
+    # maxFilesPerTrigger=1 over >100 files.
+    listener = _ProgressAccumulator()
+    spark.streams.addListener(listener)
+    try:
+        q = (
+            rolled.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        qid = str(q.id)
+        # listener events arrive on a separate thread — drain until the
+        # count catches up with the (possibly capped) recentProgress floor
+        # and stays stable
+        floor = len(q.recentProgress)
+        deadline = time.monotonic() + 10.0
+        last = -1
+        while time.monotonic() < deadline:
+            got = listener.batches.get(qid, 0)
+            if got >= floor and got == last:
+                break
+            last = got
+            time.sleep(0.2)
+    finally:
+        spark.streams.removeListener(listener)
+    return {
+        "batches": listener.batches.get(qid, 0),
+        "late_rows_dropped": listener.late_rows.get(qid, 0),
+    }
 
 
 # ------------------------------------------------------------------ T4
@@ -125,8 +173,13 @@ def _welford_update(key, pdf_iter, state: GroupState):
         n, mean, m2 = state.get
     else:
         n, mean, m2 = 0, 0.0, 0.0
-    for pdf in pdf_iter:
-        pdf = pdf.sort_values("event_ts", kind="mergesort")
+    # Concatenate ALL Arrow chunks for the group, then sort ONCE: a group
+    # whose micro-batch exceeds arrow.maxRecordsPerBatch arrives as several
+    # chunks in arbitrary relative order — per-chunk sorting would break the
+    # event-time update order the batch parity contract pins.
+    chunks = [pdf for pdf in pdf_iter]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values("event_ts", kind="mergesort")
         for val in pdf["n_tok"].to_numpy(dtype="float64"):
             n += 1
             delta = val - mean
