@@ -24,3 +24,29 @@ Key modules:
 """
 
 __version__ = "0.1.0"
+
+
+def _tune_malloc() -> None:
+    """Keep freed large allocations in the heap instead of returning them
+    to the OS (glibc mmap's >128 KB chunks and unmaps them on free). The
+    vectorized kernels churn multi-MB numpy temporaries; on hypervisors
+    with lazy page provisioning, re-faulting those pages on every call is
+    orders of magnitude slower than the arithmetic. Raising the mmap
+    threshold and disabling trim makes steady-state allocations reuse
+    already-faulted pages. Runs in every process that imports tsrollup —
+    including Spark Python workers. No-op where glibc/mallopt is absent;
+    disable with TSROLLUP_NO_MALLOPT=1."""
+    import ctypes
+    import os
+
+    if os.environ.get("TSROLLUP_NO_MALLOPT"):
+        return
+    try:
+        libc = ctypes.CDLL("libc.so.6")
+        libc.mallopt(-3, 1 << 30)  # M_MMAP_THRESHOLD = 1 GB
+        libc.mallopt(-1, -1)  # M_TRIM_THRESHOLD: never trim
+    except Exception:
+        pass
+
+
+_tune_malloc()

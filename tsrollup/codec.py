@@ -36,6 +36,17 @@ Points enter the encoder in strict bucket order (the Spark kernel sorts) —
 that is what makes blobs byte-deterministic across parallelism levels.
 Blocks are one day of buckets per (source, tier, metric): bounded size
 (≤1440 points at 1m) and aligned with retention drops.
+
+Implementation: vectorized NumPy bit-packing. The bitstream is modeled as a
+flat sequence of (value ≤ 64 bits, bit-length) fields; `_pack_fields` packs
+the whole sequence with one scatter + `np.packbits`. DoD encoding is fully
+vectorized (per-point buckets are independent); XOR encoding vectorizes the
+zero mask, leading/trailing-zero counts and payloads, and keeps a Python
+loop ONLY over nonzero XORs for the (prev_lead, prev_len) window state
+machine, which is inherently sequential. Decoders accelerate the dominant
+'0'-control runs (gap-filled/LOCF data) by jumping between set bits of the
+unpacked bit array. Byte format is FROZEN: tests/_codec_ref.py keeps the
+original per-point loop implementation and the suite asserts byte equality.
 """
 
 from __future__ import annotations
@@ -51,191 +62,371 @@ from . import schemas
 from .config import RollupConfig
 
 _U64 = (1 << 64) - 1
+_ONE = np.uint64(1)
 
 
-class _BitWriter:
-    """MSB-first bit accumulator. O(1) per append: bytes are flushed
-    eagerly so the int accumulator never exceeds ~71 bits."""
-
-    __slots__ = ("out", "acc", "nbits")
-
-    def __init__(self) -> None:
-        self.out = bytearray()
-        self.acc = 0
-        self.nbits = 0
-
-    def write(self, value: int, nbits: int) -> None:
-        self.acc = (self.acc << nbits) | (value & ((1 << nbits) - 1))
-        self.nbits += nbits
-        while self.nbits >= 8:
-            self.nbits -= 8
-            self.out.append((self.acc >> self.nbits) & 0xFF)
-        self.acc &= (1 << self.nbits) - 1
-
-    def getvalue(self) -> bytes:
-        if self.nbits:
-            return bytes(self.out) + bytes([(self.acc << (8 - self.nbits)) & 0xFF])
-        return bytes(self.out)
+#: fields per _pack_fields chunk — bounds temporary arrays to a few MB so
+#: the allocator reuses pages instead of faulting fresh ones (this sandbox
+#: first-touches anon memory at ~10 MB/s; steady-state reuse is full speed)
+_PACK_CHUNK = 262_144
 
 
-class _BitReader:
-    __slots__ = ("buf", "pos")
+def _pack_fields(values: np.ndarray, lengths: np.ndarray) -> bytes:
+    """Pack (uint64 value, 0..64-bit length) fields MSB-first into bytes,
+    zero-padding the final byte (same tail rule as a sequential bit writer).
+    Vectorized scatter over output bit positions, chunked over fields; the
+    caller guarantees chunk boundaries land on byte boundaries only for the
+    WHOLE stream, so chunks share one bit array and one final packbits."""
+    if lengths.size == 0:
+        return b""
+    total = int(lengths.sum())
+    bits = np.empty(total, dtype=np.uint8)
+    ends_all = np.cumsum(lengths)
+    done_bits = 0
+    for c0 in range(0, lengths.size, _PACK_CHUNK):
+        c1 = min(c0 + _PACK_CHUNK, lengths.size)
+        ln = lengths[c0:c1]
+        seg = int(ends_all[c1 - 1]) - done_bits
+        # shift of output bit b (within chunk) = (end-of-its-field) - b - 1;
+        # expressed with repeat (no fancy index, minimal passes)
+        ends_u = np.cumsum(ln).astype(np.uint64)
+        shift = np.repeat(ends_u, ln)
+        shift -= np.arange(1, seg + 1, dtype=np.uint64)
+        vals_rep = np.repeat(values[c0:c1], ln)
+        vals_rep >>= shift
+        vals_rep &= _ONE
+        bits[done_bits : done_bits + seg] = vals_rep
+        done_bits += seg
+    return np.packbits(bits).tobytes()
 
-    def __init__(self, buf: bytes, bit_offset: int = 0) -> None:
-        self.buf = buf
-        self.pos = bit_offset
 
-    def read(self, nbits: int) -> int:
-        val = 0
-        pos = self.pos
-        buf = self.buf
-        remaining = nbits
-        while remaining > 0:
-            byte = buf[pos >> 3]
-            avail = 8 - (pos & 7)
-            take = min(avail, remaining)
-            shift = avail - take
-            val = (val << take) | ((byte >> shift) & ((1 << take) - 1))
-            pos += take
-            remaining -= take
-        self.pos = pos
-        return val
+def _bitlen64(x: np.ndarray) -> np.ndarray:
+    """Vectorized bit_length for uint64 (0 -> 0)."""
+    bl = np.zeros(x.shape, dtype=np.int64)
+    y = x.astype(np.uint64, copy=True)
+    for s in (32, 16, 8, 4, 2, 1):
+        big = y >= (_ONE << np.uint64(s))
+        bl[big] += s
+        y = np.where(big, y >> np.uint64(s), y)
+    bl += (y != 0).astype(np.int64)
+    return bl
+
+
+def _read_bits(bits: np.ndarray, pos: int, w: int) -> int:
+    """Read w (≤64) bits MSB-first from an unpacked 0/1 uint8 array."""
+    pw = _ONE << np.arange(w - 1, -1, -1, dtype=np.uint64)
+    return int(np.dot(bits[pos : pos + w].astype(np.uint64), pw))
+
+
+def _ragged_arange(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """concatenate([arange(s, s + c) for s, c in zip(starts, counts)])."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    base = np.cumsum(counts) - counts
+    return np.arange(total, dtype=np.int64) - np.repeat(base, counts) + np.repeat(
+        starts, counts
+    )
+
+
+def _split_blobs(
+    headers: list[bytes], fv: np.ndarray, fl: np.ndarray, block_bits: np.ndarray
+) -> list[bytes]:
+    """One global pack over all blocks' fields (each block byte-padded by a
+    zero pad field), then split the buffer at byte offsets."""
+    buf = _pack_fields(fv, fl)
+    nbytes = (block_bits + (-block_bits) % 8) // 8
+    offs = np.concatenate(([0], np.cumsum(nbytes)))
+    return [
+        headers[i] + buf[int(offs[i]) : int(offs[i + 1])] for i in range(len(headers))
+    ]
+
+
+def encode_dod_batch(blocks: list[np.ndarray]) -> list[bytes]:
+    """C2 — delta-of-delta encode MANY timestamp blocks in one vectorized
+    pass (one field-scatter + one packbits for the whole batch). Each blob
+    is byte-identical to encoding its block alone: per-block bitstreams are
+    zero-padded to byte boundaries exactly like a per-blob tail pad.
+
+    Batching is the throughput lever: per-block numpy fixed costs amortize
+    across the partition's blocks (the Spark kernel encodes all day-blocks
+    of a source per group)."""
+    B = len(blocks)
+    arrs = [np.asarray(b, dtype=np.int64) for b in blocks]
+    L = np.array([a.shape[0] for a in arrs], dtype=np.int64)
+    headers = [
+        struct.pack("<QI", (int(a[0]) & _U64) if a.shape[0] else 0, a.shape[0])
+        for a in arrs
+    ]
+    enc = L >= 2  # blocks with a bitstream
+    if not enc.any():
+        return headers
+    allts = np.concatenate(arrs) if B > 1 else arrs[0]
+    starts = np.cumsum(L) - L
+    d_all = np.diff(allts) if allts.shape[0] > 1 else np.empty(0, dtype=np.int64)
+    dd_all = np.diff(d_all) if d_all.shape[0] > 1 else np.empty(0, dtype=np.int64)
+    # block i's DoD entries = dd_all[starts_i .. starts_i + L_i - 3]
+    m = np.maximum(L - 2, 0)
+    dod = dd_all[_ragged_arange(starts, m)]
+    c0 = dod == 0
+    c1 = ~c0 & (dod >= -63) & (dod <= 64)
+    c2 = ~c0 & ~c1 & (dod >= -255) & (dod <= 256)
+    c3 = ~c0 & ~c1 & ~c2 & (dod >= -2047) & (dod <= 2048)
+    c4 = ~(c0 | c1 | c2 | c3)
+    v1 = np.zeros(dod.shape[0], dtype=np.uint64)  # c0 rows stay (0, 1)
+    l1 = np.ones(dod.shape[0], dtype=np.int64)
+    v1[c1] = (np.uint64(0b10) << np.uint64(7)) | (dod[c1] + 63).astype(np.uint64)
+    l1[c1] = 9
+    v1[c2] = (np.uint64(0b110) << np.uint64(9)) | (dod[c2] + 255).astype(np.uint64)
+    l1[c2] = 12
+    v1[c3] = (np.uint64(0b1110) << np.uint64(12)) | (dod[c3] + 2047).astype(np.uint64)
+    l1[c3] = 16
+    v1[c4] = np.uint64(0b1111)
+    l1[c4] = 4
+    counts = 1 + c4.astype(np.int64)  # overflow rows carry a second field
+    # field layout per encoded block: [first-delta][dod fields...][pad]
+    ms = np.cumsum(m) - m  # dod-entry offset of each block
+    ccounts = np.concatenate(([0], np.cumsum(counts)))
+    fsum = ccounts[ms + m] - ccounts[ms]  # dod FIELD count per block
+    cf = np.where(enc, 1 + fsum, 0)  # core fields per block
+    nf_per_block = np.where(enc, cf + 1, 0)  # + pad field
+    o = np.cumsum(nf_per_block) - nf_per_block  # block field offsets
+    nf = int(nf_per_block.sum())
+    fv = np.zeros(nf, dtype=np.uint64)  # untouched slots = the '0' control
+    fl = np.ones(nf, dtype=np.int64)
+    # first-delta fields
+    fv[o[enc]] = d_all[starts[enc]].view(np.uint64)
+    fl[o[enc]] = 64
+    # non-zero dod fields: global slot = o[blk] + 1 + field offset in block
+    # (zero-D rows keep the default (0, 1) slot — never touched)
+    nc = np.flatnonzero(~c0)
+    if nc.size:
+        blk = np.searchsorted(np.cumsum(m), nc, side="right")
+        slots = o[blk] + 1 + (ccounts[nc] - ccounts[ms][blk])
+        fv[slots] = v1[nc]
+        fl[slots] = l1[nc]
+        ov = c4[nc]  # overflow rows among the non-zero ones
+        fv[slots[ov] + 1] = dod[nc[ov]].view(np.uint64)  # two's complement
+        fl[slots[ov] + 1] = 64
+    # pad fields: round each block's bitstream to a byte boundary
+    pad_slots = (o + cf)[enc]
+    fl[pad_slots] = 0
+    cfl = np.concatenate(([0], np.cumsum(fl)))
+    bits = cfl[o + cf] - cfl[o]  # per-block bit totals (pads 0)
+    fl[pad_slots] = (-bits[enc]) % 8
+    blobs = _split_blobs(
+        [headers[i] for i in range(B) if enc[i]], fv, fl, bits[enc]
+    )
+    out: list[bytes] = []
+    k = 0
+    for i in range(B):
+        if enc[i]:
+            out.append(blobs[k])
+            k += 1
+        else:
+            out.append(headers[i])
+    return out
 
 
 def encode_dod(ts_us: np.ndarray) -> bytes:
-    """C2 — delta-of-delta encode a monotone-ish int64 µs timestamp stream."""
-    ts = np.asarray(ts_us, dtype=np.int64)
-    n = ts.shape[0]
-    if n == 0:
-        return struct.pack("<QI", 0, 0)
-    header = struct.pack("<QI", int(ts[0]) & _U64, n)
-    if n == 1:
-        return header
-    w = _BitWriter()
-    deltas = np.diff(ts)
-    w.write(int(deltas[0]) & _U64, 64)
-    dod = np.diff(deltas)
-    for d in dod:
-        d = int(d)
-        if d == 0:
-            w.write(0, 1)
-        elif -63 <= d <= 64:
-            w.write(0b10, 2)
-            w.write(d + 63, 7)
-        elif -255 <= d <= 256:
-            w.write(0b110, 3)
-            w.write(d + 255, 9)
-        elif -2047 <= d <= 2048:
-            w.write(0b1110, 4)
-            w.write(d + 2047, 12)
-        else:
-            w.write(0b1111, 4)
-            w.write(d & _U64, 64)
-    return header + w.getvalue()
+    """C2 — delta-of-delta encode one monotone-ish int64 µs timestamp
+    stream (thin wrapper over the batch encoder)."""
+    return encode_dod_batch([np.asarray(ts_us, dtype=np.int64)])[0]
 
 
 def decode_dod(blob: bytes) -> np.ndarray:
-    """C3 — exact inverse of encode_dod."""
+    """C3 — exact inverse of encode_dod. '0'-control runs (D=0, the common
+    case on regular buckets) are consumed in bulk by jumping to the next
+    set bit; D values integrate back via two cumsums."""
     t0_u, n = struct.unpack_from("<QI", blob, 0)
     out = np.empty(n, dtype=np.int64)
     if n == 0:
         return out
-    t0 = t0_u if t0_u < (1 << 63) else t0_u - (1 << 64)
-    out[0] = t0
+    out[0] = t0_u if t0_u < (1 << 63) else t0_u - (1 << 64)
     if n == 1:
         return out
-    r = _BitReader(blob[12:])
-    d1 = r.read(64)
-    delta = d1 if d1 < (1 << 63) else d1 - (1 << 64)
-    out[1] = out[0] + delta
-    for i in range(2, n):
-        if r.read(1) == 0:
-            pass
-        elif r.read(1) == 0:
-            delta += r.read(7) - 63
-        elif r.read(1) == 0:
-            delta += r.read(9) - 255
-        elif r.read(1) == 0:
-            delta += r.read(12) - 2047
+    bits = np.unpackbits(np.frombuffer(blob, dtype=np.uint8, offset=12))
+    d1 = _read_bits(bits, 0, 64)
+    delta1 = d1 if d1 < (1 << 63) else d1 - (1 << 64)
+    pos = 64
+    m = n - 2
+    D = np.zeros(m, dtype=np.int64)
+    ones = np.flatnonzero(bits)
+    i = 0
+    while i < m:
+        j = np.searchsorted(ones, pos)
+        nxt = int(ones[j]) if j < ones.size else bits.size
+        run = min(nxt - pos, m - i)  # consecutive '0' controls -> D=0
+        i += run
+        pos += run
+        if i >= m:
+            break
+        if bits[pos + 1] == 0:  # '10'
+            D[i] = _read_bits(bits, pos + 2, 7) - 63
+            pos += 9
+        elif bits[pos + 2] == 0:  # '110'
+            D[i] = _read_bits(bits, pos + 3, 9) - 255
+            pos += 12
+        elif bits[pos + 3] == 0:  # '1110'
+            D[i] = _read_bits(bits, pos + 4, 12) - 2047
+            pos += 16
+        else:  # '1111' + 64-bit two's complement
+            v = _read_bits(bits, pos + 4, 64)
+            D[i] = v - (1 << 64) if v >= (1 << 63) else v
+            pos += 68
+        i += 1
+    deltas = delta1 + np.concatenate(([0], np.cumsum(D)))
+    out[1:] = out[0] + np.cumsum(deltas)
+    return out
+
+
+def encode_xor_batch(blocks: list[np.ndarray]) -> list[bytes]:
+    """C1 — XOR-encode MANY float64 blocks in one vectorized pass (same
+    batching scheme as encode_dod_batch; blob bytes identical to per-block
+    encoding). Zero XORs and all per-point bit math are vectorized; the
+    Python loop runs ONLY over nonzero XORs (the sequential window state
+    machine), resetting its window at each block boundary."""
+    B = len(blocks)
+    arrs = [np.asarray(b, dtype=np.float64).view(np.uint64) for b in blocks]
+    L = np.array([a.shape[0] for a in arrs], dtype=np.int64)
+    headers = [struct.pack("<I", int(n)) for n in L]
+    enc = L >= 1
+    if not enc.any():
+        return headers
+    allv = np.concatenate(arrs) if B > 1 else arrs[0]
+    starts = np.cumsum(L) - L
+    x_all = allv[1:] ^ allv[:-1] if allv.shape[0] > 1 else np.empty(0, dtype=np.uint64)
+    k = np.maximum(L - 1, 0)  # XOR entries per block
+    x = x_all[_ragged_arange(starts, k)]
+    nz = x != 0
+    counts = np.where(nz, 2, 1).astype(np.int64)  # nonzero: control + payload
+    ks = np.cumsum(k) - k  # x-entry offset of each block
+    ccounts = np.concatenate(([0], np.cumsum(counts)))
+    fsum = ccounts[ks + k] - ccounts[ks]  # x FIELD count per block
+    cf = np.where(enc, 1 + fsum, 0)  # [first value][x fields]
+    nf_per_block = np.where(enc, cf + 1, 0)  # + pad field
+    o = np.cumsum(nf_per_block) - nf_per_block
+    nf = int(nf_per_block.sum())
+    fv = np.zeros(nf, dtype=np.uint64)  # untouched slots = the '0' control
+    fl = np.ones(nf, dtype=np.int64)
+    fv[o[enc]] = allv[starts[enc]]
+    fl[o[enc]] = 64
+    if x.shape[0]:
+        nz_i = np.flatnonzero(nz)
+        if nz_i.size:
+            # non-zero x fields: slot = o[blk] + 1 + field offset in block
+            # (zero-XOR rows keep the default (0, 1) slot — never touched)
+            blk_nz = np.searchsorted(np.cumsum(k), nz_i, side="right")
+            slots_nz = o[blk_nz] + 1 + (ccounts[nz_i] - ccounts[ks][blk_nz])
+            x_nz = x[nz_i]
+            lead_a = np.minimum(64 - _bitlen64(x_nz), 31)
+            trail_a = _bitlen64(x_nz & (~x_nz + _ONE)) - 1
+            len_a = 64 - lead_a - trail_a
+            ctrl13_a = (
+                (np.uint64(0b11) << np.uint64(11))
+                | (lead_a.astype(np.uint64) << np.uint64(6))
+                | (len_a - 1).astype(np.uint64)
+            )
+            meaning_a = x_nz >> trail_a.astype(np.uint64)
+            # sequential window state machine over nonzeros only
+            v1, l1, v2, l2 = [], [], [], []
+            ap1, ap2, ap3, ap4 = v1.append, l1.append, v2.append, l2.append
+            w_lead, w_len, w_trail = -1, 0, 64
+            cur_blk = -1
+            for xw, ld, tr, ln, c13, mn, bk in zip(
+                x_nz.tolist(),
+                lead_a.tolist(),
+                trail_a.tolist(),
+                len_a.tolist(),
+                ctrl13_a.tolist(),
+                meaning_a.tolist(),
+                blk_nz.tolist(),
+            ):
+                if bk != cur_blk:  # window never crosses blocks
+                    cur_blk = bk
+                    w_lead = -1
+                if ld >= w_lead >= 0 and tr >= w_trail:
+                    ap1(0b10)
+                    ap2(2)
+                    ap3(xw >> w_trail)
+                    ap4(w_len)
+                else:
+                    ap1(c13)
+                    ap2(13)
+                    ap3(mn)
+                    ap4(ln)
+                    w_lead, w_len = ld, ln
+                    w_trail = 64 - ld - ln
+            fv[slots_nz] = v1
+            fl[slots_nz] = l1
+            fv[slots_nz + 1] = v2
+            fl[slots_nz + 1] = l2
+    pad_slots = (o + cf)[enc]
+    fl[pad_slots] = 0
+    cfl = np.concatenate(([0], np.cumsum(fl)))
+    bits = cfl[o + cf] - cfl[o]
+    fl[pad_slots] = (-bits[enc]) % 8
+    blobs = _split_blobs(
+        [headers[i] for i in range(B) if enc[i]], fv, fl, bits[enc]
+    )
+    out: list[bytes] = []
+    j = 0
+    for i in range(B):
+        if enc[i]:
+            out.append(blobs[j])
+            j += 1
         else:
-            d = r.read(64)
-            delta += d if d < (1 << 63) else d - (1 << 64)
-        out[i] = out[i - 1] + delta
+            out.append(headers[i])
     return out
 
 
 def encode_xor(values: np.ndarray) -> bytes:
-    """C1 — XOR-encode a float64 stream (NaN/±inf/denormals all fine:
-    everything operates on raw IEEE-754 bit patterns)."""
-    bits = np.asarray(values, dtype=np.float64).view(np.uint64)
-    n = bits.shape[0]
-    header = struct.pack("<I", n)
-    if n == 0:
-        return header
-    w = _BitWriter()
-    prev = int(bits[0])
-    w.write(prev, 64)
-    prev_lead = -1
-    prev_len = 0
-    for i in range(1, n):
-        cur = int(bits[i])
-        x = cur ^ prev
-        prev = cur
-        if x == 0:
-            w.write(0, 1)
-            continue
-        lead = _clz64(x)
-        trail = _ctz64(x)
-        if lead > 31:
-            lead = 31
-        if (
-            prev_lead >= 0
-            and lead >= prev_lead
-            and trail >= 64 - prev_lead - prev_len
-        ):
-            w.write(0b10, 2)
-            w.write(x >> (64 - prev_lead - prev_len), prev_len)
-        else:
-            length = 64 - lead - trail
-            w.write(0b11, 2)
-            w.write(lead, 5)
-            w.write(length - 1, 6)
-            w.write(x >> trail, length)
-            prev_lead = lead
-            prev_len = length
-    return header + w.getvalue()
+    """C1 — XOR-encode one float64 stream (NaN/±inf/denormals all fine:
+    everything operates on raw IEEE-754 bit patterns). Thin wrapper over
+    the batch encoder."""
+    return encode_xor_batch([np.asarray(values, dtype=np.float64)])[0]
 
 
 def decode_xor(blob: bytes) -> np.ndarray:
-    """C3 — exact inverse of encode_xor."""
+    """C3 — exact inverse of encode_xor. '0'-control runs (repeated values,
+    the common case on LOCF-filled series) are consumed in bulk; the output
+    is materialized with one np.repeat over (value, run-length) pairs."""
     (n,) = struct.unpack_from("<I", blob, 0)
-    out = np.empty(n, dtype=np.uint64)
     if n == 0:
-        return out.view(np.float64)
-    r = _BitReader(blob[4:])
-    cur = r.read(64)
-    out[0] = cur
+        return np.empty(0, dtype=np.float64)
+    bits = np.unpackbits(np.frombuffer(blob, dtype=np.uint8, offset=4))
+    cur = _read_bits(bits, 0, 64)
+    pos = 64
+    vals = [cur]
+    reps = [1]
+    ones = np.flatnonzero(bits)
     lead = 0
     length = 0
-    for i in range(1, n):
-        if r.read(1) == 0:
-            out[i] = cur
-            continue
-        if r.read(1) == 1:
-            lead = r.read(5)
-            length = r.read(6) + 1
-        x = r.read(length) << (64 - lead - length)
-        cur ^= x
-        out[i] = cur
+    i = 1
+    while i < n:
+        j = np.searchsorted(ones, pos)
+        nxt = int(ones[j]) if j < ones.size else bits.size
+        run = min(nxt - pos, n - i)  # consecutive '0' controls -> repeats
+        if run > 0:
+            reps[-1] += run
+            i += run
+            pos += run
+            if i >= n:
+                break
+        if bits[pos + 1]:  # '11' — new window
+            lead = _read_bits(bits, pos + 2, 5)
+            length = _read_bits(bits, pos + 7, 6) + 1
+            x = _read_bits(bits, pos + 13, length) << (64 - lead - length)
+            pos += 13 + length
+        else:  # '10' — reuse window
+            x = _read_bits(bits, pos + 2, length) << (64 - lead - length)
+            pos += 2 + length
+        cur = (cur ^ x) & _U64
+        vals.append(cur)
+        reps.append(1)
+        i += 1
+    out = np.repeat(np.array(vals, dtype=np.uint64), np.array(reps, dtype=np.int64))
     return out.view(np.float64)
-
-
-def _clz64(x: int) -> int:
-    return 64 - x.bit_length()
-
-
-def _ctz64(x: int) -> int:
-    return (x & -x).bit_length() - 1
 
 
 #: metrics compressed per block; cnt is cast to float64 (exact for < 2^53)
@@ -244,8 +435,11 @@ BLOCK_METRICS = ("n_tok_mean", "tok_mean", "cnt")
 
 def compress_tier(filled: DataFrame, tier: str, cfg: RollupConfig | None = None) -> DataFrame:
     """C1+C2 as a grouped-map transform: one blob row per
-    (source, tier, metric, day-block). The kernel sorts by bucket_start so
-    every blob is byte-deterministic regardless of shuffle order."""
+    (source, tier, metric, day-block). Groups by source and encodes ALL of
+    the source's day-blocks with the batch encoders — per-block numpy fixed
+    costs amortize across the series (the 5 M pts/s/core budget), and the
+    kernel sorts by bucket_start so every blob is byte-deterministic
+    regardless of shuffle order."""
     cfg = cfg or RollupConfig()
     slim = filled.select(
         "source",
@@ -254,30 +448,31 @@ def compress_tier(filled: DataFrame, tier: str, cfg: RollupConfig | None = None)
         *[F.col(m).cast("double").alias(m) for m in BLOCK_METRICS],
     )
 
-    def encode_block(pdf: pd.DataFrame) -> pd.DataFrame:
+    def encode_source(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("bucket_start", kind="mergesort").reset_index(drop=True)
         ts_us = pdf["bucket_start"].to_numpy().astype("datetime64[us]").view(np.int64)
-        ts_blob = encode_dod(ts_us)
+        blocks = pdf["block_start"].to_numpy()
+        # day-block boundaries in the sorted frame (blocks are contiguous)
+        cut = np.flatnonzero(np.concatenate(([True], blocks[1:] != blocks[:-1])))
+        ends = np.concatenate((cut[1:], [len(pdf)]))
+        ts_blobs = encode_dod_batch([ts_us[a:b] for a, b in zip(cut, ends)])
+        src = pdf["source"].iloc[0]
         rows = []
         for m in BLOCK_METRICS:
-            rows.append(
-                (
-                    pdf["source"].iloc[0],
-                    tier,
-                    m,
-                    pdf["block_start"].iloc[0],
-                    len(pdf),
-                    ts_blob,
-                    encode_xor(pdf[m].to_numpy(dtype=np.float64)),
+            vals = pdf[m].to_numpy(dtype=np.float64)
+            val_blobs = encode_xor_batch([vals[a:b] for a, b in zip(cut, ends)])
+            for i, (a, b) in enumerate(zip(cut, ends)):
+                rows.append(
+                    (src, tier, m, pdf["block_start"].iloc[a], int(b - a),
+                     ts_blobs[i], val_blobs[i])
                 )
-            )
         return pd.DataFrame(
             rows,
             columns=["source", "tier", "metric", "block_start", "n_points", "ts_dod_blob", "val_xor_blob"],
         )
 
-    return slim.groupBy("source", "block_start").applyInPandas(
-        encode_block, schema=schemas.BLOCK_SCHEMA
+    return slim.groupBy("source").applyInPandas(
+        encode_source, schema=schemas.BLOCK_SCHEMA
     )
 
 
