@@ -1,0 +1,96 @@
+"""Hot-source detector sharding (SURVEY.md §2.6): the sharded path —
+W-1 halo for z-score, SCAN_CHUNK-aligned (s, v) carry for EWMA, Welford
+triple carry — must be BYTE-identical to the unsharded whole-series path,
+including warmup NaNs, window-boundary rows, and residual-stats finals."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tsrollup import kernels
+from tsrollup.config import DetectorConfig, RollupConfig
+from tsrollup.detect import residual_stats, score_tier, score_tier_sharded
+from tsrollup.gapfill import gapfill
+from tsrollup.rollup import build_all_tiers
+from tsrollup.storage import read_sequences
+
+from .conftest import assert_frame_byte_equal, normalize_ts
+
+
+def _read(df):
+    pdf = normalize_ts(df.toPandas(), ("bucket_start",))
+    return pdf
+
+
+@pytest.fixture(scope="module")
+def filled_1m(spark, seq_fixture_small):
+    cfg = RollupConfig()
+    tiers = build_all_tiers(read_sequences(spark, seq_fixture_small), cfg)
+    filled = gapfill(tiers["1m"], "1m", cfg).persist()
+    filled.count()
+    yield filled
+    filled.unpersist()
+
+
+def test_sharded_scores_byte_equal_unsharded(spark, filled_1m):
+    cfg = RollupConfig()  # default detector (W=60)
+    sharded_cfg = RollupConfig(
+        detector=DetectorConfig(shard_buckets=2 * kernels.SCAN_CHUNK)
+    )
+    base = _read(score_tier(filled_1m, "1m", cfg))
+    sc, st = score_tier_sharded(filled_1m, "1m", sharded_cfg)
+    got = _read(sc)
+    keys = ["source", "detector", "bucket_start"]
+    assert_frame_byte_equal(got, base, keys, msg="sharded scores")
+
+    base_st = _read(residual_stats(filled_1m, "1m", cfg))
+    got_st = _read(st)
+    assert_frame_byte_equal(
+        got_st, base_st, ["source", "detector"], msg="sharded residual stats"
+    )
+
+
+def test_shard_alignment_validation(filled_1m):
+    bad = RollupConfig(detector=DetectorConfig(shard_buckets=100))  # not %64
+    with pytest.raises(ValueError, match="SCAN_CHUNK"):
+        score_tier_sharded(filled_1m, "1m", bad)
+
+
+def test_ewma_carry_is_bit_exact_kernel_level():
+    """Kernel-level shard equivalence without Spark: split at a SCAN_CHUNK
+    multiple, carry (s, v), compare every float bitwise."""
+    rng = np.random.default_rng(3)
+    x = rng.normal(300, 30, 1000)
+    s, r, sc = kernels.ewma_detector(x, 0.3, 1e-12)
+    cut = 5 * kernels.SCAN_CHUNK
+    s1, r1, sc1, st1 = kernels.ewma_detector(x[:cut], 0.3, 1e-12, with_state=True)
+    s2, r2, sc2 = kernels.ewma_detector(x[cut:], 0.3, 1e-12, init=st1)
+    for full, a, b in ((s, s1, s2), (r, r1, r2), (sc, sc1, sc2)):
+        joined = np.concatenate((a, b))
+        assert np.array_equal(
+            full.view(np.uint64), joined.view(np.uint64)
+        ), "EWMA shard carry is not bit-exact"
+
+
+def test_zscore_halo_is_bit_exact_kernel_level():
+    rng = np.random.default_rng(4)
+    x = rng.normal(10, 2, 500)
+    W = 60
+    z, _ = kernels.rolling_zscore(x, W, 3.0)
+    cut = 200
+    z1, _ = kernels.rolling_zscore(x[:cut], W, 3.0)
+    tail = x[cut - (W - 1) : cut]
+    z2_full, _ = kernels.rolling_zscore(np.concatenate((tail, x[cut:])), W, 3.0)
+    z2 = z2_full[W - 1 :]
+    joined = np.concatenate((z1, z2))
+    assert np.array_equal(z.view(np.uint64), joined.view(np.uint64))
+
+
+def test_welford_fold_carry_matches_whole():
+    rng = np.random.default_rng(5)
+    v = rng.normal(0, 1, 777)
+    v[10] = np.nan
+    whole = kernels.welford_fold(v)
+    a = kernels.welford_fold(v[:300])
+    b = kernels.welford_fold(v[300:], *a)
+    assert whole == b

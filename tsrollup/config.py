@@ -39,6 +39,10 @@ class DetectorConfig:
     alpha: float = 0.3        # EWMA smoothing (adjust=False)
     eps: float = 1e-12        # EW variance floor for score stability
     value_col: str = "n_tok_mean"  # primary series; "cnt" is the secondary
+    #: max buckets per detector shard (hot-source path, SURVEY.md §2.6);
+    #: None = whole series per task. Must be a multiple of
+    #: kernels.SCAN_CHUNK; output is byte-identical either way.
+    shard_buckets: int | None = None
 
 
 @dataclass(frozen=True)

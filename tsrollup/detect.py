@@ -80,7 +80,7 @@ def _residual_kernel(cfg: DetectorConfig, tier: str):
         x = pdf[value_col].to_numpy(dtype="float64")
         src = pdf["source"].iloc[0]
 
-        mu = pd.Series(x).rolling(window, min_periods=window).mean().to_numpy()
+        mu, _sigma = kernels.rolling_mean_std(x, window)
         z_resid = x - mu  # NaN in warmup -> skipped by welford
         _s, e_resid, _score = kernels.ewma_detector(x, alpha, eps)
 
@@ -105,3 +105,171 @@ def residual_stats(
     return slim.groupBy("source").applyInPandas(
         _residual_kernel(det, tier), schema=schemas.RESIDUAL_STATS_SCHEMA
     )
+
+
+# ------------------------------------------------------------- sharding
+#
+# SURVEY.md §2.6: for very long series (1m tier over 100x horizons) one
+# source's whole history in a single pandas task is a straggler and a
+# memory ceiling. The sharded path cuts each source's gap-filled spine
+# into fixed-length index ranges and scores them in order, carrying
+# exactly the state each kernel needs:
+#   z-score      the last W-1 values (windows are locally determined —
+#                kernels.rolling_mean_std — so a W-1 halo is sufficient)
+#   EWMA         (s, v) at the shard boundary; shard length is a multiple
+#                of kernels.SCAN_CHUNK so the chunked-scan grid — and
+#                therefore every float rounding — matches the unsharded
+#                evaluation bit-for-bit
+#   Welford      the (n, mean, M2) triples (a left fold carries exactly)
+# Within a shard all sources score in parallel; the driver loop is over
+# shard INDEXES only (a handful of sequential Spark jobs). Output is
+# byte-identical to the unsharded path (tests/test_sharding.py).
+
+_STATE_ROW = "__state__"
+
+_SHARD_SCHEMA = (
+    "source string, bucket_start timestamp, tier string, detector string, "
+    "value double, score double, is_anomaly boolean, state string"
+)
+
+
+def _pack_state(tail: np.ndarray, s: float, v: float, welf: tuple) -> str:
+    import base64
+
+    head = np.array([s, v, *[float(w) for w in welf]], dtype=np.float64)
+    return base64.b64encode(
+        head.tobytes() + np.asarray(tail, dtype=np.float64).tobytes()
+    ).decode("ascii")
+
+
+def _unpack_state(blob: str) -> tuple[np.ndarray, float, float, tuple]:
+    import base64
+
+    arr = np.frombuffer(base64.b64decode(blob), dtype=np.float64)
+    s, v = float(arr[0]), float(arr[1])
+    welf = (int(arr[2]), float(arr[3]), float(arr[4]),
+            int(arr[5]), float(arr[6]), float(arr[7]))
+    return arr[8:].copy(), s, v, welf
+
+
+def _sharded_kernel(cfg: DetectorConfig, tier: str, states: dict[str, str]):
+    window, tau, alpha, eps, value_col = (
+        cfg.window, cfg.tau, cfg.alpha, cfg.eps, cfg.value_col,
+    )
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("bucket_start", kind="mergesort").reset_index(drop=True)
+        x = pdf[value_col].to_numpy(dtype="float64")
+        src = pdf["source"].iloc[0]
+        packed = states.get(src)
+        if packed is None:
+            tail = np.empty(0, dtype=np.float64)
+            init = None
+            nz_, mz, m2z, ne_, me, m2e = 0, 0.0, 0.0, 0, 0.0, 0.0
+        else:
+            tail, s_prev, v_prev, (nz_, mz, m2z, ne_, me, m2e) = _unpack_state(packed)
+            init = (s_prev, v_prev)
+
+        xx = np.concatenate((tail, x))
+        mu, sigma = kernels.rolling_mean_std(xx, window)
+        z, z_flag = kernels.zscore_from_stats(xx, mu, sigma, tau)
+        off = tail.shape[0]
+        z, z_flag, mu_s = z[off:], z_flag[off:], mu[off:]
+        s_arr, r, e_score, (s_end, v_end) = kernels.ewma_detector(
+            x, alpha, eps, init=init, with_state=True
+        )
+        e_flag = pd.array(np.abs(e_score) >= tau, dtype="boolean")
+
+        nz_, mz, m2z = kernels.welford_fold(x - mu_s, nz_, mz, m2z)
+        ne_, me, m2e = kernels.welford_fold(r, ne_, me, m2e)
+        new_tail = xx[max(0, xx.shape[0] - (window - 1)):] if window > 1 else xx[:0]
+        state = _pack_state(new_tail, s_end, v_end, (nz_, mz, m2z, ne_, me, m2e))
+
+        bucket = pdf["bucket_start"]
+        out_z = pd.DataFrame(
+            {
+                "source": pdf["source"], "bucket_start": bucket, "tier": tier,
+                "detector": "zscore", "value": x, "score": z,
+                "is_anomaly": z_flag, "state": None,
+            }
+        )
+        out_e = pd.DataFrame(
+            {
+                "source": pdf["source"], "bucket_start": bucket, "tier": tier,
+                "detector": "ewma", "value": x, "score": e_score,
+                "is_anomaly": e_flag, "state": None,
+            }
+        )
+        st_row = pd.DataFrame(
+            {
+                "source": [src], "bucket_start": [bucket.iloc[-1]], "tier": tier,
+                "detector": [_STATE_ROW], "value": [np.nan], "score": [np.nan],
+                "is_anomaly": [None], "state": [state],
+            }
+        )
+        return pd.concat([out_z, out_e, st_row], ignore_index=True)
+
+    return run
+
+
+def score_tier_sharded(
+    filled: DataFrame, tier: str, cfg: RollupConfig | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """W1–W3 sharded: returns (scores, residual_stats), each byte-identical
+    to the unsharded score_tier / residual_stats output."""
+    from .config import TIER_US
+
+    cfg = cfg or RollupConfig()
+    det = cfg.detector
+    shard = det.shard_buckets
+    if not shard:
+        raise ValueError("cfg.detector.shard_buckets must be set for sharding")
+    if shard % kernels.SCAN_CHUNK:
+        raise ValueError(
+            f"shard_buckets must be a multiple of kernels.SCAN_CHUNK "
+            f"({kernels.SCAN_CHUNK}) for bit-exact EWMA scan alignment"
+        )
+    spark = filled.sparkSession
+    tier_s = TIER_US[tier] // 1_000_000
+    slim = filled.select("source", "bucket_start", det.value_col)
+    bounds = slim.groupBy("source").agg(F.min("bucket_start").alias("_b0"))
+    with_idx = (
+        slim.join(F.broadcast(bounds), "source")
+        .withColumn(
+            "_idx",
+            ((F.col("bucket_start").cast("long") - F.col("_b0").cast("long"))
+             / F.lit(tier_s)).cast("long"),
+        )
+        .withColumn("_shard", (F.col("_idx") / F.lit(shard)).cast("long"))
+        .drop("_b0", "_idx")
+    )
+    n_shards = with_idx.agg(F.max("_shard")).collect()[0][0]
+    if n_shards is None:
+        empty_scores = spark.createDataFrame([], schemas.SCORE_SCHEMA)
+        empty_stats = spark.createDataFrame([], schemas.RESIDUAL_STATS_SCHEMA)
+        return empty_scores, empty_stats
+    states: dict[str, str] = {}
+    parts = []
+    for sid in range(int(n_shards) + 1):
+        part = with_idx.where(F.col("_shard") == sid).drop("_shard")
+        res = (
+            part.groupBy("source")
+            .applyInPandas(_sharded_kernel(det, tier, dict(states)), schema=_SHARD_SCHEMA)
+            .localCheckpoint()  # materialize: state rows + final union reuse it
+        )
+        for row in res.where(F.col("detector") == _STATE_ROW).select("source", "state").collect():
+            states[row["source"]] = row["state"]
+        parts.append(res.where(F.col("detector") != _STATE_ROW).drop("state"))
+    scores = parts[0]
+    for p in parts[1:]:
+        scores = scores.unionByName(p)
+    stats_rows = []
+    for src in sorted(states):
+        _tail, _s, _v, (nz_, mz, m2z, ne_, me, m2e) = _unpack_state(states[src])
+        for name, (wn, wmean, wm2) in (("zscore", (nz_, mz, m2z)), ("ewma", (ne_, me, m2e))):
+            if wn == 0:
+                stats_rows.append((src, tier, name, 0, float("nan"), float("nan")))
+            else:
+                stats_rows.append((src, tier, name, wn, wmean, wm2 / wn))
+    stats = spark.createDataFrame(stats_rows, schemas.RESIDUAL_STATS_SCHEMA)
+    return scores, stats

@@ -20,6 +20,58 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
+#: chunk width of the EWMA affine scan AND the alignment unit for detector
+#: sharding: shard boundaries must sit on multiples of this so a sharded
+#: run reproduces the unsharded chunk grid bit-for-bit (detect.py).
+SCAN_CHUNK = 64
+
+#: rolling-window chunk: bounds the (chunk, W) temporaries so very long
+#: series never materialize an (n, W) matrix. Chunking is exact: every
+#: window is computed independently of its neighbors.
+_ROLL_CHUNK = 65_536
+
+
+def rolling_mean_std(
+    x: np.ndarray, window: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Trailing-window mean and POPULATION std with min_periods=window
+    (NaN before the window fills). Each window is computed locally
+    (np.mean / np.mean of squared deviations over that window only), so
+    the value at position t depends on x[t-W+1..t] ALONE — the property
+    that makes sharded scoring with a W-1 halo byte-exact (a running
+    add/subtract implementation would leak summation history across
+    shard boundaries)."""
+    n = x.shape[0]
+    mu = np.full(n, np.nan, dtype=np.float64)
+    sigma = np.full(n, np.nan, dtype=np.float64)
+    if n < window:
+        return mu, sigma
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    wins = sliding_window_view(np.asarray(x, dtype=np.float64), window)
+    m = wins.shape[0]  # = n - window + 1
+    for c0 in range(0, m, _ROLL_CHUNK):
+        c1 = min(c0 + _ROLL_CHUNK, m)
+        w = wins[c0:c1]
+        mu_c = w.mean(axis=1)
+        var_c = ((w - mu_c[:, None]) ** 2).mean(axis=1)
+        mu[window - 1 + c0 : window - 1 + c1] = mu_c
+        sigma[window - 1 + c0 : window - 1 + c1] = np.sqrt(var_c)
+    return mu, sigma
+
+
+def zscore_from_stats(
+    x: np.ndarray, mu: np.ndarray, sigma: np.ndarray, tau: float
+) -> tuple[np.ndarray, np.ndarray]:
+    """The pinned z formula given trailing-window stats: z = (x-mu)/sigma
+    when sigma > 0 else 0.0; NaN where the window is unfilled. Shared by
+    the whole-series path and the sharded path (same code object)."""
+    z = np.where(sigma > 0.0, (x - mu) / np.where(sigma > 0.0, sigma, 1.0), 0.0)
+    z = np.where(np.isnan(mu), np.nan, z)
+    flag = pd.array(np.abs(z) >= tau, dtype="boolean")
+    flag[np.isnan(z)] = pd.NA
+    return z.astype(np.float64), flag
+
 
 def rolling_zscore(x: np.ndarray, window: int, tau: float) -> tuple[np.ndarray, np.ndarray]:
     """W1 — trailing-window z-score.
@@ -30,65 +82,141 @@ def rolling_zscore(x: np.ndarray, window: int, tau: float) -> tuple[np.ndarray, 
 
     Returns (z: float64[n], is_anomaly: pandas nullable-boolean array).
     """
-    s = pd.Series(x, dtype="float64")
-    roll = s.rolling(window, min_periods=window)
-    mu = roll.mean().to_numpy()
-    sigma = roll.std(ddof=0).to_numpy()
-    z = np.where(sigma > 0.0, (x - mu) / np.where(sigma > 0.0, sigma, 1.0), 0.0)
-    z = np.where(np.isnan(mu), np.nan, z)
-    flag = pd.array(np.abs(z) >= tau, dtype="boolean")
-    flag[np.isnan(z)] = pd.NA
-    return z.astype(np.float64), flag
+    x = np.asarray(x, dtype=np.float64)
+    mu, sigma = rolling_mean_std(x, window)
+    return zscore_from_stats(x, mu, sigma, tau)
+
+
+def _affine_scan(b: np.ndarray, c: float, y_init: float) -> np.ndarray:
+    """y_t = c * y_{t-1} + b_t with y_{-1} = y_init, evaluated as a chunked
+    scan: within each SCAN_CHUNK, y_j = c^j * (c*y_start + cumsum(b_k c^-k)).
+    The chunk grid is anchored at b[0]; callers that shard a series MUST cut
+    at multiples of SCAN_CHUNK so the grid (and therefore every float
+    rounding) is identical to the unsharded evaluation. Falls back to the
+    sequential loop when c is tiny (c^-CHUNK would overflow) — same grid
+    irrelevance because the loop is position-independent."""
+    n = b.shape[0]
+    out = np.empty(n, dtype=np.float64)
+    if n == 0:
+        return out
+    if c == 0.0:
+        out[:] = b
+        return out
+    if abs(c) < 0.05:  # c^-64 > 1e83: scan scaling would overflow
+        y = y_init
+        bl = b.tolist()
+        for t in range(n):
+            y = c * y + bl[t]
+            out[t] = y
+        return out
+    neg = float(c) ** -np.arange(SCAN_CHUNK, dtype=np.float64)
+    pos = float(c) ** np.arange(SCAN_CHUNK, dtype=np.float64)
+    # vectorize ACROSS chunks: all within-chunk scaled cumsums at once,
+    # then a scalar loop over chunk-end states only (1 mul-add per chunk)
+    nc = -(-n // SCAN_CHUNK)
+    bp = b if n == nc * SCAN_CHUNK else np.pad(b, (0, nc * SCAN_CHUNK - n))
+    S = np.cumsum(bp.reshape(nc, SCAN_CHUNK) * neg, axis=1)
+    pos_end = float(pos[SCAN_CHUNK - 1])
+    s_end = S[:, SCAN_CHUNK - 1].tolist()
+    y0 = np.empty(nc, dtype=np.float64)  # chunk-start carry states
+    y = y_init
+    for kk in range(nc):
+        y0[kk] = y
+        y = pos_end * (c * y + s_end[kk])
+    out_full = pos * (c * y0[:, None] + S)
+    out[:] = out_full.reshape(-1)[:n]
+    return out
 
 
 def ewma_detector(
-    x: np.ndarray, alpha: float, eps: float
-) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """W2 — EWMA control chart.
+    x: np.ndarray,
+    alpha: float,
+    eps: float,
+    init: tuple[float, float] | None = None,
+    with_state: bool = False,
+) -> tuple:
+    """W2 — EWMA control chart (vectorized chunked-scan evaluation).
 
-    s_0 = x_0; s_t = alpha*x_t + (1-alpha)*s_{t-1}   (pandas adjust=False)
+    s_0 = x_0; s_t = alpha*x_t + (1-alpha)*s_{t-1}   (adjust=False)
     r_0 = 0.0; r_t = x_t - s_{t-1}                   (one-step-ahead residual)
     v_0 = 0.0; v_t = (1-alpha) * (v_{t-1} + alpha * r_t^2)
     score_0 = 0.0; score_t = r_t / sqrt(v_{t-1}) if v_{t-1} > eps else 0.0
 
+    Both recurrences are first-order affine (y_t = c*y_{t-1} + b_t) and are
+    evaluated with _affine_scan on the fixed SCAN_CHUNK grid — the pinned
+    numerics ARE the chunked evaluation (oracle shares this code object).
+
+    `init=(s_prev, v_prev)` continues a series: x[0] is then an ordinary
+    step (r_0 = x_0 - s_prev, score_0 from v_prev) and the caller must cut
+    shards at multiples of SCAN_CHUNK (see detect.score_tier sharding).
+
     Returns (s, r, score) — all float64[n].
     """
+    x = np.asarray(x, dtype=np.float64)
     n = x.shape[0]
-    s = pd.Series(x, dtype="float64").ewm(alpha=alpha, adjust=False).mean().to_numpy()
-    r = np.zeros(n, dtype=np.float64)
-    if n > 1:
+    c = 1.0 - alpha
+    if n == 0:
+        e = np.empty(0, dtype=np.float64)
+        if with_state:
+            st = init if init is not None else (float("nan"), 0.0)
+            return e, e.copy(), e.copy(), st
+        return e, e.copy(), e.copy()
+    if init is None:
+        # s_0 = x_0 exactly, with the scan grid anchored at index 0 (so a
+        # sharded continuation on the same 64-grid is bit-identical):
+        # y_{-1} = 0 and b_0 = x_0 gives y_0 = c*0 + x_0 = x_0
+        b_s = alpha * x
+        b_s[0] = x[0]
+        s = _affine_scan(b_s, c, 0.0)
+        r = np.zeros(n, dtype=np.float64)
         r[1:] = x[1:] - s[:-1]
-    v = np.zeros(n, dtype=np.float64)
-    score = np.zeros(n, dtype=np.float64)
-    one_m_a = 1.0 - alpha
-    v_prev = 0.0
-    for t in range(1, n):
-        rt = r[t]
-        if v_prev > eps:
-            score[t] = rt / np.sqrt(v_prev)
-        v_prev = one_m_a * (v_prev + alpha * rt * rt)
-        v[t] = v_prev
+        v_prev0 = 0.0
+    else:
+        s_prev, v_prev0 = init
+        s = _affine_scan(alpha * x, c, s_prev)
+        r = np.empty(n, dtype=np.float64)
+        r[0] = x[0] - s_prev
+        r[1:] = x[1:] - s[:-1]
+    # v_t = c * v_{t-1} + (c*alpha) * r_t^2 ; v_0 = 0 when init is None
+    b = (c * alpha) * (r * r)
+    if init is None:
+        b[0] = 0.0
+    v = _affine_scan(b, c, v_prev0)
+    v_lag = np.empty(n, dtype=np.float64)
+    v_lag[0] = v_prev0
+    v_lag[1:] = v[:-1]
+    with np.errstate(invalid="ignore", divide="ignore"):
+        score = np.where(v_lag > eps, r / np.sqrt(np.where(v_lag > 0, v_lag, 1.0)), 0.0)
+    if with_state:
+        return s, r, score, (float(s[-1]), float(v[-1]))
     return s, r, score
+
+
+def welford_fold(
+    values: np.ndarray, n: int = 0, mean: float = 0.0, m2: float = 0.0
+) -> tuple[int, float, float]:
+    """Fold the FINITE entries of `values`, in order, into Welford state
+    (n, mean, M2). Element-sequential BY CONTRACT — never a chunked merge:
+    the streaming variant folds per micro-batch with arbitrary batch
+    boundaries, and only a left fold makes batch and streaming finals
+    bit-identical. Python-float arithmetic == IEEE float64 (same bits);
+    the to-list conversion just removes per-element numpy overhead."""
+    finite = np.asarray(values, dtype=np.float64)
+    finite = finite[np.isfinite(finite)]
+    for val in finite.tolist():
+        n += 1
+        delta = val - mean
+        mean += delta / n
+        m2 += delta * (val - mean)
+    return n, mean, m2
 
 
 def welford(values: np.ndarray) -> tuple[int, float, float]:
     """W3 — streaming residual statistics: sequential Welford over the
     finite entries of `values`, in order. Returns (n, mean, var_pop) with
     var_pop = M2/n (population). n == 0 -> (0, nan, nan).
-
-    Sequential by design: this is the same update order the streaming
-    variant applies per micro-batch, so batch and streaming finals match.
     """
-    n = 0
-    mean = 0.0
-    m2 = 0.0
-    for val in values:
-        if not np.isfinite(val):
-            continue
-        n += 1
-        delta = val - mean
-        mean += delta / n
-        m2 += delta * (val - mean)
+    n, mean, m2 = welford_fold(values)
     if n == 0:
         return 0, float("nan"), float("nan")
     return n, mean, m2 / n

@@ -161,8 +161,13 @@ def derive(spark: SparkSession, out_base: str, cfg: RollupConfig | None = None) 
         filled = gapfill(tier_df, tier, cfg).persist()
         persisted.append(filled)
         rows_per_tier[tier] = filled.count()
-        sc = score_tier(filled, tier, cfg)
-        st = residual_stats(filled, tier, cfg)
+        if cfg.detector.shard_buckets:
+            from .detect import score_tier_sharded
+
+            sc, st = score_tier_sharded(filled, tier, cfg)
+        else:
+            sc = score_tier(filled, tier, cfg)
+            st = residual_stats(filled, tier, cfg)
         bl = compress_tier(filled, tier, cfg)
         scores_all = sc if scores_all is None else scores_all.unionByName(sc)
         stats_all = st if stats_all is None else stats_all.unionByName(st)

@@ -146,7 +146,7 @@ def residual_stats(filled: pd.DataFrame, tier: str, cfg: RollupConfig | None = N
     for src, grp in filled.groupby("source", sort=True):
         grp = grp.sort_values("bucket_start", kind="mergesort").reset_index(drop=True)
         x = grp[det.value_col].to_numpy(dtype="float64")
-        mu = pd.Series(x).rolling(det.window, min_periods=det.window).mean().to_numpy()
+        mu, _sigma = kernels.rolling_mean_std(x, det.window)
         _s, e_resid, _sc = kernels.ewma_detector(x, det.alpha, det.eps)
         for name, resid in (("zscore", x - mu), ("ewma", e_resid)):
             n, mean, var_pop = kernels.welford(resid)

@@ -57,7 +57,7 @@ class _ProgressAccumulator(StreamingQueryListener):
     def onQueryTerminated(self, event) -> None:  # noqa: D102
         pass
 
-from . import schemas
+from . import kernels, schemas
 from .rollup import _partial_aggs
 
 
@@ -180,11 +180,9 @@ def _welford_update(key, pdf_iter, state: GroupState):
     chunks = [pdf for pdf in pdf_iter]
     if chunks:
         pdf = pd.concat(chunks, ignore_index=True).sort_values("event_ts", kind="mergesort")
-        for val in pdf["n_tok"].to_numpy(dtype="float64"):
-            n += 1
-            delta = val - mean
-            mean += delta / n
-            m2 += delta * (val - mean)
+        n, mean, m2 = kernels.welford_fold(
+            pdf["n_tok"].to_numpy(dtype="float64"), n, mean, m2
+        )
     state.update((n, mean, m2))
     yield pd.DataFrame(
         {
