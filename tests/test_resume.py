@@ -71,6 +71,21 @@ def test_incremental_equals_single_shot(spark, split_inputs):
     e = _read_sorted(spark, os.path.join(out_full, SCORES_DIR), ka)
     assert_frame_byte_equal(a, e, ka, msg="incremental scores")
 
+    # incremental derive() covered only the touched buckets on run 2, yet
+    # blocks and residual stats must equal the full single-shot recompute
+    from tsrollup.pipeline import BLOCKS_DIR, STATS_DIR
+
+    kb = ["tier", "source", "metric", "block_start"]
+    a = normalize_ts(spark.read.parquet(os.path.join(out_incr, BLOCKS_DIR)).toPandas(), ("block_start",))
+    e = normalize_ts(spark.read.parquet(os.path.join(out_full, BLOCKS_DIR)).toPandas(), ("block_start",))
+    drop = [c for c in ("day", "source_bucket") if c in a.columns]
+    assert_frame_byte_equal(a.drop(columns=drop), e.drop(columns=drop), kb, msg="incremental blocks")
+
+    ks = ["tier", "source", "detector"]
+    a = _read_sorted(spark, os.path.join(out_incr, STATS_DIR), ks)
+    e = _read_sorted(spark, os.path.join(out_full, STATS_DIR), ks)
+    assert_frame_byte_equal(a, e, ks, msg="incremental residual stats")
+
 
 def test_noop_rerun_skips_everything(spark, split_inputs):
     _first, full = split_inputs
@@ -155,6 +170,52 @@ def test_invalidate_units_enables_backfill_reroll(spark, split_inputs):
     a = _read_sorted(spark, os.path.join(out, ROLLUP_DIR), keys)
     e = _read_sorted(spark, os.path.join(ref, ROLLUP_DIR), keys)
     assert_frame_byte_equal(a, e, keys, msg="post-reroll store")
+
+
+def test_incremental_derive_leaves_untouched_buckets_alone(spark, split_inputs):
+    """derive(touched_buckets=[b]) must rewrite ONLY bucket b's derived
+    partitions — untouched buckets' files stay byte-for-byte (mtime) intact,
+    which is what makes the derived wall proportional to the batch."""
+    import time
+
+    from tsrollup.pipeline import derive
+
+    first, _full = split_inputs
+    out = os.path.join(BASE, "derivetouch")
+    shutil.rmtree(out, ignore_errors=True)
+    cfg = RollupConfig()
+    rollup_build(spark, first, out, cfg, run_id="d1")
+
+    scores_dir = os.path.join(out, SCORES_DIR)
+    buckets = sorted(
+        {
+            int(p.split("=")[1])
+            for tier_d in os.listdir(scores_dir)
+            if tier_d.startswith("tier=")
+            for day_d in os.listdir(os.path.join(scores_dir, tier_d))
+            if day_d.startswith("day=")
+            for p in os.listdir(os.path.join(scores_dir, tier_d, day_d))
+            if p.startswith("source_bucket=")
+        }
+    )
+    assert len(buckets) >= 2
+    victim, kept = buckets[0], buckets[1]
+
+    def _mtimes(bucket):
+        out_m = {}
+        for root, _dirs, files in os.walk(scores_dir):
+            if f"source_bucket={bucket}" in root:
+                for f in files:
+                    p = os.path.join(root, f)
+                    out_m[p] = os.stat(p).st_mtime_ns
+        return out_m
+
+    before_kept = _mtimes(kept)
+    before_victim = _mtimes(victim)
+    time.sleep(0.05)
+    derive(spark, out, cfg, touched_buckets=[victim])
+    assert _mtimes(kept) == before_kept, "untouched bucket was rewritten"
+    assert _mtimes(victim) != before_victim, "touched bucket was not rewritten"
 
 
 def test_retention_prunes_expired_partitions(spark, split_inputs):

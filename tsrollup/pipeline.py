@@ -5,14 +5,15 @@ rollup_build is the flagship batch job:
     scan → resume-filter (anti-join vs ledger) → salted 1m aggregate →
     cascade 1h/1d → dynamic-partition-overwrite the pending units' rollup
     partitions → ledger commit → derived phase (gap-fill → detectors →
-    residual stats → Gorilla blocks) over the full rollup store.
+    residual stats → Gorilla blocks) over the TOUCHED source_buckets.
 
 The aggregate phase is incremental and exactly-resumable (unit-local
-outputs, SURVEY.md §2.9). The derived phase is a full recompute over the
-rollup store — at production scale the store is ~10^6× smaller than the
-raw corpus (one row per source-minute vs one row per sequence), so
-re-deriving is cheap relative to the scan and keeps detector recurrences
-whole-series exact.
+outputs, SURVEY.md §2.9). The derived phase is incremental by
+source_bucket: detectors are whole-series recurrences per source, so a
+batch re-derives the full history of exactly the buckets it wrote
+(partition-pruned read, dynamic-partition overwrite) and leaves the rest
+of the derived store untouched — derived wall scales with the batch's
+bucket footprint, not the store size.
 """
 
 from __future__ import annotations
@@ -142,17 +143,39 @@ def rollup_build(
 
     if derived:
         t1 = time.monotonic()
-        summary["rows_per_tier"] = derive(spark, out_base, cfg)
+        touched = sorted({int(u.split("/")[0]) for u in metrics}) if metrics else []
+        summary["touched_buckets"] = len(touched)
+        summary["rows_per_tier"] = derive(spark, out_base, cfg, touched_buckets=touched)
         summary["wall_derived_s"] = time.monotonic() - t1
     return summary
 
 
-def derive(spark: SparkSession, out_base: str, cfg: RollupConfig | None = None) -> dict:
-    """Derived phase: gap-fill → scores → residual stats → blocks per tier,
-    full overwrite (derived tables are pure functions of the rollup store)."""
+def derive(
+    spark: SparkSession,
+    out_base: str,
+    cfg: RollupConfig | None = None,
+    touched_buckets: list[int] | None = None,
+) -> dict:
+    """Derived phase: gap-fill → scores → residual stats → blocks per tier.
+
+    Incremental by source_bucket: detectors are whole-series recurrences
+    per SOURCE, so the exact unit of re-derivation is a source's full
+    history — i.e. a source_bucket partition (partition-pruned read: a
+    bucket's history lives under tier=*/day=*/source_bucket=<b>). With
+    `touched_buckets` (the buckets the batch wrote), only those are
+    recomputed and dynamic-partition-overwritten; untouched buckets'
+    derived partitions are untouched — derived wall scales with the
+    batch's bucket footprint, not the store. None = full recompute.
+    Byte-equality with the full recompute is guaranteed because derived
+    tables are pure per-source functions of the rollup store
+    (tests/test_resume.py exercises this through rollup_build)."""
     cfg = cfg or RollupConfig()
     rollup_path = os.path.join(out_base, ROLLUP_DIR)
     store = spark.read.parquet(rollup_path)
+    if touched_buckets is not None:
+        if not touched_buckets:
+            return {}
+        store = store.where(F.col("source_bucket").isin([int(b) for b in touched_buckets]))
     rows_per_tier = {}
     scores_all = stats_all = blocks_all = None
     persisted = []
@@ -172,19 +195,32 @@ def derive(spark: SparkSession, out_base: str, cfg: RollupConfig | None = None) 
         scores_all = sc if scores_all is None else scores_all.unionByName(sc)
         stats_all = st if stats_all is None else stats_all.unionByName(st)
         blocks_all = bl if blocks_all is None else blocks_all.unionByName(bl)
-    (
-        scores_all.withColumn("day", F.to_date("bucket_start"))
-        .repartition("tier", "day")
-        .write.mode("overwrite").partitionBy("tier", "day").parquet(os.path.join(out_base, SCORES_DIR))
+
+    bucket = F.pmod(F.xxhash64("source"), F.lit(n_source_buckets())).cast("int")
+
+    def _write(df: DataFrame, path: str, parts: tuple[str, ...]) -> None:
+        (
+            df.repartition(*parts)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*parts)
+            .parquet(path)
+        )
+
+    _write(
+        scores_all.withColumn("day", F.to_date("bucket_start")).withColumn("source_bucket", bucket),
+        os.path.join(out_base, SCORES_DIR),
+        ("tier", "day", "source_bucket"),
     )
-    (
-        stats_all.repartition("tier")
-        .write.mode("overwrite").partitionBy("tier").parquet(os.path.join(out_base, STATS_DIR))
+    _write(
+        stats_all.withColumn("source_bucket", bucket),
+        os.path.join(out_base, STATS_DIR),
+        ("tier", "source_bucket"),
     )
-    (
-        blocks_all.withColumn("day", F.to_date("block_start"))
-        .repartition("tier", "day")
-        .write.mode("overwrite").partitionBy("tier", "day").parquet(os.path.join(out_base, BLOCKS_DIR))
+    _write(
+        blocks_all.withColumn("day", F.to_date("block_start")).withColumn("source_bucket", bucket),
+        os.path.join(out_base, BLOCKS_DIR),
+        ("tier", "day", "source_bucket"),
     )
     for df in persisted:
         df.unpersist()
