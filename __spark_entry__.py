@@ -77,12 +77,134 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             feat_str.alias("feature_csv"),
         )
 
+    # ---- scratch-backed rows-only entries: streaming (T1/T3/T4/T5),
+    # resume/lineage (S3), retention (R1). Each runs the real engine path
+    # into a private scratch dir and returns a deterministic projection.
+    import shutil
+
+    scratch_base = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".scratch")
+
+    def _scratch(name: str) -> str:
+        p = os.path.join(scratch_base, name)
+        shutil.rmtree(p, ignore_errors=True)
+        os.makedirs(p, exist_ok=True)
+        return p
+
+    def _seq_files(spark, sf_dir, base, n_files=4):
+        """Sequence fixture written as n parquet files (so the streaming
+        source sees several micro-batches with maxFilesPerTrigger=1)."""
+        seq = sequences_from_documents(spark, sf_dir)
+        path = os.path.join(base, "seq")
+        seq.repartition(n_files).write.mode("overwrite").parquet(path)
+        return path
+
+    def engine_streaming_rollup(spark, sf_dir):
+        """T1+T3+T5: availableNow watermarked 1m rollup through the file
+        sink, read back (finalized buckets only, append mode)."""
+        from pyspark.sql import functions as F
+
+        from tsrollup.streaming import run_streaming_rollup
+
+        base = _scratch("streaming")
+        in_dir = _seq_files(spark, sf_dir, base)
+        out = os.path.join(base, "rolled")
+        run_streaming_rollup(
+            spark, in_dir, out, os.path.join(base, "ckpt"), max_files_per_trigger=1
+        )
+        return spark.read.parquet(out).select(
+            "source",
+            F.unix_timestamp("bucket_start").alias("bucket_s"),
+            "cnt", "n_tok_sum", "n_tok_min", "n_tok_max", "tok_sum", "tok_cnt",
+        )
+
+    def engine_streaming_welford(spark, sf_dir):
+        """T4+T5: stateful per-source Welford via applyInPandasWithState,
+        idempotent overwrite-by-batch sink; returns the last batch's
+        running stats (rounded: update-order across executors is pinned
+        per batch, values verified byte-exact in tests/)."""
+        from pyspark.sql import functions as F
+
+        from tsrollup.streaming import run_streaming_welford
+
+        base = _scratch("welford")
+        in_dir = _seq_files(spark, sf_dir, base)
+        out = os.path.join(base, "stats")
+        run_streaming_welford(
+            spark, in_dir, out, os.path.join(base, "ckpt"), max_files_per_trigger=2
+        )
+        batches = sorted(
+            d for d in os.listdir(out) if d.startswith("batch_id=")
+        )
+        last = spark.read.parquet(os.path.join(out, batches[-1]))
+        return last.select(
+            "source", "n", F.round("mean", 6).alias("mean_r"),
+            F.round("var_pop", 6).alias("var_r"),
+        )
+
+    def engine_resume_ledger(spark, sf_dir):
+        """S3/J4: two incremental rollup_build runs over a growing input;
+        returns the per-unit lineage ledger (deterministic columns)."""
+        from pyspark.sql import functions as F
+
+        from tsrollup.config import RollupConfig
+        from tsrollup.pipeline import rollup_build
+        from tsrollup.resume import read_ledger
+
+        base = _scratch("resume")
+        in_dir = _seq_files(spark, sf_dir, base)
+        seq = spark.read.parquet(in_dir)
+        day0 = seq.agg(F.min(F.to_date("event_ts"))).collect()[0][0]
+        first = seq.where(F.to_date("event_ts") <= F.lit(day0))
+        first_path = os.path.join(base, "first")
+        first.write.mode("overwrite").parquet(first_path)
+        out = os.path.join(base, "store")
+        cfg = RollupConfig()
+        rollup_build(spark, first_path, out, cfg, run_id="r1", derived=False)
+        rollup_build(spark, in_dir, out, cfg, run_id="r2", derived=False)
+        return (
+            read_ledger(spark, out)
+            .select("unit_id", "input_rows", "token_checksum",
+                    "out_rows_1m", "out_rows_1h", "out_rows_1d")
+        )
+
+    def engine_retention(spark, sf_dir):
+        """R1: build a store, expire the oldest 1m day, return the
+        surviving (tier, day) partition inventory."""
+        from pyspark.sql import functions as F
+
+        from tsrollup.config import RollupConfig
+        from tsrollup.pipeline import ROLLUP_DIR, rollup_build
+        from tsrollup.storage import drop_expired_partitions
+
+        base = _scratch("retention")
+        in_dir = _seq_files(spark, sf_dir, base)
+        out = os.path.join(base, "store")
+        rollup_build(spark, in_dir, out, RollupConfig(), derived=False)
+        rollup_path = os.path.join(out, ROLLUP_DIR)
+        tier_dir = os.path.join(rollup_path, "tier=1m")
+        days = sorted(d.split("=")[1] for d in os.listdir(tier_dir) if d.startswith("day="))
+        import datetime as dt
+
+        span = (dt.date.fromisoformat(days[-1]) - dt.date.fromisoformat(days[0])).days
+        removed = drop_expired_partitions(rollup_path, "1m", max(span - 1, 1), days[-1])
+        assert removed or span <= 1, "retention should prune the oldest day"
+        return (
+            spark.read.parquet(rollup_path)
+            .groupBy("tier", "day")
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+            .select("tier", F.col("day").cast("string").alias("day_s"), "n_rows")
+        )
+
     return {
         "engine_zscore_1h": engine_zscore_1h,
         "engine_residual_stats": engine_residual_stats,
         "engine_codec_blocks": engine_codec_blocks,
         "ann_lsh": ann_lsh,
         "mm_features": mm_features,
+        "engine_streaming_rollup": engine_streaming_rollup,
+        "engine_streaming_welford": engine_streaming_welford,
+        "engine_resume_ledger": engine_resume_ledger,
+        "engine_retention": engine_retention,
     }
 
 

@@ -62,6 +62,32 @@ def test_multimodal_plumbing(spark):
     assert (merged["width"] == merged["n_bytes"] % 640).all()
 
 
+def test_embedding_neardup_lsh_subset_of_brute(spark):
+    """The banded-LSH near-dup pairs must be a SUBSET of the brute-force
+    threshold pairs (exact-cosine verify means no false positives), with
+    non-trivial recall on the fixture; the keeper map star-dedups them."""
+    from tsrollup.datapipe import ND_TAU, embedding_neardup_pairs
+    from tsrollup.driver_queries import SPARK
+
+    lsh = embedding_neardup_pairs(spark, SF).toPandas()
+    brute = SPARK["dd_embedding_neardup"](spark, SF).toPandas()
+    lset = {(a, b) for a, b in zip(lsh["vec_a"], lsh["vec_b"])}
+    bset = {(a, b) for a, b in zip(brute["vec_a"], brute["vec_b"])}
+    assert lset, "LSH found no pairs on the fixture"
+    assert lset <= bset, f"false positives: {lset - bset}"
+    assert (lsh["cos_sim"] >= ND_TAU).all()
+    # recall floor: banded LSH at tau=0.45 won't be perfect, but finding
+    # fewer than 1/3 of the true pairs means the banding is broken
+    assert len(lset) * 3 >= len(bset), f"recall collapsed: {len(lset)}/{len(bset)}"
+
+    keeper = SPARK["dd_embedding_keeper"](spark, SF).toPandas()
+    k = dict(zip(keeper["vec_id"], keeper["keep_id"]))
+    assert len(k) == spark.read.parquet(f"{SF}/embeddings.parquet").count()
+    assert all(k[v] <= v for v in k), "keeper must be the min id of the star"
+    for a, b in lset:
+        assert k[b] <= a, "pair member must point at (or below) its min neighbor"
+
+
 def test_entry_smoke(spark):
     import importlib.util
 

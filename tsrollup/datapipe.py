@@ -75,6 +75,127 @@ def ann_lsh_topk(
     )
 
 
+# ----------------------------------------------- embedding near-dup (LSH)
+#
+# Scale path for "emit all pairs >= tau, dedup by keeper": candidates come
+# from banded random-hyperplane LSH (a pair is a candidate iff it shares a
+# bucket in ANY band), verified with exact cosine. At 10^9 vectors the
+# all-pairs join is impossible; the band self-join shuffles each vector
+# B times and joins within buckets — the standard production sharding.
+# Both the Spark query and its DuckDB oracle twin compute the SAME banded
+# algorithm (the planes are embedded as literals in the generated SQL), so
+# the driver's value-hash verifies the semantics exactly; RECALL vs the
+# brute-force baseline is measured separately (tests/test_datapipe.py).
+
+#: banded-LSH defaults for the driver queries (500-vector fixture).
+ND_BANDS = 4
+ND_PLANES = 4
+ND_DIM = 64
+ND_TAU = 0.45
+
+
+def neardup_planes(
+    bands: int = ND_BANDS, planes: int = ND_PLANES, dim: int = ND_DIM
+) -> np.ndarray:
+    """(bands, planes, dim) hyperplanes, rounded to 4 decimals so the SQL
+    literal and the Spark literal parse to the SAME float64."""
+    rng = np.random.default_rng(20240202)
+    return np.round(rng.standard_normal((bands, planes, dim)), 4)
+
+
+def _bucket_expr(vec_col, band_planes: np.ndarray):
+    """Spark bucket string for one band: per plane, the sign bit of the
+    dot product rounded to 6 decimals (rounding pins the sign across
+    engines; both sides fold the dot left-to-right)."""
+    from pyspark.sql import functions as FF
+
+    bits = []
+    for plane in band_planes:
+        p = FF.array(*[FF.lit(float(c)) for c in plane])
+        dot = FF.aggregate(
+            FF.zip_with(vec_col, p, lambda a, b: a * b),
+            FF.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(FF.when(FF.round(dot, 6) >= 0, FF.lit("1")).otherwise(FF.lit("0")))
+    return FF.concat(*bits)
+
+
+def embedding_neardup_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    tau: float = ND_TAU,
+    planes: np.ndarray | None = None,
+) -> DataFrame:
+    """All (vec_a < vec_b) pairs sharing an LSH bucket in >=1 band with
+    exact cosine >= tau. Returns (vec_a, vec_b, cos_sim rounded to 4)."""
+    planes = neardup_planes() if planes is None else planes
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    banded = None
+    for b in range(planes.shape[0]):
+        part = e.select(
+            "vec_id", "v", F.lit(b).alias("band"), _bucket_expr(F.col("v"), planes[b]).alias("bucket")
+        )
+        banded = part if banded is None else banded.unionByName(part)
+    a = banded.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "band", "bucket"
+    )
+    b2 = banded.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), "band", "bucket"
+    )
+    cand = (
+        a.join(b2, ["band", "bucket"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", "va", "vb")
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    return (
+        cand.withColumn("cos_sim", F.round(dot / (norm(F.col("va")) * norm(F.col("vb"))), 4))
+        .where(F.col("cos_sim") >= tau)
+        .select("vec_a", "vec_b", "cos_sim")
+    )
+
+
+def neardup_pairs_sql(tau: float = ND_TAU, planes: np.ndarray | None = None) -> str:
+    """DuckDB twin of embedding_neardup_pairs: same bands, same planes (as
+    literals), same rounded-sign buckets, same exact-cosine verify."""
+    planes = neardup_planes() if planes is None else planes
+    band_selects = []
+    for b in range(planes.shape[0]):
+        bits = []
+        for plane in planes[b]:
+            lit = "[" + ", ".join(repr(float(c)) for c in plane) + "]"
+            bits.append(
+                f"(CASE WHEN round(list_dot_product(e, {lit}), 6) >= 0 "
+                f"THEN '1' ELSE '0' END)"
+            )
+        band_selects.append(
+            f"SELECT vec_id, e, {b} AS band, ({' || '.join(bits)}) AS bucket FROM v"
+        )
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    banded AS ({' UNION ALL '.join(band_selects)}),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+      WHERE a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, cos_sim FROM (
+      SELECT c.vec_a, c.vec_b,
+             round(list_cosine_similarity(va.e, vb.e), 4) AS cos_sim
+      FROM cand c JOIN v va ON va.vec_id = c.vec_a JOIN v vb ON vb.vec_id = c.vec_b
+    ) WHERE cos_sim >= {tau!r}
+    """
+
+
 # ------------------------------------------------------------- multimodal
 
 

@@ -783,6 +783,49 @@ def dd_embedding_neardup(spark, sf_dir):
     return sims.where(F.col("cos_sim") >= 0.45)
 
 
+def _register_neardup_lsh():
+    """dd_embedding_neardup_lsh + dd_embedding_keeper: the SCALE path for
+    embedding near-dup dedup (banded LSH candidates + exact-cosine verify,
+    then star-dedup by min-id keeper). The oracle twins run the SAME banded
+    algorithm — the hyperplanes are embedded in the generated SQL — so the
+    hash check verifies semantics exactly; recall vs brute force is a
+    measured property (tests/test_datapipe.py)."""
+    from . import datapipe as dp
+
+    pairs_sql = dp.neardup_pairs_sql()
+
+    @q("dd_embedding_neardup_lsh", pairs_sql)
+    def dd_embedding_neardup_lsh(spark, sf_dir):
+        return dp.embedding_neardup_pairs(spark, sf_dir)
+
+    keeper_sql = f"""
+    WITH pairs AS ({pairs_sql}),
+    edges AS (
+      SELECT vec_a AS vec_id, vec_b AS nbr FROM pairs
+      UNION ALL SELECT vec_b, vec_a FROM pairs
+      UNION ALL SELECT vec_id, vec_id FROM embeddings
+    )
+    SELECT vec_id, min(nbr) AS keep_id FROM edges GROUP BY vec_id
+    """
+
+    @q("dd_embedding_keeper", keeper_sql)
+    def dd_embedding_keeper(spark, sf_dir):
+        pairs = dp.embedding_neardup_pairs(spark, sf_dir)
+        fwd = pairs.select(F.col("vec_a").alias("vec_id"), F.col("vec_b").alias("nbr"))
+        rev = pairs.select(F.col("vec_b").alias("vec_id"), F.col("vec_a").alias("nbr"))
+        slf = t(spark, sf_dir, "embeddings").select(
+            F.col("vec_id"), F.col("vec_id").alias("nbr")
+        )
+        return (
+            fwd.unionByName(rev).unionByName(slf)
+            .groupBy("vec_id")
+            .agg(F.min("nbr").alias("keep_id"))
+        )
+
+
+_register_neardup_lsh()
+
+
 @q(
     "ann_cosine_topk",
     """
