@@ -69,6 +69,12 @@ def rollup_build(
     cfg = cfg or RollupConfig()
     run_id = run_id or uuid.uuid4().hex
     t0 = time.monotonic()
+    phases: dict[str, float] = {}
+
+    def _mark(name: str, since: float) -> float:
+        now = time.monotonic()
+        phases[name] = round(phases.get(name, 0.0) + (now - since), 3)
+        return now
 
     seq = res.with_unit(resolve_event_time(read_sequences(spark, input_path)))
     done = res.completed_unit_ids(spark, out_base)
@@ -85,6 +91,7 @@ def rollup_build(
     # ONE scan of the raw corpus: the 1m aggregation carries a per-bucket
     # bit_xor token-hash partial, so unit metrics (row counts + token
     # checksum) fall out of the persisted 1m tier instead of a second pass.
+    tp = time.monotonic()
     r1m = rollup_from_raw(pending, "1m", cfg.salt_buckets, with_hash=True).persist()
     unit_stats = (
         r1m.withColumn("unit_id", res.unit_id_col_from_bucket())
@@ -97,12 +104,14 @@ def rollup_build(
     )
     metrics = {r["unit_id"]: dict(r.asDict()) for r in unit_stats}
     summary["pending_units"] = len(metrics)
+    tp = _mark("scan_agg_1m", tp)
 
     if metrics:
         tiers = {"1m": r1m.select(*ROLLUP_COLS)}
         tiers["1h"] = cascade(tiers["1m"], "1h").persist()
         tiers["1h"].count()  # materialize before 1d branches off it
         tiers["1d"] = cascade(tiers["1h"], "1d").persist()
+        tp = _mark("cascade", tp)
         tagged = None
         for df in tiers.values():
             t = df.withColumn("day", F.to_date("bucket_start")).withColumn(
@@ -111,6 +120,7 @@ def rollup_build(
             )
             tagged = t if tagged is None else tagged.unionByName(t)
         _write_units(tagged, rollup_path)
+        tp = _mark("rollup_write", tp)
 
         # per-unit output-row counts from the persisted (in-memory) tiers —
         # never rescan the store (it grows with history, a batch doesn't);
@@ -145,8 +155,11 @@ def rollup_build(
         t1 = time.monotonic()
         touched = sorted({int(u.split("/")[0]) for u in metrics}) if metrics else []
         summary["touched_buckets"] = len(touched)
-        summary["rows_per_tier"] = derive(spark, out_base, cfg, touched_buckets=touched)
+        summary["rows_per_tier"] = derive(
+            spark, out_base, cfg, touched_buckets=touched, phases=phases
+        )
         summary["wall_derived_s"] = time.monotonic() - t1
+    summary["phases"] = phases
     return summary
 
 
@@ -155,6 +168,7 @@ def derive(
     out_base: str,
     cfg: RollupConfig | None = None,
     touched_buckets: list[int] | None = None,
+    phases: dict | None = None,
 ) -> dict:
     """Derived phase: gap-fill → scores → residual stats → blocks per tier.
 
@@ -170,6 +184,13 @@ def derive(
     tables are pure per-source functions of the rollup store
     (tests/test_resume.py exercises this through rollup_build)."""
     cfg = cfg or RollupConfig()
+    phases = phases if phases is not None else {}
+
+    def _mark(name: str, since: float) -> float:
+        now = time.monotonic()
+        phases[name] = round(phases.get(name, 0.0) + (now - since), 3)
+        return now
+
     rollup_path = os.path.join(out_base, ROLLUP_DIR)
     store = spark.read.parquet(rollup_path)
     if touched_buckets is not None:
@@ -179,11 +200,13 @@ def derive(
     rows_per_tier = {}
     scores_all = stats_all = blocks_all = None
     persisted = []
+    tp = time.monotonic()
     for tier in cfg.tiers:
         tier_df = store.where(F.col("tier") == tier).select(*ROLLUP_COLS)
         filled = gapfill(tier_df, tier, cfg).persist()
         persisted.append(filled)
         rows_per_tier[tier] = filled.count()
+        tp = _mark("gapfill", tp)
         if cfg.detector.shard_buckets:
             from .detect import score_tier_sharded
 
@@ -207,21 +230,25 @@ def derive(
             .parquet(path)
         )
 
+    tp = time.monotonic()
     _write(
         scores_all.withColumn("day", F.to_date("bucket_start")).withColumn("source_bucket", bucket),
         os.path.join(out_base, SCORES_DIR),
         ("tier", "day", "source_bucket"),
     )
+    tp = _mark("detectors_scores", tp)
     _write(
         stats_all.withColumn("source_bucket", bucket),
         os.path.join(out_base, STATS_DIR),
         ("tier", "source_bucket"),
     )
+    tp = _mark("residual_stats", tp)
     _write(
         blocks_all.withColumn("day", F.to_date("block_start")).withColumn("source_bucket", bucket),
         os.path.join(out_base, BLOCKS_DIR),
         ("tier", "day", "source_bucket"),
     )
+    tp = _mark("codec_blocks", tp)
     for df in persisted:
         df.unpersist()
     return rows_per_tier

@@ -29,6 +29,12 @@ DEFAULT_CONF = {
     # quieter local runs
     "spark.ui.enabled": "false",
     "spark.driver.memory": "8g",
+    # Pin the heap floor: G1 uncommits idle regions between jobs and the
+    # OS takes the pages back; on hypervisors with lazy provisioning the
+    # NEXT job then re-faults them at ~10 MB/s. -Xms keeps the mapping so
+    # faulted pages stay resident across jobs (no AlwaysPreTouch: paying
+    # the fault once on first use is fine, paying it per job is not).
+    "spark.driver.extraJavaOptions": "-Xms8g -XX:-ShrinkHeapInSteps",
 }
 
 
