@@ -70,11 +70,12 @@ def main() -> None:
     # cluster executor sees) is the headline.
     fx_dir = os.path.join(BENCH_CACHE, f"fx_{sf_name}")
     seq_path = write_fixture(fx_dir, n_rows, n_sources, seed=42, rate_scale=100.0)
-    # pre-touch fixture bytes into the page cache (untimed)
-    for root, _dirs, files in os.walk(seq_path if os.path.isdir(seq_path) else os.path.dirname(seq_path)):
-        for f in files:
-            with open(os.path.join(root, f), "rb") as fh:
-                fh.read()
+    # pre-touch fixture + testdata bytes into the page cache (untimed)
+    for base in (seq_path if os.path.isdir(seq_path) else os.path.dirname(seq_path), sf_dir):
+        for root, _dirs, files in os.walk(base):
+            for f in files:
+                with open(os.path.join(root, f), "rb") as fh:
+                    fh.read()
     out_base = os.path.join(BENCH_CACHE, f"out_{sf_name}_{cpus}")
     shutil.rmtree(out_base + "_cold", ignore_errors=True)
     t0 = time.monotonic()

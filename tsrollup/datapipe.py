@@ -228,11 +228,12 @@ def multimodal_features(spark: SparkSession, sf_dir: str, feat_dim: int = 8) -> 
     def extract(batches):
         for pdf in batches:
             payloads = pdf["payload"]
-            feats = [_decode_stub(p, feat_dim) for p in payloads]
+            media_types = [m["media_type"] for m in pdf["meta"]]
+            feats = [_decode(p, mt, feat_dim) for p, mt in zip(payloads, media_types)]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "media_type": [m["media_type"] for m in pdf["meta"]],
+                    "media_type": media_types,
                     "n_bytes": [len(p) for p in payloads],
                     "width": [f[0] for f in feats],
                     "height": [f[1] for f in feats],
@@ -243,11 +244,34 @@ def multimodal_features(spark: SparkSession, sf_dir: str, feat_dim: int = 8) -> 
     return d.mapInPandas(extract, schema=MM_FEATURE_SCHEMA)
 
 
-def _decode_stub(payload: bytes, feat_dim: int):
-    """STUB for the media decoder (no PIL/ffmpeg in this container).
+#: media decoder registry: media_type -> decode(payload, feat_dim) ->
+#: (width, height, feature). A real deploy registers PIL/ffmpeg-backed
+#: decoders here (e.g. "image/jpeg", "audio/wav", "video/mp4" with frame
+#: sampling); nothing else in the Spark plumbing changes.
+_DECODERS: dict = {}
+
+
+def register_decoder(media_type: str, fn) -> None:
+    _DECODERS[media_type] = fn
+
+
+def _decode(payload: bytes, media_type: str, feat_dim: int):
+    """Dispatch on the typed metadata. Unregistered media types raise
+    NotImplementedError (loudly, per task) instead of faking output."""
+    fn = _DECODERS.get(media_type)
+    if fn is None:
+        raise NotImplementedError(
+            f"no decoder registered for media_type={media_type!r}; "
+            f"registered: {sorted(_DECODERS)}"
+        )
+    return fn(payload, feat_dim)
+
+
+def _decode_text_stub(payload: bytes, feat_dim: int):
+    """STUB decoder for text payloads (no PIL/ffmpeg in this container).
     Deterministic fake: 'dimensions' from the byte length, 'features' from
-    a rolling byte histogram. A real implementation would raise
-    NotImplementedError for unsupported media rather than fake it."""
+    a byte histogram — exercises the full Spark plumbing (binary column,
+    Arrow batches, declared schema) with a real decoder's shape."""
     n = len(payload)
     width = n % 640
     height = (n * 7) % 480
@@ -256,3 +280,6 @@ def _decode_stub(payload: bytes, feat_dim: int):
         return width, height, np.zeros(feat_dim, dtype=np.float64)
     hist = np.bincount(arr % feat_dim, minlength=feat_dim).astype(np.float64)
     return width, height, hist / arr.size
+
+
+register_decoder("text/plain", _decode_text_stub)
