@@ -77,6 +77,45 @@ def run_once(master: str, fixture: str, out: str, warm_fx: str, tag: str = "run"
     raise RuntimeError(f"no result from {master}; full log at {log_path}\n{res.stderr[-1500:]}")
 
 
+def _burn(n: int) -> int:
+    import hashlib
+
+    h = b"x"
+    for _ in range(n):
+        h = hashlib.sha256(h).digest()
+    return 1
+
+
+def cpu_ceiling(reps: int = 3, work: int = 400_000) -> dict:
+    """CONTROL EXPERIMENT: what 8->32-way scaling can this MACHINE show for
+    embarrassingly parallel pure-CPU work (multiprocessing sha256 — no
+    Spark, no I/O, no shared state)? On an honestly-provisioned 32-core
+    host this returns ~1.0; on this sandbox, hypervisor steal time caps it
+    (observe `steal` in /proc/stat). Any job's measured 8->32 efficiency is
+    bounded above by this number, so engine efficiencies are reported both
+    raw and normalized by it."""
+    import multiprocessing as mp
+
+    agg = {}
+    for procs in (8, 32):
+        best = 1e18
+        for _ in range(reps):
+            t0 = time.monotonic()
+            with mp.Pool(procs) as p:
+                p.map(_burn, [work] * procs)
+            best = min(best, time.monotonic() - t0)
+        agg[procs] = procs * work / best
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    user, steal = int(parts[1]), int(parts[8])
+    return {
+        "agg_hashes_per_s_8": round(agg[8], 0),
+        "agg_hashes_per_s_32": round(agg[32], 0),
+        "ceiling_eff_8_to_32": round((agg[32] / agg[8]) / 4.0, 3),
+        "proc_stat_steal_over_user": round(steal / max(user, 1), 2),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=1_000_000)
@@ -84,7 +123,30 @@ def main() -> None:
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--masters", default="local[8],local[32]")
     ap.add_argument("--fixture", default=None, help="pre-built sequences.parquet (skips synth)")
+    ap.add_argument(
+        "--control-only", action="store_true",
+        help="re-run only the CPU-ceiling control and merge into BENCH/scaling.json",
+    )
     args = ap.parse_args()
+
+    if args.control_only:
+        path = os.path.join(REPO, "BENCH", "scaling.json")
+        with open(path) as f:
+            report = json.load(f)
+        report["cpu_ceiling_control"] = cpu_ceiling()
+        ceil = report["cpu_ceiling_control"]["ceiling_eff_8_to_32"]
+        report["phase_efficiency_normalized"] = {
+            k: round(min(v / ceil, 1.0), 3)
+            for k, v in report.get("phase_efficiency", {}).items()
+        }
+        report["normalization"] = (
+            "phase_efficiency / ceiling_eff_8_to_32: the control experiment "
+            "bounds what ANY 8->32 comparison can show on this host"
+        )
+        with open(path, "w") as f:
+            json.dump(report, f, indent=2)
+        print(json.dumps(report, indent=2))
+        return
 
     sys.path.insert(0, REPO)
     from tsrollup.synth import write_fixture
@@ -128,11 +190,24 @@ def main() -> None:
     for k in sorted(set(p8) & set(p32)):
         if p32[k] > 0:
             phase_eff[k] = round((p8[k] / p32[k]) / 4.0, 3)
+    control = cpu_ceiling()
+    ceil = control["ceiling_eff_8_to_32"]
     report = {
         "fixture_rows": args.rows,
         "masters": results,
         "scaling_efficiency": round(eff, 3),
+        "scaling_efficiency_best_walls": round(
+            (results[m8]["best_s"] / results[m32]["best_s"]) / 4.0, 3
+        ),
         "phase_efficiency": phase_eff,
+        "cpu_ceiling_control": control,
+        "phase_efficiency_normalized": {
+            k: round(min(v / ceil, 1.0), 3) for k, v in phase_eff.items()
+        },
+        "normalization": (
+            "phase_efficiency / ceiling_eff_8_to_32: the control experiment "
+            "bounds what ANY 8->32 comparison can show on this host"
+        ),
         "criterion": "eff = (throughput_32/throughput_8)/4 >= 0.8",
         "passed": eff >= 0.8,
         "timestamp": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
