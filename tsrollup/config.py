@@ -60,3 +60,13 @@ class RollupConfig:
     gapfill_method: str = "locf"
     #: codec block width = 1 day of buckets (SURVEY.md §2.8).
     block_interval: str = "1d"
+
+    def __post_init__(self):
+        # fail at construction, not minutes later inside a cluster stage
+        if self.gapfill_method not in ("locf", "linear"):
+            raise ValueError(
+                f"unknown gapfill method {self.gapfill_method!r} (locf|linear)"
+            )
+        unknown = [t for t in self.tiers if t not in TIER_TRUNC]
+        if unknown:
+            raise ValueError(f"unknown tiers {unknown}; known: {list(TIER_TRUNC)}")

@@ -875,3 +875,91 @@ def ann_cosine_topk(spark, sf_dir):
         .where(F.col("rnk") <= 5)
         .select("q_id", "vec_id", "cos_sim")
     )
+
+
+# --------------------------------------------------- mergeable sketches (SK)
+
+@q(
+    "sk_hist_pctl",
+    """
+    WITH h AS (
+      SELECT event_type,
+             CAST(greatest(0, floor(value / 16.0)) AS INT) AS bin,
+             count(*) AS bin_cnt
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ), c AS (
+      SELECT event_type, bin,
+             sum(bin_cnt) OVER (PARTITION BY event_type ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cnt,
+             sum(bin_cnt) OVER (PARTITION BY event_type) AS total_cnt
+      FROM h
+    )
+    SELECT event_type,
+      min(CASE WHEN cum_cnt * 1000 >= 500 * total_cnt THEN (bin + 1) * 16.0 END) AS p500,
+      min(CASE WHEN cum_cnt * 1000 >= 950 * total_cnt THEN (bin + 1) * 16.0 END) AS p950,
+      min(CASE WHEN cum_cnt * 1000 >= 990 * total_cnt THEN (bin + 1) * 16.0 END) AS p990
+    FROM c GROUP BY event_type
+    """,
+)
+def sk_hist_pctl(spark, sf_dir):
+    """Mergeable fixed-bin histogram percentiles (sketches.py). The Spark
+    side deliberately goes the LONG way — daily partials, then a cascade
+    merge, then extraction — while the oracle histograms directly: equality
+    proves the merge is exact, the way 1h/1d tiers are proven from 1m.
+    Threshold math is integer-only, so both engines agree bit-for-bit."""
+    from . import sketches
+
+    e = t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    parts = sketches.hist_partials(e, ["event_type", "day"], "value", bin_width=16.0)
+    merged = sketches.hist_merge(parts, ["event_type"])
+    return sketches.hist_percentiles(
+        merged, ["event_type"], [500, 950, 990], bin_width=16.0
+    )
+
+
+@q(
+    "sk_moments_stddev",
+    """
+    SELECT source, count(n_chars) AS cnt,
+           round(avg(n_chars), 6) AS mean,
+           round(var_pop(n_chars), 6) AS var_pop,
+           round(stddev_pop(n_chars), 6) AS stddev_pop
+    FROM documents GROUP BY source
+    """,
+)
+def sk_moments_stddev(spark, sf_dir):
+    """Algebraic variance cascade (sketches.py): exact DECIMAL(38,0)
+    (cnt, s1, s2) partials per (source, lang), merged to source, variance
+    derived once at the end — vs the oracle's native single-pass
+    var_pop/stddev_pop. Equality (at 6 dp) proves second moments cascade
+    across tiers exactly, like rollup.py's sums."""
+    from . import sketches
+
+    d = t(spark, sf_dir, "documents")
+    parts = sketches.moment_partials(d, ["source", "lang"], "n_chars")
+    merged = sketches.moment_merge(parts, ["source"])
+    return sketches.moment_finalize(merged)
+
+
+@q(
+    "sk_hll_distinct",
+    """
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS approx_distinct
+    FROM events GROUP BY event_type
+    """,
+)
+def sk_hll_distinct(spark, sf_dir):
+    """HLL sketch rollup (sketches.py): per-(event_type, day) DataSketches
+    HLL of user_id, UNIONED up to event_type, then estimated. The oracle is
+    the EXACT distinct count: at fixture cardinality (≤150 uniques/group,
+    lgK=12) the sketch is still in its exact coupon regime, so the estimate
+    must equal the truth — which simultaneously checks the union path. At
+    production cardinality the same plan returns ±2.2% estimates; the
+    cascade (1m→1h→1d sketch union) never re-scans raw data."""
+    from . import sketches
+
+    e = t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    parts = sketches.hll_partials(e, ["event_type", "day"], "user_id")
+    merged = sketches.hll_merge(parts, ["event_type"])
+    return sketches.hll_estimate(merged)

@@ -1,0 +1,204 @@
+"""Mergeable sketch rollups — approximate continuous aggregates that cascade.
+
+The core rollup (rollup.py) stores only *algebraic* aggregates (sum/cnt/
+min/max), which compose exactly across retention tiers. This module adds the
+three sketch families a production rollup store keeps alongside them, each
+chosen because its merge is associative, so the same 1m → 1h → 1d cascade
+applies without re-scanning raw data:
+
+- **Fixed-bin histograms** (percentiles): long-format `(keys…, bin, bin_cnt)`
+  rows. Merge = re-aggregate summing `bin_cnt` — plain SQL, exactly
+  oracle-able. Percentile extraction uses integer-only threshold math
+  (`cum*1000 >= q‰*total`) so Spark and any ANSI engine agree bit-for-bit.
+- **Second moments** (variance/stddev): `(cnt, s1, s2)` partials with the
+  sums carried as DECIMAL(38,0) — exact integer arithmetic at 10^12-row
+  scale where double accumulation would drift and int64 `s2` would overflow
+  (10^12 · (4·10^3)² ≈ 1.6·10^19 > 2^63).
+- **HLL distinct sketches** (Apache DataSketches, built into Spark ≥3.5):
+  binary sketch column merged with `hll_union_agg`. Small cardinalities stay
+  in the sketch's exact (coupon) regime, which the tests pin; estimates at
+  scale are within the standard HLL error envelope.
+
+Everything here is built-in JVM expressions — no Python in any hot path —
+and every merge is a plain `groupBy().agg()`, so Catalyst plans it as an
+ordinary partial-aggregate shuffle (map-side combine included).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# ------------------------------------------------------------------ histogram
+
+def hist_partials(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    bin_width: float,
+    lo: float = 0.0,
+) -> DataFrame:
+    """Fixed-bin histogram partials: one row per (keys…, bin).
+
+    `bin = floor((value - lo) / bin_width)`, clamped at 0 so out-of-range-low
+    values land in the first bin (they still count toward totals). Long
+    format keeps the merge SQL-expressible and lets Catalyst prune/aggregate
+    it like any fact table; a map/array column would force a Python merge.
+    """
+    bin_col = F.greatest(
+        F.lit(0),
+        F.floor((F.col(value_col) - F.lit(lo)) / F.lit(bin_width)),
+    ).cast("int")
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(*keys, bin_col.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("bin_cnt"))
+    )
+
+
+def hist_merge(partials: DataFrame, keys: list[str]) -> DataFrame:
+    """Cascade histograms to a coarser key set: sum counts per bin."""
+    return partials.groupBy(*keys, "bin").agg(F.sum("bin_cnt").alias("bin_cnt"))
+
+
+def hist_percentiles(
+    hist: DataFrame,
+    keys: list[str],
+    qs_permille: list[int],
+    bin_width: float,
+    lo: float = 0.0,
+) -> DataFrame:
+    """Percentile estimates from a merged histogram.
+
+    For each q (in permille, e.g. 500/950/990), the estimate is the UPPER
+    edge of the first bin whose cumulative count reaches ceil(q‰ · total):
+    `cum_cnt * 1000 >= q * total` — pure int64 comparisons, so any two
+    engines computing this agree exactly; the only float is the final edge
+    `lo + (bin+1)·bin_width`, a product of small exact values.
+    Returns one row per key group with a `p{q}` column per requested q.
+    """
+    w_cum = (
+        Window.partitionBy(*keys)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*keys)
+    cum = hist.select(
+        *keys,
+        "bin",
+        F.sum("bin_cnt").over(w_cum).alias("cum_cnt"),
+        F.sum("bin_cnt").over(w_all).alias("total_cnt"),
+    )
+    aggs = [
+        F.min(
+            F.when(
+                F.col("cum_cnt") * F.lit(1000) >= F.lit(q) * F.col("total_cnt"),
+                F.lit(float(lo)) + (F.col("bin") + F.lit(1)) * F.lit(float(bin_width)),
+            )
+        ).alias(f"p{q}")
+        for q in qs_permille
+    ]
+    return cum.groupBy(*keys).agg(*aggs)
+
+
+# -------------------------------------------------------------- second moments
+
+def moment_partials(df: DataFrame, keys: list[str], value_col: str) -> DataFrame:
+    """Exact (cnt, s1, s2) partials over an integer-valued column.
+
+    DECIMAL(38,0) sums: associative AND exact, so the cascade re-aggregate
+    is byte-deterministic regardless of shuffle order — the same contract
+    rollup.py holds for its int64 counters, extended past int64 range.
+    """
+    v = F.col(value_col).cast("decimal(38,0)")
+    return df.groupBy(*keys).agg(
+        F.count(value_col).alias("m_cnt"),
+        F.sum(v).alias("m_s1"),
+        F.sum(v * v).alias("m_s2"),
+    )
+
+
+def moment_merge(partials: DataFrame, keys: list[str]) -> DataFrame:
+    """Cascade moments to coarser keys: all three components just sum."""
+    return partials.groupBy(*keys).agg(
+        F.sum("m_cnt").alias("m_cnt"),
+        F.sum("m_s1").alias("m_s1"),
+        F.sum("m_s2").alias("m_s2"),
+    )
+
+
+def moment_finalize(merged: DataFrame, round_to: int = 6) -> DataFrame:
+    """Derive mean / var_pop / stddev_pop from exact partials.
+
+    Division happens once, in float64, at the very end (same never-average-
+    averages rule as rollup.py's means). Rounded so an independent engine's
+    single-pass variance (different summation order) compares equal.
+    """
+    cnt = F.col("m_cnt").cast("double")
+    mean = F.col("m_s1").cast("double") / cnt
+    var = F.col("m_s2").cast("double") / cnt - mean * mean
+    var = F.greatest(var, F.lit(0.0))  # clamp -0.0/-1e-18 float residue
+    return merged.select(
+        *[c for c in merged.columns if not c.startswith("m_")],
+        F.col("m_cnt").alias("cnt"),
+        F.round(mean, round_to).alias("mean"),
+        F.round(var, round_to).alias("var_pop"),
+        F.round(F.sqrt(var), round_to).alias("stddev_pop"),
+    )
+
+
+# ------------------------------------------------------------------------ HLL
+
+#: lgConfigK for every sketch in the store. MUST be uniform: hll_union_agg
+#: of mixed-k sketches silently degrades to the smallest k. 12 → ~1.6 KB max
+#: per sketch, ±2.2% standard error, exact below the coupon-set promotion
+#: threshold (hundreds of uniques) — right size for per-(source,bucket) rows.
+HLL_LGK = 12
+
+
+def hll_partials(df: DataFrame, keys: list[str], value_col: str) -> DataFrame:
+    """Per-group HLL sketch of distinct `value_col` (binary column `hll`)."""
+    return df.groupBy(*keys).agg(
+        F.hll_sketch_agg(value_col, F.lit(HLL_LGK)).alias("hll")
+    )
+
+
+def hll_merge(partials: DataFrame, keys: list[str]) -> DataFrame:
+    """Cascade: union sketches to coarser keys. Associative, so tier
+    cascades (1m → 1h → 1d) never re-scan raw data to count distincts."""
+    return partials.groupBy(*keys).agg(F.hll_union_agg("hll").alias("hll"))
+
+
+def hll_estimate(df: DataFrame, out_col: str = "approx_distinct") -> DataFrame:
+    """Replace the sketch column with its rounded estimate (bigint)."""
+    return df.select(
+        *[c for c in df.columns if c != "hll"],
+        F.round(F.hll_sketch_estimate("hll")).cast("long").alias(out_col),
+    )
+
+
+def hll_rollup_tiers(
+    df: DataFrame,
+    tiers_cascade: dict[str, str | None],
+    tier_trunc: dict[str, str],
+    value_col: str = "doc_id",
+    ts_col: str = "event_ts",
+) -> dict[str, DataFrame]:
+    """Distinct-count sketch tier for the rollup store: per (source, bucket)
+    HLL of `value_col` at the finest tier, coarser tiers by sketch union —
+    mirrors rollup.build_all_tiers' cascade shape. Returns
+    {tier: DF[source, bucket_start, hll]}.
+    """
+    out: dict[str, DataFrame] = {}
+    for tier, src in tiers_cascade.items():
+        if src is None:
+            base = df.withColumn(
+                "bucket_start", F.date_trunc(tier_trunc[tier], F.col(ts_col))
+            )
+            out[tier] = hll_partials(base, ["source", "bucket_start"], value_col)
+        else:
+            coarser = out[src].withColumn(
+                "bucket_start", F.date_trunc(tier_trunc[tier], "bucket_start")
+            )
+            out[tier] = hll_merge(coarser, ["source", "bucket_start"])
+    return out
