@@ -1,0 +1,107 @@
+"""Read-side planner (tsrollup/query.py): tier choice, retention fallback,
+and — the part that matters at 10^12 rows — partition pruning that is
+visible in the physical plan, not just assumed.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tsrollup.config import RollupConfig
+from tsrollup.pipeline import ROLLUP_DIR, rollup_build
+from tsrollup.query import choose_tier, read_range
+
+
+# ------------------------------------------------------------- choose_tier
+
+def test_choose_tier_resolution():
+    # coarsest tier whose bucket fits the requested resolution
+    assert choose_tier("2024-01-01", "2024-01-02", resolution_s=60) == "1m"
+    assert choose_tier("2024-01-01", "2024-01-02", resolution_s=3600) == "1h"
+    assert choose_tier("2024-01-01", "2024-01-02", resolution_s=7200) == "1h"
+    assert choose_tier("2024-01-01", "2024-01-02", resolution_s=86400) == "1d"
+    assert choose_tier("2024-01-01", "2024-01-02", resolution_s=None) == "1d"
+
+
+def test_choose_tier_retention_fallback():
+    # 1m retains 14d, 1h 90d (config.TIER_RETENTION_DAYS): a 60s-resolution
+    # ask for data 30 days back can't be served by 1m anymore — and the
+    # planner must refuse rather than silently serve coarser-than-asked.
+    with pytest.raises(ValueError):
+        choose_tier("2024-01-01", "2024-01-02", resolution_s=60, now_day="2024-01-31")
+    # without a resolution cap it falls through to a retained coarser tier
+    assert (
+        choose_tier("2024-01-01", "2024-01-02", resolution_s=3600, now_day="2024-01-31")
+        == "1h"
+    )
+    # past every finite horizon only the keep-forever tier survives
+    assert (
+        choose_tier("2020-01-01", "2020-01-02", now_day="2024-01-31") == "1d"
+    )
+
+
+def test_choose_tier_rejects_inverted_range():
+    with pytest.raises(ValueError):
+        choose_tier("2024-01-02", "2024-01-01")
+
+
+# --------------------------------------------------------------- read_range
+
+@pytest.fixture(scope="module")
+def store(spark, seq_fixture_small, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("query_store"))
+    rollup_build(spark, seq_fixture_small, out, RollupConfig(), derived=False)
+    return out
+
+
+def test_read_range_matches_direct_filter(spark, store):
+    roll = spark.read.parquet(os.path.join(store, ROLLUP_DIR))
+    days = sorted(
+        r["day"].isoformat()
+        for r in roll.where("tier = '1m'").select("day").distinct().collect()
+    )
+    assert len(days) >= 2, "fixture should span multiple days"
+    start, end = f"{days[-1]}T00:00:00", f"{days[-1]}T23:59:59"
+
+    got = read_range(spark, store, start, end, resolution_s=60)
+    exp = roll.where(
+        (F.col("tier") == "1m")
+        & (F.col("bucket_start") >= F.lit(start.replace("T", " ")))
+        & (F.col("bucket_start") < F.lit(end.replace("T", " ")))
+    )
+    assert got.count() == exp.count() > 0
+    assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0
+
+
+def test_read_range_prunes_partitions_in_plan(spark, store):
+    days = sorted(
+        r["day"].isoformat()
+        for r in spark.read.parquet(os.path.join(store, ROLLUP_DIR))
+        .where("tier = '1m'").select("day").distinct().collect()
+    )
+    one_day = read_range(
+        spark, store, f"{days[-1]}T00:00:00", f"{days[-1]}T12:00:00", resolution_s=60
+    )
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    # partition predicates on tier AND day must reach the scan node
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "tier" in pf and "day" in pf, pf
+    # and the row predicate on bucket_start must be pushed to parquet
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters")[1].split("]")[0]
+    assert "bucket_start" in pushed, pushed
+
+
+def test_read_range_source_filter(spark, store):
+    roll = spark.read.parquet(os.path.join(store, ROLLUP_DIR))
+    src = roll.select("source").first()["source"]
+    lo = roll.where("tier='1d'").agg(F.min("bucket_start")).first()[0]
+    hi = roll.where("tier='1d'").agg(F.max("bucket_start")).first()[0]
+    got = read_range(
+        spark, store, lo.isoformat(), (hi.replace(hour=23, minute=59)).isoformat(),
+        resolution_s=86400, sources=[src],
+    )
+    assert got.select("source").distinct().collect() == [(src,)]
+    assert set(r["tier"] for r in got.select("tier").distinct().collect()) == {"1d"}

@@ -58,7 +58,7 @@ class _ProgressAccumulator(StreamingQueryListener):
         pass
 
 from . import kernels, schemas
-from .rollup import _partial_aggs
+from .rollup import _partial_aggs, token_reduce_cols
 
 
 def read_sequence_stream(
@@ -83,12 +83,7 @@ def streaming_rollup_1m(
     pre = wm.select(
         "source",
         "event_ts",
-        F.col("n_tok").cast("long").alias("n_tok_l"),
-        F.col("n_tok").alias("n_tok_i"),
-        F.aggregate("tokens", F.lit(0).cast("long"), lambda acc, x: acc + x.cast("long")).alias("row_tok_sum"),
-        F.size("tokens").cast("long").alias("row_tok_cnt"),
-        F.array_min("tokens").alias("row_tok_min"),
-        F.array_max("tokens").alias("row_tok_max"),
+        *token_reduce_cols(),
     )
     agg = (
         pre.groupBy(F.window("event_ts", "1 minute"), F.col("source"))
