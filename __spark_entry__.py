@@ -195,6 +195,35 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("tier", F.col("day").cast("string").alias("day_s"), "n_rows")
         )
 
+    def engine_read_range(spark, sf_dir):
+        """Read-side planner (query.py): build a store, then read one day
+        back at 1h resolution through choose_tier + read_range (partition
+        pruning verified in tests/test_query.py; here the planner's row
+        output goes on the correctness board)."""
+        from pyspark.sql import functions as F
+
+        from tsrollup.config import RollupConfig
+        from tsrollup.pipeline import ROLLUP_DIR, rollup_build
+        from tsrollup.query import read_range
+
+        base = _scratch("readrange")
+        in_dir = _seq_files(spark, sf_dir, base)
+        out = os.path.join(base, "store")
+        rollup_build(spark, in_dir, out, RollupConfig(), derived=False)
+        days = sorted(
+            r["day"].isoformat()
+            for r in spark.read.parquet(os.path.join(out, ROLLUP_DIR))
+            .where("tier='1h'").select("day").distinct().collect()
+        )
+        rr = read_range(
+            spark, out,
+            f"{days[-1]}T00:00:00", f"{days[-1]}T23:59:59", resolution_s=3600,
+        )
+        return rr.select(
+            "source", F.unix_timestamp("bucket_start").alias("bucket_s"),
+            "tier", "cnt", "n_tok_sum", "tok_sum", "tok_cnt",
+        )
+
     return {
         "engine_zscore_1h": engine_zscore_1h,
         "engine_residual_stats": engine_residual_stats,
@@ -205,6 +234,7 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_streaming_welford": engine_streaming_welford,
         "engine_resume_ledger": engine_resume_ledger,
         "engine_retention": engine_retention,
+        "engine_read_range": engine_read_range,
     }
 
 

@@ -142,3 +142,46 @@ def test_streaming_welford_matches_batch_kernel(spark, stream_input):
         assert row["n"] == n, src
         assert row["mean"] == mean, src
         assert row["var_pop"] == var_pop, src
+
+
+def test_streaming_hll_matches_batch_sketch(spark, stream_input):
+    """Streamed per-bucket HLL sketches must estimate identically to batch
+    sketches over the same buckets (finalized set only, append mode) — the
+    property that lets the batch cascade union streamed 1m sketches."""
+    from pyspark.sql import functions as F
+
+    from tsrollup import sketches
+    from tsrollup.streaming import read_sequence_stream, streaming_hll_distinct_1m
+
+    out = os.path.join(BASE, "hll_out")
+    ckpt = os.path.join(BASE, "hll_ckpt")
+    stream = read_sequence_stream(spark, stream_input, max_files_per_trigger=1)
+    q = (
+        streaming_hll_distinct_1m(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sketches.hll_estimate(spark.read.parquet(out)).toPandas()
+    assert len(got) > 0, "no finalized sketch buckets emitted"
+
+    raw = read_sequences(spark, stream_input).withColumn(
+        "bucket_start", F.date_trunc("minute", "event_ts")
+    )
+    batch = sketches.hll_estimate(
+        sketches.hll_partials(raw, ["source", "bucket_start"], "doc_id")
+    ).toPandas()
+    got = normalize_ts(got, ("bucket_start",))
+    batch = normalize_ts(batch, ("bucket_start",))
+    emitted = set(zip(got["source"], got["bucket_start"]))
+    sub = batch[[(s, b) in emitted for s, b in zip(batch["source"], batch["bucket_start"])]]
+    assert_frame_byte_equal(
+        got.astype({"approx_distinct": "int64"}),
+        sub.astype({"approx_distinct": "int64"}),
+        ["source", "bucket_start"],
+        msg="streamed hll",
+    )

@@ -229,3 +229,27 @@ def run_streaming_welford(
         .start()
     )
     q.awaitTermination()
+
+
+# ------------------------------------------------------- streaming sketches
+
+def streaming_hll_distinct_1m(
+    stream: DataFrame, watermark: str = "10 minutes", value_col: str = "doc_id"
+) -> DataFrame:
+    """T1-family sketch tier: per-(source, 1m bucket) HLL distinct of
+    `value_col` under the same watermark contract as the rollup — append
+    mode emits a bucket's sketch once it is FINAL, so the streamed
+    estimates equal the batch tier's (sketches.hll_partials) for the same
+    buckets. The emitted `hll` binary is store-ready: the batch cascade
+    (sketches.hll_merge) unions streamed 1m sketches up to 1h/1d unchanged.
+    """
+    from .sketches import HLL_LGK
+
+    wm = stream.withWatermark("event_ts", watermark)
+    agg = (
+        wm.groupBy(F.window("event_ts", "1 minute"), F.col("source"))
+        .agg(F.hll_sketch_agg(value_col, F.lit(HLL_LGK)).alias("hll"))
+    )
+    return agg.select(
+        "source", F.col("window.start").alias("bucket_start"), "hll"
+    )

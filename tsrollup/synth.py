@@ -7,13 +7,16 @@ arrivals, and planted anomalies (spikes / level shift / gaps) emitted as an
 build fixtures, and every byte is a function of (n_rows, n_sources, seed).
 
 Determinism rules (FIXTURES.md): single rng stream, draw order fixed,
-rows written sorted by (source, event_ts) into ONE parquet file;
-re-partitioning for tests happens at read time, never at generation time.
+rows written sorted by (source, event_ts) into a directory of part
+files (split points are deterministic functions of n_rows, so bytes are
+still a pure function of the params); re-partitioning for tests happens
+at read time, never at generation time.
 """
 
 from __future__ import annotations
 
 import os
+import shutil
 from dataclasses import dataclass
 
 import numpy as np
@@ -203,14 +206,33 @@ def write_fixture(
     """
     os.makedirs(out_dir, exist_ok=True)
     marker = os.path.join(out_dir, "_FIXTURE")
-    tag = f"n={n_rows} k={n_sources} seed={seed} anomalies={plant_anomalies} rs={rate_scale} v=3"
+    tag = f"n={n_rows} k={n_sources} seed={seed} anomalies={plant_anomalies} rs={rate_scale} v=4"
     seq_path = os.path.join(out_dir, "sequences.parquet")
     if os.path.exists(marker) and os.path.exists(seq_path):
         with open(marker) as f:
             if f.read().strip() == tag:
                 return seq_path
     table, planted = synthesize(n_rows, n_sources, seed, plant_anomalies, rate_scale)
-    pq.write_table(table, seq_path, row_group_size=max(1024, n_rows // 64))
+    # sequences.parquet is a DIRECTORY of part files, like any real table at
+    # scale. A single multi-GB file caps the Spark scan at
+    # size/maxPartitionBytes splits (measured: a 2.4 GB single-file fixture
+    # gave the heaviest phase only ~19 input tasks, starving local[32] and
+    # corrupting the 8-vs-32 scaling evidence). 64 parts → every core gets
+    # scan work at both parallelism levels.
+    if os.path.isfile(seq_path):
+        os.remove(seq_path)  # migrate pre-v4 single-file fixtures
+    shutil.rmtree(seq_path, ignore_errors=True)
+    os.makedirs(seq_path)
+    n_parts = min(64, max(1, n_rows // 4096))
+    step = (table.num_rows + n_parts - 1) // n_parts
+    for i in range(n_parts):
+        part = table.slice(i * step, step)
+        if part.num_rows:
+            pq.write_table(
+                part,
+                os.path.join(seq_path, f"part-{i:05d}.parquet"),
+                row_group_size=max(1024, step // 4),
+            )
     pq.write_table(planted_to_table(planted), os.path.join(out_dir, "expected_anomalies.parquet"))
     with open(marker, "w") as f:
         f.write(tag)
