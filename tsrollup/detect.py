@@ -273,3 +273,142 @@ def score_tier_sharded(
                 stats_rows.append((src, tier, name, wn, wmean, wm2 / wn))
     stats = spark.createDataFrame(stats_rows, schemas.RESIDUAL_STATS_SCHEMA)
     return scores, stats
+
+
+# ----------------------------------------------------- fused derived phase
+#
+# Scores (W1+W2), residual stats (W3) and Gorilla blocks (C1+C2) are all
+# per-(source, tier) functions of the same gap-filled series. Running them
+# as three grouped-map passes (round-1 design) shuffles and Arrow-transfers
+# the identical frame three times and sorts every group three times; at
+# corpus scale that is 3x the derived phase's shuffle I/O for zero extra
+# information. The fused kernel makes ONE pass: one shuffle clustered on
+# (source, tier) across ALL tiers, one Arrow exchange, one sort, every
+# shared intermediate (rolling mean/std, the EWMA recurrence) computed
+# once. Output is a long-format union tagged by `kind`
+# ('score' | 'stat' | 'block'); pipeline.derive() splits it into the three
+# sink tables from the persisted result. Byte-parity with the per-pass
+# path is structural: kernels.rolling_zscore IS
+# zscore_from_stats(rolling_mean_std(...)) (kernels.py), and both old
+# kernels called ewma_detector on the same array.
+
+FUSED_SCHEMA = (
+    "source string, tier string, kind string, detector string, "
+    "bucket_start timestamp, value double, score double, is_anomaly boolean, "
+    "n long, mean double, var_pop double, "
+    "metric string, block_start timestamp, n_points int, "
+    "ts_dod_blob binary, val_xor_blob binary"
+)
+
+
+def _fused_kernel(cfg: DetectorConfig, metrics: tuple[str, ...]):
+    window, tau, alpha, eps, value_col = (
+        cfg.window, cfg.tau, cfg.alpha, cfg.eps, cfg.value_col,
+    )
+    from .codec import encode_dod_batch, encode_xor_batch
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("bucket_start", kind="mergesort").reset_index(drop=True)
+        src = pdf["source"].iloc[0]
+        tier = pdf["tier"].iloc[0]
+        x = pdf[value_col].to_numpy(dtype="float64")
+        bucket = pdf["bucket_start"]
+        nb = len(pdf)
+
+        mu, sigma = kernels.rolling_mean_std(x, window)
+        z, z_flag = kernels.zscore_from_stats(x, mu, sigma, tau)
+        _s, e_resid, e_score = kernels.ewma_detector(x, alpha, eps)
+        e_flag = pd.array(np.abs(e_score) >= tau, dtype="boolean")
+
+        def score_rows(det: str, sc: np.ndarray, flag) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "source": pdf["source"], "tier": tier, "kind": "score",
+                    "detector": det, "bucket_start": bucket, "value": x,
+                    "score": sc, "is_anomaly": flag,
+                    "n": pd.array([None] * nb, dtype="Int64"),
+                    "mean": np.nan, "var_pop": np.nan, "metric": None,
+                    "block_start": pd.NaT,
+                    "n_points": pd.array([None] * nb, dtype="Int64"),
+                    "ts_dod_blob": None, "val_xor_blob": None,
+                }
+            )
+
+        out = [score_rows("zscore", z, z_flag), score_rows("ewma", e_score, e_flag)]
+
+        stat = [
+            (det, *kernels.welford(resid))
+            for det, resid in (("zscore", x - mu), ("ewma", e_resid))
+        ]
+        out.append(
+            pd.DataFrame(
+                {
+                    "source": src, "tier": tier, "kind": "stat",
+                    "detector": [r[0] for r in stat],
+                    "bucket_start": pd.NaT, "value": np.nan, "score": np.nan,
+                    "is_anomaly": pd.array([None] * len(stat), dtype="boolean"),
+                    "n": pd.array([r[1] for r in stat], dtype="Int64"),
+                    "mean": [r[2] for r in stat],
+                    "var_pop": [r[3] for r in stat],
+                    "metric": None, "block_start": pd.NaT,
+                    "n_points": pd.array([None] * len(stat), dtype="Int64"),
+                    "ts_dod_blob": None, "val_xor_blob": None,
+                }
+            )
+        )
+
+        # Gorilla blocks: identical splitting + batch encoders as
+        # codec.compress_tier (day-blocks contiguous in the sorted frame)
+        ts_us = bucket.to_numpy().astype("datetime64[us]").view(np.int64)
+        blocks = pdf["block_start"].to_numpy()
+        cut = np.flatnonzero(np.concatenate(([True], blocks[1:] != blocks[:-1])))
+        ends = np.concatenate((cut[1:], [nb]))
+        spans = list(zip(cut, ends))
+        ts_blobs = encode_dod_batch([ts_us[a:b] for a, b in spans])
+        brows = []
+        for m in metrics:
+            vals = pdf[m].to_numpy(dtype=np.float64)
+            val_blobs = encode_xor_batch([vals[a:b] for a, b in spans])
+            for i, (a, b) in enumerate(spans):
+                brows.append(
+                    (m, pdf["block_start"].iloc[a], int(b - a), ts_blobs[i], val_blobs[i])
+                )
+        out.append(
+            pd.DataFrame(
+                {
+                    "source": src, "tier": tier, "kind": "block",
+                    "detector": None, "bucket_start": pd.NaT,
+                    "value": np.nan, "score": np.nan,
+                    "is_anomaly": pd.array([None] * len(brows), dtype="boolean"),
+                    "n": pd.array([None] * len(brows), dtype="Int64"),
+                    "mean": np.nan, "var_pop": np.nan,
+                    "metric": [r[0] for r in brows],
+                    "block_start": [r[1] for r in brows],
+                    "n_points": pd.array([r[2] for r in brows], dtype="Int64"),
+                    "ts_dod_blob": [r[3] for r in brows],
+                    "val_xor_blob": [r[4] for r in brows],
+                }
+            )
+        )
+        return pd.concat(out, ignore_index=True)
+
+    return run
+
+
+def derive_fused(filled: DataFrame, cfg: RollupConfig | None = None) -> DataFrame:
+    """One grouped-map pass over a (possibly multi-tier) gap-filled frame
+    producing scores + residual stats + compressed blocks, long format.
+    `filled` must carry a `tier` column (gapfill emits it)."""
+    from .codec import BLOCK_METRICS
+
+    cfg = cfg or RollupConfig()
+    det = cfg.detector
+    cols = sorted(set(BLOCK_METRICS) | {det.value_col})
+    slim = filled.select(
+        "source", "tier", "bucket_start",
+        F.date_trunc("day", "bucket_start").alias("block_start"),
+        *[F.col(m).cast("double").alias(m) for m in cols],
+    )
+    return slim.groupBy("source", "tier").applyInPandas(
+        _fused_kernel(det, BLOCK_METRICS), schema=FUSED_SCHEMA
+    )

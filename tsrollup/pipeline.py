@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from . import resume as res
 from .codec import compress_tier
 from .config import RollupConfig
-from .detect import residual_stats, score_tier
+from .detect import score_tier
 from .gapfill import gapfill
 from .rollup import ROLLUP_COLS, cascade, rollup_from_raw
 from .storage import n_source_buckets, read_sequences, resolve_event_time
@@ -201,23 +201,54 @@ def derive(
     scores_all = stats_all = blocks_all = None
     persisted = []
     tp = time.monotonic()
-    for tier in cfg.tiers:
-        tier_df = store.where(F.col("tier") == tier).select(*ROLLUP_COLS)
-        filled = gapfill(tier_df, tier, cfg).persist()
-        persisted.append(filled)
-        rows_per_tier[tier] = filled.count()
-        tp = _mark("gapfill", tp)
-        if cfg.detector.shard_buckets:
+    if not cfg.detector.shard_buckets:
+        # Fused path (default): gap-fill each tier lazily, union them, and
+        # run scores + residual stats + Gorilla blocks in ONE grouped-map
+        # pass clustered on (source, tier) — one shuffle and one Arrow
+        # exchange instead of three (see detect.derive_fused). The split
+        # into the three sink tables reads the persisted kernel output.
+        from .detect import derive_fused
+
+        filled_union = None
+        for tier in cfg.tiers:
+            tier_df = store.where(F.col("tier") == tier).select(*ROLLUP_COLS)
+            f = gapfill(tier_df, tier, cfg)
+            filled_union = f if filled_union is None else filled_union.unionByName(f)
+        fused = derive_fused(filled_union, cfg).persist()
+        persisted.append(fused)
+        counts = (
+            fused.where("kind = 'score' AND detector = 'zscore'")
+            .groupBy("tier").count().collect()
+        )
+        rows_per_tier = {r["tier"]: r["count"] for r in counts}
+        for tier in cfg.tiers:
+            rows_per_tier.setdefault(tier, 0)
+        tp = _mark("derive_fused", tp)
+        scores_all = fused.where("kind = 'score'").select(
+            "source", "bucket_start", "tier", "detector", "value", "score", "is_anomaly"
+        )
+        stats_all = fused.where("kind = 'stat'").select(
+            "source", "tier", "detector",
+            F.col("n").cast("long").alias("n"), "mean", "var_pop",
+        )
+        blocks_all = fused.where("kind = 'block'").select(
+            "source", "tier", "metric", "block_start", "n_points",
+            "ts_dod_blob", "val_xor_blob",
+        )
+    else:
+        for tier in cfg.tiers:
+            tier_df = store.where(F.col("tier") == tier).select(*ROLLUP_COLS)
+            filled = gapfill(tier_df, tier, cfg).persist()
+            persisted.append(filled)
+            rows_per_tier[tier] = filled.count()
+            tp = _mark("gapfill", tp)
             from .detect import score_tier_sharded
 
             sc, st = score_tier_sharded(filled, tier, cfg)
-        else:
-            sc = score_tier(filled, tier, cfg)
-            st = residual_stats(filled, tier, cfg)
-        bl = compress_tier(filled, tier, cfg)
-        scores_all = sc if scores_all is None else scores_all.unionByName(sc)
-        stats_all = st if stats_all is None else stats_all.unionByName(st)
-        blocks_all = bl if blocks_all is None else blocks_all.unionByName(bl)
+            bl = compress_tier(filled, tier, cfg)
+            scores_all = sc if scores_all is None else scores_all.unionByName(sc)
+            stats_all = st if stats_all is None else stats_all.unionByName(st)
+            blocks_all = bl if blocks_all is None else blocks_all.unionByName(bl)
 
     bucket = F.pmod(F.xxhash64("source"), F.lit(n_source_buckets())).cast("int")
 
@@ -236,19 +267,19 @@ def derive(
         os.path.join(out_base, SCORES_DIR),
         ("tier", "day", "source_bucket"),
     )
-    tp = _mark("detectors_scores", tp)
+    tp = _mark("scores_write", tp)
     _write(
         stats_all.withColumn("source_bucket", bucket),
         os.path.join(out_base, STATS_DIR),
         ("tier", "source_bucket"),
     )
-    tp = _mark("residual_stats", tp)
+    tp = _mark("stats_write", tp)
     _write(
         blocks_all.withColumn("day", F.to_date("block_start")).withColumn("source_bucket", bucket),
         os.path.join(out_base, BLOCKS_DIR),
         ("tier", "day", "source_bucket"),
     )
-    tp = _mark("codec_blocks", tp)
+    tp = _mark("blocks_write", tp)
     for df in persisted:
         df.unpersist()
     return rows_per_tier
