@@ -105,3 +105,74 @@ def test_read_range_source_filter(spark, store):
     )
     assert got.select("source").distinct().collect() == [(src,)]
     assert set(r["tier"] for r in got.select("tier").distinct().collect()) == {"1d"}
+
+
+# ---------------------------------------------------- compressed-store read
+
+@pytest.fixture(scope="module")
+def store_derived(spark, seq_fixture_small, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("query_store_derived"))
+    rollup_build(spark, seq_fixture_small, out, RollupConfig())
+    return out
+
+
+def test_read_range_decoded_matches_filled_tier(spark, store_derived):
+    """Cold-read path: decoded block points byte-match the gap-filled tier
+    over the same range (the blobs ARE the tier, compressed)."""
+    from tsrollup.gapfill import gapfill
+    from tsrollup.query import read_range_decoded
+    from tsrollup.rollup import ROLLUP_COLS
+
+    from .conftest import assert_frame_byte_equal
+
+    roll = spark.read.parquet(os.path.join(store_derived, ROLLUP_DIR))
+    days = sorted(
+        r["day"].isoformat()
+        for r in roll.where("tier = '1h'").select("day").distinct().collect()
+    )
+    lo, hi = f"{days[0]}T00:00:00", f"{days[-1]}T23:59:59"
+    got = (
+        read_range_decoded(
+            spark, store_derived, lo, hi, metric="n_tok_mean", resolution_s=3600
+        )
+        .select("source", "bucket_start", "value")
+        .toPandas()
+    )
+    assert set(
+        r["tier"] for r in read_range_decoded(
+            spark, store_derived, lo, hi, resolution_s=3600
+        ).select("tier").distinct().collect()
+    ) == {"1h"}
+    filled = gapfill(
+        roll.where("tier = '1h'").select(*ROLLUP_COLS), "1h", RollupConfig()
+    )
+    import datetime as dt
+
+    exp = (
+        filled.where(
+            (F.col("bucket_start") >= F.lit(dt.datetime.fromisoformat(lo)))
+            & (F.col("bucket_start") < F.lit(dt.datetime.fromisoformat(hi)))
+        )
+        .select("source", "bucket_start", F.col("n_tok_mean").cast("double").alias("value"))
+        .toPandas()
+    )
+    assert len(got) > 0
+    assert_frame_byte_equal(got, exp, ["source", "bucket_start"], msg="decoded vs filled")
+
+
+def test_read_range_decoded_prunes_block_partitions(spark, store_derived):
+    from tsrollup.query import read_range_decoded
+
+    days = sorted(
+        r["day"].isoformat()
+        for r in spark.read.parquet(os.path.join(store_derived, "blocks"))
+        .where("tier = '1m'").select("day").distinct().collect()
+    )
+    dec = read_range_decoded(
+        spark, store_derived, f"{days[-1]}T00:00:00", f"{days[-1]}T12:00:00",
+        resolution_s=60,
+    )
+    plan = dec._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "tier" in pf and "day" in pf, pf

@@ -113,3 +113,50 @@ def read_range(
     if sources:
         df = df.where(F.col("source").isin(list(sources)))
     return df
+
+
+def read_range_decoded(
+    spark: SparkSession,
+    out_base: str,
+    start: str | _dt.datetime,
+    end: str | _dt.datetime,
+    metric: str = "n_tok_mean",
+    resolution_s: int | None = None,
+    sources: list[str] | None = None,
+    now_day: str | None = None,
+) -> DataFrame:
+    """Pruned range read served from the COMPRESSED block store.
+
+    Same planner contract as read_range, but the bytes come from the
+    Gorilla/delta-of-delta blobs (one row per (source, tier, metric,
+    day-block)) instead of the columnar rollup partitions: `day` prunes
+    block partitions before any I/O (a block never crosses its day
+    boundary, codec.compress_tier), the decode is an Arrow-batched
+    mapInPandas, and the bucket_start range trims the decoded points.
+    This is the cold-read path — it stays valid after the rollup tier's
+    columnar partitions age out, as long as the denser block retention
+    keeps them (blocks are ~8-20x smaller, so their horizon is longer at
+    equal budget). Decoded points byte-match the gap-filled tier
+    (tests/test_codec.py round-trip; tests/test_query.py end-to-end).
+    """
+    from .codec import decompress_blocks
+    from .pipeline import BLOCKS_DIR
+
+    start_dt, end_dt = _to_dt(start), _to_dt(end)
+    tier = choose_tier(start_dt, end_dt, resolution_s, now_day)
+    bl = (
+        spark.read.parquet(os.path.join(out_base, BLOCKS_DIR))
+        .where(F.col("tier") == tier)
+        .where(F.col("metric") == metric)
+        .where(
+            (F.col("day") >= F.lit(start_dt.date().isoformat()).cast("date"))
+            & (F.col("day") <= F.lit(end_dt.date().isoformat()).cast("date"))
+        )
+    )
+    if sources:
+        bl = bl.where(F.col("source").isin(list(sources)))
+    dec = decompress_blocks(bl)
+    return dec.where(
+        (F.col("bucket_start") >= F.lit(start_dt))
+        & (F.col("bucket_start") < F.lit(end_dt))
+    )
