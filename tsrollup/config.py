@@ -56,6 +56,10 @@ class RollupConfig:
     #: grouped-map kernels intentionally do NOT range-partition first (their
     #: required hash-clustering Exchange supersedes it — see detect.py).
     range_partitions: int = 32
+    #: exactly-incremental derived phase: resume detectors from the
+    #: per-(source, tier) grid-cut state checkpoint when the batch is a
+    #: pure append (increment.py); byte-identical to full recompute.
+    incremental: bool = True
     #: gap-fill interpolation method for value columns: "locf" | "linear".
     gapfill_method: str = "locf"
     #: codec block width = 1 day of buckets (SURVEY.md §2.8).

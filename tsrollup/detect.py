@@ -297,11 +297,104 @@ FUSED_SCHEMA = (
     "bucket_start timestamp, value double, score double, is_anomaly boolean, "
     "n long, mean double, var_pop double, "
     "metric string, block_start timestamp, n_points int, "
-    "ts_dod_blob binary, val_xor_blob binary"
+    "ts_dod_blob binary, val_xor_blob binary, "
+    "g_bucket timestamp, end_bucket timestamp, p_bucket timestamp, "
+    "carry_bucket timestamp, carry_n_tok_mean double, carry_tok_mean double, "
+    "state binary"
 )
 
+#: state blob layout (float64 array): [g_index, series_len, ewma_s, ewma_v,
+#: nz, mz, m2z, ne, me, m2e] + z-score tail (last W-1 filled values before
+#: the grid cut). ewma_s = NaN encodes "no EWMA state yet" (g_index == 0).
+_INC_HEADER = 10
 
-def _fused_kernel(cfg: DetectorConfig, metrics: tuple[str, ...]):
+
+def pack_inc_state(
+    g_index: int, series_len: int, ewma: tuple[float, float],
+    welf_z: tuple, welf_e: tuple, tail: np.ndarray,
+) -> bytes:
+    head = np.array(
+        [float(g_index), float(series_len), ewma[0], ewma[1],
+         float(welf_z[0]), welf_z[1], welf_z[2],
+         float(welf_e[0]), welf_e[1], welf_e[2]],
+        dtype=np.float64,
+    )
+    return head.tobytes() + np.asarray(tail, dtype=np.float64).tobytes()
+
+
+def unpack_inc_state(blob: bytes):
+    arr = np.frombuffer(blob, dtype=np.float64)
+    g_index, series_len = int(arr[0]), int(arr[1])
+    ewma = (float(arr[2]), float(arr[3]))
+    welf_z = (int(arr[4]), float(arr[5]), float(arr[6]))
+    welf_e = (int(arr[7]), float(arr[8]), float(arr[9]))
+    return g_index, series_len, ewma, welf_z, welf_e, arr[_INC_HEADER:].copy()
+
+
+def _null_state_cols() -> dict:
+    return {
+        "g_bucket": pd.NaT, "end_bucket": pd.NaT, "p_bucket": pd.NaT,
+        "carry_bucket": pd.NaT,
+        "carry_n_tok_mean": np.nan, "carry_tok_mean": np.nan,
+        "state": None,
+    }
+
+
+def make_state_row(
+    src: str, tier: str, bucket: pd.Series, observed: np.ndarray,
+    x: np.ndarray, g_index: int, series_start, step_us: int,
+    ewma_state: tuple[float, float], welf_z: tuple, welf_e: tuple,
+    tail: np.ndarray, prev_carry: tuple | None,
+) -> pd.DataFrame:
+    """Build the kind='state' row: grid-cut detector state + the gap-fill
+    carry anchor (last OBSERVED row strictly before p = start of the day
+    containing the grid-cut bucket). `bucket`/`observed`/`x` cover the
+    frame the kernel saw; `prev_carry` is the consumed state's carry
+    (bucket, n_tok_mean, tok_mean) for when no local observed row
+    precedes p."""
+    g_bucket = series_start + np.timedelta64(g_index * step_us, "us")
+    day = np.datetime64(g_bucket, "D").astype("datetime64[us]")
+    p_bucket = max(day, np.datetime64(series_start, "us"))
+    b_arr = bucket.to_numpy().astype("datetime64[us]")
+    cand = np.flatnonzero(observed & (b_arr < p_bucket))
+    if cand.size:
+        i = int(cand[-1])
+        carry = (b_arr[i], float(x[i][0]), float(x[i][1]))
+    elif prev_carry is not None:
+        carry = prev_carry
+    else:
+        carry = None
+    series_len = int(
+        (b_arr[-1] - np.datetime64(series_start, "us"))
+        // np.timedelta64(step_us, "us")
+    ) + 1
+    blob = pack_inc_state(g_index, series_len, ewma_state, welf_z, welf_e, tail)
+    return pd.DataFrame(
+        {
+            "source": [src], "tier": [tier], "kind": ["state"],
+            "detector": [None], "bucket_start": [pd.NaT],
+            "value": [np.nan], "score": [np.nan],
+            "is_anomaly": pd.array([None], dtype="boolean"),
+            "n": pd.array([None], dtype="Int64"),
+            "mean": [np.nan], "var_pop": [np.nan], "metric": [None],
+            "block_start": [pd.NaT],
+            "n_points": pd.array([None], dtype="Int64"),
+            "ts_dod_blob": [None], "val_xor_blob": [None],
+            "g_bucket": [pd.Timestamp(g_bucket)],
+            "end_bucket": [pd.Timestamp(b_arr[-1])],
+            "p_bucket": [pd.Timestamp(p_bucket)],
+            "carry_bucket": [pd.Timestamp(carry[0]) if carry else pd.NaT],
+            "carry_n_tok_mean": [carry[1] if carry else np.nan],
+            "carry_tok_mean": [carry[2] if carry else np.nan],
+            "state": [blob],
+        }
+    )
+
+
+def _fused_kernel(
+    cfg: DetectorConfig, metrics: tuple[str, ...],
+    emit_state: bool = False, steps_us: dict | None = None,
+):
     window, tau, alpha, eps, value_col = (
         cfg.window, cfg.tau, cfg.alpha, cfg.eps, cfg.value_col,
     )
@@ -317,7 +410,42 @@ def _fused_kernel(cfg: DetectorConfig, metrics: tuple[str, ...]):
 
         mu, sigma = kernels.rolling_mean_std(x, window)
         z, z_flag = kernels.zscore_from_stats(x, mu, sigma, tau)
-        _s, e_resid, e_score = kernels.ewma_detector(x, alpha, eps)
+        state_frame = None
+        if emit_state:
+            # split evaluation at the 64-grid cut g so the EWMA/Welford
+            # state at g is extracted bit-exactly (the sharded-path
+            # construction, tests/test_sharding.py); concatenated outputs
+            # are byte-identical to the unsplit run.
+            g = (nb // kernels.SCAN_CHUNK) * kernels.SCAN_CHUNK
+            z_resid = x - mu
+            if g > 0:
+                _s1, r1, e1, ew_g = kernels.ewma_detector(
+                    x[:g], alpha, eps, with_state=True
+                )
+                _s2, r2, e2, _ew_end = kernels.ewma_detector(
+                    x[g:], alpha, eps, init=ew_g, with_state=True
+                )
+                e_resid = np.concatenate((r1, r2))
+                e_score = np.concatenate((e1, e2))
+                wz_g = kernels.welford_fold(z_resid[:g], 0, 0.0, 0.0)
+                we_g = kernels.welford_fold(r1, 0, 0.0, 0.0)
+            else:
+                _s, e_resid, e_score = kernels.ewma_detector(x, alpha, eps)
+                ew_g = (float("nan"), 0.0)
+                wz_g = (0, 0.0, 0.0)
+                we_g = (0, 0.0, 0.0)
+            tail = x[max(0, g - (window - 1)):g]
+            observed = (~pdf["gap_filled"].to_numpy()) if "gap_filled" in pdf else np.ones(nb, dtype=bool)
+            step_us = steps_us[tier]
+            state_frame = make_state_row(
+                src, tier, bucket, observed,
+                np.column_stack([pdf["n_tok_mean"].to_numpy(dtype="float64"),
+                                 pdf["tok_mean"].to_numpy(dtype="float64")]),
+                g, bucket.iloc[0].to_datetime64(), step_us,
+                ew_g, wz_g, we_g, tail, None,
+            )
+        else:
+            _s, e_resid, e_score = kernels.ewma_detector(x, alpha, eps)
         e_flag = pd.array(np.abs(e_score) >= tau, dtype="boolean")
 
         def score_rows(det: str, sc: np.ndarray, flag) -> pd.DataFrame:
@@ -331,10 +459,13 @@ def _fused_kernel(cfg: DetectorConfig, metrics: tuple[str, ...]):
                     "block_start": pd.NaT,
                     "n_points": pd.array([None] * nb, dtype="Int64"),
                     "ts_dod_blob": None, "val_xor_blob": None,
+                    **_null_state_cols(),
                 }
             )
 
         out = [score_rows("zscore", z, z_flag), score_rows("ewma", e_score, e_flag)]
+        if state_frame is not None:
+            out.append(state_frame)
 
         stat = [
             (det, *kernels.welford(resid))
@@ -353,6 +484,7 @@ def _fused_kernel(cfg: DetectorConfig, metrics: tuple[str, ...]):
                     "metric": None, "block_start": pd.NaT,
                     "n_points": pd.array([None] * len(stat), dtype="Int64"),
                     "ts_dod_blob": None, "val_xor_blob": None,
+                    **_null_state_cols(),
                 }
             )
         )
@@ -387,6 +519,7 @@ def _fused_kernel(cfg: DetectorConfig, metrics: tuple[str, ...]):
                     "n_points": pd.array([r[2] for r in brows], dtype="Int64"),
                     "ts_dod_blob": [r[3] for r in brows],
                     "val_xor_blob": [r[4] for r in brows],
+                    **_null_state_cols(),
                 }
             )
         )
@@ -395,20 +528,31 @@ def _fused_kernel(cfg: DetectorConfig, metrics: tuple[str, ...]):
     return run
 
 
-def derive_fused(filled: DataFrame, cfg: RollupConfig | None = None) -> DataFrame:
+def derive_fused(
+    filled: DataFrame, cfg: RollupConfig | None = None, emit_state: bool = False
+) -> DataFrame:
     """One grouped-map pass over a (possibly multi-tier) gap-filled frame
     producing scores + residual stats + compressed blocks, long format.
-    `filled` must carry a `tier` column (gapfill emits it)."""
+    `filled` must carry a `tier` column (gapfill emits it). With
+    emit_state=True, also one kind='state' row per (source, tier): the
+    grid-cut detector state + gap-fill carry anchor that lets the NEXT
+    derive run resume incrementally (increment.py); score/stat/block
+    output is byte-identical either way (split-at-grid evaluation, the
+    sharded-path property)."""
     from .codec import BLOCK_METRICS
+    from .config import TIER_US
 
     cfg = cfg or RollupConfig()
     det = cfg.detector
     cols = sorted(set(BLOCK_METRICS) | {det.value_col})
+    extra = ["gap_filled"] if emit_state else []
     slim = filled.select(
         "source", "tier", "bucket_start",
         F.date_trunc("day", "bucket_start").alias("block_start"),
         *[F.col(m).cast("double").alias(m) for m in cols],
+        *extra,
     )
     return slim.groupBy("source", "tier").applyInPandas(
-        _fused_kernel(det, BLOCK_METRICS), schema=FUSED_SCHEMA
+        _fused_kernel(det, BLOCK_METRICS, emit_state=emit_state, steps_us=dict(TIER_US)),
+        schema=FUSED_SCHEMA,
     )

@@ -79,6 +79,7 @@ def rollup_build(
     seq = res.with_unit(resolve_event_time(read_sequences(spark, input_path)))
     done = res.completed_unit_ids(spark, out_base)
     pending = res.filter_pending(seq, done)
+    bounds = None
     rollup_path = os.path.join(out_base, ROLLUP_DIR)
     summary: dict = {"run_id": run_id}
     if done is not None:
@@ -141,6 +142,18 @@ def rollup_build(
         summary["input_rows"] = sum(m["input_rows"] for m in metrics.values())
         if "rows_skipped_committed" in summary:
             summary["rows_skipped_committed"] -= summary["input_rows"]
+        if derived and cfg.incremental and not cfg.detector.shard_buckets:
+            # the batch's per-(source, tier) bounds feed the incremental
+            # derived phase; checkpointed eagerly while `tagged` is cached
+            # (O(sources x tiers) rows, stays distributed)
+            bounds = (
+                tagged.groupBy("source", "tier")
+                .agg(
+                    F.min("bucket_start").alias("min_bucket"),
+                    F.max("bucket_start").alias("max_bucket"),
+                )
+                .localCheckpoint(eager=True)
+            )
         for df in tiers.values():
             df.unpersist()
         r1m.unpersist()
@@ -156,11 +169,18 @@ def rollup_build(
         touched = sorted({int(u.split("/")[0]) for u in metrics}) if metrics else []
         summary["touched_buckets"] = len(touched)
         summary["rows_per_tier"] = derive(
-            spark, out_base, cfg, touched_buckets=touched, phases=phases
+            spark, out_base, cfg, touched_buckets=touched, phases=phases,
+            batch_bounds=bounds,
         )
         summary["wall_derived_s"] = time.monotonic() - t1
     summary["phases"] = phases
     return summary
+
+
+def increment_mod():
+    from . import increment
+
+    return increment
 
 
 def derive(
@@ -169,6 +189,7 @@ def derive(
     cfg: RollupConfig | None = None,
     touched_buckets: list[int] | None = None,
     phases: dict | None = None,
+    batch_bounds: DataFrame | None = None,
 ) -> dict:
     """Derived phase: gap-fill → scores → residual stats → blocks per tier.
 
@@ -192,11 +213,27 @@ def derive(
         return now
 
     rollup_path = os.path.join(out_base, ROLLUP_DIR)
+    if touched_buckets is not None and not touched_buckets:
+        return {}  # empty batch: nothing to derive (store may not even exist)
     store = spark.read.parquet(rollup_path)
     if touched_buckets is not None:
-        if not touched_buckets:
-            return {}
         store = store.where(F.col("source_bucket").isin([int(b) for b in touched_buckets]))
+
+    # Exactly-incremental path: when per-(source, tier) detector-state
+    # checkpoints exist and the batch's bounds are known, re-derive ONLY
+    # the appended segments (+ a bounded day-partial halo); late data
+    # falls back to per-source full recompute inside the same call.
+    # Byte-identical to the full path (tests/test_increment.py).
+    if (
+        cfg.incremental
+        and not cfg.detector.shard_buckets
+        and batch_bounds is not None
+        and os.path.exists(os.path.join(out_base, increment_mod().STATE_DIR))
+    ):
+        return increment_mod().incremental_derive(
+            spark, out_base, cfg, batch_bounds, touched_buckets, phases
+        )
+
     rows_per_tier = {}
     scores_all = stats_all = blocks_all = None
     persisted = []
@@ -207,6 +244,8 @@ def derive(
         # pass clustered on (source, tier) — one shuffle and one Arrow
         # exchange instead of three (see detect.derive_fused). The split
         # into the three sink tables reads the persisted kernel output.
+        # emit_state=True checkpoints the per-(source, tier) grid-cut
+        # detector state that enables the incremental path next run.
         from .detect import derive_fused
 
         filled_union = None
@@ -214,7 +253,7 @@ def derive(
             tier_df = store.where(F.col("tier") == tier).select(*ROLLUP_COLS)
             f = gapfill(tier_df, tier, cfg)
             filled_union = f if filled_union is None else filled_union.unionByName(f)
-        fused = derive_fused(filled_union, cfg).persist()
+        fused = derive_fused(filled_union, cfg, emit_state=True).persist()
         persisted.append(fused)
         counts = (
             fused.where("kind = 'score' AND detector = 'zscore'")
@@ -280,6 +319,13 @@ def derive(
         ("tier", "day", "source_bucket"),
     )
     tp = _mark("blocks_write", tp)
+    if not cfg.detector.shard_buckets:
+        from .increment import STATE_COLS, write_states
+
+        write_states(
+            persisted[0].where("kind = 'state'").select(*STATE_COLS), out_base
+        )
+        tp = _mark("states_write", tp)
     for df in persisted:
         df.unpersist()
     return rows_per_tier
