@@ -224,6 +224,67 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "tier", "cnt", "n_tok_sum", "tok_sum", "tok_cnt",
         )
 
+    def engine_read_decoded(spark, sf_dir):
+        """Cold-read path (query.read_range_decoded): build a derived
+        store, then serve one day of the 1h tier from the Gorilla BLOCK
+        table — partition-pruned blob read + Arrow-batched decode. Rows
+        byte-match the gap-filled tier (tests/test_query.py); here the
+        decoded points go on the correctness board."""
+        from pyspark.sql import functions as F
+
+        from tsrollup.config import RollupConfig
+        from tsrollup.pipeline import BLOCKS_DIR, rollup_build
+        from tsrollup.query import read_range_decoded
+
+        base = _scratch("readdecoded")
+        in_dir = _seq_files(spark, sf_dir, base)
+        out = os.path.join(base, "store")
+        rollup_build(spark, in_dir, out, RollupConfig())
+        days = sorted(
+            r["day"].isoformat()
+            for r in spark.read.parquet(os.path.join(out, BLOCKS_DIR))
+            .where("tier='1h'").select("day").distinct().collect()
+        )
+        dec = read_range_decoded(
+            spark, out,
+            f"{days[-1]}T00:00:00", f"{days[-1]}T23:59:59",
+            metric="n_tok_mean", resolution_s=3600,
+        )
+        return dec.select(
+            "source", F.unix_timestamp("bucket_start").alias("bucket_s"),
+            "tier", "metric", F.round("value", 6).alias("value_r"),
+        )
+
+    def engine_incremental_derive(spark, sf_dir):
+        """Exactly-incremental derive (increment.py): build a store in two
+        day-split batches (second batch resumes from the per-(source, tier)
+        state checkpoint), return the final scores table — byte-identical
+        to a single-shot build (tests/test_increment.py)."""
+        from pyspark.sql import functions as F
+
+        from tsrollup.config import RollupConfig
+        from tsrollup.pipeline import SCORES_DIR, rollup_build
+
+        base = _scratch("incderive")
+        in_dir = _seq_files(spark, sf_dir, base)
+        seq = spark.read.parquet(in_dir)
+        last_day = seq.agg(F.max(F.to_date("event_ts"))).collect()[0][0]
+        b1 = os.path.join(base, "b1")
+        b2 = os.path.join(base, "b2")
+        seq.where(F.to_date("event_ts") < F.lit(last_day)).write.parquet(b1)
+        seq.where(F.to_date("event_ts") >= F.lit(last_day)).write.parquet(b2)
+        out = os.path.join(base, "store")
+        cfg = RollupConfig()
+        rollup_build(spark, b1, out, cfg)
+        s2 = rollup_build(spark, b2, out, cfg)
+        assert "derive_inc" in s2["phases"], s2["phases"]
+        sc = spark.read.parquet(os.path.join(out, SCORES_DIR))
+        return sc.where("tier = '1h'").select(
+            "source", F.unix_timestamp("bucket_start").alias("bucket_s"),
+            "detector", F.round("value", 6).alias("value_r"),
+            F.round("score", 6).alias("score_r"), "is_anomaly",
+        )
+
     return {
         "engine_zscore_1h": engine_zscore_1h,
         "engine_residual_stats": engine_residual_stats,
@@ -235,6 +296,8 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_resume_ledger": engine_resume_ledger,
         "engine_retention": engine_retention,
         "engine_read_range": engine_read_range,
+        "engine_read_decoded": engine_read_decoded,
+        "engine_incremental_derive": engine_incremental_derive,
     }
 
 
