@@ -430,8 +430,13 @@ def incremental_derive(
             .parquet(path)
         )
 
-    # ---- scores
+    # ---- the four preserve-union sink overwrites, submitted CONCURRENTLY.
+    # Each worker first eagerly localCheckpoints its unioned frame — this
+    # materializes the preserved (read-back) rows BEFORE the overwrite
+    # deletes their partitions, and makes the four writes independent jobs
+    # over executor-local data, so the phase costs max(walls) not the sum.
     tp = time.monotonic()
+
     scores_new = (
         recomputed.where("kind = 'score'")
         .select("source", "bucket_start", "tier", "detector", "value",
@@ -441,17 +446,14 @@ def incremental_derive(
     )
     sp = ["tier", "day", "source_bucket"]
     scores_path = os.path.join(out_base, SCORES_DIR)
-    affected = scores_new.select(*sp).distinct()
     preserved = _preserved(
-        spark.read.parquet(scores_path), affected, sp,
+        spark.read.parquet(scores_path), scores_new.select(*sp).distinct(), sp,
         F.col("is_cut").isNull()
         | (F.col("cut_bucket").isNotNull()
            & (F.col("bucket_start") < F.col("cut_bucket"))),
     )
-    _write(scores_new.unionByName(preserved), scores_path, sp)
-    tp = _mark("scores_write", tp)
+    scores_out = scores_new.unionByName(preserved)
 
-    # ---- stats (keep only sources not re-derived in affected partitions)
     stats_new = (
         recomputed.where("kind = 'stat'")
         .select("source", "tier", "detector",
@@ -460,16 +462,13 @@ def incremental_derive(
     )
     pp = ["tier", "source_bucket"]
     stats_path = os.path.join(out_base, STATS_DIR)
-    st_aff = stats_new.select(*pp).distinct()
     st_keep = (
         spark.read.parquet(stats_path)
-        .join(F.broadcast(st_aff), pp, "left_semi")
+        .join(F.broadcast(stats_new.select(*pp).distinct()), pp, "left_semi")
         .join(F.broadcast(cuts.select("source", "tier")), ["source", "tier"], "left_anti")
     )
-    _write(stats_new.unionByName(st_keep), stats_path, pp)
-    tp = _mark("stats_write", tp)
+    stats_out = stats_new.unionByName(st_keep)
 
-    # ---- blocks (keep pre-cut days of inc sources + all days of others)
     blocks_new = (
         recomputed.where("kind = 'block'")
         .select("source", "tier", "metric", "block_start", "n_points",
@@ -479,29 +478,43 @@ def incremental_derive(
     )
     bp = ["tier", "day", "source_bucket"]
     blocks_path = os.path.join(out_base, BLOCKS_DIR)
-    bl_aff = blocks_new.select(*bp).distinct()
     bl_keep = _preserved(
-        spark.read.parquet(blocks_path), bl_aff, bp,
+        spark.read.parquet(blocks_path), blocks_new.select(*bp).distinct(), bp,
         F.col("is_cut").isNull()
         | (F.col("cut_bucket").isNotNull()
            & (F.col("day") < F.to_date("cut_bucket"))),
     )
-    _write(blocks_new.unionByName(bl_keep), blocks_path, bp)
-    tp = _mark("blocks_write", tp)
+    blocks_out = blocks_new.unionByName(bl_keep)
 
-    # ---- states
     states_new = recomputed.where("kind = 'state'")
     st_path_aff = states_new.select(
         "tier", bucket.alias("source_bucket")
     ).distinct()
-    existing_states = spark.read.parquet(os.path.join(out_base, STATE_DIR))
     keep_states = (
-        existing_states.join(F.broadcast(st_path_aff), ["tier", "source_bucket"], "left_semi")
+        spark.read.parquet(os.path.join(out_base, STATE_DIR))
+        .join(F.broadcast(st_path_aff), ["tier", "source_bucket"], "left_semi")
         .join(F.broadcast(cuts.select("source", "tier")), ["source", "tier"], "left_anti")
         .select(*STATE_COLS)
     )
-    write_states(states_new.select(*STATE_COLS).unionByName(keep_states), out_base)
-    tp = _mark("states_write", tp)
+    states_out = states_new.select(*STATE_COLS).unionByName(keep_states)
+
+    # Self-read-overwrite per sink is safe: the preserved rows are read
+    # during job execution, and dynamic partition overwrite only deletes
+    # the matched partitions at commit, after every task has finished
+    # (byte-exactness pinned by tests/test_increment.py). Across sinks the
+    # four writes are fully independent, so they run concurrently.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        futs = [
+            pool.submit(_write, scores_out, scores_path, sp),
+            pool.submit(_write, stats_out, stats_path, pp),
+            pool.submit(_write, blocks_out, blocks_path, bp),
+            pool.submit(write_states, states_out, out_base),
+        ]
+        for f in futs:
+            f.result()
+    tp = _mark("sink_writes", tp)
 
     recomputed.unpersist()
     inc_cut.unpersist()

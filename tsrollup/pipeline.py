@@ -300,32 +300,51 @@ def derive(
             .parquet(path)
         )
 
+    # The sink writes are independent jobs over the same persisted kernel
+    # output — submit them CONCURRENTLY (py4j job submission is
+    # thread-safe; Spark's scheduler interleaves the stages), so the
+    # derived phase pays max(write walls), not their sum. At small batch
+    # sizes the writes are the fixed-latency floor of the whole job.
     tp = time.monotonic()
-    _write(
-        scores_all.withColumn("day", F.to_date("bucket_start")).withColumn("source_bucket", bucket),
-        os.path.join(out_base, SCORES_DIR),
-        ("tier", "day", "source_bucket"),
-    )
-    tp = _mark("scores_write", tp)
-    _write(
-        stats_all.withColumn("source_bucket", bucket),
-        os.path.join(out_base, STATS_DIR),
-        ("tier", "source_bucket"),
-    )
-    tp = _mark("stats_write", tp)
-    _write(
-        blocks_all.withColumn("day", F.to_date("block_start")).withColumn("source_bucket", bucket),
-        os.path.join(out_base, BLOCKS_DIR),
-        ("tier", "day", "source_bucket"),
-    )
-    tp = _mark("blocks_write", tp)
-    if not cfg.detector.shard_buckets:
-        from .increment import STATE_COLS, write_states
+    jobs = [
+        (
+            "scores_write",
+            scores_all.withColumn("day", F.to_date("bucket_start"))
+            .withColumn("source_bucket", bucket),
+            os.path.join(out_base, SCORES_DIR),
+            ("tier", "day", "source_bucket"),
+        ),
+        (
+            "stats_write",
+            stats_all.withColumn("source_bucket", bucket),
+            os.path.join(out_base, STATS_DIR),
+            ("tier", "source_bucket"),
+        ),
+        (
+            "blocks_write",
+            blocks_all.withColumn("day", F.to_date("block_start"))
+            .withColumn("source_bucket", bucket),
+            os.path.join(out_base, BLOCKS_DIR),
+            ("tier", "day", "source_bucket"),
+        ),
+    ]
+    from concurrent.futures import ThreadPoolExecutor
 
-        write_states(
-            persisted[0].where("kind = 'state'").select(*STATE_COLS), out_base
-        )
-        tp = _mark("states_write", tp)
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        futs = [pool.submit(_write, df, path, parts) for _n, df, path, parts in jobs]
+        if not cfg.detector.shard_buckets:
+            from .increment import STATE_COLS, write_states
+
+            futs.append(
+                pool.submit(
+                    write_states,
+                    persisted[0].where("kind = 'state'").select(*STATE_COLS),
+                    out_base,
+                )
+            )
+        for f in futs:
+            f.result()
+    tp = _mark("sink_writes", tp)
     for df in persisted:
         df.unpersist()
     return rows_per_tier
