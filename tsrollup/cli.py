@@ -7,6 +7,8 @@ Subcommands:
   stream  — availableNow streaming drain (tumbling 1m rollup)
   synth   — write a deterministic synthetic fixture
   retain  — enforce per-tier retention on a rollup store
+  query   — planned range read (tier choice + partition pruning); with
+            --decoded, served from the Gorilla block store
 """
 
 from __future__ import annotations
@@ -28,6 +30,8 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--salt", type=int, default=8)
     b.add_argument("--gapfill", choices=["locf", "linear"], default="locf")
     b.add_argument("--no-derived", action="store_true")
+    b.add_argument("--no-incremental", action="store_true",
+                   help="force full derived-phase recompute (skip state checkpoints)")
 
     s = sub.add_parser("score")
     s.add_argument("--out", required=True)
@@ -52,6 +56,18 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--out", required=True)
     r.add_argument("--now-day", required=True, help="YYYY-MM-DD")
 
+    q = sub.add_parser("query")
+    q.add_argument("--out", required=True, help="rollup store base dir")
+    q.add_argument("--start", required=True, help="ISO timestamp")
+    q.add_argument("--end", required=True, help="ISO timestamp")
+    q.add_argument("--resolution", type=int, default=None, help="seconds")
+    q.add_argument("--sources", default=None, help="comma-separated filter")
+    q.add_argument("--decoded", action="store_true",
+                   help="serve from the compressed block store")
+    q.add_argument("--metric", default="n_tok_mean",
+                   help="metric for --decoded reads")
+    q.add_argument("--limit", type=int, default=20)
+
     args = p.parse_args(argv)
 
     if args.cmd == "synth":
@@ -72,7 +88,10 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "build":
         from .pipeline import rollup_build
 
-        cfg = RollupConfig(salt_buckets=args.salt or None, gapfill_method=args.gapfill)
+        cfg = RollupConfig(
+            salt_buckets=args.salt or None, gapfill_method=args.gapfill,
+            incremental=not args.no_incremental,
+        )
         summary = rollup_build(spark, args.input, args.out, cfg, derived=not args.no_derived)
         print(json.dumps(summary, default=str))
         return 0
@@ -92,6 +111,30 @@ def main(argv: list[str] | None = None) -> int:
 
         run_streaming_rollup(spark, args.input, args.out, args.checkpoint, args.watermark)
         print(json.dumps({"status": "drained"}))
+        return 0
+
+    if args.cmd == "query":
+        from .query import read_range, read_range_decoded
+
+        srcs = args.sources.split(",") if args.sources else None
+        if args.decoded:
+            df = read_range_decoded(
+                spark, args.out, args.start, args.end,
+                metric=args.metric, resolution_s=args.resolution, sources=srcs,
+            )
+            order = ["source", "metric", "bucket_start"]
+        else:
+            df = read_range(
+                spark, args.out, args.start, args.end,
+                resolution_s=args.resolution, sources=srcs,
+            )
+            order = ["source", "bucket_start"]
+        rows = df.orderBy(*order).limit(args.limit).collect()
+        print(json.dumps({
+            "rows": df.count(),
+            "tier": rows[0]["tier"] if rows else None,
+            "sample": [{k: str(v) for k, v in r.asDict().items()} for r in rows],
+        }))
         return 0
 
     if args.cmd == "retain":
