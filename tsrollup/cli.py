@@ -9,6 +9,8 @@ Subcommands:
   retain  — enforce per-tier retention on a rollup store
   query   — planned range read (tier choice + partition pruning); with
             --decoded, served from the Gorilla block store
+  ingest  — commit a streaming drain's finalized 1m rows into the store
+            (re-cascade affected 1h/1d, incremental derived phase)
 """
 
 from __future__ import annotations
@@ -55,6 +57,12 @@ def main(argv: list[str] | None = None) -> int:
     r = sub.add_parser("retain")
     r.add_argument("--out", required=True)
     r.add_argument("--now-day", required=True, help="YYYY-MM-DD")
+
+    ing = sub.add_parser("ingest")
+    ing.add_argument("--streamed", required=True,
+                     help="parquet dir/files of drained finalized 1m rows")
+    ing.add_argument("--out", required=True, help="rollup store base dir")
+    ing.add_argument("--no-derived", action="store_true")
 
     q = sub.add_parser("query")
     q.add_argument("--out", required=True, help="rollup store base dir")
@@ -111,6 +119,16 @@ def main(argv: list[str] | None = None) -> int:
 
         run_streaming_rollup(spark, args.input, args.out, args.checkpoint, args.watermark)
         print(json.dumps({"status": "drained"}))
+        return 0
+
+    if args.cmd == "ingest":
+        from .ingest import ingest_streamed_rollup
+
+        summary = ingest_streamed_rollup(
+            spark, args.streamed, args.out, RollupConfig(),
+            derived=not args.no_derived,
+        )
+        print(json.dumps(summary, default=str))
         return 0
 
     if args.cmd == "query":
