@@ -285,6 +285,33 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("score", 6).alias("score_r"), "is_anomaly",
         )
 
+    def engine_streamed_ingest(spark, sf_dir):
+        """T+ — full streaming loop: watermarked drain of finalized 1m
+        buckets -> store commit -> exact re-cascade of affected 1h/1d ->
+        derived phase. Returns the store's 1h tier (deterministic: the
+        drained-finalized subset is a pure function of the input)."""
+        from pyspark.sql import functions as F
+
+        from tsrollup.config import RollupConfig
+        from tsrollup.ingest import ingest_streamed_rollup
+        from tsrollup.pipeline import ROLLUP_DIR
+        from tsrollup.streaming import run_streaming_rollup
+
+        base = _scratch("streamingest")
+        in_dir = _seq_files(spark, sf_dir, base)
+        sink = os.path.join(base, "sink")
+        store = os.path.join(base, "store")
+        run_streaming_rollup(spark, in_dir, sink, os.path.join(base, "ckpt"))
+        ingest_streamed_rollup(spark, sink, store, RollupConfig())
+        return (
+            spark.read.parquet(os.path.join(store, ROLLUP_DIR))
+            .where("tier = '1h'")
+            .select(
+                "source", F.unix_timestamp("bucket_start").alias("bucket_s"),
+                "cnt", "n_tok_sum", "n_tok_min", "n_tok_max", "tok_sum", "tok_cnt",
+            )
+        )
+
     return {
         "engine_zscore_1h": engine_zscore_1h,
         "engine_residual_stats": engine_residual_stats,
@@ -298,6 +325,7 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_read_range": engine_read_range,
         "engine_read_decoded": engine_read_decoded,
         "engine_incremental_derive": engine_incremental_derive,
+        "engine_streamed_ingest": engine_streamed_ingest,
     }
 
 
