@@ -176,3 +176,51 @@ def test_read_range_decoded_prunes_block_partitions(spark, store_derived):
     assert "PartitionFilters" in plan
     pf = plan.split("PartitionFilters")[1].split("]")[0]
     assert "tier" in pf and "day" in pf, pf
+
+
+def test_cold_read_survives_columnar_retention(spark, store_derived, tmp_path):
+    """The blocks horizon outlives the columnar rollup/scores horizons:
+    after retain_store expires a day's rollup+scores partitions, the same
+    range is still served - value-exact - by read_range_decoded."""
+    import shutil
+
+    from tsrollup.query import read_range_decoded
+    from tsrollup.storage import retain_store
+
+    # private copy: store_derived is module-shared
+    out = os.path.join(str(tmp_path), "store")
+    shutil.copytree(store_derived, out)
+    days = sorted(
+        d.split("=")[1]
+        for d in os.listdir(os.path.join(out, "rollup", "tier=1m"))
+        if d.startswith("day=")
+    )
+    assert len(days) >= 2
+    victim, now_day = days[0], days[-1]
+    span = (
+        __import__("datetime").date.fromisoformat(now_day)
+        - __import__("datetime").date.fromisoformat(victim)
+    ).days
+    before = read_range_decoded(
+        spark, out, f"{victim}T00:00:00", f"{victim}T23:59:59", resolution_s=60
+    ).toPandas()
+
+    removed = retain_store(
+        out, now_day,
+        {"rollup": {"1m": span - 1}, "scores": {"1m": span - 1},
+         "blocks": {"1m": None}},
+    )
+    assert any(f"day={victim}" in r for r in removed["rollup"]), removed
+    assert any(f"day={victim}" in r for r in removed["scores"]), removed
+    assert removed["blocks"] == []
+    assert not os.path.isdir(os.path.join(out, "rollup", "tier=1m", f"day={victim}"))
+
+    after = read_range_decoded(
+        spark, out, f"{victim}T00:00:00", f"{victim}T23:59:59", resolution_s=60
+    ).toPandas()
+    assert len(after) == len(before) > 0
+    from .conftest import assert_frame_byte_equal
+
+    assert_frame_byte_equal(
+        after, before, ["source", "metric", "bucket_start"], msg="cold read post-retention",
+    )

@@ -85,7 +85,7 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"fixture": path}))
         return 0
 
-    from .config import TIER_RETENTION_DAYS, DetectorConfig, RollupConfig
+    from .config import DetectorConfig, RollupConfig
     from .session import get_spark
 
     extra = {}
@@ -156,16 +156,9 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "retain":
-        import os
+        from .storage import retain_store
 
-        from .pipeline import ROLLUP_DIR
-        from .storage import drop_expired_partitions
-
-        removed = []
-        for tier, horizon in TIER_RETENTION_DAYS.items():
-            removed += drop_expired_partitions(
-                os.path.join(args.out, ROLLUP_DIR), tier, horizon, args.now_day
-            )
+        removed = retain_store(args.out, args.now_day)
         print(json.dumps({"removed_partitions": removed}))
         return 0
 

@@ -28,6 +28,17 @@ CASCADE_FROM = {"1m": None, "1h": "1m", "1d": "1h"}
 #: Default retention horizon per tier, in days (R1). None = keep forever.
 TIER_RETENTION_DAYS = {"1m": 14, "1h": 90, "1d": None}
 
+#: Per-SINK retention horizons (days) per tier; None = keep forever.
+#: The Gorilla block store keeps a LONGER horizon than the columnar
+#: rollup/scores at equal budget (blobs are ~8-20x smaller), so ranges
+#: whose columnar partitions aged out stay servable through the cold-read
+#: path (query.read_range_decoded).
+SINK_RETENTION_DAYS = {
+    "rollup": TIER_RETENTION_DAYS,
+    "scores": dict(TIER_RETENTION_DAYS),
+    "blocks": {"1m": 90, "1h": 365, "1d": None},
+}
+
 
 @dataclass(frozen=True)
 class DetectorConfig:

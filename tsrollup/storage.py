@@ -100,3 +100,26 @@ def drop_expired_partitions(base_path: str, tier: str, horizon_days: int | None,
             shutil.rmtree(os.path.join(tier_dir, name))
             removed.append(os.path.join(tier_dir, name))
     return removed
+
+
+def retain_store(
+    out_base: str, now_day: str, sink_retention: dict | None = None
+) -> dict[str, list[str]]:
+    """R1 across the whole store: enforce per-sink, per-tier horizons on
+    every day-partitioned sink (rollup, scores, blocks). The default
+    policy keeps blocks far longer than the columnar sinks — after the
+    rollup partitions expire, the range stays readable via
+    query.read_range_decoded (tested end-to-end)."""
+    from .config import SINK_RETENTION_DAYS
+
+    policy = SINK_RETENTION_DAYS if sink_retention is None else sink_retention
+    removed: dict[str, list[str]] = {}
+    for sink, tiers in policy.items():
+        base = os.path.join(out_base, sink)
+        if not os.path.isdir(base):
+            continue
+        gone: list[str] = []
+        for tier, horizon in tiers.items():
+            gone += drop_expired_partitions(base, tier, horizon, now_day)
+        removed[sink] = gone
+    return removed
