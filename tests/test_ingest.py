@@ -132,3 +132,21 @@ def test_ingest_drains_equals_batch_build(spark, seq_fixture_small):
     sub2 = _finalized_subset(spark, seq_fixture_small, sink, os.path.join(BASE, "sub2"))
     rollup_build(spark, sub2, exp2, cfg)
     _compare(spark, store, exp2, "after drain 2")
+
+    # ---- idempotence layer (a): replaying an already-committed drain is
+    # a marker-skip no-op
+    s2b = ingest_streamed_rollup(spark, spark.read.parquet(*new_files), store, cfg)
+    assert s2b.get("skipped_duplicate"), s2b
+    _compare(spark, store, exp2, "after duplicate replay")
+
+    # ---- idempotence layer (b): crash-retry — marker lost (crash between
+    # the 1m commit and the marker write), full re-ingest must CONVERGE
+    # (key-replacing 1m write + store-side re-cascade), not double-count
+    markers = glob.glob(os.path.join(store, "_ingested", "*.marker"))
+    assert len(markers) == 2, markers  # one per committed drain
+    for m in markers:
+        os.remove(m)
+    s2c = ingest_streamed_rollup(spark, spark.read.parquet(*new_files), store, cfg)
+    assert not s2c.get("skipped_duplicate"), s2c
+    assert s2c["ingested_1m"] == s2["ingested_1m"]
+    _compare(spark, store, exp2, "after crash-retry replay")

@@ -224,3 +224,22 @@ def test_cold_read_survives_columnar_retention(spark, store_derived, tmp_path):
     assert_frame_byte_equal(
         after, before, ["source", "metric", "bucket_start"], msg="cold read post-retention",
     )
+
+    # Retention-AWARE cold read (now_day set): the planner must follow the
+    # BLOCK store's horizons, not the columnar tier's — under the columnar
+    # policy the 1m tier looks expired (choose_tier raises), but the same
+    # range decodes fine because read_range_decoded defaults to the blocks
+    # policy for tier choice.
+    with pytest.raises(ValueError, match="no retained tier"):
+        choose_tier(
+            f"{victim}T00:00:00", f"{victim}T23:59:59", 60, now_day,
+            {"1m": span - 1},
+        )
+    aware = read_range_decoded(
+        spark, out, f"{victim}T00:00:00", f"{victim}T23:59:59",
+        resolution_s=60, now_day=now_day, retention={"1m": None},
+    ).toPandas()
+    assert_frame_byte_equal(
+        aware, before, ["source", "metric", "bucket_start"],
+        msg="retention-aware cold read",
+    )

@@ -74,6 +74,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="serve from the compressed block store")
     q.add_argument("--metric", default="n_tok_mean",
                    help="metric for --decoded reads")
+    q.add_argument("--now-day", default=None, metavar="YYYY-MM-DD",
+                   help="retention reference date: the planner skips tiers "
+                        "whose horizon no longer covers the range (mirrors "
+                        "`retain`; omit to trust every tier)")
     q.add_argument("--limit", type=int, default=20)
 
     args = p.parse_args(argv)
@@ -139,12 +143,14 @@ def main(argv: list[str] | None = None) -> int:
             df = read_range_decoded(
                 spark, args.out, args.start, args.end,
                 metric=args.metric, resolution_s=args.resolution, sources=srcs,
+                now_day=args.now_day,
             )
             order = ["source", "metric", "bucket_start"]
         else:
             df = read_range(
                 spark, args.out, args.start, args.end,
                 resolution_s=args.resolution, sources=srcs,
+                now_day=args.now_day,
             )
             order = ["source", "bucket_start"]
         rows = df.orderBy(*order).limit(args.limit).collect()

@@ -431,10 +431,12 @@ def incremental_derive(
         )
 
     # ---- the four preserve-union sink overwrites, submitted CONCURRENTLY.
-    # Each worker first eagerly localCheckpoints its unioned frame — this
-    # materializes the preserved (read-back) rows BEFORE the overwrite
-    # deletes their partitions, and makes the four writes independent jobs
-    # over executor-local data, so the phase costs max(walls) not the sum.
+    # Safety of each self-read-overwrite rests on dynamic-partition-
+    # overwrite commit ordering alone (see the comment above the pool):
+    # preserved rows are read during task execution and the matched
+    # partitions are deleted only at job commit, after every task has
+    # finished. The four sinks touch disjoint paths, so the writes are
+    # independent jobs and the phase costs max(walls) not the sum.
     tp = time.monotonic()
 
     scores_new = (

@@ -18,12 +18,18 @@ the drain itself exactly-once). This module closes the loop:
               path (straddling coarse buckets re-enter as non-append and
               fall back per source automatically — exactness first)
 
-Consistency model: streamed ingests are ledger-less (the lineage ledger
-governs the raw batch path; replaying a drain dir is prevented by the
-caller consuming each drain output once — the streaming checkpoint makes
-drains themselves exactly-once). Equivalence contract: ingesting drains
-1..k yields a store byte-identical to rollup_build over the raw rows of
-the finalized buckets (tests/test_ingest.py).
+Consistency model: ingest is IDEMPOTENT, two layers deep. (a) A
+content fingerprint of each drain (row count + order-independent
+xxhash64 over all rollup columns) is recorded as a marker in the store
+after a successful ingest; re-running the same drain is a no-op skip.
+(b) If a crash lands between the 1m commit and the marker (or a caller
+replays without markers), the 1m write itself replaces matching
+(source, bucket_start, tier) keys instead of blind-appending, and the
+re-cascade re-aggregates affected coarse buckets from the store — so a
+replay converges to the same bytes instead of double-counting.
+Equivalence contract: ingesting drains 1..k yields a store
+byte-identical to rollup_build over the raw rows of the finalized
+buckets (tests/test_ingest.py).
 """
 
 from __future__ import annotations
@@ -91,21 +97,38 @@ def ingest_streamed_rollup(
         else streamed_1m
     ).select(*ROLLUP_COLS)
     new1m = new1m.localCheckpoint(eager=True)  # pin: store is rewritten below
-    n_new = new1m.count()
+    fp_row = new1m.agg(
+        F.count(F.lit(1)).alias("n"),
+        # decimal(38,0) sum: order-independent, cannot overflow under ANSI
+        F.sum(F.xxhash64(*ROLLUP_COLS).cast("decimal(38,0)")).alias("h"),
+    ).collect()[0]
+    n_new = fp_row["n"]
     summary: dict = {"ingested_1m": n_new}
     if n_new == 0:
         summary["skipped"] = True
         return summary
+    drain_id = f"{n_new}_{int(fp_row['h'] or 0) & ((1 << 64) - 1):016x}"
+    marker = os.path.join(out_base, "_ingested", f"{drain_id}.marker")
+    if os.path.exists(marker):
+        summary["skipped_duplicate"] = True
+        summary["drain_id"] = drain_id
+        return summary
     store_path = os.path.join(out_base, ROLLUP_DIR)
 
-    # ---- 1m: plain append (buckets are new by the streaming contract)
-    (
-        _tag(new1m)
-        .repartition("tier", "day", "source_bucket")
-        .write.mode("append")
-        .partitionBy("tier", "day", "source_bucket")
-        .parquet(store_path)
-    )
+    # ---- 1m commit. First drain bootstraps the store with an append;
+    # after that the write REPLACES matching (source, bucket_start, tier)
+    # keys (preserve-union dynamic-partition overwrite) so a replayed or
+    # crash-retried drain converges instead of double-counting.
+    if not os.path.isdir(store_path):
+        (
+            _tag(new1m)
+            .repartition("tier", "day", "source_bucket")
+            .write.mode("append")
+            .partitionBy("tier", "day", "source_bucket")
+            .parquet(store_path)
+        )
+    else:
+        _overwrite_replacing(spark, new1m, store_path)
 
     # ---- re-cascade affected coarse buckets from the store's finer tier.
     # An affected coarse bucket is any one containing a new finer row; it
@@ -172,4 +195,14 @@ def ingest_streamed_rollup(
             phases=phases, batch_bounds=batch_bounds.localCheckpoint(eager=True),
         )
         summary["phases"] = phases
+
+    # commit the drain marker LAST (atomic rename): a crash anywhere above
+    # leaves no marker, and the retry converges via the key-replacing 1m
+    # write + store-side re-cascade.
+    os.makedirs(os.path.dirname(marker), exist_ok=True)
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(drain_id)
+    os.replace(tmp, marker)
+    summary["drain_id"] = drain_id
     return summary

@@ -28,7 +28,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .config import TIER_RETENTION_DAYS, TIER_US, TIERS
+from .config import SINK_RETENTION_DAYS, TIER_RETENTION_DAYS, TIER_US, TIERS
 from .pipeline import ROLLUP_DIR
 
 
@@ -124,6 +124,7 @@ def read_range_decoded(
     resolution_s: int | None = None,
     sources: list[str] | None = None,
     now_day: str | None = None,
+    retention: dict | None = None,
 ) -> DataFrame:
     """Pruned range read served from the COMPRESSED block store.
 
@@ -143,7 +144,11 @@ def read_range_decoded(
     from .pipeline import BLOCKS_DIR
 
     start_dt, end_dt = _to_dt(start), _to_dt(end)
-    tier = choose_tier(start_dt, end_dt, resolution_s, now_day)
+    # Tier choice must follow the BLOCK store's horizons, not the columnar
+    # tier's: serving ranges after columnar expiry is this path's whole
+    # point (blocks keep 90/365-day horizons, SINK_RETENTION_DAYS).
+    blocks_retention = SINK_RETENTION_DAYS["blocks"] if retention is None else retention
+    tier = choose_tier(start_dt, end_dt, resolution_s, now_day, blocks_retention)
     bl = (
         spark.read.parquet(os.path.join(out_base, BLOCKS_DIR))
         .where(F.col("tier") == tier)
