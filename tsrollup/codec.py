@@ -43,10 +43,23 @@ the whole sequence with one scatter + `np.packbits`. DoD encoding is fully
 vectorized (per-point buckets are independent); XOR encoding vectorizes the
 zero mask, leading/trailing-zero counts and payloads, and keeps a Python
 loop ONLY over nonzero XORs for the (prev_lead, prev_len) window state
-machine, which is inherently sequential. Decoders accelerate the dominant
-'0'-control runs (gap-filled/LOCF data) by jumping between set bits of the
-unpacked bit array. Byte format is FROZEN: tests/_codec_ref.py keeps the
-original per-point loop implementation and the suite asserts byte equality.
+machine, which is inherently sequential. Byte format is FROZEN:
+tests/_codec_ref.py keeps the original per-point loop implementation and
+the suite asserts byte equality.
+
+Decoding has two implementations sharing the frozen format:
+
+- scalar (`decode_dod`/`decode_xor`): per-blob loop that bulk-skips
+  '0'-control runs by jumping between set bits — right for one blob.
+- batch (`decode_dod_batch`/`decode_xor_batch`): decodes MANY blobs
+  simultaneously, SIMT-style — one field per step per blob, with every
+  bit read a vectorized gather from a shared big-endian uint64 word
+  array. Bit positions advance per lane; a lane drops out when its blob
+  is exhausted. Wall clock is O(max points per blob) steps of O(active
+  blobs) vector work, so per-point cost amortizes to ~tens of ns at
+  typical read fan-in (hundreds of day-blocks per Arrow batch). This is
+  the cold-read path's decoder (decompress_blocks). The suite asserts
+  batch == scalar on adversarial blocks.
 """
 
 from __future__ import annotations
@@ -280,6 +293,174 @@ def decode_dod(blob: bytes) -> np.ndarray:
     return out
 
 
+def _concat_payloads(
+    blobs: list[bytes], header_bytes: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Concatenate every blob's bitstream payload (header stripped; blobs
+    are byte-aligned by construction) into one buffer viewed as big-endian
+    uint64 words, padded so idx+1 reads never run off the end. Returns
+    (words, per-blob base bit offset)."""
+    parts = [b[header_bytes:] for b in blobs]
+    sizes = np.array([len(p) for p in parts], dtype=np.int64)
+    buf = b"".join(parts)
+    pad = (-len(buf)) % 8 + 16
+    words = np.frombuffer(buf + b"\x00" * pad, dtype=">u8").astype(np.uint64)
+    return words, (np.cumsum(sizes) - sizes) * 8
+
+
+def _gather_bits(W: np.ndarray, pos: np.ndarray, nbits) -> np.ndarray:
+    """Vectorized MSB-first read of `nbits` (scalar or array, 1..64) bits
+    at absolute bit positions `pos` from the word array of
+    _concat_payloads. The (>>1)>>(63-sh) split keeps every shift < 64
+    (shift-by-64 is undefined)."""
+    idx = pos >> 6
+    sh = (pos & 63).astype(np.uint64)
+    w = (W[idx] << sh) | ((W[idx + 1] >> _ONE) >> (np.uint64(63) - sh))
+    nb = np.uint64(nbits) if np.isscalar(nbits) else nbits.astype(np.uint64)
+    return w >> (np.uint64(64) - nb)
+
+
+def _seg_cumsum(x: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Per-segment inclusive cumsum of flat array x split by counts."""
+    cs = np.cumsum(x)
+    starts = np.cumsum(counts) - counts
+    nz = counts > 0
+    base = np.zeros(counts.shape[0], dtype=x.dtype)
+    base[nz] = cs[starts[nz]] - x[starts[nz]]
+    return cs - np.repeat(base, counts)
+
+
+def decode_dod_batch(blobs: list[bytes]) -> list[np.ndarray]:
+    """C3 — decode MANY ts_dod blobs at once (see module docstring).
+    Returns one int64 µs array per blob, byte-identical to decode_dod."""
+    B = len(blobs)
+    hdr = [struct.unpack_from("<QI", b, 0) for b in blobs]
+    t0 = np.array([h[0] for h in hdr], dtype=np.uint64).view(np.int64)
+    n = np.array([h[1] for h in hdr], dtype=np.int64)
+    W, base = _concat_payloads(blobs, 12)
+    m = np.maximum(n - 2, 0)  # DoD entries per blob
+    doff = np.cumsum(m) - m
+    D = np.zeros(int(m.sum()), dtype=np.int64)
+    pos = base.copy()
+    d1 = np.zeros(B, dtype=np.int64)
+    h2 = np.flatnonzero(n >= 2)
+    if h2.size:
+        d1[h2] = _gather_bits(W, pos[h2], 64).view(np.int64)
+        pos[h2] += 64
+    j = np.zeros(B, dtype=np.int64)
+    act = np.flatnonzero(j < m)
+    while act.size:
+        p = pos[act]
+        w = _gather_bits(W, p, 64)  # control prefix + payload in one word
+        # classification uses only as many bits as the field really has:
+        # a '0' control decides on bit 1 alone, so garbage past the blob's
+        # tail never changes the outcome
+        c0 = (w >> np.uint64(63)) == 0
+        # '0'-control RUNS (D = 0, the dominant case on regular buckets)
+        # consume up to 64 points per lane per step: the word's leading
+        # zeros are all zero-controls, clamped to the lane's remaining
+        # points (tail garbage can only shorten a run, never corrupt it —
+        # D is pre-zeroed, so a run is a pure position advance)
+        zl = act[c0]
+        if zl.size:
+            run = np.minimum(64 - _bitlen64(w[c0]), m[zl] - j[zl])
+            pos[zl] += run
+            j[zl] += run
+        nzl = act[~c0]
+        if nzl.size:
+            wn = w[~c0]
+            top4 = (wn >> np.uint64(60)).astype(np.int64)
+            c1 = (top4 >> 2) == 0b10
+            c2 = (top4 >> 1) == 0b110
+            c3 = top4 == 0b1110
+            c4 = top4 == 0b1111
+            d = np.zeros(nzl.size, dtype=np.int64)
+            d[c1] = ((wn[c1] >> np.uint64(55)) & np.uint64(0x7F)).astype(np.int64) - 63
+            d[c2] = ((wn[c2] >> np.uint64(52)) & np.uint64(0x1FF)).astype(np.int64) - 255
+            d[c3] = ((wn[c3] >> np.uint64(48)) & np.uint64(0xFFF)).astype(np.int64) - 2047
+            if c4.any():  # 68-bit field: payload needs its own (rare) gather
+                d[c4] = _gather_bits(W, p[~c0][c4] + 4, 64).view(np.int64)
+            D[doff[nzl] + j[nzl]] = d
+            pos[nzl] += np.select([c1, c2, c3], [9, 12, 16], default=68)
+            j[nzl] += 1
+        act = act[j[act] < m[act]]
+    # integrate: deltas[t] = d1 + cumsum(D)[t-1]; out[t] = t0 + cumsum(deltas)
+    off = np.cumsum(n) - n
+    out = np.empty(int(n.sum()), dtype=np.int64)
+    h1 = n >= 1
+    out[off[h1]] = t0[h1]
+    k = np.maximum(n - 1, 0)  # delta entries per blob
+    koff = np.cumsum(k) - k
+    Dext = np.zeros(int(k.sum()), dtype=np.int64)
+    Dext[_ragged_arange(koff + 1, m)] = D  # leading 0 per blob, then D
+    deltas = np.repeat(d1, k) + _seg_cumsum(Dext, k)
+    out[_ragged_arange(off + 1, k)] = np.repeat(t0, k) + _seg_cumsum(deltas, k)
+    return [out[off[b] : off[b] + n[b]] for b in range(B)]
+
+
+def decode_xor_batch(blobs: list[bytes]) -> list[np.ndarray]:
+    """C3 — decode MANY val_xor blobs at once (see module docstring).
+    Returns one float64 array per blob, byte-identical to decode_xor."""
+    B = len(blobs)
+    n = np.array(
+        [struct.unpack_from("<I", b, 0)[0] for b in blobs], dtype=np.int64
+    )
+    W, base = _concat_payloads(blobs, 4)
+    off = np.cumsum(n) - n
+    out = np.zeros(int(n.sum()), dtype=np.uint64)
+    pos = base.copy()
+    cur = np.zeros(B, dtype=np.uint64)
+    lead = np.zeros(B, dtype=np.uint64)
+    length = np.ones(B, dtype=np.uint64)  # (lead, length) = the XOR window
+    i = np.zeros(B, dtype=np.int64)
+    h1 = np.flatnonzero(n >= 1)
+    if h1.size:
+        cur[h1] = _gather_bits(W, pos[h1], 64)
+        out[off[h1]] = cur[h1]
+        pos[h1] += 64
+        i[h1] = 1
+    act = np.flatnonzero(i < n)
+    while act.size:
+        p = pos[act]
+        w = _gather_bits(W, p, 64)  # control + window header in one word
+        z = (w >> np.uint64(63)) == 0  # '0' control (decided by bit 1 alone)
+        # '0'-control RUNS (repeated values, dominant on LOCF series)
+        # consume up to 64 points per lane per step: leading zeros of the
+        # word are all zero-controls, clamped to the lane's remaining
+        # points; the fill is one ragged repeat of the lane's current value
+        zl = act[z]
+        if zl.size:
+            run = np.minimum(64 - _bitlen64(w[z]), n[zl] - i[zl])
+            out[_ragged_arange(off[zl] + i[zl], run)] = np.repeat(cur[zl], run)
+            pos[zl] += run
+            i[zl] += run
+        nzl = act[~z]
+        if nzl.size:
+            wn = w[~z]
+            pn = p[~z]
+            nw = (wn >> np.uint64(62)) == 0b11  # new window: 5b lead + 6b (len-1)
+            lead_new = (wn >> np.uint64(57)) & np.uint64(0x1F)
+            len_new = ((wn >> np.uint64(51)) & np.uint64(0x3F)) + _ONE
+            lead_eff = np.where(nw, lead_new, lead[nzl])
+            len_eff = np.where(nw, len_new, length[nzl])
+            data_off = np.where(nw, 13, 2)
+            meaning = _gather_bits(W, pn + data_off, len_eff)
+            shift = (
+                np.uint64(64) - lead_eff - len_eff
+            )  # valid lanes only: encoder guarantees lead+len <= 64
+            x = meaning << shift
+            cur[nzl] ^= x
+            out[off[nzl] + i[nzl]] = cur[nzl]
+            upd = nzl[nw]
+            lead[upd] = lead_new[nw]
+            length[upd] = len_new[nw]
+            pos[nzl] = pn + data_off + len_eff.astype(np.int64)
+            i[nzl] += 1
+        act = act[i[act] < n[act]]
+    outf = out.view(np.float64)
+    return [outf[off[b] : off[b] + n[b]] for b in range(B)]
+
+
 def encode_xor_batch(blocks: list[np.ndarray]) -> list[bytes]:
     """C1 — XOR-encode MANY float64 blocks in one vectorized pass (same
     batching scheme as encode_dod_batch; blob bytes identical to per-block
@@ -485,23 +666,27 @@ def decompress_blocks(blocks: DataFrame) -> DataFrame:
     )
 
     def decode_iter(batches):
+        # ALL blobs of the Arrow batch decode in one vectorized batch call
+        # (module docstring): per-point cost amortizes across the batch's
+        # blocks instead of paying per-blob Python loops.
         for pdf in batches:
-            frames = []
-            for row in pdf.itertuples(index=False):
-                ts = decode_dod(row.ts_dod_blob)
-                vals = decode_xor(row.val_xor_blob)
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            "source": row.source,
-                            "tier": row.tier,
-                            "metric": row.metric,
-                            "bucket_start": ts.astype("datetime64[us]"),
-                            "value": vals,
-                        }
-                    )
-                )
-            if frames:
-                yield pd.concat(frames, ignore_index=True)
+            if not len(pdf):
+                continue
+            ts_list = decode_dod_batch(list(pdf["ts_dod_blob"]))
+            val_list = decode_xor_batch(list(pdf["val_xor_blob"]))
+            counts = np.array([t.shape[0] for t in ts_list], dtype=np.int64)
+            if int(counts.sum()) == 0:
+                continue
+            yield pd.DataFrame(
+                {
+                    "source": np.repeat(pdf["source"].to_numpy(), counts),
+                    "tier": np.repeat(pdf["tier"].to_numpy(), counts),
+                    "metric": np.repeat(pdf["metric"].to_numpy(), counts),
+                    "bucket_start": np.concatenate(ts_list).astype(
+                        "datetime64[us]"
+                    ),
+                    "value": np.concatenate(val_list),
+                }
+            )
 
     return blocks.mapInPandas(decode_iter, schema=out_schema)
