@@ -91,11 +91,44 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return p
 
     def _seq_files(spark, sf_dir, base, n_files=4):
-        """Sequence fixture written as n parquet files (so the streaming
-        source sees several micro-batches with maxFilesPerTrigger=1)."""
+        """Sequence fixture written as n parquet files sliced in EVENT-TIME
+        order with strictly increasing mtimes — the realistic streaming
+        arrival layout (files land in time order). Consequences the
+        streaming entries' DuckDB oracles rely on: the watermark advances
+        monotonically across micro-batches, no row is ever late (zero
+        watermark drops), and the emitted/finalized bucket set is exactly
+        the SQL-expressible subset {bucket_end <= max(event_ts) - 10min}."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
         seq = sequences_from_documents(spark, sf_dir)
+        pdf = (
+            seq.toPandas()
+            .sort_values(["event_ts", "doc_id"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        schema = pa.schema(
+            [
+                ("doc_id", pa.string()),
+                ("tokens", pa.list_(pa.int32())),
+                ("source", pa.string()),
+                ("n_tok", pa.int32()),
+                ("event_ts", pa.timestamp("us")),
+            ]
+        )
+        tbl = pa.Table.from_pandas(
+            pdf[[f.name for f in schema]], schema=schema, preserve_index=False
+        )
         path = os.path.join(base, "seq")
-        seq.repartition(n_files).write.mode("overwrite").parquet(path)
+        os.makedirs(path, exist_ok=True)
+        step = (tbl.num_rows + n_files - 1) // n_files
+        now = int(__import__("time").time())
+        for i in range(n_files):
+            f = os.path.join(path, f"part-{i:05d}.parquet")
+            pq.write_table(tbl.slice(i * step, step), f)
+            # pin mtimes ascending so the file stream source's
+            # modification-time ordering equals event-time ordering
+            os.utime(f, (now + i, now + i))
         return path
 
     def engine_streaming_rollup(spark, sf_dir):
@@ -329,6 +362,97 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _engine_oracles() -> dict[str, str]:
+    """DuckDB twins for the engine entries whose rows derive from the
+    `documents` table through Spark's xxhash64 (event-time spread + token
+    ids): tsrollup.duck_oracle re-expresses XXH64 as pure SQL macros, so
+    these oracles re-derive the sequence table INDEPENDENTLY and recompute
+    each entry's semantics in ANSI-ish SQL. Streaming finalization is
+    SQL-expressible because _seq_files writes time-ordered slices (zero
+    watermark drops; finalized = bucket_end <= max(event_ts) - 10min)."""
+    from tsrollup.duck_oracle import engine_oracle
+
+    agg_cols = """
+         count(*)::BIGINT AS cnt,
+         sum(n_tok)::BIGINT AS n_tok_sum,
+         min(n_tok)::INTEGER AS n_tok_min,
+         max(n_tok)::INTEGER AS n_tok_max,
+         sum(list_aggregate(tokens, 'sum'))::BIGINT AS tok_sum,
+         sum(n_tok)::BIGINT AS tok_cnt"""
+
+    streaming_rollup = engine_oracle(f""",
+    wm AS (SELECT max(event_ts) - INTERVAL 10 MINUTE AS w FROM seq),
+    agg AS (
+      SELECT source, date_trunc('minute', event_ts) AS bucket_start,
+             {agg_cols}
+      FROM seq GROUP BY 1, 2
+    )
+    SELECT source, epoch(bucket_start)::BIGINT AS bucket_s,
+           cnt, n_tok_sum, n_tok_min, n_tok_max, tok_sum, tok_cnt
+    FROM agg, wm WHERE bucket_start + INTERVAL 1 MINUTE <= wm.w
+    """)
+
+    read_range = engine_oracle(""",
+    agg AS (
+      SELECT source, date_trunc('hour', event_ts) AS bucket_start,
+             count(*)::BIGINT AS cnt,
+             sum(n_tok)::BIGINT AS n_tok_sum,
+             sum(list_aggregate(tokens, 'sum'))::BIGINT AS tok_sum,
+             sum(n_tok)::BIGINT AS tok_cnt
+      FROM seq GROUP BY 1, 2
+    ),
+    last_day AS (SELECT max(event_ts::DATE) AS d FROM seq)
+    SELECT source, epoch(bucket_start)::BIGINT AS bucket_s,
+           '1h' AS tier, cnt, n_tok_sum, tok_sum, tok_cnt
+    FROM agg, last_day WHERE bucket_start::DATE = last_day.d
+    """)
+
+    streamed_ingest = engine_oracle(f""",
+    wm AS (SELECT max(event_ts) - INTERVAL 10 MINUTE AS w FROM seq),
+    fin AS (
+      SELECT seq.* FROM seq, wm
+      WHERE date_trunc('minute', event_ts) + INTERVAL 1 MINUTE <= wm.w
+    )
+    SELECT source,
+           epoch(date_trunc('hour', event_ts))::BIGINT AS bucket_s,
+           {agg_cols}
+    FROM fin GROUP BY source, date_trunc('hour', event_ts)
+    """)
+
+    # retention: survivors after expiring the oldest 1m day (horizon =
+    # span-1, cutoff = first+1 — storage.drop_expired_partitions); one
+    # store row per (source, bucket), partitioned (tier, day)
+    retention = engine_oracle(""",
+    b AS (
+      SELECT source, date_trunc('minute', event_ts) AS b1m,
+             date_trunc('hour', event_ts) AS b1h,
+             date_trunc('day', event_ts) AS b1d
+      FROM seq
+    ),
+    rows_ AS (
+      SELECT '1m' AS tier, day, count(*)::BIGINT AS n_rows FROM
+        (SELECT DISTINCT source, b1m, b1m::DATE AS day FROM b) GROUP BY day
+      UNION ALL
+      SELECT '1h', day, count(*)::BIGINT FROM
+        (SELECT DISTINCT source, b1h, b1h::DATE AS day FROM b) GROUP BY day
+      UNION ALL
+      SELECT '1d', day, count(*)::BIGINT FROM
+        (SELECT DISTINCT source, b1d, b1d::DATE AS day FROM b) GROUP BY day
+    ),
+    span AS (SELECT min(day) AS mn, max(day) AS mx
+             FROM rows_ WHERE tier = '1m')
+    SELECT tier, day::VARCHAR AS day_s, n_rows FROM rows_, span
+    WHERE NOT (tier = '1m' AND day = span.mn AND (span.mx - span.mn) >= 2)
+    """)
+
+    return {
+        "engine_streaming_rollup": streaming_rollup,
+        "engine_read_range": read_range,
+        "engine_streamed_ingest": streamed_ingest,
+        "engine_retention": retention,
+    }
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = dict(SPARK)
     out.update(_engine_queries())
@@ -336,4 +460,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(ORACLE)
+    out = dict(ORACLE)
+    out.update(_engine_oracles())
+    return out
