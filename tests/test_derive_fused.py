@@ -124,3 +124,32 @@ def test_rollup_build_uses_fused_path(spark, seq_fixture_small, tmp_path):
 def spark_filled(spark, fixture, cfg):
     tiers = build_all_tiers(read_sequences(spark, fixture), cfg)
     return {t: gapfill.gapfill(df, t, cfg) for t, df in tiers.items()}
+
+
+@pytest.mark.parametrize("method", ["locf", "linear"])
+def test_in_kernel_fill_matches_spark_gapfill(spark, seq_fixture_small, method):
+    """fill='locf'/'linear' (raw rows in, gap-fill inside the kernel —
+    detect._fill_group_pdf) must be byte-identical to the Spark gapfill()
+    route across ALL output kinds including state rows: same spine, same
+    LOCF copy / pinned linear kernel, same blobs."""
+    cfg = RollupConfig(gapfill_method=method)
+    tiers = build_all_tiers(read_sequences(spark, seq_fixture_small), cfg)
+    raw_union = filled_union = None
+    for t, df in tiers.items():
+        raw_union = df if raw_union is None else raw_union.unionByName(df)
+        f = gapfill.gapfill(df, t, cfg)
+        filled_union = f if filled_union is None else filled_union.unionByName(f)
+    got = detect.derive_fused(
+        raw_union, cfg, emit_state=True, fill=method
+    ).toPandas()
+    exp = detect.derive_fused(filled_union, cfg, emit_state=True).toPandas()
+    assert sorted(got["kind"].unique()) == sorted(exp["kind"].unique())
+    for df in (got, exp):
+        for c in ("ts_dod_blob", "val_xor_blob", "state"):
+            df[c] = df[c].map(lambda b: None if b is None else bytes(b))
+    assert_frame_byte_equal(
+        got, exp,
+        ["kind", "source", "tier", "detector", "metric", "bucket_start",
+         "block_start"],
+        msg=f"in-kernel fill ({method})",
+    )

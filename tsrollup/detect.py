@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from . import kernels, schemas
 from .config import DetectorConfig, RollupConfig
+from .gapfill import VALUE_COLS as GAP_VALUE_COLS
 
 
 def _score_kernel(cfg: DetectorConfig, tier: str):
@@ -391,9 +392,67 @@ def make_state_row(
     )
 
 
+_DAY_US = 86_400_000_000
+
+
+def _fill_group_pdf(
+    pdf: pd.DataFrame, step_us: int, method: str, cols: tuple[str, ...]
+) -> pd.DataFrame:
+    """In-kernel G1+G2 for one (source, tier) group: rebuild the
+    gap-filled frame (grid spine, cnt=0 on gap rows, LOCF/linear value
+    fill, block_start) from the group's RAW rollup rows.
+
+    Byte-identical to gapfill() for every column the fused kernel reads
+    (tests/test_derive_fused.py): the spine is the same per-source
+    min..max grid, LOCF is the same pure copy of observed doubles,
+    linear runs the same pinned kernel. Fusing the fill here removes the
+    spine explode+join, the LOCF window sort, and roughly half the Arrow
+    exchange volume from the derived phase — the gap-filled frame never
+    exists as a distributed dataset, which is the difference between
+    shuffling the raw tier rows and shuffling the (much larger) dense
+    grid at corpus scale."""
+    pdf = pdf.sort_values("bucket_start", kind="mergesort").reset_index(drop=True)
+    ts = pdf["bucket_start"].to_numpy().astype("datetime64[us]").view(np.int64)
+    t0 = int(ts[0])
+    nslots = int((int(ts[-1]) - t0) // step_us) + 1
+    pos = (ts - t0) // step_us
+    observed = np.zeros(nslots, dtype=bool)
+    observed[pos] = True
+    grid = t0 + np.arange(nslots, dtype=np.int64) * step_us
+    out: dict = {
+        "source": pdf["source"].iloc[0],
+        "tier": pdf["tier"].iloc[0],
+        "bucket_start": pd.Series(grid.view("datetime64[us]")),
+        # floor-to-day == date_trunc('day', ...) for the engine's
+        # post-epoch timestamps
+        "block_start": pd.Series(((grid // _DAY_US) * _DAY_US).view("datetime64[us]")),
+    }
+    locf_idx = None
+    for c in cols:
+        v = np.full(nslots, np.nan)
+        v[pos] = pdf[c].to_numpy(dtype="float64")
+        if c == "cnt":
+            v[~observed] = 0.0  # gap buckets carry no mass
+        elif c in GAP_VALUE_COLS:
+            if method == "locf":
+                if locf_idx is None:
+                    locf_idx = np.maximum.accumulate(
+                        np.where(observed, np.arange(nslots), 0)
+                    )
+                v = v[locf_idx]
+            else:
+                v = kernels.linear_fill(v, observed)
+        # any other column keeps NaN on gap rows (gapfill() leaves
+        # sums/extrema null there)
+        out[c] = v
+    out["gap_filled"] = ~observed
+    return pd.DataFrame(out)
+
+
 def _fused_kernel(
     cfg: DetectorConfig, metrics: tuple[str, ...],
     emit_state: bool = False, steps_us: dict | None = None,
+    fill: str | None = None, fill_cols: tuple[str, ...] = (),
 ):
     window, tau, alpha, eps, value_col = (
         cfg.window, cfg.tau, cfg.alpha, cfg.eps, cfg.value_col,
@@ -401,6 +460,10 @@ def _fused_kernel(
     from .codec import encode_dod_batch, encode_xor_batch
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        if fill:
+            pdf = _fill_group_pdf(
+                pdf, steps_us[pdf["tier"].iloc[0]], fill, fill_cols
+            )
         pdf = pdf.sort_values("bucket_start", kind="mergesort").reset_index(drop=True)
         src = pdf["source"].iloc[0]
         tier = pdf["tier"].iloc[0]
@@ -529,30 +592,50 @@ def _fused_kernel(
 
 
 def derive_fused(
-    filled: DataFrame, cfg: RollupConfig | None = None, emit_state: bool = False
+    filled: DataFrame,
+    cfg: RollupConfig | None = None,
+    emit_state: bool = False,
+    fill: str | None = None,
 ) -> DataFrame:
-    """One grouped-map pass over a (possibly multi-tier) gap-filled frame
-    producing scores + residual stats + compressed blocks, long format.
-    `filled` must carry a `tier` column (gapfill emits it). With
-    emit_state=True, also one kind='state' row per (source, tier): the
-    grid-cut detector state + gap-fill carry anchor that lets the NEXT
-    derive run resume incrementally (increment.py); score/stat/block
-    output is byte-identical either way (split-at-grid evaluation, the
-    sharded-path property)."""
+    """One grouped-map pass over a (possibly multi-tier) frame producing
+    scores + residual stats + compressed blocks, long format. The input
+    must carry a `tier` column. With emit_state=True, also one
+    kind='state' row per (source, tier): the grid-cut detector state +
+    gap-fill carry anchor that lets the NEXT derive run resume
+    incrementally (increment.py); score/stat/block output is
+    byte-identical either way (split-at-grid evaluation, the sharded-path
+    property).
+
+    fill=None expects an already gap-filled frame (gapfill()); fill=
+    'locf'|'linear' takes RAW rollup rows and performs the gap-fill
+    INSIDE the kernel (_fill_group_pdf) — byte-identical output, but the
+    dense grid never shuffles: the exchange moves only the raw rows, and
+    the spine join + LOCF window sort disappear from the plan."""
     from .codec import BLOCK_METRICS
     from .config import TIER_US
 
     cfg = cfg or RollupConfig()
     det = cfg.detector
     cols = sorted(set(BLOCK_METRICS) | {det.value_col})
-    extra = ["gap_filled"] if emit_state else []
-    slim = filled.select(
-        "source", "tier", "bucket_start",
-        F.date_trunc("day", "bucket_start").alias("block_start"),
-        *[F.col(m).cast("double").alias(m) for m in cols],
-        *extra,
-    )
+    if fill is None:
+        extra = ["gap_filled"] if emit_state else []
+        slim = filled.select(
+            "source", "tier", "bucket_start",
+            F.date_trunc("day", "bucket_start").alias("block_start"),
+            *[F.col(m).cast("double").alias(m) for m in cols],
+            *extra,
+        )
+    else:
+        # raw rows only: block_start/gap_filled are grid facts the kernel
+        # derives itself
+        slim = filled.select(
+            "source", "tier", "bucket_start",
+            *[F.col(m).cast("double").alias(m) for m in cols],
+        )
     return slim.groupBy("source", "tier").applyInPandas(
-        _fused_kernel(det, BLOCK_METRICS, emit_state=emit_state, steps_us=dict(TIER_US)),
+        _fused_kernel(
+            det, BLOCK_METRICS, emit_state=emit_state, steps_us=dict(TIER_US),
+            fill=fill, fill_cols=tuple(cols),
+        ),
         schema=FUSED_SCHEMA,
     )

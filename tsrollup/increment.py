@@ -377,7 +377,9 @@ def incremental_derive(
         fb_rows = store.select(*ROLLUP_COLS).join(
             F.broadcast(fb_keys), ["source", "tier"], "left_semi"
         )
-        fb_out = derive_fused(_gapfill_union(fb_rows, cfg), cfg, emit_state=True)
+        # raw rows in, gap-fill inside the kernel (same bytes, no spine
+        # join / window sort / dense-grid shuffle — detect.derive_fused)
+        fb_out = derive_fused(fb_rows, cfg, emit_state=True, fill=cfg.gapfill_method)
         recomputed = fb_out if recomputed is None else recomputed.unionByName(fb_out)
     if recomputed is None:
         inc_cut.unpersist()

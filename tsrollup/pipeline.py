@@ -239,21 +239,23 @@ def derive(
     persisted = []
     tp = time.monotonic()
     if not cfg.detector.shard_buckets:
-        # Fused path (default): gap-fill each tier lazily, union them, and
-        # run scores + residual stats + Gorilla blocks in ONE grouped-map
-        # pass clustered on (source, tier) — one shuffle and one Arrow
-        # exchange instead of three (see detect.derive_fused). The split
-        # into the three sink tables reads the persisted kernel output.
-        # emit_state=True checkpoints the per-(source, tier) grid-cut
-        # detector state that enables the incremental path next run.
+        # Fused path (default): run gap-fill + scores + residual stats +
+        # Gorilla blocks in ONE grouped-map pass clustered on
+        # (source, tier) across ALL tiers — one shuffle of the RAW tier
+        # rows and one Arrow exchange; the dense gap-filled grid is built
+        # inside the kernel and never shuffles (detect._fill_group_pdf).
+        # The split into the three sink tables reads the persisted kernel
+        # output. emit_state=True checkpoints the per-(source, tier)
+        # grid-cut detector state that enables the incremental path next
+        # run.
         from .detect import derive_fused
 
-        filled_union = None
-        for tier in cfg.tiers:
-            tier_df = store.where(F.col("tier") == tier).select(*ROLLUP_COLS)
-            f = gapfill(tier_df, tier, cfg)
-            filled_union = f if filled_union is None else filled_union.unionByName(f)
-        fused = derive_fused(filled_union, cfg, emit_state=True).persist()
+        raw_union = store.where(F.col("tier").isin(list(cfg.tiers))).select(
+            *ROLLUP_COLS
+        )
+        fused = derive_fused(
+            raw_union, cfg, emit_state=True, fill=cfg.gapfill_method
+        ).persist()
         persisted.append(fused)
         counts = (
             fused.where("kind = 'score' AND detector = 'zscore'")
