@@ -62,6 +62,24 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def ann_lsh(spark, sf_dir):
         return ann_lsh_topk(spark, sf_dir)
 
+    def mm_features2(spark, sf_dir):
+        """Media-type dispatch across THREE registered decoders, two of
+        them real pure-NumPy parsers (24-bit BMP, 16-bit PCM WAV) —
+        datapipe.multimodal_features_mixed. Same fixed-precision string
+        projection as mm_features for the rows-only hash."""
+        from pyspark.sql import functions as F
+
+        from tsrollup.datapipe import multimodal_features_mixed
+
+        df = multimodal_features_mixed(spark, sf_dir)
+        feat_str = F.concat_ws(
+            ",", F.transform("feature", lambda x: F.format_string("%.6f", x))
+        )
+        return df.select(
+            "doc_id", "media_type", "n_bytes", "width", "height",
+            feat_str.alias("feature_csv"),
+        )
+
     def mm_features(spark, sf_dir):
         # The driver canonicalizer sorts/hashes every column, and pandas
         # can't factorize list cells — project the feature array to a
@@ -351,6 +369,7 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_codec_blocks": engine_codec_blocks,
         "ann_lsh": ann_lsh,
         "mm_features": mm_features,
+        "mm_features2": mm_features2,
         "engine_streaming_rollup": engine_streaming_rollup,
         "engine_streaming_welford": engine_streaming_welford,
         "engine_resume_ledger": engine_resume_ledger,

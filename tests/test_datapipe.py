@@ -62,6 +62,72 @@ def test_multimodal_plumbing(spark):
     assert (merged["width"] == merged["n_bytes"] % 640).all()
 
 
+def test_bmp_decoder_roundtrip():
+    """REAL decoder: known pixels through make_bmp -> _decode_bmp must
+    give exact per-channel means (incl. bottom-up row order + padding)."""
+    from tsrollup.datapipe import _decode_bmp, make_bmp
+
+    px = np.zeros((3, 5, 3), dtype=np.uint8)  # w=5: row pad of 1 byte
+    px[..., 0] = 10   # R
+    px[..., 1] = 100  # G
+    px[..., 2] = 200  # B
+    px[0, 0] = (255, 0, 0)  # one red pixel, top-left: catches row flips
+    w, h, f = _decode_bmp(make_bmp(px), 8)
+    assert (w, h) == (5, 3)
+    exp = px.astype(np.float64)
+    assert f[0] == exp[..., 0].mean()  # R
+    assert f[1] == exp[..., 1].mean()  # G
+    assert f[2] == exp[..., 2].mean()  # B
+    with pytest.raises(ValueError):
+        _decode_bmp(b"JUNK" * 20, 8)
+    with pytest.raises(ValueError):
+        _decode_bmp(make_bmp(px)[:-4], 8)  # truncated pixel data
+
+
+def test_wav_decoder_roundtrip():
+    from tsrollup.datapipe import _decode_wav, make_wav
+
+    t = np.arange(8000)
+    samples = (10000 * np.sin(2 * np.pi * 440 * t / 8000)).astype(np.int16)
+    n, rate, f = _decode_wav(make_wav(samples, 8000), 8)
+    assert (n, rate) == (8000, 8000)
+    assert abs(f[0] - np.sqrt(np.mean(samples.astype(np.float64) ** 2))) < 1e-9
+    assert f[1] == np.abs(samples.astype(np.float64)).max()
+    # 440 Hz tone: zero-crossing rate ~ 2*440/8000
+    assert abs(f[3] - 2 * 440 / 8000) < 0.01
+    # energy concentrates in the lowest of the 4 spectral bands
+    assert f[4] > 10 * max(f[5], f[6], f[7])
+    with pytest.raises(ValueError):
+        _decode_wav(b"RIFFxxxxJUNK", 8)
+
+
+def test_unregistered_media_type_raises():
+    from tsrollup.datapipe import _decode
+
+    with pytest.raises(NotImplementedError, match="video/mp4"):
+        _decode(b"\x00", "video/mp4", 8)
+
+
+def test_multimodal_mixed_dispatch(spark):
+    """The mixed entry must exercise all three decoders and produce
+    format-consistent dimensions per media type."""
+    from tsrollup.datapipe import multimodal_features_mixed
+
+    feats = multimodal_features_mixed(spark, SF).toPandas()
+    kinds = set(feats["media_type"])
+    assert kinds == {"text/plain", "image/bmp", "audio/wav"}
+    bmp = feats[feats["media_type"] == "image/bmp"]
+    assert (bmp["width"] == 16).all() and bmp["height"].between(1, 8).all()
+    wav = feats[feats["media_type"] == "audio/wav"]
+    assert (wav["height"] == 8000).all() and (wav["width"] > 0).all()
+    # deterministic: re-run equals first run
+    again = multimodal_features_mixed(spark, SF).toPandas()
+    a = feats.sort_values("doc_id").reset_index(drop=True)
+    b = again.sort_values("doc_id").reset_index(drop=True)
+    assert a.drop(columns="feature").equals(b.drop(columns="feature"))
+    assert all(np.array_equal(x, y) for x, y in zip(a["feature"], b["feature"]))
+
+
 def test_embedding_neardup_lsh_subset_of_brute(spark):
     """The banded-LSH near-dup pairs must be a SUBSET of the brute-force
     threshold pairs (exact-cosine verify means no false positives), with

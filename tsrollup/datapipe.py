@@ -283,3 +283,181 @@ def _decode_text_stub(payload: bytes, feat_dim: int):
 
 
 register_decoder("text/plain", _decode_text_stub)
+
+
+# ------------------------------------------------------- real decoders
+# Two REAL media decoders needing no external libraries: uncompressed
+# 24-bit BMP and 16-bit PCM WAV are public header-described formats a
+# pure-NumPy parser fully covers. They prove the registry/dispatch path
+# with genuine decode work (header validation, layout math, padded-row /
+# chunk walking, sample statistics) — the same shape a PIL/ffmpeg-backed
+# decoder drops into for compressed formats.
+
+
+def _fit(feats: list[float], feat_dim: int) -> np.ndarray:
+    out = np.zeros(feat_dim, dtype=np.float64)
+    out[: min(len(feats), feat_dim)] = feats[:feat_dim]
+    return out
+
+
+def make_bmp(pixels: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as an uncompressed 24-bit BMP
+    (BITMAPINFOHEADER, bottom-up rows padded to 4 bytes, BGR order)."""
+    import struct
+
+    h, w, _ = pixels.shape
+    row = w * 3
+    pad = (-row) % 4
+    body = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        body += pixels[y, :, ::-1].tobytes()  # RGB -> BGR
+        body += b"\x00" * pad
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return header + dib + bytes(body)
+
+
+def _decode_bmp(payload: bytes, feat_dim: int):
+    """REAL decoder: parse the BMP headers, reassemble the pixel array
+    (bottom-up, row padding, BGR), return per-channel means/stds +
+    brightness/contrast features."""
+    import struct
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (pix_off,) = struct.unpack_from("<I", payload, 10)
+    dib_size, w, h, planes, bpp, compression = struct.unpack_from(
+        "<IiiHHI", payload, 14
+    )
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(f"only uncompressed 24-bit BMP (got bpp={bpp})")
+    row = w * 3
+    stride = row + ((-row) % 4)
+    flipped = h > 0
+    h = abs(h)
+    if len(payload) < pix_off + stride * h:
+        raise ValueError("truncated BMP pixel data")
+    raw = np.frombuffer(payload, dtype=np.uint8, offset=pix_off, count=stride * h)
+    rows = raw.reshape(h, stride)[:, :row].reshape(h, w, 3)
+    if flipped:
+        rows = rows[::-1]
+    bgr = rows.astype(np.float64)
+    gray = bgr.mean(axis=2)
+    feats = [
+        float(bgr[..., 2].mean()), float(bgr[..., 1].mean()), float(bgr[..., 0].mean()),
+        float(bgr[..., 2].std()), float(bgr[..., 1].std()), float(bgr[..., 0].std()),
+        float(gray.mean()), float(gray.std()),
+    ]
+    return w, h, _fit(feats, feat_dim)
+
+
+def make_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """Encode an int16 array as a mono 16-bit PCM RIFF/WAVE file."""
+    import struct
+
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    fmt = struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 1, rate, rate * 2, 2, 16)
+    hdr = struct.pack("<4sI4s", b"RIFF", 4 + len(fmt) + 8 + len(data), b"WAVE")
+    return hdr + fmt + struct.pack("<4sI", b"data", len(data)) + data
+
+
+def _decode_wav(payload: bytes, feat_dim: int):
+    """REAL decoder: walk the RIFF chunk list, validate the PCM fmt chunk,
+    parse the int16 samples, return rms / peak / zero-crossing-rate +
+    coarse 4-band spectrum. width = sample count, height = sample rate
+    (the 'dimensions' of an audio clip)."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, samples = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, channels, rate = struct.unpack_from("<HHI", body, 0)
+            (bits,) = struct.unpack_from("<H", body, 14)
+            if audio_fmt != 1 or channels != 1 or bits != 16:
+                raise NotImplementedError("only mono 16-bit PCM WAV")
+        elif cid == b"data":
+            samples = np.frombuffer(body, dtype="<i2").astype(np.float64)
+        pos += 8 + size + (size % 2)  # RIFF chunks are 2-byte aligned
+    if rate is None or samples is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    n = samples.shape[0]
+    if n == 0:
+        return 0, int(rate), np.zeros(feat_dim, dtype=np.float64)
+    zcr = float(np.mean(np.signbit(samples[1:]) != np.signbit(samples[:-1])))
+    spec = np.abs(np.fft.rfft(samples / 32768.0))
+    bands = [float(b.sum()) for b in np.array_split(spec, 4)] if spec.size else [0.0] * 4
+    feats = [
+        float(np.sqrt(np.mean(samples**2))), float(np.abs(samples).max()),
+        float(samples.mean()), zcr, *bands,
+    ]
+    return n, int(rate), _fit(feats, feat_dim)
+
+
+register_decoder("image/bmp", _decode_bmp)
+register_decoder("audio/wav", _decode_wav)
+
+
+def multimodal_features_mixed(
+    spark: SparkSession, sf_dir: str, feat_dim: int = 8
+) -> DataFrame:
+    """Media-type DISPATCH on real decoders: documents become a 3-way mix
+    of payloads by doc_id — text/plain (utf-8 bytes), image/bmp (a real
+    encoded BMP whose pixels tile the text bytes), audio/wav (a real PCM
+    wave derived from the text bytes). Stage 1 synthesizes the binary
+    payload column (fixture adapter — the testdata ships no media blobs);
+    stage 2 is the SAME Arrow-batched decode path as multimodal_features,
+    now exercising three decoders incl. the two real parsers. Everything
+    is deterministic, so the driver entry is stable run to run."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        "text",
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            rows = {"doc_id": [], "payload": [], "media_type": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = text.encode("utf-8")
+                arr = np.frombuffer(raw, dtype=np.uint8)
+                kind = int(doc_id) % 3
+                if kind == 0 or arr.size == 0:
+                    mt, payload = "text/plain", raw
+                elif kind == 1:
+                    w = 16
+                    h = max(1, min(8, arr.size // (w * 3)))
+                    px = np.resize(arr, (h, w, 3))
+                    mt, payload = "image/bmp", make_bmp(px)
+                else:
+                    samples = (arr.astype(np.int32) - 128) * 256
+                    mt, payload = "audio/wav", make_wav(samples.astype(np.int16))
+                rows["doc_id"].append(doc_id)
+                rows["payload"].append(payload)
+                rows["media_type"].append(mt)
+            yield pd.DataFrame(rows)
+
+    payloads = d.mapInPandas(
+        synth, schema="doc_id string, payload binary, media_type string"
+    )
+
+    def extract(batches):
+        for pdf in batches:
+            feats = [
+                _decode(p, mt, feat_dim)
+                for p, mt in zip(pdf["payload"], pdf["media_type"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": [len(p) for p in pdf["payload"]],
+                    "width": [f[0] for f in feats],
+                    "height": [f[1] for f in feats],
+                    "feature": [f[2] for f in feats],
+                }
+            )
+
+    return payloads.mapInPandas(extract, schema=MM_FEATURE_SCHEMA)
