@@ -176,11 +176,12 @@ def main() -> None:
         path = os.path.join(REPO, "BENCH", "scaling.json")
         with open(path) as f:
             report = json.load(f)
-        report["cpu_ceiling_control"] = cpu_ceiling(lo_n, hi_n)
-        ceil = report["cpu_ceiling_control"]["compute_ceiling_eff"]
-        report["phase_efficiency_normalized"] = {
+        span = report["spans"][f"{lo_n}x{hi_n}"]
+        span["cpu_ceiling_control"] = cpu_ceiling(lo_n, hi_n)
+        ceil = span["cpu_ceiling_control"]["compute_ceiling_eff"]
+        span["phase_efficiency_normalized"] = {
             k: round(min(v / ceil, 1.0), 3)
-            for k, v in report.get("phase_efficiency", {}).items()
+            for k, v in span.get("phase_efficiency", {}).items()
         }
         with open(path, "w") as f:
             json.dump(report, f, indent=2)

@@ -50,6 +50,28 @@ def test_sharded_scores_byte_equal_unsharded(spark, filled_1m):
     )
 
 
+def test_sharded_carry_never_collects_per_shard(spark, filled_1m, monkeypatch):
+    """The carry chain flows through the distributed state table: exactly
+    TWO driver collects regardless of shard count (the n_shards bound and
+    the final stats), never one per shard."""
+    cls = type(filled_1m)  # concrete class (Spark 4: classic.DataFrame)
+    calls = {"n": 0}
+    orig = cls.collect
+
+    def counting(self):
+        calls["n"] += 1
+        return orig(self)
+
+    monkeypatch.setattr(cls, "collect", counting)
+    sharded_cfg = RollupConfig(
+        detector=DetectorConfig(shard_buckets=kernels.SCAN_CHUNK)  # many shards
+    )
+    sc, st = score_tier_sharded(filled_1m, "1m", sharded_cfg)
+    n_score_rows = sc.count()
+    assert n_score_rows > 0 and st.count() > 0
+    assert calls["n"] == 2, f"expected 2 driver collects, saw {calls['n']}"
+
+
 def test_shard_alignment_validation(filled_1m):
     bad = RollupConfig(detector=DetectorConfig(shard_buckets=100))  # not %64
     with pytest.raises(ValueError, match="SCAN_CHUNK"):

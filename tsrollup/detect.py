@@ -153,7 +153,7 @@ def _unpack_state(blob: str) -> tuple[np.ndarray, float, float, tuple]:
     return arr[8:].copy(), s, v, welf
 
 
-def _sharded_kernel(cfg: DetectorConfig, tier: str, states: dict[str, str]):
+def _sharded_kernel(cfg: DetectorConfig, tier: str):
     window, tau, alpha, eps, value_col = (
         cfg.window, cfg.tau, cfg.alpha, cfg.eps, cfg.value_col,
     )
@@ -162,7 +162,9 @@ def _sharded_kernel(cfg: DetectorConfig, tier: str, states: dict[str, str]):
         pdf = pdf.sort_values("bucket_start", kind="mergesort").reset_index(drop=True)
         x = pdf[value_col].to_numpy(dtype="float64")
         src = pdf["source"].iloc[0]
-        packed = states.get(src)
+        packed = pdf["_carry"].iloc[0] if "_carry" in pdf.columns else None
+        if packed is not None and not isinstance(packed, str):  # NaN from join
+            packed = None
         if packed is None:
             tail = np.empty(0, dtype=np.float64)
             init = None
@@ -249,21 +251,43 @@ def score_tier_sharded(
         empty_scores = spark.createDataFrame([], schemas.SCORE_SCHEMA)
         empty_stats = spark.createDataFrame([], schemas.RESIDUAL_STATS_SCHEMA)
         return empty_scores, empty_stats
-    states: dict[str, str] = {}
+    # Carry chain through a distributed STATE TABLE: each shard wave joins
+    # the previous wave's (source, _carry) rows into its input (broadcast —
+    # O(sources) rows) and the kernel resumes from the column. The
+    # sequencing is inherent (shard k+1 needs k's state), but the driver
+    # never collects state between waves and the closure ships no
+    # per-source dict — one Spark job per wave, state stays executor-side.
+    state_df = None
     parts = []
     for sid in range(int(n_shards) + 1):
         part = with_idx.where(F.col("_shard") == sid).drop("_shard")
+        if state_df is None:
+            part = part.withColumn("_carry", F.lit(None).cast("string"))
+        else:
+            part = part.join(F.broadcast(state_df), "source", "left")
         res = (
             part.groupBy("source")
-            .applyInPandas(_sharded_kernel(det, tier, dict(states)), schema=_SHARD_SCHEMA)
+            .applyInPandas(_sharded_kernel(det, tier), schema=_SHARD_SCHEMA)
             .localCheckpoint()  # materialize: state rows + final union reuse it
         )
-        for row in res.where(F.col("detector") == _STATE_ROW).select("source", "state").collect():
-            states[row["source"]] = row["state"]
+        new_states = res.where(F.col("detector") == _STATE_ROW).select(
+            "source", F.col("state").alias("_carry")
+        )
+        if state_df is None:
+            state_df = new_states.localCheckpoint()
+        else:
+            # a source whose series ended in an earlier shard emits no new
+            # state row but must keep its state for the final stats
+            state_df = new_states.unionByName(
+                state_df.join(new_states, "source", "left_anti")
+            ).localCheckpoint()
         parts.append(res.where(F.col("detector") != _STATE_ROW).drop("state"))
     scores = parts[0]
     for p in parts[1:]:
         scores = scores.unionByName(p)
+    # ONE O(sources) collect at the very end (not per shard): final
+    # residual stats come from the terminal state table
+    states = {r["source"]: r["_carry"] for r in state_df.collect()}
     stats_rows = []
     for src in sorted(states):
         _tail, _s, _v, (nz_, mz, m2z, ne_, me, m2e) = _unpack_state(states[src])

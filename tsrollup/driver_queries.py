@@ -610,7 +610,16 @@ def dd_minhash_lsh(spark, sf_dir):
     identical bands; candidates from the band-bucket self-join; exact
     shingle-set-Jaccard verify at 0.7. Shingles (not unigrams) keep the
     signature space discriminative — with a small vocabulary, unigram sets
-    collide for almost every pair and candidates go quadratic."""
+    collide for almost every pair and candidates go quadratic.
+
+    At-scale layout: the (doc_id, shingles) sets are written ONCE as a
+    columnar side table; the signature pipeline explodes from the store,
+    and the verify step joins the candidate pairs back against a
+    SEMI-JOIN-pruned read of the store — only candidate docs' shingle
+    arrays ever shuffle (at 100 TB the candidate set is orders of
+    magnitude smaller than the corpus), and nothing is pinned in cache."""
+    import os
+
     d = t(spark, sf_dir, "documents")
     shingles = F.expr(
         "transform(sequence(0, size(ws) - 3), "
@@ -620,9 +629,15 @@ def dd_minhash_lsh(spark, sf_dir):
         d.select("doc_id", F.split(F.lower("text"), " ").alias("ws"))
         .where(F.size("ws") >= 3)
         .select("doc_id", F.array_distinct(shingles).alias("shingles"))
-        .cache()  # reused by sigs AND both sides of the verify join
     )
-    words = sets.select("doc_id", F.explode("shingles").alias("w"))
+    store_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".scratch", "shingle_store",
+    )
+    sets.write.mode("overwrite").parquet(store_path)
+    store = spark.read.parquet(store_path)
+
+    words = store.select("doc_id", F.explode("shingles").alias("w"))
     bands = F.explode(F.array(*[F.lit(b) for b in range(4)])).alias("b")
     sigs = (
         words.select("doc_id", "w", bands)
@@ -637,12 +652,19 @@ def dd_minhash_lsh(spark, sf_dir):
         .select(F.col("s1.doc_id").alias("doc_a"), F.col("s2.doc_id").alias("doc_b"))
         .distinct()
     )
+    # verify reads the slim store: semi-join prune to candidate ids FIRST,
+    # so shingle arrays shuffle only for docs that are in some candidate
+    # pair. No broadcast hint: AQE picks the build side in either regime.
+    cand_ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    slim = store.join(cand_ids, "doc_id", "left_semi")
     ni = F.size(F.array_intersect(F.col("sa.shingles"), F.col("sb.shingles")))
-    # no broadcast hint: at corpus scale `sets` is huge and `cand` is the
-    # small side — AQE picks the right build side in either regime
     j = (
-        cand.join(sets.alias("sa"), F.col("sa.doc_id") == F.col("doc_a"))
-        .join(sets.alias("sb"), F.col("sb.doc_id") == F.col("doc_b"))
+        cand.join(slim.alias("sa"), F.col("sa.doc_id") == F.col("doc_a"))
+        .join(slim.alias("sb"), F.col("sb.doc_id") == F.col("doc_b"))
         .withColumn(
             "jacc_raw",
             ni.cast("double")
