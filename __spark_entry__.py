@@ -301,9 +301,12 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             f"{days[-1]}T00:00:00", f"{days[-1]}T23:59:59",
             metric="n_tok_mean", resolution_s=3600,
         )
+        # raw doubles, no rounding: the Gorilla round-trip is lossless and
+        # the gap-filled mean is a single exact division, so the DuckDB
+        # oracle reproduces the bits exactly
         return dec.select(
             "source", F.unix_timestamp("bucket_start").alias("bucket_s"),
-            "tier", "metric", F.round("value", 6).alias("value_r"),
+            "tier", "metric", F.col("value").alias("value_d"),
         )
 
     def engine_incremental_derive(spark, sf_dir):
@@ -464,11 +467,78 @@ def _engine_oracles() -> dict[str, str]:
     WHERE NOT (tier = '1m' AND day = span.mn AND (span.mx - span.mn) >= 2)
     """)
 
+    # resume/lineage ledger: the oracle computes every unit's ground truth
+    # (per-(source_bucket, day) row count, bit_xor token checksum over
+    # Spark-exact ARRAY<INT> hashes, per-tier output rows) in one shot —
+    # so a green row proves the TWO-RUN resumed build committed each unit
+    # exactly once with exactly its own rows.
+    from tsrollup.storage import n_source_buckets
+
+    nb = n_source_buckets()
+    resume_ledger = engine_oracle(f""",
+    r AS (
+      SELECT source, event_ts,
+             xxpmod(xxh64(source), {nb}) AS sb,
+             event_ts::DATE AS day,
+             xxh64_intlist(tokens) AS row_hash
+      FROM seq
+    ),
+    units AS (
+      SELECT sb, day, count(*)::BIGINT AS input_rows,
+             bit_xor(row_hash)::BIGINT AS token_checksum
+      FROM r GROUP BY sb, day
+    ),
+    t1m AS (SELECT sb, day, count(*)::BIGINT AS n FROM
+      (SELECT DISTINCT source, date_trunc('minute', event_ts), sb, day FROM r)
+      GROUP BY sb, day),
+    t1h AS (SELECT sb, day, count(*)::BIGINT AS n FROM
+      (SELECT DISTINCT source, date_trunc('hour', event_ts), sb, day FROM r)
+      GROUP BY sb, day),
+    t1d AS (SELECT sb, day, count(*)::BIGINT AS n FROM
+      (SELECT DISTINCT source, date_trunc('day', event_ts), sb, day FROM r)
+      GROUP BY sb, day)
+    SELECT sb::VARCHAR || '/' || day::VARCHAR AS unit_id,
+           input_rows, token_checksum,
+           t1m.n AS out_rows_1m, t1h.n AS out_rows_1h, t1d.n AS out_rows_1d
+    FROM units
+    JOIN t1m USING (sb, day) JOIN t1h USING (sb, day) JOIN t1d USING (sb, day)
+    """)
+
+    # cold-read path: decoded Gorilla blocks must round-trip to the
+    # gap-filled 1h mean series BIT-exactly — the oracle rebuilds the
+    # per-source hour spine, LOCF-fills the one-division mean, and
+    # compares raw doubles (no rounding anywhere)
+    read_decoded = engine_oracle(""",
+    hb AS (
+      SELECT source, date_trunc('hour', event_ts) AS b,
+             sum(n_tok)::BIGINT AS s, count(*)::BIGINT AS c
+      FROM seq GROUP BY 1, 2
+    ),
+    bounds AS (SELECT source, min(b) AS b0, max(b) AS b1 FROM hb GROUP BY source),
+    spine AS (
+      SELECT source, unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS b
+      FROM bounds
+    ),
+    filled AS (
+      SELECT sp.source, sp.b,
+             last_value(hb.s::DOUBLE / hb.c IGNORE NULLS) OVER (
+               PARTITION BY sp.source ORDER BY sp.b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_d
+      FROM spine sp LEFT JOIN hb ON hb.source = sp.source AND hb.b = sp.b
+    ),
+    last_day AS (SELECT max(event_ts::DATE) AS d FROM seq)
+    SELECT source, epoch(b)::BIGINT AS bucket_s,
+           '1h' AS tier, 'n_tok_mean' AS metric, value_d
+    FROM filled, last_day WHERE b::DATE = last_day.d
+    """)
+
     return {
         "engine_streaming_rollup": streaming_rollup,
         "engine_read_range": read_range,
         "engine_streamed_ingest": streamed_ingest,
         "engine_retention": retention,
+        "engine_resume_ledger": resume_ledger,
+        "engine_read_decoded": read_decoded,
     }
 
 

@@ -83,11 +83,25 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
+def test_sql_intlist_hash_matches_spark(spark, duck):
+    arrs = [[], [0], [1, 2, 3], [50256, 0, 49999], [2**31 - 1, -1, -(2**31)],
+            list(range(200))]
+    got = [duck.execute("SELECT xxh64_intlist(?::INT[])", [a]).fetchone()[0]
+           for a in arrs]
+    from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
+
+    schema = StructType([StructField("a", ArrayType(IntegerType()))])
+    df = spark.createDataFrame([(a,) for a in arrs], schema)
+    exp = [r[0] for r in df.select(F.xxhash64("a")).collect()]
+    assert got == exp
+
+
 ENGINE_ORACLE_NAMES = [
     "engine_streaming_rollup",
     "engine_read_range",
     "engine_streamed_ingest",
     "engine_retention",
+    "engine_resume_ledger",
 ]
 
 

@@ -92,6 +92,27 @@ CREATE OR REPLACE MACRO xxh64(s) AS
           ELSE u::BIGINT END)[1]);
 CREATE OR REPLACE MACRO xxpmod(h, m) AS
   (((((h)::HUGEINT % (m)) + (m)) % (m))::BIGINT);
+CREATE OR REPLACE MACRO xxav1(h) AS
+  (xxmul(xxxor(h, h // 8589934592), 14029467366897019727));
+CREATE OR REPLACE MACRO xxav2(h) AS
+  (xxmul(xxxor(h, h // 536870912), 1609587929392839161));
+CREATE OR REPLACE MACRO xxfin(h) AS (xxxor(h, h // 4294967296));
+-- Spark xxhash64 over ARRAY<INT>: Catalyst folds hash = hashInt(elem, hash)
+-- over the elements with initial seed 42; hashInt(i, seed) =
+-- fmix(rotl23((seed + P5 + 4) xor (u32(i) * P1)) * P2 + P3)
+CREATE OR REPLACE MACRO xxhint_step(a, e) AS
+  (xxfin(xxav2(xxav1(
+     (xxmul(xxrotl(xxxor((a + 2870177450012600265) % 18446744073709551616,
+                         xxmul((e + 4294967296) % 4294967296,
+                               11400714785074694791)),
+                   8388608, 2199023255552), 14029467366897019727)
+      + 1609587929392839161) % 18446744073709551616))));
+CREATE OR REPLACE MACRO xxh64_intlist(l) AS
+  (list_transform([list_reduce(
+      list_prepend(42::HUGEINT, list_transform(l, e -> e::HUGEINT)),
+      (a, e) -> xxhint_step(a, e))], u ->
+     CASE WHEN u >= 9223372036854775808
+          THEN (u - 18446744073709551616)::BIGINT ELSE u::BIGINT END)[1]);
 """
 
 #: CTE reconstructing the engine's sequence table from the `documents`
