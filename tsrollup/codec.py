@@ -78,7 +78,7 @@ _U64 = (1 << 64) - 1
 _ONE = np.uint64(1)
 
 
-#: fields per _pack_fields chunk — bounds temporary arrays to a few MB so
+#: fields per bit-expansion chunk — bounds temporary arrays to a few MB so
 #: the allocator reuses pages instead of faulting fresh ones (this sandbox
 #: first-touches anon memory at ~10 MB/s; steady-state reuse is full speed)
 _PACK_CHUNK = 262_144
@@ -87,12 +87,40 @@ _PACK_CHUNK = 262_144
 def _pack_fields(values: np.ndarray, lengths: np.ndarray) -> bytes:
     """Pack (uint64 value, 0..64-bit length) fields MSB-first into bytes,
     zero-padding the final byte (same tail rule as a sequential bit writer).
-    Vectorized scatter over output bit positions, chunked over fields; the
-    caller guarantees chunk boundaries land on byte boundaries only for the
-    WHOLE stream, so chunks share one bit array and one final packbits."""
+
+    Two byte-identical strategies, dispatched on mean bits/field:
+    - bit expansion (repeat + packbits): cheapest when the stream is
+      dominated by 1-bit '0' controls (LOCF/const shapes — work scales
+      with BITS, which is then ~1/field);
+    - word packing: each field left-aligned into a 64-bit lane and
+      OR-scattered into its ≤2 big-endian output words — work scales
+      with FIELDS, winning when payloads are wide (dense/random shapes,
+      measured ~2x)."""
     if lengths.size == 0:
         return b""
     total = int(lengths.sum())
+    if total < 16 * lengths.size:
+        return _pack_fields_bits(values, lengths, total)
+    starts = np.cumsum(lengths) - lengths
+    words = np.zeros(total // 64 + 2, dtype=np.uint64)
+    nz = lengths > 0
+    ln = lengths[nz].astype(np.uint64)
+    s = starts[nz]
+    a = values[nz] << (np.uint64(64) - ln)  # left-aligned payload
+    w = (s >> 6).astype(np.int64)
+    sh = (s & 63).astype(np.uint64)
+    # (a << 1) << (63 - sh) == a << (64 - sh) without the sh=0 UB
+    np.bitwise_or.at(words, w, a >> sh)
+    np.bitwise_or.at(
+        words, w + 1,
+        np.where(sh > 0, (a << _ONE) << (np.uint64(63) - sh), np.uint64(0)),
+    )
+    return words.byteswap().tobytes()[: (total + 7) // 8]
+
+
+def _pack_fields_bits(values: np.ndarray, lengths: np.ndarray, total: int) -> bytes:
+    """Bit-expansion packer (see _pack_fields), chunked over fields so
+    temporaries stay a few MB; chunks share one bit array + one packbits."""
     bits = np.empty(total, dtype=np.uint8)
     ends_all = np.cumsum(lengths)
     done_bits = 0
@@ -100,8 +128,7 @@ def _pack_fields(values: np.ndarray, lengths: np.ndarray) -> bytes:
         c1 = min(c0 + _PACK_CHUNK, lengths.size)
         ln = lengths[c0:c1]
         seg = int(ends_all[c1 - 1]) - done_bits
-        # shift of output bit b (within chunk) = (end-of-its-field) - b - 1;
-        # expressed with repeat (no fancy index, minimal passes)
+        # shift of output bit b (within chunk) = (end-of-its-field) - b - 1
         ends_u = np.cumsum(ln).astype(np.uint64)
         shift = np.repeat(ends_u, ln)
         shift -= np.arange(1, seg + 1, dtype=np.uint64)
@@ -509,39 +536,77 @@ def encode_xor_batch(blocks: list[np.ndarray]) -> list[bytes]:
                 | (len_a - 1).astype(np.uint64)
             )
             meaning_a = x_nz >> trail_a.astype(np.uint64)
-            # sequential window state machine over nonzeros only
-            v1, l1, v2, l2 = [], [], [], []
-            ap1, ap2, ap3, ap4 = v1.append, l1.append, v2.append, l2.append
-            w_lead, w_len, w_trail = -1, 0, 64
-            cur_blk = -1
-            for xw, ld, tr, ln, c13, mn, bk in zip(
-                x_nz.tolist(),
-                lead_a.tolist(),
-                trail_a.tolist(),
-                len_a.tolist(),
-                ctrl13_a.tolist(),
-                meaning_a.tolist(),
-                blk_nz.tolist(),
-            ):
-                if bk != cur_blk:  # window never crosses blocks
-                    cur_blk = bk
-                    w_lead = -1
-                if ld >= w_lead >= 0 and tr >= w_trail:
-                    ap1(0b10)
-                    ap2(2)
-                    ap3(xw >> w_trail)
-                    ap4(w_len)
-                else:
-                    ap1(c13)
-                    ap2(13)
-                    ap3(mn)
-                    ap4(ln)
-                    w_lead, w_len = ld, ln
-                    w_trail = 64 - ld - ln
-            fv[slots_nz] = v1
-            fl[slots_nz] = l1
-            fv[slots_nz + 1] = v2
-            fl[slots_nz + 1] = l2
+            # The (prev_lead, prev_trail) window state machine is
+            # sequential WITHIN a block but independent ACROSS blocks, so
+            # it runs SIMT-style over block lanes (the same trick as the
+            # batch decoders): step k processes every block's k-th nonzero
+            # with ~10 vector ops; field SLOTS are position-independent of
+            # the reuse/new decisions (bit offsets come from the later
+            # cumsum of fl), so each step scatters straight into fv/fl.
+            # Below ~8 lanes the vector ops don't amortize — fall back to
+            # the per-point loop (byte-identical; hypothesis covers both).
+            if B < 8:
+                v1, l1, v2, l2 = [], [], [], []
+                ap1, ap2, ap3, ap4 = v1.append, l1.append, v2.append, l2.append
+                w_lead, w_len, w_trail = -1, 0, 64
+                cur_blk = -1
+                for xw, ld, tr, ln, c13, mn, bk in zip(
+                    x_nz.tolist(), lead_a.tolist(), trail_a.tolist(),
+                    len_a.tolist(), ctrl13_a.tolist(), meaning_a.tolist(),
+                    blk_nz.tolist(),
+                ):
+                    if bk != cur_blk:  # window never crosses blocks
+                        cur_blk = bk
+                        w_lead = -1
+                    if ld >= w_lead >= 0 and tr >= w_trail:
+                        ap1(0b10)
+                        ap2(2)
+                        ap3(xw >> w_trail)
+                        ap4(w_len)
+                    else:
+                        ap1(c13)
+                        ap2(13)
+                        ap3(mn)
+                        ap4(ln)
+                        w_lead, w_len = ld, ln
+                        w_trail = 64 - ld - ln
+                fv[slots_nz] = v1
+                fl[slots_nz] = l1
+                fv[slots_nz + 1] = v2
+                fl[slots_nz + 1] = l2
+                return _finish_blob_batch(B, enc, headers, fv, fl, o, cf)
+            nzc = np.bincount(blk_nz, minlength=B)  # nonzeros per block
+            nzstart = np.cumsum(nzc) - nzc
+            order = np.argsort(-nzc, kind="stable")  # active prefix shrinks
+            c_sorted = nzc[order]
+            w_lead = np.full(B, -1, dtype=np.int64)
+            w_trail = np.full(B, 64, dtype=np.int64)
+            max_steps = int(c_sorted[0]) if B else 0
+            # lanes active at step k = first n_k entries of `order`
+            n_at_step = np.searchsorted(-c_sorted, -(np.arange(max_steps) + 1), side="right")
+            base = nzstart[order]
+            for k in range(max_steps):
+                lanes = order[: n_at_step[k]]
+                idx = base[: n_at_step[k]] + k  # k-th nonzero of each lane
+                ld, tr = lead_a[idx], trail_a[idx]
+                wl, wt = w_lead[lanes], w_trail[lanes]
+                reuse = (ld >= wl) & (wl >= 0) & (tr >= wt)
+                s = slots_nz[idx]
+                # clip the discarded-lane shift (initial wt=64 would be UB)
+                wt_u = np.minimum(wt, 63).astype(np.uint64)
+                fv[s] = np.where(reuse, np.uint64(0b10), ctrl13_a[idx])
+                fl[s] = np.where(reuse, 2, 13)
+                fv[s + 1] = np.where(reuse, x_nz[idx] >> wt_u, meaning_a[idx])
+                fl[s + 1] = np.where(reuse, 64 - wl - wt, len_a[idx])
+                w_lead[lanes] = np.where(reuse, wl, ld)
+                w_trail[lanes] = np.where(reuse, wt, tr)
+    return _finish_blob_batch(B, enc, headers, fv, fl, o, cf)
+
+
+def _finish_blob_batch(B, enc, headers, fv, fl, o, cf) -> list[bytes]:
+    """Shared tail of the batch encoders: byte-pad each blob's bitstream,
+    pack all fields in one pass, split per blob, splice header-only
+    blobs back in."""
     pad_slots = (o + cf)[enc]
     fl[pad_slots] = 0
     cfl = np.concatenate(([0], np.cumsum(fl)))
