@@ -52,12 +52,24 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return residual_stats(gapfill(tiers["1h"], "1h", cfg), "1h", cfg)
 
     def engine_codec_blocks(spark, sf_dir):
+        """C1+C2+C3 round trip of the gap-filled 1h tier. Raw doubles, no
+        rounding: the Gorilla codec is lossless and every encoded metric
+        is either an exact integer count or a single exact division, so
+        the DuckDB oracle (spine + LOCF + 3-metric unpivot) matches
+        bit-for-bit — the codec round trip itself sits on the oracle
+        board."""
+        from pyspark.sql import functions as F
+
         cfg = RollupConfig()
         seq = sequences_from_documents(spark, sf_dir)
         tiers = build_all_tiers(seq, cfg)
         filled = gapfill(tiers["1h"], "1h", cfg)
         blocks = compress_tier(filled, "1h", cfg)
-        return decompress_blocks(blocks)
+        return decompress_blocks(blocks).select(
+            "source", "tier", "metric",
+            F.unix_timestamp("bucket_start").alias("bucket_s"),
+            F.col("value").alias("value_d"),
+        )
 
     def ann_lsh(spark, sf_dir):
         return ann_lsh_topk(spark, sf_dir)
@@ -532,6 +544,37 @@ def _engine_oracles() -> dict[str, str]:
     FROM filled, last_day WHERE b::DATE = last_day.d
     """)
 
+    # codec round trip: the decoded block points of the filled 1h tier,
+    # all three encoded metrics, raw doubles (lossless codec + exact
+    # divisions — see engine_codec_blocks docstring)
+    codec_blocks = engine_oracle(""",
+    hb AS (
+      SELECT source, date_trunc('hour', event_ts) AS b,
+             count(*)::BIGINT AS c, sum(n_tok)::BIGINT AS s,
+             sum(list_aggregate(tokens, 'sum'))::BIGINT AS ts_,
+             sum(n_tok)::BIGINT AS tc
+      FROM seq GROUP BY 1, 2
+    ),
+    bounds AS (SELECT source, min(b) AS b0, max(b) AS b1 FROM hb GROUP BY source),
+    spine AS (
+      SELECT source, unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS b
+      FROM bounds
+    ),
+    filled AS (
+      SELECT sp.source, sp.b,
+             coalesce(hb.c, 0)::DOUBLE AS cnt_v,
+             last_value(hb.s::DOUBLE / hb.c IGNORE NULLS) OVER w AS ntm,
+             last_value(hb.ts_::DOUBLE / hb.tc IGNORE NULLS) OVER w AS tkm
+      FROM spine sp LEFT JOIN hb ON hb.source = sp.source AND hb.b = sp.b
+      WINDOW w AS (PARTITION BY sp.source ORDER BY sp.b
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT source, '1h' AS tier, 'cnt' AS metric,
+           epoch(b)::BIGINT AS bucket_s, cnt_v AS value_d FROM filled
+    UNION ALL SELECT source, '1h', 'n_tok_mean', epoch(b)::BIGINT, ntm FROM filled
+    UNION ALL SELECT source, '1h', 'tok_mean', epoch(b)::BIGINT, tkm FROM filled
+    """)
+
     return {
         "engine_streaming_rollup": streaming_rollup,
         "engine_read_range": read_range,
@@ -539,6 +582,7 @@ def _engine_oracles() -> dict[str, str]:
         "engine_retention": retention,
         "engine_resume_ledger": resume_ledger,
         "engine_read_decoded": read_decoded,
+        "engine_codec_blocks": codec_blocks,
     }
 
 

@@ -102,6 +102,8 @@ ENGINE_ORACLE_NAMES = [
     "engine_streamed_ingest",
     "engine_retention",
     "engine_resume_ledger",
+    "engine_read_decoded",
+    "engine_codec_blocks",
 ]
 
 
