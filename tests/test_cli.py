@@ -45,3 +45,14 @@ def test_cli_build_query_roundtrip(spark, capsys):
     assert main(["score", "--out", out, "--tier", "1h"]) == 0
     sc = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert sc["tier"] == "1h" and sc["anomalies"] >= 0
+
+    # --now-day threads retention awareness into the planner: with the
+    # range inside every horizon the same rows come back; the arg wiring
+    # (not just the default) is exercised
+    assert main([
+        "query", "--out", out,
+        "--start", "2024-01-01T00:00:00", "--end", "2024-01-09T00:00:00",
+        "--resolution", "3600", "--limit", "1", "--now-day", "2024-01-09",
+    ]) == 0
+    qn = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert qn["rows"] == q["rows"] and qn["tier"] == "1h"
