@@ -13,11 +13,12 @@ derived wall proportional to the BATCH (plus a bounded halo):
   before p = start of the day containing bucket(g)).
 - The next batch, for every (source, tier) whose new data is a pure
   append (min new bucket > checkpointed end), re-derives ONLY
-  [p, new end]: gap-fill runs on the segment through the SAME Spark path
-  (a synthetic carry row anchors LOCF/linear across the cut), scores
-  resume from the grid state, stats fold on from the Welford triples, and
-  blocks re-encode only days >= day(g). Output is byte-identical to a
-  full recompute (tests/test_increment.py).
+  [p, new end]: the RAW segment rows (plus a synthetic carry row that
+  anchors LOCF/linear across the cut) go straight into the kernel, which
+  rebuilds the gap-filled grid in-kernel (detect._fill_group_pdf) and
+  trims to >= p; scores resume from the grid state, stats fold on from
+  the Welford triples, and blocks re-encode only days >= day(g). Output
+  is byte-identical to a full recompute (tests/test_increment.py).
 - Late/backfilled data (min new bucket <= checkpointed end, or no state)
   falls back to a full re-derive of that (source, tier) only.
 - Sink writes are preserve-union partition overwrites: within each
@@ -49,7 +50,6 @@ from .detect import (
     make_state_row,
     unpack_inc_state,
 )
-from .gapfill import gapfill
 from .rollup import ROLLUP_COLS
 from .storage import n_source_buckets
 
@@ -82,18 +82,44 @@ def write_states(states: DataFrame, out_base: str) -> None:
 # ------------------------------------------------------- incremental kernel
 
 
-def _inc_kernel(cfg: DetectorConfig, metrics: tuple[str, ...], steps_us: dict):
-    """Per-(source, tier) grouped map over the gap-filled SEGMENT
-    [p, end] with the checkpointed state joined on. Emits the same long
-    format as detect._fused_kernel: score rows for [g, end], stat rows
-    (full-series totals via the carried Welford triples), block rows for
-    every local day, and the refreshed kind='state' row."""
+def _inc_kernel(
+    cfg: DetectorConfig, metrics: tuple[str, ...], steps_us: dict,
+    fill: str | None = None,
+):
+    """Per-(source, tier) grouped map over the SEGMENT [p, end] with the
+    checkpointed state joined on. Emits the same long format as
+    detect._fused_kernel: score rows for [g, end], stat rows (full-series
+    totals via the carried Welford triples), block rows for every local
+    day, and the refreshed kind='state' row.
+
+    With `fill` set, the input is the RAW segment rows (carry anchor +
+    [p, end]) and the gap-filled grid is rebuilt in-kernel
+    (detect._fill_group_pdf — anchor first, trim to >= p after); fill=None
+    keeps the legacy already-filled contract."""
     window, tau, alpha, eps, value_col = (
         cfg.window, cfg.tau, cfg.alpha, cfg.eps, cfg.value_col,
     )
     from .codec import encode_dod_batch, encode_xor_batch
+    from .detect import _fill_group_pdf
+
+    fill_cols = tuple(sorted(set(metrics) | {value_col}))
+    const_cols = (
+        "g_bucket", "p_bucket", "carry_bucket",
+        "carry_n_tok_mean", "carry_tok_mean", "state",
+    )
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        if fill:
+            consts = {c: pdf[c].iloc[0] for c in const_cols if c in pdf.columns}
+            filled = _fill_group_pdf(
+                pdf, steps_us[pdf["tier"].iloc[0]], fill, fill_cols
+            )
+            filled = filled[
+                filled["bucket_start"] >= consts["p_bucket"]
+            ].reset_index(drop=True)
+            for c, v in consts.items():
+                filled[c] = v
+            pdf = filled
         pdf = pdf.sort_values("bucket_start", kind="mergesort").reset_index(drop=True)
         src = pdf["source"].iloc[0]
         tier = pdf["tier"].iloc[0]
@@ -280,16 +306,6 @@ def _synth_carry_rows(cut: DataFrame) -> DataFrame:
     )
 
 
-def _gapfill_union(rollup_rows: DataFrame, cfg: RollupConfig) -> DataFrame:
-    """Per-tier gap-fill (the SAME Spark path as the full derive), unioned
-    back into one multi-tier frame."""
-    union = None
-    for tier in cfg.tiers:
-        f = gapfill(rollup_rows.where(F.col("tier") == tier), tier, cfg)
-        union = f if union is None else union.unionByName(f)
-    return union
-
-
 def incremental_derive(
     spark: SparkSession,
     out_base: str,
@@ -345,13 +361,16 @@ def incremental_derive(
             .drop("p_bucket")
             .unionByName(_synth_carry_rows(inc_cut))
         )
-        filled = _gapfill_union(seg_rows, cfg)
+        # raw segment rows (carry anchor + [p, end]) straight into the
+        # kernel; the gap-filled grid is rebuilt in-kernel from the carry
+        # anchor and trimmed to >= p there (detect._fill_group_pdf) — no
+        # spine join / LOCF window sort / dense-grid shuffle, same bytes
         det = cfg.detector
         from .codec import BLOCK_METRICS
 
         cols = sorted(set(BLOCK_METRICS) | {det.value_col})
         slim = (
-            filled.join(
+            seg_rows.join(
                 F.broadcast(
                     inc_cut.select(
                         "source", "tier", "g_bucket", "p_bucket",
@@ -361,17 +380,16 @@ def incremental_derive(
                 ),
                 ["source", "tier"],
             )
-            .where(F.col("bucket_start") >= F.col("p_bucket"))
             .select(
                 "source", "tier", "bucket_start",
-                F.date_trunc("day", "bucket_start").alias("block_start"),
                 *[F.col(m).cast("double").alias(m) for m in cols],
-                "gap_filled", "g_bucket", "carry_bucket",
+                "g_bucket", "p_bucket", "carry_bucket",
                 "carry_n_tok_mean", "carry_tok_mean", "state",
             )
         )
         recomputed = slim.groupBy("source", "tier").applyInPandas(
-            _inc_kernel(det, BLOCK_METRICS, dict(TIER_US)), schema=FUSED_SCHEMA
+            _inc_kernel(det, BLOCK_METRICS, dict(TIER_US), fill=cfg.gapfill_method),
+            schema=FUSED_SCHEMA,
         )
     if n_fb:
         fb_rows = store.select(*ROLLUP_COLS).join(
