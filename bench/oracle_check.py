@@ -1,0 +1,81 @@
+"""Driver-harness pre-validation: run every `queries()` entry that has an
+`oracle_sql()` twin side-by-side with DuckDB at sf0.01 (the driver's
+correctness scale — tests/ run the same logic at sf0.001) and compare
+rows, column names, and VALUES exactly.
+
+Stricter than the driver on dtypes (pandas .equals is dtype-sensitive;
+the driver widens ints), so an int32-vs-int64 "False" with `diffs 0`
+printed is a dtype artifact, not a value mismatch.
+
+    python bench/oracle_check.py [entry ...]      # default: all oracles
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+import importlib  # noqa: E402
+
+entry = importlib.import_module("__spark_entry__")
+
+from tsrollup.session import get_spark  # noqa: E402
+
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def canon(df):
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def main() -> int:
+    spark = get_spark("local[8]")
+    qs, osql = entry.queries(), entry.oracle_sql()
+    names = sys.argv[1:] or sorted(osql)
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{SF}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
+            )
+    failures = 0
+    for name in names:
+        a = canon(qs[name](spark, SF).toPandas())
+        b = canon(con.execute(osql[name]).df())
+        ok_rows = len(a) == len(b)
+        ok_cols = list(a.columns) == list(b.columns)
+        ok_vals = ok_rows and ok_cols and a.equals(b)
+        if ok_rows and ok_cols and not ok_vals:
+            for c in a.columns:
+                if not a[c].equals(b[c]):
+                    mask = ~(a[c] == b[c])
+                    print(
+                        f"  [{name}] col {c} dtype {a[c].dtype} vs "
+                        f"{b[c].dtype} diffs {int(mask.sum())}"
+                    )
+                    if mask.sum():
+                        print(a[mask].head(3))
+                        print(b[mask].head(3))
+                    else:
+                        ok_vals = True  # dtype-only: values identical
+        status = "OK" if (ok_rows and ok_cols and ok_vals) else "FAIL"
+        if status == "FAIL":
+            failures += 1
+        print(f"{name}: {status} rows={len(a)}/{len(b)}")
+    print(f"{len(names) - failures}/{len(names)} value-exact")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
