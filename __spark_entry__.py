@@ -72,7 +72,14 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def ann_lsh(spark, sf_dir):
-        return ann_lsh_topk(spark, sf_dir)
+        """Promoted to oracle-twinned (round 3): the driver query runs the
+        literal-plane fold variant (datapipe.ann_lsh_query) whose every
+        arithmetic step DuckDB reproduces; the pandas-UDF matmul kernel
+        (ann_lsh_topk) remains the at-scale path, covered by
+        tests/test_datapipe.py determinism + recall tests."""
+        from tsrollup.datapipe import ann_lsh_query
+
+        return ann_lsh_query(spark, sf_dir)
 
     def mm_features2(spark, sf_dir):
         """Media-type dispatch across THREE registered decoders, two of
@@ -583,7 +590,14 @@ def _engine_oracles() -> dict[str, str]:
         "engine_resume_ledger": resume_ledger,
         "engine_read_decoded": read_decoded,
         "engine_codec_blocks": codec_blocks,
+        "ann_lsh": _ann_lsh_oracle(),
     }
+
+
+def _ann_lsh_oracle() -> str:
+    from tsrollup.datapipe import ann_lsh_sql
+
+    return ann_lsh_sql()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -205,3 +205,70 @@ def test_entry_smoke(spark):
     # every oracle has a query, and names line up
     qs, osql = mod.queries(), mod.oracle_sql()
     assert set(osql) <= set(qs)
+
+
+# ------------------------------------------------------------- SimHash
+
+def test_simhash_identical_and_edited_docs(spark):
+    """Identical texts hash identically (hamming 0); a one-word edit moves
+    only the bits that word's votes flipped (small, nonzero hamming on a
+    long doc — far below half the bits)."""
+    from tsrollup.datapipe import simhash_of
+
+    base = " ".join(f"w{i % 37}tok" for i in range(200))
+    light = base.replace("w5tok", "zzztok", 1)  # 1 of 200 occurrences
+    heavy = " ".join(
+        (w if int(w[1:-3]) % 3 else f"q{w[1:-3]}new") for w in base.split(" ")
+    )  # ~1/3 of all occurrences rewritten
+    docs = spark.createDataFrame(
+        [(0, base), (1, base), (2, light), (3, heavy)], "doc_id long, text string"
+    )
+    fp = {r["doc_id"]: (r["b0"], r["b1"], r["b2"], r["b3"])
+          for r in simhash_of(docs).collect()}
+    assert fp[0] == fp[1]
+    ham_light = sum(bin(a ^ b).count("1") for a, b in zip(fp[0], fp[2]))
+    ham_heavy = sum(bin(a ^ b).count("1") for a, b in zip(fp[0], fp[3]))
+    # one occurrence out of 200 shifts each bit's vote sum by at most 2 —
+    # near-identical fingerprint; a 1/3 rewrite must move many bits but
+    # stay well under the ~32 expected of two UNRELATED docs
+    assert ham_light <= 2, ham_light
+    assert 2 < ham_heavy < 32, ham_heavy
+
+
+def test_simhash_banded_join_complete(spark):
+    """The 4-band candidate join is COMPLETE for hamming <= 3: its result
+    equals the brute-force all-pairs answer on the fixture (pigeonhole —
+    a pair differing in <= 3 of 64 bits shares >= 1 exact 16-bit band)."""
+    from tsrollup.datapipe import SIMHASH_HAMMING, simhash_fingerprints, simhash_neardup
+
+    sf = os.path.join(TESTDATA, "sf0.001")
+    banded = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_neardup(spark, sf).collect()
+    }
+    fps = {r["doc_id"]: (r["b0"], r["b1"], r["b2"], r["b3"])
+           for r in simhash_fingerprints(spark, sf).collect()}
+    ids = sorted(fps)
+    brute = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = sum(bin(x ^ y).count("1") for x, y in zip(fps[a], fps[b]))
+            if h <= SIMHASH_HAMMING:
+                brute[(a, b)] = h
+    assert banded == brute and brute, (len(banded), len(brute))
+
+
+def test_ann_ivf_subset_of_probed_cells(spark):
+    """IVF results only ever come from the query's probed cells, and the
+    re-rank within those cells is exact: every returned neighbor's true
+    cosine >= the best excluded candidate IN the probed cells."""
+    from tsrollup.driver_queries import SPARK as DQ
+
+    sf = os.path.join(TESTDATA, "sf0.001")
+    rows = DQ["ann_ivf"](spark, sf).collect()
+    assert len(rows) == 15  # 3 queries x top-5
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["q_id"], []).append(r["cos_sim"])
+    for q, sims in by_q.items():
+        assert sims == sorted(sims, reverse=True), (q, sims)

@@ -461,3 +461,237 @@ def multimodal_features_mixed(
             )
 
     return payloads.mapInPandas(extract, schema=MM_FEATURE_SCHEMA)
+
+
+# ------------------------------------------------------------- SimHash
+#
+# 64-bit SimHash document fingerprints (Charikar 2002, public): per word
+# occurrence, a 64-bit hash votes +1/-1 on each bit position; the
+# fingerprint is the sign vector, stored as 4 x 16-bit band integers.
+# Near-dup = pairs within Hamming distance H. The SCALE path generates
+# candidates from a 4-band exact-match self-join — by pigeonhole a pair
+# with <= 3 differing bits MUST agree on at least one full 16-bit band,
+# so for H <= 3 the banded join is provably COMPLETE: it returns exactly
+# the all-pairs answer, which is what the DuckDB oracle computes
+# brute-force. At 10^12 docs the band value is the shuffle key and each
+# fingerprint shuffles 4 times; no all-pairs join ever runs.
+#
+# The per-word hash is the first 16 hex digits of md5(word), read
+# nibble-by-nibble (bit i = sub-bit i%4 of hex digit i//4) so the SQL
+# oracle can reproduce it with substring+strpos arithmetic on the same
+# md5() both engines expose. Tokenization (lower + split on ' ') happens
+# in Spark SQL / DuckDB SQL, never in Python, so locale-sensitive
+# lowering can't diverge between the twins.
+
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = 16
+SIMHASH_HAMMING = 3
+
+_HEX = "0123456789abcdef"
+
+
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, b0..b3) over the fixture's documents table."""
+    return simhash_of(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def simhash_of(docs: DataFrame) -> DataFrame:
+    """(doc_id, b0..b3): 64-bit SimHash as four 16-bit band ints, from any
+    (doc_id, text) DataFrame.
+
+    Vectorized: one pandas UDF call per Arrow batch; word->bit-matrix is
+    computed once per UNIQUE word in the batch (the hot loop is a NumPy
+    scatter-add over the vocabulary, not per-document Python)."""
+    import hashlib
+
+    d = docs.select("doc_id", F.split(F.lower("text"), " ").alias("ws"))
+
+    out_schema = "b0 long, b1 long, b2 long, b3 long"
+
+    @F.pandas_udf(f"struct<{out_schema}>")
+    def sim_udf(words: pd.Series) -> pd.DataFrame:
+        vocab: dict[str, int] = {}
+        doc_idx: list[np.ndarray] = []
+        for ws in words:
+            idx = np.empty(len(ws), dtype=np.int64)
+            for j, w in enumerate(ws):
+                k = vocab.get(w)
+                if k is None:
+                    k = vocab[w] = len(vocab)
+                idx[j] = k
+            doc_idx.append(idx)
+        # (vocab, 64) +/-1 vote matrix from md5 nibbles
+        bits = np.empty((max(len(vocab), 1), 64), dtype=np.int64)
+        for w, k in vocab.items():
+            hx = hashlib.md5(w.encode("utf-8")).hexdigest()
+            nib = np.frombuffer(hx[:16].encode(), dtype=np.uint8)
+            nib = np.where(nib >= 97, nib - 87, nib - 48).astype(np.int64)  # hex->0..15
+            b = (nib[:, None] >> np.arange(4)) & 1  # (16 digits, 4 sub-bits)
+            bits[k] = b.reshape(64) * 2 - 1
+        weights = 1 << np.arange(SIMHASH_BAND_BITS, dtype=np.int64)
+        bands = np.zeros((len(words), SIMHASH_BANDS), dtype=np.int64)
+        for i, idx in enumerate(doc_idx):
+            s = bits[idx].sum(axis=0) if idx.size else np.zeros(64, dtype=np.int64)
+            fp = (s > 0).astype(np.int64).reshape(SIMHASH_BANDS, SIMHASH_BAND_BITS)
+            bands[i] = fp @ weights
+        return pd.DataFrame({f"b{j}": bands[:, j] for j in range(SIMHASH_BANDS)})
+
+    return d.select("doc_id", sim_udf("ws").alias("sh")).select(
+        "doc_id", *[F.col(f"sh.b{j}").alias(f"b{j}") for j in range(SIMHASH_BANDS)]
+    )
+
+
+def simhash_sql() -> str:
+    """DuckDB twin of simhash_fingerprints: same md5-nibble hash, same
+    vote-sum, same band packing — generated per-bit SQL."""
+    sums = []
+    for i in range(64):
+        d, k = i // 4 + 1, 1 << (i % 4)
+        sums.append(
+            f"sum(CASE WHEN ((strpos('{_HEX}', substring(hx, {d}, 1)) - 1) // {k}) % 2 = 1 "
+            f"THEN 1 ELSE -1 END) AS s{i}"
+        )
+    bands = []
+    for b in range(SIMHASH_BANDS):
+        terms = " + ".join(
+            f"(CASE WHEN s{b * SIMHASH_BAND_BITS + j} > 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(SIMHASH_BAND_BITS)
+        )
+        bands.append(f"CAST({terms} AS BIGINT) AS b{b}")
+    return f"""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS wd FROM documents
+    ),
+    h AS (SELECT doc_id, md5(wd) AS hx FROM w),
+    s AS (SELECT doc_id, {', '.join(sums)} FROM h GROUP BY doc_id)
+    SELECT doc_id, {', '.join(bands)} FROM s
+    """
+
+
+def simhash_neardup(
+    spark: SparkSession, sf_dir: str, hamming: int = SIMHASH_HAMMING
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) pairs within the Hamming threshold.
+
+    Candidates: 4-band exact-match self-join (complete for hamming <= 3 by
+    pigeonhole — the oracle's brute-force all-pairs answer is therefore
+    EQUAL, not just approximated). Verify: bit_count(xor) per band,
+    JVM-side built-ins."""
+    assert hamming <= SIMHASH_BANDS - 1, "band join only complete for H <= bands-1"
+    fp = simhash_fingerprints(spark, sf_dir)
+    banded = None
+    for j in range(SIMHASH_BANDS):
+        part = fp.select(
+            "doc_id", *[f"b{k}" for k in range(SIMHASH_BANDS)],
+            F.lit(j).alias("band"), F.col(f"b{j}").alias("bucket"),
+        )
+        banded = part if banded is None else banded.unionByName(part)
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"b{k}").alias(f"a{k}") for k in range(SIMHASH_BANDS)],
+        "band", "bucket",
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"b{k}").alias(f"bb{k}") for k in range(SIMHASH_BANDS)],
+        "band", "bucket",
+    )
+    ham = sum(
+        F.expr(f"bit_count(a{k} ^ bb{k})") for k in range(SIMHASH_BANDS)
+    ).alias("hamming")
+    return (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", ham)
+        .where(F.col("hamming") <= hamming)
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
+def simhash_neardup_sql(hamming: int = SIMHASH_HAMMING) -> str:
+    """Brute-force all-pairs oracle — equals the banded Spark path exactly
+    for hamming <= bands-1 (completeness by pigeonhole)."""
+    hd = " + ".join(
+        f"bit_count(xor(a.b{k}, b.b{k}))" for k in range(SIMHASH_BANDS)
+    )
+    return f"""
+    WITH fp AS ({simhash_sql()})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST({hd} AS BIGINT) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE {hd} <= {hamming}
+    """
+
+
+# ----------------------------------------- ann_lsh oracle-twinned variant
+#
+# The driver-facing ann_lsh query: single-band random-hyperplane bucket
+# (5 rounded planes as literals, sign pinned by round-6 like the near-dup
+# twins) + exact cosine re-rank within the query's bucket. Semantically
+# the same operator as ann_lsh_topk (the pandas-UDF matmul kernel used at
+# scale); this variant keeps every arithmetic step reproducible in ANSI
+# SQL so DuckDB can verify it value-exactly. Recall properties are
+# measured on the kernel path in tests/test_datapipe.py.
+
+ANN_PLANES = 5
+ANN_NQ = 3
+ANN_TOPK = 5
+
+
+def ann_planes() -> np.ndarray:
+    """(1, ANN_PLANES, ND_DIM) rounded hyperplanes for the twinned query."""
+    rng = np.random.default_rng(20240303)
+    return np.round(rng.standard_normal((1, ANN_PLANES, ND_DIM)), 4)
+
+
+def ann_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(q_id, vec_id, cos_sim, rnk): top-k among same-bucket candidates."""
+    planes = ann_planes()
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    e = e.withColumn("bucket", _bucket_expr(F.col("v"), planes[0]))
+    q = e.where(F.col("vec_id") < ANN_NQ).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), "bucket"
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "v", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    cand = q.join(e, "bucket").where(F.col("vec_id") != F.col("q_id"))
+    sims = cand.select(
+        "q_id", "vec_id",
+        F.round(dot / (norm(F.col("qv")) * norm(F.col("v"))), 4).alias("cos_sim"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        sims.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= ANN_TOPK)
+        .select("q_id", "vec_id", "cos_sim", "rnk")
+    )
+
+
+def ann_lsh_sql() -> str:
+    """DuckDB twin of ann_lsh_query (same planes as literals)."""
+    planes = ann_planes()
+    bits = []
+    for plane in planes[0]:
+        lit = "[" + ", ".join(repr(float(c)) for c in plane) + "]"
+        bits.append(
+            f"(CASE WHEN round(list_dot_product(e, {lit}), 6) >= 0 "
+            f"THEN '1' ELSE '0' END)"
+        )
+    bucket = " || ".join(bits)
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                      ({bucket}) AS bucket FROM embeddings),
+    q AS (SELECT vec_id AS q_id, e AS qe, bucket FROM v WHERE vec_id < {ANN_NQ})
+    SELECT q_id, vec_id, cos_sim, rnk FROM (
+      SELECT q.q_id, v.vec_id,
+             round(list_cosine_similarity(q.qe, v.e), 4) AS cos_sim,
+             row_number() OVER (PARTITION BY q.q_id
+               ORDER BY round(list_cosine_similarity(q.qe, v.e), 4) DESC, v.vec_id) AS rnk
+      FROM q JOIN v ON v.bucket = q.bucket AND v.vec_id != q.q_id
+    ) WHERE rnk <= {ANN_TOPK}
+    """

@@ -985,3 +985,167 @@ def sk_hll_distinct(spark, sf_dir):
     parts = sketches.hll_partials(e, ["event_type", "day"], "user_id")
     merged = sketches.hll_merge(parts, ["event_type"])
     return sketches.hll_estimate(merged)
+
+
+# ------------------------------------------------- SimHash near-dup (DD)
+
+def _register_simhash():
+    """dd_simhash + dd_simhash_neardup: 64-bit SimHash fingerprints and
+    Hamming-distance near-dup. The Spark path generates candidates with a
+    4x16-bit band self-join (the 10^12-doc shuffle shape); for H <= 3 the
+    band join is provably complete (pigeonhole), so the brute-force
+    all-pairs DuckDB oracle must match EXACTLY — the hash check verifies
+    both the fingerprint math and the candidate completeness."""
+    from . import datapipe as dp
+
+    @q("dd_simhash", dp.simhash_sql())
+    def dd_simhash(spark, sf_dir):
+        return dp.simhash_fingerprints(spark, sf_dir)
+
+    @q("dd_simhash_neardup", dp.simhash_neardup_sql())
+    def dd_simhash_neardup(spark, sf_dir):
+        return dp.simhash_neardup(spark, sf_dir)
+
+
+_register_simhash()
+
+
+@q(
+    "dd_ngram_jaccard",
+    """
+    WITH g AS (
+      SELECT doc_id, lang,
+             list_distinct([substring(t, i, 5)
+                            for i in generate_series(1, length(t) - 4)]) AS grams
+      FROM (SELECT doc_id, lang, lower(text) AS t FROM documents)
+      WHERE length(t) >= 5
+    )
+    SELECT doc_a, doc_b, jacc FROM (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                   / (len(a.grams) + len(b.grams)
+                      - len(list_intersect(a.grams, b.grams))), 6) AS jacc
+      FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    ) WHERE jacc >= 0.4
+    """,
+)
+def dd_ngram_jaccard(spark, sf_dir):
+    """Character-5-gram Jaccard near-dup, EXACT baseline: same-lang
+    blocking, distinct-gram set intersection, threshold 0.4. This is the
+    n-gram-Jaccard twin of dd_embedding_neardup — the exact small-scale
+    oracle; at corpus scale candidate generation is the MinHash band join
+    (dd_minhash_lsh), never the blocked quadratic verify run here."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.lower("text").alias("t")
+    ).where(F.length("t") >= 5)
+    grams = F.expr("array_distinct(transform(sequence(1, length(t) - 4), i -> substring(t, i, 5)))")
+    g = d.select("doc_id", "lang", grams.alias("grams"))
+    a = g.select(F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang"), F.col("grams").alias("ga"))
+    b = g.select(F.col("doc_id").alias("doc_b"), "lang", F.col("grams").alias("gb"))
+    ni = F.size(F.array_intersect("ga", "gb"))
+    return (
+        a.join(b, "lang")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .withColumn(
+            "jacc",
+            F.round(ni.cast("double") / (F.size("ga") + F.size("gb") - ni), 6),
+        )
+        .where(F.col("jacc") >= 0.4)
+        .select("doc_a", "doc_b", "jacc")
+    )
+
+
+# --------------------------------------------------------- IVF ANN (ANN)
+
+_IVF_K = 8       # coarse cells (centroid seeds: vec_id < K)
+_IVF_NPROBE = 2  # cells probed per query
+_IVF_TOPK = 5
+_IVF_NQ = 3      # query vectors: vec_id < NQ
+
+
+@q(
+    "ann_ivf",
+    f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    c AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < {_IVF_K}),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT v.vec_id, c.cid,
+               row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY round(list_cosine_similarity(v.e, c.ce), 6) DESC, c.cid) AS rnk
+        FROM v CROSS JOIN c) WHERE rnk = 1
+    ),
+    probe AS (
+      SELECT q_id, cid FROM (
+        SELECT v.vec_id AS q_id, c.cid,
+               row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY round(list_cosine_similarity(v.e, c.ce), 6) DESC, c.cid) AS rnk
+        FROM v CROSS JOIN c WHERE v.vec_id < {_IVF_NQ}) WHERE rnk <= {_IVF_NPROBE}
+    )
+    SELECT q_id, vec_id, cos_sim FROM (
+      SELECT p.q_id, a.vec_id,
+             round(list_cosine_similarity(qv.e, v.e), 4) AS cos_sim,
+             row_number() OVER (PARTITION BY p.q_id
+               ORDER BY round(list_cosine_similarity(qv.e, v.e), 4) DESC, a.vec_id) AS rnk
+      FROM probe p
+      JOIN assign a ON a.cid = p.cid
+      JOIN v ON v.vec_id = a.vec_id
+      JOIN v qv ON qv.vec_id = p.q_id
+      WHERE a.vec_id != p.q_id
+    ) WHERE rnk <= {_IVF_TOPK}
+    """,
+)
+def ann_ivf(spark, sf_dir):
+    """IVF (inverted-file) ANN: assign every vector to its nearest coarse
+    centroid (cell), probe the NPROBE nearest cells per query, exact-cosine
+    re-rank inside the probed cells only. The 100-TB shape: the one-off
+    assignment pass is a broadcast of K centroids against a single corpus
+    scan (at real K a pandas-UDF matmul, same plumbing as
+    datapipe.with_lsh_bucket), the cell id becomes the partition key, and
+    each query reads NPROBE/K of the corpus instead of all of it. Centroid
+    seeds here are deterministic (vec_id < K, no Lloyd iterations) so the
+    DuckDB oracle reproduces the assignment bit-for-bit; a production
+    deploy swaps in k-means centroids and nothing downstream changes."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    cent = e.where(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    dot_c = F.aggregate(
+        F.zip_with("v", "cv", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    sim_c = F.round(dot_c / (norm(F.col("v")) * norm(F.col("cv"))), 6)
+    scored = e.join(F.broadcast(cent), how="cross").select(
+        "vec_id", "v", "cid", sim_c.alias("sim")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cid"))
+    assign = (
+        scored.withColumn("rnk", F.row_number().over(w_assign))
+        .where(F.col("rnk") == 1)
+        .select("vec_id", "v", "cid")
+    )
+    probe = (
+        scored.where(F.col("vec_id") < _IVF_NQ)
+        .withColumn("rnk", F.row_number().over(w_assign))
+        .where(F.col("rnk") <= _IVF_NPROBE)
+        .select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), "cid")
+    )
+    dot_q = F.aggregate(
+        F.zip_with("qv", "v", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    sim_q = F.round(dot_q / (norm(F.col("qv")) * norm(F.col("v"))), 4)
+    cand = (
+        probe.join(assign, "cid")
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", sim_q.alias("cos_sim"))
+    )
+    w_rank = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        cand.withColumn("rnk", F.row_number().over(w_rank))
+        .where(F.col("rnk") <= _IVF_TOPK)
+        .select("q_id", "vec_id", "cos_sim")
+    )
