@@ -1149,3 +1149,99 @@ def ann_ivf(spark, sf_dir):
         .where(F.col("rnk") <= _IVF_TOPK)
         .select("q_id", "vec_id", "cos_sim")
     )
+
+
+# ------------------------------------------- T2 sliding windows (batch)
+
+@q(
+    "t2_sliding_window",
+    """
+    SELECT win_start_s, event_type,
+           count(*) AS cnt,
+           min(value) AS value_min, max(value) AS value_max,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS users
+    FROM (
+      SELECT event_type, user_id, value,
+             ((epoch_us(ts) // 300000000 - k.k) * 300000000) // 1000000 AS win_start_s,
+             epoch_us(ts) AS t_us
+      FROM events, (SELECT unnest([0, 1]) AS k) k
+    )
+    WHERE t_us < win_start_s * 1000000 + 600000000
+    GROUP BY win_start_s, event_type
+    """,
+)
+def t2_sliding_window(spark, sf_dir):
+    """T2 — OVERLAPPING sliding windows (10-minute window, 5-minute slide)
+    via the native F.window operator: each event lands in W/S = 2 windows.
+    The DuckDB twin replicates Spark's epoch-aligned window assignment with
+    exact integer microsecond arithmetic (start = (t_us//S - k)*S). Only
+    order-independent aggregates (count, min, max, exact distinct) cross
+    the engine boundary, so float summation order can't diverge."""
+    e = t(spark, sf_dir, "events")
+    win = F.window("ts", "10 minutes", "5 minutes")
+    return (
+        e.groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("value").alias("value_min"),
+            F.max("value").alias("value_max"),
+            F.count_distinct("user_id").alias("users"),
+        )
+        .select(
+            F.unix_timestamp("w.start").alias("win_start_s"),
+            "event_type", "cnt", "value_min", "value_max", "users",
+        )
+    )
+
+
+# ------------------------------------------------- TF-IDF terms (TX)
+
+@q(
+    "tx_tfidf",
+    """
+    WITH w AS (
+      SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS word
+      FROM documents
+    ),
+    stats AS (
+      SELECT lang, word,
+             CAST(count(*) AS BIGINT) AS tf,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      FROM w GROUP BY lang, word
+    ),
+    nd AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+           FROM documents GROUP BY lang)
+    SELECT lang, word, tf, df, tfidf FROM (
+      SELECT s.lang, s.word, s.tf, s.df,
+             round(s.tf * ln(CAST(nd.n_docs AS DOUBLE) / s.df), 6) AS tfidf,
+             row_number() OVER (PARTITION BY s.lang
+               ORDER BY round(s.tf * ln(CAST(nd.n_docs AS DOUBLE) / s.df), 6) DESC,
+                        s.word) AS rnk
+      FROM stats s JOIN nd ON nd.lang = s.lang
+    ) WHERE rnk <= 5
+    """,
+)
+def tx_tfidf(spark, sf_dir):
+    """Text analysis: top-5 TF-IDF terms per language. tf = corpus-wide
+    occurrences within the lang, df = docs containing the term, idf =
+    ln(n_docs/df); ranking happens on the ROUNDED score (word tiebreak) so
+    last-bit libm drift can't flip ranks. Scale shape: one explode + one
+    (lang, word) hash agg + a broadcast-sized per-lang doc count — the
+    word agg is the only shuffle and it partial-aggregates map-side."""
+    d = t(spark, sf_dir, "documents")
+    w = d.select("doc_id", "lang", F.explode(F.split(F.lower("text"), " ")).alias("word"))
+    stats = w.groupBy("lang", "word").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.count_distinct("doc_id").alias("df"),
+    )
+    nd = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = stats.join(F.broadcast(nd), "lang").withColumn(
+        "tfidf",
+        F.round(F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6),
+    )
+    rw = Window.partitionBy("lang").orderBy(F.desc("tfidf"), F.asc("word"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(rw))
+        .where(F.col("rnk") <= 5)
+        .select("lang", "word", "tf", "df", "tfidf")
+    )
