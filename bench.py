@@ -135,9 +135,18 @@ def main() -> None:
     extras["rollup_phases"] = summary.get("phases", {})
     extras["rollup_cold_phases"] = cold_summary.get("phases", {})
 
+    # logical points = (metric, bucket) pairs: a classic row holds ONE
+    # metric's points, a decomposed row holds all 3 metric series — raw
+    # cost is 16 B per (metric, bucket) pair (8 B ts + 8 B value) either
+    # way, so the ratio stays comparable across layouts
+    from tsrollup.codec import BLOCK_METRICS, DEC_METRIC
+
     blocks = spark.read.parquet(os.path.join(out_base, BLOCKS_DIR))
+    logical = F.col("n_points") * F.when(
+        F.col("metric") == DEC_METRIC, F.lit(len(BLOCK_METRICS))
+    ).otherwise(F.lit(1))
     st = blocks.agg(
-        F.sum("n_points").alias("pts"),
+        F.sum(logical).alias("pts"),
         F.sum(F.length("ts_dod_blob") + F.length("val_xor_blob")).alias("nbytes"),
     ).collect()[0]
     extras["compression_ratio"] = round((st.pts * 16) / st.nbytes, 2)

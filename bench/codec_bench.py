@@ -98,11 +98,51 @@ def run(shape: str) -> dict:
     }
 
 
+def run_decomposed(n_blocks: int = 512, n: int = 1440) -> dict:
+    """Decomposed-layout (C4) microbench: realistic integer rollup streams
+    (stationary counts, noisy integral sums), encode via
+    try_decompose_block, decode via _dec_unpack + _reconstruct_dec.
+    Reports logical metric-points (3 series per block) like bench.py."""
+    import pandas as pd
+
+    from tsrollup.codec import _dec_unpack, _reconstruct_dec, try_decompose_block
+
+    rng = np.random.default_rng(7)
+    blocks = []
+    for _ in range(n_blocks):
+        cnt = rng.integers(80, 200, n).astype(np.float64)
+        ntoksum = (cnt * rng.integers(200, 300, n)).astype(np.float64)
+        toksum = (ntoksum * rng.integers(20_000, 30_000, n)).astype(np.float64)
+        ntm = ntoksum / cnt
+        tkm = toksum / ntoksum
+        ts = np.arange(n, dtype=np.int64) * 60_000_000 + 1_700_000_000_000_000
+        blocks.append((cnt, ntm, tkm, ntoksum, toksum, ntoksum.copy(), ts))
+    npts = 3 * n_blocks * n  # logical metric-points
+    t0 = time.perf_counter()
+    payloads = [try_decompose_block(*b) for b in blocks]
+    enc_s = time.perf_counter() - t0
+    assert all(p is not None for p in payloads)
+    base = 1_700_000_000_000_000 // 86_400_000_000 * 86_400_000_000
+    t0 = time.perf_counter()
+    for p in payloads:
+        _ts, streams = _dec_unpack(p, base)
+        _reconstruct_dec(streams[0], streams[1], streams[2], streams[1] + streams[3])
+    dec_s = time.perf_counter() - t0
+    nbytes = sum(len(p) for p in payloads)
+    return {
+        "decomposed_encode_Mpts_s": round(npts / enc_s / 1e6, 2),
+        "decomposed_decode_Mpts_s": round(npts / dec_s / 1e6, 2),
+        "decomposed_ratio": round(npts * 16 / nbytes, 2),
+    }
+
+
 def main() -> None:
     out: dict = {"metric": "codec_throughput_single_core", "unit": "Mpts/s"}
     for shape in ("locf", "const", "random"):
         run(shape)  # warm pass: fault pages once (sandbox first-touch wall)
         out.update(run(shape))  # steady-state numbers
+    run_decomposed()
+    out.update(run_decomposed())
     print(json.dumps(out))
 
 

@@ -1,0 +1,152 @@
+"""Decomposed block layout (codec.py C4, round 3).
+
+The contract under test: a decomposed day-block row decodes to EXACTLY the
+same (metric, bucket_start, value) points as the classic per-metric XOR
+rows — bit-for-bit, including NaN placement — because the encoder verifies
+the integer-stream reconstruction before committing to the layout and
+falls back to classic rows otherwise. The layout decision is a pure
+function of block content, which is what keeps the incremental derive
+path byte-identical to full builds (tests/test_increment.py re-runs under
+the default decomposed layout)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from tsrollup.codec import (
+    BLOCK_METRICS,
+    DEC_METRIC,
+    compress_tier,
+    decode_intzz,
+    decompress_blocks,
+    encode_intzz,
+    try_decompose_block,
+)
+from tsrollup.config import RollupConfig
+from tsrollup.gapfill import gapfill
+from tsrollup.rollup import build_all_tiers
+from tsrollup.storage import read_sequences
+from tsrollup.synth import write_fixture
+
+
+@given(
+    st.lists(
+        st.integers(min_value=-(2**62), max_value=2**62 - 1), min_size=0, max_size=300
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_intzz_roundtrip(vals):
+    a = np.array(vals, dtype=np.int64)
+    assert np.array_equal(decode_intzz(encode_intzz(a)), a)
+
+
+def test_intzz_constant_stream_is_header_only():
+    a = np.full(1440, 123456789, dtype=np.int64)
+    blob = encode_intzz(a)
+    assert len(blob) == 7  # n + w(=0) + 4-byte varint v0, zero payload
+    assert np.array_equal(decode_intzz(blob), a)
+    assert len(encode_intzz(np.array([183], dtype=np.int64))) == 5  # singleton
+
+
+def test_try_decompose_rejects_leading_gap_and_non_integers():
+    n = 10
+    cnt = np.array([0.0] + [3.0] * (n - 1))  # leading gap slot
+    ntm = np.full(n, 2.0)
+    tkm = np.full(n, 5.0)
+    s = np.full(n, 6.0)
+    assert try_decompose_block(cnt, ntm, tkm, s, s, s) is None
+    cnt2 = np.full(n, 3.5)  # non-integral cnt
+    assert try_decompose_block(cnt2, ntm, tkm, s, s, s) is None
+
+
+def test_try_decompose_verifies_reconstruction():
+    """A block whose mean is NOT sum/cnt (e.g. linear-interpolated) must
+    be rejected even when every stream is integral."""
+    cnt = np.array([2.0, 0.0, 4.0])
+    ntoksum = np.array([10.0, np.nan, 40.0])
+    toksum = np.array([100.0, np.nan, 400.0])
+    tokcnt = np.array([10.0, np.nan, 40.0])
+    good_ntm = np.array([5.0, 5.0, 10.0])  # LOCF: gap carries 5.0
+    good_tkm = np.array([10.0, 10.0, 10.0])
+    assert (
+        try_decompose_block(cnt, good_ntm, good_tkm, ntoksum, toksum, tokcnt)
+        is not None
+    )
+    linear_ntm = np.array([5.0, 7.5, 10.0])  # linear fill: not LOCF
+    assert (
+        try_decompose_block(cnt, linear_ntm, good_tkm, ntoksum, toksum, tokcnt)
+        is None
+    )
+
+
+@pytest.fixture(scope="module")
+def filled_1m(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("decfx"))
+    seq = write_fixture(out, 60_000, 12, seed=11, rate_scale=50.0)
+    tiers = build_all_tiers(read_sequences(spark, seq), RollupConfig())
+    df = gapfill(tiers["1m"], "1m", RollupConfig()).persist()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def test_decomposed_decode_equals_classic(spark, filled_1m):
+    dec_b = compress_tier(filled_1m, "1m", RollupConfig(block_layout="decomposed"))
+    cls_b = compress_tier(filled_1m, "1m", RollupConfig(block_layout="per_metric"))
+    key = ["source", "tier", "metric", "bucket_start"]
+    p_dec = decompress_blocks(dec_b).toPandas().sort_values(key).reset_index(drop=True)
+    p_cls = decompress_blocks(cls_b).toPandas().sort_values(key).reset_index(drop=True)
+    assert p_dec.shape == p_cls.shape and p_dec.shape[0] > 0
+    for c in key:
+        assert (p_dec[c] == p_cls[c]).all(), c
+    # bit-level equality including NaN payloads and signed zeros
+    assert (
+        p_dec["value"].to_numpy().view(np.int64)
+        == p_cls["value"].to_numpy().view(np.int64)
+    ).all()
+
+
+def test_decomposed_is_smaller_on_dense_data(spark, filled_1m):
+    size = lambda df: df.agg(  # noqa: E731
+        F.sum(F.length("ts_dod_blob") + F.length("val_xor_blob"))
+    ).first()[0]
+    dec = size(compress_tier(filled_1m, "1m", RollupConfig(block_layout="decomposed")))
+    cls = size(compress_tier(filled_1m, "1m", RollupConfig(block_layout="per_metric")))
+    assert dec < cls * 0.75, (dec, cls)
+
+
+def test_wanted_metric_filter(spark, filled_1m):
+    dec_b = compress_tier(filled_1m, "1m", RollupConfig(block_layout="decomposed"))
+    assert dec_b.where(F.col("metric") == DEC_METRIC).count() > 0
+    one = decompress_blocks(dec_b, wanted="n_tok_mean")
+    got = one.select("metric").distinct().collect()
+    assert [r["metric"] for r in got] == ["n_tok_mean"]
+    n_all = decompress_blocks(dec_b).count()
+    assert one.count() * len(BLOCK_METRICS) == n_all
+
+
+def test_linear_fill_falls_back_to_classic(spark, tmp_path):
+    """Linear-interpolated means are not integer ratios — every gap-bearing
+    block must fall back; decode equality still holds by construction."""
+    seq = write_fixture(str(tmp_path), 8_000, 6, seed=13, rate_scale=1.0)
+    cfg = RollupConfig(gapfill_method="linear")
+    tiers = build_all_tiers(read_sequences(spark, seq), cfg)
+    filled = gapfill(tiers["1m"], "1m", cfg).persist()
+    dec_b = compress_tier(filled, "1m", cfg).persist()
+    # blocks WITH interpolated gap rows cannot decompose; fully-observed
+    # blocks still may — decode must equal the classic layout either way
+    cls_b = compress_tier(filled, "1m", RollupConfig(
+        gapfill_method="linear", block_layout="per_metric"))
+    key = ["source", "tier", "metric", "bucket_start"]
+    p_dec = decompress_blocks(dec_b).toPandas().sort_values(key).reset_index(drop=True)
+    p_cls = decompress_blocks(cls_b).toPandas().sort_values(key).reset_index(drop=True)
+    assert p_dec.shape == p_cls.shape
+    assert (
+        p_dec["value"].to_numpy().view(np.int64)
+        == p_cls["value"].to_numpy().view(np.int64)
+    ).all()
+    filled.unpersist()
+    dec_b.unpersist()

@@ -1,4 +1,4 @@
-"""Gorilla-style time-series block compression (SURVEY.md §2.8, C1–C3).
+"""Gorilla-style time-series block compression (SURVEY.md §2.8, C1–C4).
 
 Public source for the scheme: Pelkonen et al., "Gorilla: A Fast, Scalable,
 In-Memory Time Series Database", VLDB 2015 — §4.1 (timestamp delta-of-delta)
@@ -36,6 +36,14 @@ Points enter the encoder in strict bucket order (the Spark kernel sorts) —
 that is what makes blobs byte-deterministic across parallelism levels.
 Blocks are one day of buckets per (source, tier, metric): bounded size
 (≤1440 points at 1m) and aligned with retention drops.
+
+Round 3 adds a DECOMPOSED block layout (C4 section near the bottom):
+where a day-block's mean streams are exact float64 divisions of its
+integer sums, ONE row per (source, tier, day) stores five zigzag-delta
+integer streams instead of three XOR float streams, verified bitwise at
+encode time with automatic fallback to the classic rows. The XOR/DoD
+formats above stay FROZEN and remain both the fallback and the
+random-float path.
 
 Implementation: vectorized NumPy bit-packing. The bitstream is modeled as a
 flat sequence of (value ≤ 64 bits, bit-length) fields; `_pack_fields` packs
@@ -681,37 +689,29 @@ BLOCK_METRICS = ("n_tok_mean", "tok_mean", "cnt")
 
 def compress_tier(filled: DataFrame, tier: str, cfg: RollupConfig | None = None) -> DataFrame:
     """C1+C2 as a grouped-map transform: one blob row per
-    (source, tier, metric, day-block). Groups by source and encodes ALL of
-    the source's day-blocks with the batch encoders — per-block numpy fixed
-    costs amortize across the series (the 5 M pts/s/core budget), and the
+    (source, tier, metric, day-block) — or one DECOMPOSED row per
+    day-block when cfg.block_layout == 'decomposed' and the block's mean
+    streams reconstruct bit-exactly from its integer sums (see the C4
+    section below). Groups by source and encodes ALL of the source's
+    day-blocks with the batch encoders — per-block numpy fixed costs
+    amortize across the series (the 5 M pts/s/core budget), and the
     kernel sorts by bucket_start so every blob is byte-deterministic
     regardless of shuffle order."""
     cfg = cfg or RollupConfig()
+    layout = cfg.block_layout
+    sum_cols = [c for c in BLOCK_SUM_COLS if c in filled.columns]
     slim = filled.select(
         "source",
         "bucket_start",
         F.date_trunc("day", "bucket_start").alias("block_start"),
         *[F.col(m).cast("double").alias(m) for m in BLOCK_METRICS],
+        *[F.col(c).cast("double").alias(c) for c in sum_cols],
     )
 
     def encode_source(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("bucket_start", kind="mergesort").reset_index(drop=True)
-        ts_us = pdf["bucket_start"].to_numpy().astype("datetime64[us]").view(np.int64)
-        blocks = pdf["block_start"].to_numpy()
-        # day-block boundaries in the sorted frame (blocks are contiguous)
-        cut = np.flatnonzero(np.concatenate(([True], blocks[1:] != blocks[:-1])))
-        ends = np.concatenate((cut[1:], [len(pdf)]))
-        ts_blobs = encode_dod_batch([ts_us[a:b] for a, b in zip(cut, ends)])
         src = pdf["source"].iloc[0]
-        rows = []
-        for m in BLOCK_METRICS:
-            vals = pdf[m].to_numpy(dtype=np.float64)
-            val_blobs = encode_xor_batch([vals[a:b] for a, b in zip(cut, ends)])
-            for i, (a, b) in enumerate(zip(cut, ends)):
-                rows.append(
-                    (src, tier, m, pdf["block_start"].iloc[a], int(b - a),
-                     ts_blobs[i], val_blobs[i])
-                )
+        rows = [(src, tier, *r) for r in encode_block_rows(pdf, layout)]
         return pd.DataFrame(
             rows,
             columns=["source", "tier", "metric", "block_start", "n_points", "ts_dod_blob", "val_xor_blob"],
@@ -722,8 +722,15 @@ def compress_tier(filled: DataFrame, tier: str, cfg: RollupConfig | None = None)
     )
 
 
-def decompress_blocks(blocks: DataFrame) -> DataFrame:
-    """C3 — blobs back to (source, tier, metric, bucket_start, value) points."""
+def decompress_blocks(blocks: DataFrame, wanted: str | None = None) -> DataFrame:
+    """C3 — blobs back to (source, tier, metric, bucket_start, value)
+    points. Handles both layouts: classic per-metric XOR rows decode as
+    before; __dec__ rows re-derive all three metric series from their
+    integer streams (bit-exact by the encode-time guard). `wanted`
+    restricts the output to one metric — classic rows are expected to be
+    pre-filtered by the caller's pushed-down predicate, while __dec__
+    rows decode their (cheap) integer streams and emit only the match."""
+
     import pyarrow  # noqa: F401  (arrow path required)
 
     out_schema = (
@@ -737,21 +744,353 @@ def decompress_blocks(blocks: DataFrame) -> DataFrame:
         for pdf in batches:
             if not len(pdf):
                 continue
-            ts_list = decode_dod_batch(list(pdf["ts_dod_blob"]))
-            val_list = decode_xor_batch(list(pdf["val_xor_blob"]))
-            counts = np.array([t.shape[0] for t in ts_list], dtype=np.int64)
-            if int(counts.sum()) == 0:
-                continue
-            yield pd.DataFrame(
-                {
-                    "source": np.repeat(pdf["source"].to_numpy(), counts),
-                    "tier": np.repeat(pdf["tier"].to_numpy(), counts),
-                    "metric": np.repeat(pdf["metric"].to_numpy(), counts),
-                    "bucket_start": np.concatenate(ts_list).astype(
-                        "datetime64[us]"
-                    ),
-                    "value": np.concatenate(val_list),
-                }
-            )
+            is_dec = (pdf["metric"] == DEC_METRIC).to_numpy()
+            cls = pdf[~is_dec]
+            if len(cls):
+                ts_list = decode_dod_batch(list(cls["ts_dod_blob"]))
+                val_list = decode_xor_batch(list(cls["val_xor_blob"]))
+                counts = np.array([t.shape[0] for t in ts_list], dtype=np.int64)
+                if int(counts.sum()) > 0:
+                    out = pd.DataFrame(
+                        {
+                            "source": np.repeat(cls["source"].to_numpy(), counts),
+                            "tier": np.repeat(cls["tier"].to_numpy(), counts),
+                            "metric": np.repeat(cls["metric"].to_numpy(), counts),
+                            "bucket_start": np.concatenate(ts_list).astype(
+                                "datetime64[us]"
+                            ),
+                            "value": np.concatenate(val_list),
+                        }
+                    )
+                    if wanted is not None:
+                        out = out[out["metric"] == wanted]
+                    if len(out):
+                        yield out
+            dec = pdf[is_dec]
+            if len(dec):
+                metric_names = (
+                    BLOCK_METRICS if wanted is None else (wanted,)
+                )
+                frames = []
+                base_all = (
+                    dec["block_start"].to_numpy().astype("datetime64[us]").view(np.int64)
+                )
+                for row_i in range(len(dec)):
+                    ts_us, streams = _dec_unpack(
+                        dec["val_xor_blob"].iloc[row_i], int(base_all[row_i])
+                    )
+                    cnt_i, ntoksum, toksum, tokdiff = streams
+                    cnt_f, ntm, tkm = _reconstruct_dec(
+                        cnt_i, ntoksum, toksum, ntoksum + tokdiff
+                    )
+                    series = {"cnt": cnt_f, "n_tok_mean": ntm, "tok_mean": tkm}
+                    ts = ts_us.view("datetime64[us]")
+                    for m in metric_names:
+                        frames.append(
+                            pd.DataFrame(
+                                {
+                                    "source": dec["source"].iloc[row_i],
+                                    "tier": dec["tier"].iloc[row_i],
+                                    "metric": m,
+                                    "bucket_start": ts,
+                                    "value": series[m],
+                                }
+                            )
+                        )
+                if frames:
+                    yield pd.concat(frames, ignore_index=True)
 
     return blocks.mapInPandas(decode_iter, schema=out_schema)
+
+
+# ------------------------------------------------- decomposed blocks (C4)
+#
+# Round-3 layout upgrade. The three per-metric XOR streams of a day-block
+# are redundant: cnt is an integer series, and both means are single exact
+# float64 divisions of integer sums the rollup already carries
+# (n_tok_mean = n_tok_sum/cnt, tok_mean = tok_sum/tok_cnt — rollup.py).
+# Full-entropy float64 means sit at the IEEE-XOR floor (~2.3x, the
+# documented dense-fixture ceiling), but their INTEGER numerators and
+# denominators delta-pack to a few bits per point. A decomposed block
+# stores ONE row per (source, tier, day) with four fixed-width
+# zigzag-delta integer streams [cnt, locf(n_tok_sum), locf(tok_sum),
+# locf(tok_cnt) - locf(n_tok_sum)] and re-derives all three metric series
+# at decode with the same float64 divisions — bit-exact, verified AT
+# ENCODE TIME per block (the encoder reconstructs and compares bitwise;
+# any block that cannot round-trip exactly — linear-interpolated fill,
+# observed-but-tokenless rows, >2^53 sums, a leading gap slot whose LOCF
+# context lives in a previous batch — falls back to the classic
+# per-metric XOR rows). The decision is a pure function of the block's
+# content, so the incremental derive path (increment.py) makes the same
+# choice as a full build and stays byte-identical.
+#
+# intzz blob: [n: uint16][w: uint8][v0: zigzag LEB128 varint] + (n-1)
+#             zigzag deltas, each exactly w bits MSB-first (w == 0 means
+#             a constant stream with no payload). Day blocks are <= 1440
+#             points, so uint16 n suffices; the varint v0 keeps 1-point
+#             blocks (the whole 1d tier by construction) from paying 8
+#             header bytes per stream for a value that fits in 2-5.
+# dec payload: [0xD1][5 x uint16 lens LE][ts stream][intzz cnt]
+#              [intzz n_tok_sum][intzz tok_sum][intzz (tok_cnt -
+#              n_tok_sum)]; len == 0 marks an OMITTED all-zero stream
+#             (tok_cnt == n_tok_sum is the common case), reconstructed as
+#             zeros over the cnt stream's point count. The ts stream is
+#             [varint t0_us][intzz of the bucket deltas] — second-order
+#             like DoD, so a regular grid costs ~16 bytes for the whole
+#             block; dec rows leave ts_dod_blob EMPTY (the 12-byte DoD
+#             header per day-block is the dominant cost of 1-point 1d
+#             blocks).
+
+DEC_METRIC = "__dec__"
+BLOCK_SUM_COLS = ("n_tok_sum", "tok_sum", "tok_cnt")
+_DEC_MAGIC = 0xD1
+_U64_ALL = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _varint(u: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = u & 0x7F
+        u >>= 7
+        out.append(b | (0x80 if u else 0))
+        if not u:
+            return bytes(out)
+
+
+def _unvarint(blob: bytes, off: int) -> tuple[int, int]:
+    u = sh = 0
+    while True:
+        b = blob[off]
+        off += 1
+        u |= (b & 0x7F) << sh
+        if not b & 0x80:
+            return u, off
+        sh += 7
+
+
+def encode_intzz(a: np.ndarray) -> bytes:
+    """Zigzag-delta pack of an int64 series, <= 65535 points (format
+    above — day blocks cap at 1440)."""
+    a = np.ascontiguousarray(a, dtype=np.int64)
+    n = a.shape[0]
+    assert n < 65536, n
+    if n == 0:
+        return struct.pack("<HB", 0, 0)
+    v0 = int(a[0])
+    v0z = (v0 << 1) ^ (v0 >> 63)  # python ints: exact zigzag
+    d = np.diff(a)
+    u = d.view(np.uint64)
+    z = (u << np.uint64(1)) ^ np.where(d < 0, _U64_ALL, np.uint64(0))
+    w = int(_bitlen64(z).max()) if z.size else 0
+    head = struct.pack("<HB", n, w) + _varint(v0z)
+    if w == 0:
+        return head
+    return head + _pack_fields(z, np.full(z.shape[0], w, dtype=np.int64))
+
+
+def decode_intzz(blob: bytes) -> np.ndarray:
+    """Inverse of encode_intzz."""
+    n, w = struct.unpack_from("<HB", blob, 0)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    v0z, off = _unvarint(blob, 3)
+    v0 = (v0z >> 1) ^ -(v0z & 1)
+    out = np.empty(n, dtype=np.int64)
+    out[0] = v0
+    if n == 1:
+        return out
+    if w == 0:
+        out[1:] = v0
+        return out
+    bits = np.unpackbits(
+        np.frombuffer(blob, dtype=np.uint8, offset=off), count=(n - 1) * w
+    ).reshape(n - 1, w).astype(np.uint64)
+    pw = np.uint64(1) << np.arange(w - 1, -1, -1, dtype=np.uint64)
+    z = (bits * pw).sum(axis=1, dtype=np.uint64)
+    d = ((z >> np.uint64(1)) ^ (np.uint64(0) - (z & np.uint64(1)))).view(np.int64)
+    np.cumsum(d, out=out[1:])
+    out[1:] += v0
+    return out
+
+
+def _encode_ts_stream(ts_us: np.ndarray, base_us: int) -> bytes:
+    """[varint (t0 - block_start)][intzz of bucket deltas] — second-order,
+    so a regular grid packs to a constant-delta intzz stream with zero
+    payload bits; the day-relative t0 fits a <=5-byte varint (block_start
+    is a stored row column, so the absolute epoch never enters the
+    payload)."""
+    return _varint(int(ts_us[0]) - base_us) + encode_intzz(np.diff(ts_us))
+
+
+def _decode_ts_stream(blob: bytes, n: int, base_us: int) -> np.ndarray:
+    rel, off = _unvarint(blob, 0)
+    t0 = base_us + rel
+    out = np.empty(n, dtype=np.int64)
+    out[0] = t0
+    if n > 1:
+        np.cumsum(decode_intzz(blob[off:]), out=out[1:])
+        out[1:] += t0
+    return out
+
+
+def _dec_pack(streams: list[bytes]) -> bytes:
+    return (
+        struct.pack("<B5H", _DEC_MAGIC, *[len(s) for s in streams])
+        + b"".join(streams)
+    )
+
+
+def _dec_unpack(blob: bytes, base_us: int) -> tuple[np.ndarray, list[np.ndarray]]:
+    """-> (ts_us, [cnt, n_tok_sum, tok_sum, tokdiff]) int64 arrays."""
+    magic, lt, l0, l1, l2, l3 = struct.unpack_from("<B5H", blob, 0)
+    assert magic == _DEC_MAGIC, f"bad decomposed-block magic {magic:#x}"
+    off = 11
+    ts_raw = blob[off : off + lt]
+    off += lt
+    out: list = []
+    for ln in (l0, l1, l2, l3):
+        if ln == 0:  # omitted all-zero stream
+            out.append(None)
+        else:
+            out.append(decode_intzz(blob[off : off + ln]))
+        off += ln
+    n = out[0].shape[0]
+    streams = [np.zeros(n, dtype=np.int64) if s is None else s for s in out]
+    return _decode_ts_stream(ts_raw, n, base_us), streams
+
+
+def _locf_obs(v: np.ndarray, obs: np.ndarray) -> np.ndarray:
+    """LOCF over observed slots (callers guarantee obs[0] is True)."""
+    idx = np.maximum.accumulate(np.where(obs, np.arange(v.shape[0]), -1))
+    return v[np.maximum(idx, 0)]
+
+
+def _reconstruct_dec(cnt_i, ntoksum, toksum, tokcnt):
+    """Integer streams -> (cnt, n_tok_mean, tok_mean) float64 series via
+    the SAME single float64 divisions the rollup performs."""
+    cnt_f = cnt_i.astype(np.float64)
+    den1 = _locf_obs(cnt_i, cnt_i > 0).astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ntm = np.where(den1 > 0, ntoksum.astype(np.float64) / den1, np.nan)
+        tkm = np.where(
+            tokcnt > 0, toksum.astype(np.float64) / tokcnt.astype(np.float64), np.nan
+        )
+    return cnt_f, ntm, tkm
+
+
+def _bit_same(got: np.ndarray, want: np.ndarray) -> bool:
+    return np.array_equal(got, want, equal_nan=True) and np.array_equal(
+        np.signbit(got), np.signbit(want)
+    )
+
+
+def try_decompose_block(
+    cnt_f: np.ndarray, ntm: np.ndarray, tkm: np.ndarray,
+    ntoksum_raw: np.ndarray, toksum_raw: np.ndarray, tokcnt_raw: np.ndarray,
+    ts_us: np.ndarray | None = None,
+) -> bytes | None:
+    """Build the decomposed payload for one day-block, or None when exact
+    reconstruction is impossible (the caller then emits classic rows)."""
+    n = cnt_f.shape[0]
+    if n == 0 or not cnt_f[0] > 0:
+        # a leading gap slot needs LOCF context from outside the block
+        # (previous day / previous batch) — not self-contained, skip
+        return None
+    obs = cnt_f > 0
+    for v in (cnt_f, ntoksum_raw, toksum_raw, tokcnt_raw):
+        vo = v[obs]
+        if (
+            not np.all(np.isfinite(vo))
+            or np.any(np.abs(vo) >= 2**53)
+            or not np.all(vo == np.floor(vo))
+        ):
+            return None
+    cnt_i = cnt_f.astype(np.int64)
+    ntoksum = _locf_obs(np.where(obs, ntoksum_raw, 0.0), obs).astype(np.int64)
+    toksum = _locf_obs(np.where(obs, toksum_raw, 0.0), obs).astype(np.int64)
+    tokcnt = _locf_obs(np.where(obs, tokcnt_raw, 0.0), obs).astype(np.int64)
+    rec_cnt, rec_ntm, rec_tkm = _reconstruct_dec(cnt_i, ntoksum, toksum, tokcnt)
+    if not (
+        _bit_same(rec_cnt, cnt_f)
+        and _bit_same(rec_ntm, ntm)
+        and _bit_same(rec_tkm, tkm)
+    ):
+        return None
+    tokdiff = tokcnt - ntoksum
+    if ts_us is None:  # unit-test convenience: synthesize a regular grid
+        ts_us = np.arange(n, dtype=np.int64) * 60_000_000
+    ts_us = np.ascontiguousarray(ts_us, dtype=np.int64)
+    base_us = (int(ts_us[0]) // 86_400_000_000) * 86_400_000_000
+    streams = [
+        _encode_ts_stream(ts_us, base_us),
+        encode_intzz(cnt_i),
+        encode_intzz(ntoksum),
+        encode_intzz(toksum),
+        b"" if not tokdiff.any() else encode_intzz(tokdiff),  # omit all-zeros
+    ]
+    return _dec_pack(streams)
+
+
+def encode_block_rows(pdf: pd.DataFrame, layout: str) -> list[tuple]:
+    """Shared day-block builder for compress_tier, the fused derive kernel
+    and the incremental segment kernel: a SORTED one-(source, tier) frame
+    in, [(metric, block_start, n_points, ts_blob, val_blob), ...] out.
+    layout='decomposed' emits one __dec__ row per verifiable block and
+    classic per-metric XOR rows otherwise; layout='per_metric' always
+    emits classic rows (the round-2 format)."""
+    nb = len(pdf)
+    ts_us = pdf["bucket_start"].to_numpy().astype("datetime64[us]").view(np.int64)
+    blocks = pdf["block_start"].to_numpy()
+    cut = np.flatnonzero(np.concatenate(([True], blocks[1:] != blocks[:-1])))
+    ends = np.concatenate((cut[1:], [nb]))
+    spans = list(zip(cut, ends))
+    ts_blobs = encode_dod_batch([ts_us[a:b] for a, b in spans])
+    vals = {m: pdf[m].to_numpy(dtype=np.float64) for m in BLOCK_METRICS}
+    have = all(c in pdf.columns for c in BLOCK_SUM_COLS)
+    sums = (
+        {c: pdf[c].to_numpy(dtype=np.float64) for c in BLOCK_SUM_COLS}
+        if have
+        else None
+    )
+    rows: list[tuple] = []
+    classic: list[int] = []
+    for i, (a, b) in enumerate(spans):
+        payload = None
+        if layout == "decomposed" and have:
+            payload = try_decompose_block(
+                vals["cnt"][a:b],
+                vals["n_tok_mean"][a:b],
+                vals["tok_mean"][a:b],
+                sums["n_tok_sum"][a:b],
+                sums["tok_sum"][a:b],
+                sums["tok_cnt"][a:b],
+                ts_us[a:b],
+            )
+            if payload is not None and (b - a) < 64:
+                # tiny blocks: the fixed intzz/dec headers can outweigh
+                # the stream savings — keep whichever layout is smaller
+                # (pure function of block content, so the incremental
+                # path reaches the same verdict)
+                cls_bytes = 3 * len(ts_blobs[i]) + sum(
+                    len(bl)
+                    for bl in encode_xor_batch([vals[m][a:b] for m in BLOCK_METRICS])
+                )
+                if len(payload) >= cls_bytes:
+                    payload = None
+        if payload is not None:
+            # ts lives INSIDE the payload; the DoD column stays empty
+            rows.append(
+                (DEC_METRIC, pdf["block_start"].iloc[a], int(b - a), b"", payload)
+            )
+        else:
+            classic.append(i)
+    for m in BLOCK_METRICS:
+        if not classic:
+            break
+        blobs = encode_xor_batch([vals[m][spans[i][0] : spans[i][1]] for i in classic])
+        for j, i in enumerate(classic):
+            a, b = spans[i]
+            rows.append(
+                (m, pdf["block_start"].iloc[a], int(b - a), ts_blobs[i], blobs[j])
+            )
+    return rows

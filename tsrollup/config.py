@@ -75,12 +75,21 @@ class RollupConfig:
     gapfill_method: str = "locf"
     #: codec block width = 1 day of buckets (SURVEY.md §2.8).
     block_interval: str = "1d"
+    #: block storage layout: "decomposed" stores one integer-stream row
+    #: per day-block (means re-derived by exact division; per-block
+    #: encode-time verification with automatic per-metric XOR fallback,
+    #: codec.py C4); "per_metric" always writes the round-2 XOR rows.
+    block_layout: str = "decomposed"
 
     def __post_init__(self):
         # fail at construction, not minutes later inside a cluster stage
         if self.gapfill_method not in ("locf", "linear"):
             raise ValueError(
                 f"unknown gapfill method {self.gapfill_method!r} (locf|linear)"
+            )
+        if self.block_layout not in ("decomposed", "per_metric"):
+            raise ValueError(
+                f"unknown block layout {self.block_layout!r} (decomposed|per_metric)"
             )
         unknown = [t for t in self.tiers if t not in TIER_TRUNC]
         if unknown:

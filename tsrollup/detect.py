@@ -477,11 +477,12 @@ def _fused_kernel(
     cfg: DetectorConfig, metrics: tuple[str, ...],
     emit_state: bool = False, steps_us: dict | None = None,
     fill: str | None = None, fill_cols: tuple[str, ...] = (),
+    block_layout: str = "decomposed",
 ):
     window, tau, alpha, eps, value_col = (
         cfg.window, cfg.tau, cfg.alpha, cfg.eps, cfg.value_col,
     )
-    from .codec import encode_dod_batch, encode_xor_batch
+    from .codec import encode_block_rows
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         if fill:
@@ -576,22 +577,10 @@ def _fused_kernel(
             )
         )
 
-        # Gorilla blocks: identical splitting + batch encoders as
-        # codec.compress_tier (day-blocks contiguous in the sorted frame)
-        ts_us = bucket.to_numpy().astype("datetime64[us]").view(np.int64)
-        blocks = pdf["block_start"].to_numpy()
-        cut = np.flatnonzero(np.concatenate(([True], blocks[1:] != blocks[:-1])))
-        ends = np.concatenate((cut[1:], [nb]))
-        spans = list(zip(cut, ends))
-        ts_blobs = encode_dod_batch([ts_us[a:b] for a, b in spans])
-        brows = []
-        for m in metrics:
-            vals = pdf[m].to_numpy(dtype=np.float64)
-            val_blobs = encode_xor_batch([vals[a:b] for a, b in spans])
-            for i, (a, b) in enumerate(spans):
-                brows.append(
-                    (m, pdf["block_start"].iloc[a], int(b - a), ts_blobs[i], val_blobs[i])
-                )
+        # Gorilla blocks: the SAME shared day-block builder as
+        # codec.compress_tier (decomposed rows where the block verifies,
+        # classic per-metric XOR rows otherwise — identical splitting)
+        brows = encode_block_rows(pdf, block_layout)
         out.append(
             pd.DataFrame(
                 {
@@ -635,12 +624,19 @@ def derive_fused(
     INSIDE the kernel (_fill_group_pdf) — byte-identical output, but the
     dense grid never shuffles: the exchange moves only the raw rows, and
     the spine join + LOCF window sort disappear from the plan."""
-    from .codec import BLOCK_METRICS
+    from .codec import BLOCK_METRICS, BLOCK_SUM_COLS
     from .config import TIER_US
 
     cfg = cfg or RollupConfig()
     det = cfg.detector
-    cols = sorted(set(BLOCK_METRICS) | {det.value_col})
+    # the decomposed block layout needs the integer sum columns in-kernel
+    # (they delta-pack to a few bits and the means re-derive exactly)
+    sum_cols = (
+        tuple(c for c in BLOCK_SUM_COLS if c in filled.columns)
+        if cfg.block_layout == "decomposed"
+        else ()
+    )
+    cols = sorted(set(BLOCK_METRICS) | {det.value_col} | set(sum_cols))
     if fill is None:
         extra = ["gap_filled"] if emit_state else []
         slim = filled.select(
@@ -659,7 +655,7 @@ def derive_fused(
     return slim.groupBy("source", "tier").applyInPandas(
         _fused_kernel(
             det, BLOCK_METRICS, emit_state=emit_state, steps_us=dict(TIER_US),
-            fill=fill, fill_cols=tuple(cols),
+            fill=fill, fill_cols=tuple(cols), block_layout=cfg.block_layout,
         ),
         schema=FUSED_SCHEMA,
     )

@@ -84,7 +84,7 @@ def write_states(states: DataFrame, out_base: str) -> None:
 
 def _inc_kernel(
     cfg: DetectorConfig, metrics: tuple[str, ...], steps_us: dict,
-    fill: str | None = None,
+    fill: str | None = None, block_layout: str = "decomposed",
 ):
     """Per-(source, tier) grouped map over the SEGMENT [p, end] with the
     checkpointed state joined on. Emits the same long format as
@@ -99,10 +99,11 @@ def _inc_kernel(
     window, tau, alpha, eps, value_col = (
         cfg.window, cfg.tau, cfg.alpha, cfg.eps, cfg.value_col,
     )
-    from .codec import encode_dod_batch, encode_xor_batch
+    from .codec import BLOCK_SUM_COLS, encode_block_rows
     from .detect import _fill_group_pdf
 
-    fill_cols = tuple(sorted(set(metrics) | {value_col}))
+    sum_cols = BLOCK_SUM_COLS if block_layout == "decomposed" else ()
+    fill_cols = tuple(sorted(set(metrics) | {value_col} | set(sum_cols)))
     const_cols = (
         "g_bucket", "p_bucket", "carry_bucket",
         "carry_n_tok_mean", "carry_tok_mean", "state",
@@ -218,21 +219,10 @@ def _inc_kernel(
             )
         )
 
-        # blocks: every local day [p .. end], same encoders as the fused path
-        ts_us = b_arr.view(np.int64)
-        blocks = pdf["block_start"].to_numpy()
-        cut = np.flatnonzero(np.concatenate(([True], blocks[1:] != blocks[:-1])))
-        ends = np.concatenate((cut[1:], [nb]))
-        spans = list(zip(cut, ends))
-        ts_blobs = encode_dod_batch([ts_us[a:b] for a, b in spans])
-        brows = []
-        for m in metrics:
-            vals = pdf[m].to_numpy(dtype=np.float64)
-            val_blobs = encode_xor_batch([vals[a:b] for a, b in spans])
-            for i, (a, b) in enumerate(spans):
-                brows.append(
-                    (m, pdf["block_start"].iloc[a], int(b - a), ts_blobs[i], val_blobs[i])
-                )
+        # blocks: every local day [p .. end], the SAME shared builder as
+        # the fused path (identical content -> identical layout decision
+        # -> byte-identical rows, the incremental-parity contract)
+        brows = encode_block_rows(pdf, block_layout)
         out.append(
             pd.DataFrame(
                 {
@@ -366,9 +356,10 @@ def incremental_derive(
         # anchor and trimmed to >= p there (detect._fill_group_pdf) — no
         # spine join / LOCF window sort / dense-grid shuffle, same bytes
         det = cfg.detector
-        from .codec import BLOCK_METRICS
+        from .codec import BLOCK_METRICS, BLOCK_SUM_COLS
 
-        cols = sorted(set(BLOCK_METRICS) | {det.value_col})
+        sum_cols = BLOCK_SUM_COLS if cfg.block_layout == "decomposed" else ()
+        cols = sorted(set(BLOCK_METRICS) | {det.value_col} | set(sum_cols))
         slim = (
             seg_rows.join(
                 F.broadcast(
@@ -388,7 +379,8 @@ def incremental_derive(
             )
         )
         recomputed = slim.groupBy("source", "tier").applyInPandas(
-            _inc_kernel(det, BLOCK_METRICS, dict(TIER_US), fill=cfg.gapfill_method),
+            _inc_kernel(det, BLOCK_METRICS, dict(TIER_US), fill=cfg.gapfill_method,
+                        block_layout=cfg.block_layout),
             schema=FUSED_SCHEMA,
         )
     if n_fb:

@@ -140,7 +140,7 @@ def read_range_decoded(
     equal budget). Decoded points byte-match the gap-filled tier
     (tests/test_codec.py round-trip; tests/test_query.py end-to-end).
     """
-    from .codec import decompress_blocks
+    from .codec import DEC_METRIC, decompress_blocks
     from .pipeline import BLOCKS_DIR
 
     start_dt, end_dt = _to_dt(start), _to_dt(end)
@@ -149,10 +149,13 @@ def read_range_decoded(
     # point (blocks keep 90/365-day horizons, SINK_RETENTION_DAYS).
     blocks_retention = SINK_RETENTION_DAYS["blocks"] if retention is None else retention
     tier = choose_tier(start_dt, end_dt, resolution_s, now_day, blocks_retention)
+    # a decomposed row holds ALL metrics of its day-block, so the pushed
+    # predicate keeps both the requested classic rows and __dec__ rows;
+    # decompress re-derives only the requested metric from the latter
     bl = (
         spark.read.parquet(os.path.join(out_base, BLOCKS_DIR))
         .where(F.col("tier") == tier)
-        .where(F.col("metric") == metric)
+        .where(F.col("metric").isin(metric, DEC_METRIC))
         .where(
             (F.col("day") >= F.lit(start_dt.date().isoformat()).cast("date"))
             & (F.col("day") <= F.lit(end_dt.date().isoformat()).cast("date"))
@@ -160,7 +163,7 @@ def read_range_decoded(
     )
     if sources:
         bl = bl.where(F.col("source").isin(list(sources)))
-    dec = decompress_blocks(bl)
+    dec = decompress_blocks(bl, wanted=metric)
     return dec.where(
         (F.col("bucket_start") >= F.lit(start_dt))
         & (F.col("bucket_start") < F.lit(end_dt))
