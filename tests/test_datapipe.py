@@ -272,3 +272,18 @@ def test_ann_ivf_subset_of_probed_cells(spark):
         by_q.setdefault(r["q_id"], []).append(r["cos_sim"])
     for q, sims in by_q.items():
         assert sims == sorted(sims, reverse=True), (q, sims)
+
+
+def test_ann_ivf_kernel_matches_driver_query(spark):
+    """The matmul IVF kernel (datapipe.ann_ivf_topk_kernel — the at-scale
+    assignment path) returns the same neighbor sets as the fold-based,
+    oracle-twinned driver query on the fixture."""
+    from tsrollup.datapipe import ann_ivf_topk_kernel
+    from tsrollup.driver_queries import SPARK as DQ
+
+    sf = os.path.join(TESTDATA, "sf0.001")
+    kern = {(r["q_id"], r["vec_id"]): r["cos_sim"]
+            for r in ann_ivf_topk_kernel(spark, sf).collect()}
+    quer = {(r["q_id"], r["vec_id"]): r["cos_sim"]
+            for r in DQ["ann_ivf"](spark, sf).collect()}
+    assert kern == quer and kern

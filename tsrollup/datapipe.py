@@ -695,3 +695,96 @@ def ann_lsh_sql() -> str:
       FROM q JOIN v ON v.bucket = q.bucket AND v.vec_id != q.q_id
     ) WHERE rnk <= {ANN_TOPK}
     """
+
+
+# ----------------------------------------------------- IVF at-scale kernel
+#
+# The oracle-twinned ann_ivf driver query (driver_queries.py) uses a
+# per-centroid fold expression so DuckDB can verify it bit-for-bit; that
+# form is O(K) expressions and right for a handful of coarse cells. At
+# production K (thousands of cells over 10^9+ vectors) the assignment is
+# ONE matmul per Arrow batch against a broadcast centroid matrix — the
+# same plumbing as with_lsh_bucket. The cell id becomes the partition
+# key; probes read nprobe/K of the corpus.
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "v",
+    out_col: str = "cell",
+) -> DataFrame:
+    """Append argmax-cosine cell ids via a vectorized pandas UDF.
+
+    `centroids` is a (K, dim) float64 array captured in the closure
+    (broadcast to executors with the serialized UDF). Ties break toward
+    the smaller centroid id, matching the fold-based driver query
+    (round-6 sim, row_number over (sim DESC, cid ASC))."""
+    c = np.ascontiguousarray(centroids, dtype=np.float64)
+    c_unit = c / np.linalg.norm(c, axis=1, keepdims=True)
+
+    @F.pandas_udf("int")
+    def assign_udf(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype(np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        sims = np.round(m @ c_unit.T, 6)
+        # argmax with smallest-id tiebreak: argmax returns the FIRST max
+        return pd.Series(np.argmax(sims, axis=1).astype(np.int32))
+
+    return df.withColumn(out_col, assign_udf(F.col(vec_col)))
+
+
+def ann_ivf_topk_kernel(
+    spark: SparkSession,
+    sf_dir: str,
+    k_cells: int = 8,
+    nprobe: int = 2,
+    topk: int = 5,
+    n_query: int = 3,
+) -> DataFrame:
+    """Kernel-path IVF ANN: matmul cell assignment + probe + exact
+    re-rank. Same parameters and semantics as the ann_ivf driver query —
+    tests assert the result sets agree on the fixture."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    cent_rows = (
+        e.where(F.col("vec_id") < k_cells).orderBy("vec_id").collect()
+    )  # K rows only — the one driver-side collect, O(K)
+    centroids = np.array([r["v"] for r in cent_rows], dtype=np.float64)
+    assigned = ivf_assign(e, centroids)
+    # probe cells per query: rank centroid sims in NumPy (K is tiny)
+    q_rows = assigned.where(F.col("vec_id") < n_query).collect()
+    qv = np.array([r["v"] for r in q_rows], dtype=np.float64)
+    qn = qv / np.linalg.norm(qv, axis=1, keepdims=True)
+    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    sims = np.round(qn @ cn.T, 6)
+    probes = []
+    for qi, r in enumerate(q_rows):
+        order = np.lexsort((np.arange(k_cells), -sims[qi]))[:nprobe]
+        probes += [(int(r["vec_id"]), int(c)) for c in order]
+    probe_df = spark.createDataFrame(probes, "q_id int, cell int")
+    q = assigned.where(F.col("vec_id") < n_query).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "v", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm = lambda col: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(col, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    cand = (
+        assigned.join(F.broadcast(probe_df), "cell")
+        .where(F.col("vec_id") != F.col("q_id"))
+        .join(q, "q_id")
+    )
+    sims_df = cand.select(
+        "q_id", "vec_id",
+        F.round(dot / (norm(F.col("qv")) * norm(F.col("v"))), 4).alias("cos_sim"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        sims_df.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= topk)
+        .select("q_id", "vec_id", "cos_sim")
+    )
