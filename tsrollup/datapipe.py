@@ -1,11 +1,16 @@
-"""Training-data-pipeline operators beyond the rollup core: LSH-bucketed
-approximate nearest neighbor and multimodal-column plumbing.
+"""Training-data-pipeline operators beyond the rollup core: LSH / SimHash
+/ IVF similarity kernels and multimodal-column plumbing.
 
-The SQL-expressible pipeline ops (exact dedup, MinHash+LSH near-dup,
-quality scoring, token counting, fingerprinting, language-ID shape,
-brute-force cosine top-k) live in driver_queries.py with DuckDB oracles.
-The two here genuinely need NumPy kernels, so they get rows-only checks
-from the driver and dedicated tests.
+The purely SQL-expressible pipeline ops (exact dedup, MinHash+LSH
+near-dup, quality scoring, token counting, fingerprinting, language-ID
+shape, TF-IDF, brute-force cosine top-k) live in driver_queries.py with
+DuckDB oracles. This module holds (a) oracle-twinned operators whose SQL
+twins are GENERATED here so both engines share one parameterization
+(banded embedding near-dup, literal-plane ann_lsh, md5-nibble SimHash),
+(b) the NumPy kernel paths used at scale (matmul LSH bucketing, matmul
+IVF assignment) pinned by tests to agree with their twinned
+counterparts, and (c) the multimodal binary-column registry with real
+pure-NumPy BMP/WAV decoders.
 """
 
 from __future__ import annotations
