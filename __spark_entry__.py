@@ -34,6 +34,8 @@ def entry(spark: SparkSession) -> DataFrame:
 def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Rows-only entries: operators whose semantics aren't ANSI-SQL
     expressible (sequential recurrences, bit-level codecs, NumPy LSH)."""
+    from pyspark.sql import functions as F
+
     from tsrollup.config import RollupConfig
     from tsrollup.codec import compress_tier, decompress_blocks
     from tsrollup.datapipe import ann_lsh_topk, multimodal_features
@@ -42,14 +44,95 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from tsrollup.gapfill import gapfill
     from tsrollup.rollup import build_all_tiers
 
+    def _scores_projection(sc_df, window: int):
+        """Shared oracle-ready projection of a scores frame (PROMOTED to
+        oracle-twinned, round 3).
+
+        The z-score SCORE is masked to NULL on constant trailing windows
+        (min == max over the W-window of the bit-exact filled series, an
+        identical comparison on both sides): there the kernel's window
+        mean differs from the value by an ulp (pairwise-summation
+        artifact), sigma is ulp-scale, and z is exactly 0 or ±1 depending
+        on numpy's rounding — honest SQL cannot reproduce WHICH, but
+        |z| <= 1 < tau is PROVABLE (every deviation in a constant window
+        is the same e, so z = -e/|e| or 0), so `is_anomaly` stays fully
+        twinned everywhere. Warmup scores (NaN) map to NULL on both
+        sides. EWMA rows are fully twinned: the recurrence is evaluated
+        by a recursive CTE in DuckDB and 6-dp rounding absorbs the
+        chunked-affine-scan vs sequential float differences. `value`
+        stays RAW (bit-exact: LOCF copies bits and the mean is a single
+        division both sides perform identically)."""
+        from pyspark.sql import Window as Wd
+
+        w = (
+            Wd.partitionBy("source", "detector")
+            .orderBy("bucket_start")
+            .rowsBetween(-(window - 1), 0)
+        )
+        const_w = (F.count(F.lit(1)).over(w) == window) & (
+            F.min("value").over(w) == F.max("value").over(w)
+        )
+        is_z = F.col("detector") == "zscore"
+        # warmup scores surface as NULL (Arrow maps the kernel's NaN to
+        # null through applyInPandas) — test both spellings
+        warm = F.col("score").isNull() | F.isnan("score")
+        # noise floor: |score| < 1e-4 publishes as exactly 0.0. Deep in a
+        # constant-value run the EWMA score decays geometrically through
+        # every magnitude; its tiny values come from catastrophic
+        # cancellation (r = x - s with s within an ulp of x), so their
+        # low bits are evaluation-order-dependent and 6-dp rounding can
+        # straddle a boundary between the two sides. At the 1e-4 CLAMP
+        # boundary the absolute error is ~1e-14, so the clamp itself is
+        # deterministic; tau = 3 is 4+ orders above, flags unaffected.
+        score_r = (
+            F.when(is_z & (warm | const_w), F.lit(None))
+            .when(F.abs("score") < 1e-4, F.lit(0.0))
+            .otherwise(F.round("score", 6))
+        )
+        # flag as INT (-1 = warmup null): NULL booleans canonicalize
+        # differently (None vs NaN object cells) between Spark and DuckDB.
+        # The flag is recomputed from the ROUNDED score: at |z| exactly on
+        # the tau boundary the two sides' unrounded scores land on
+        # opposite sides (integer-valued series make z = ±tau exactly
+        # reachable), while the rounded scores are proven equal — so a
+        # flag derived from them is deterministic on both. Constant
+        # windows are provably |z| <= 1 < tau -> 0; the kernel's own
+        # unrounded flag stays pytest-covered.
+        anom_i = (
+            F.when(is_z & warm, F.lit(-1))
+            .when(is_z & const_w, F.lit(0))
+            .otherwise((F.abs(F.round("score", 6)) >= 3.0).cast("int"))
+        )
+        return sc_df.select(
+            "source",
+            F.unix_timestamp("bucket_start").alias("bucket_s"),
+            "detector",
+            F.col("value").alias("value_d"),
+            score_r.alias("score_r"),
+            anom_i.alias("anom_i"),
+        )
+
     def engine_zscore_1h(spark, sf_dir):
-        return flagship_scores(spark, sf_dir, tier="1h")
+        return _scores_projection(
+            flagship_scores(spark, sf_dir, tier="1h"), window=12
+        )
 
     def engine_residual_stats(spark, sf_dir):
         cfg = RollupConfig()
         seq = sequences_from_documents(spark, sf_dir)
         tiers = build_all_tiers(seq, cfg)
-        return residual_stats(gapfill(tiers["1h"], "1h", cfg), "1h", cfg)
+        rs = residual_stats(gapfill(tiers["1h"], "1h", cfg), "1h", cfg)
+        # NaN (empty-fold) -> NULL so the DuckDB twin's empty-set
+        # aggregates compare equal; 6-dp rounding absorbs Welford-vs-SQL
+        # float ordering
+        def nn(c):
+            return F.when(F.isnan(c), F.lit(None)).otherwise(F.round(c, 6))
+
+        return rs.select(
+            "source", "tier", "detector", "n",
+            nn(F.col("mean")).alias("mean_r"),
+            nn(F.col("var_pop")).alias("var_r"),
+        )
 
     def engine_codec_blocks(spark, sf_dir):
         """C1+C2+C3 round trip of the gap-filled 1h tier. Raw doubles, no
@@ -196,16 +279,21 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         from tsrollup.streaming import run_streaming_welford
 
+        from pyspark.sql import Window as Wd
+
         base = _scratch("welford")
         in_dir = _seq_files(spark, sf_dir, base)
         out = os.path.join(base, "stats")
         run_streaming_welford(
             spark, in_dir, out, os.path.join(base, "ckpt"), max_files_per_trigger=2
         )
-        batches = sorted(
-            d for d in os.listdir(out) if d.startswith("batch_id=")
-        )
-        last = spark.read.parquet(os.path.join(out, batches[-1]))
+        # each source's LAST emission (update mode re-emits only sources
+        # present in a batch) folds ALL of its rows — so the per-source
+        # latest rows equal whole-input Welford finals, which is exactly
+        # what the DuckDB twin aggregates (PROMOTED to oracle-twinned)
+        all_b = spark.read.parquet(out)  # batch_id= partition discovery
+        w = Wd.partitionBy("source").orderBy(F.col("batch_id").desc())
+        last = all_b.withColumn("rk", F.row_number().over(w)).where("rk = 1")
         return last.select(
             "source", "n", F.round("mean", 6).alias("mean_r"),
             F.round("var_pop", 6).alias("var_r"),
@@ -352,10 +440,12 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s2 = rollup_build(spark, b2, out, cfg)
         assert "derive_inc" in s2["phases"], s2["phases"]
         sc = spark.read.parquet(os.path.join(out, SCORES_DIR))
-        return sc.where("tier = '1h'").select(
-            "source", F.unix_timestamp("bucket_start").alias("bucket_s"),
-            "detector", F.round("value", 6).alias("value_r"),
-            F.round("score", 6).alias("score_r"), "is_anomaly",
+        # same oracle-ready projection as engine_zscore_1h, at the
+        # pipeline's default window (PROMOTED to oracle-twinned: the
+        # two-batch incremental store is byte-identical to single-shot,
+        # and single-shot is what the DuckDB twin recomputes)
+        return _scores_projection(
+            sc.where("tier = '1h'"), window=cfg.detector.window
         )
 
     def engine_streamed_ingest(spark, sf_dir):
@@ -582,6 +672,138 @@ def _engine_oracles() -> dict[str, str]:
     UNION ALL SELECT source, '1h', 'tok_mean', epoch(b)::BIGINT, tkm FROM filled
     """)
 
+    # ---- detector twins (PROMOTED round 3). The gap-filled 1h series is
+    # rebuilt exactly as in the read_decoded oracle (bit-exact LOCF of the
+    # one-division mean); the z-score is a plain window aggregate with the
+    # constant-window mask described in _scores_projection; the EWMA
+    # recurrence (s_t = a*x_t + c*s_{t-1}; v_t = c*v_{t-1} + c*a*r_t^2;
+    # score_t = r_t/sqrt(v_{t-1}) gated on v_{t-1} > eps) runs as a
+    # RECURSIVE CTE — one step per bucket index, all sources advancing in
+    # lockstep. Float literals are repr() of the kernel's Python-computed
+    # constants so both sides use the identical doubles; 6-dp rounding
+    # absorbs chunked-scan vs sequential evaluation order.
+    _a = 0.3
+    _c = 1.0 - _a
+    _ca = _c * _a
+    _eps = 1e-12
+    _tau = 3.0
+
+    def _filled_cte() -> str:
+        return """,
+    hb AS (
+      SELECT source, date_trunc('hour', event_ts) AS b,
+             sum(n_tok)::BIGINT AS s, count(*)::BIGINT AS c
+      FROM seq GROUP BY 1, 2
+    ),
+    bounds AS (SELECT source, min(b) AS b0, max(b) AS b1 FROM hb GROUP BY source),
+    spine AS (
+      SELECT source, unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS b
+      FROM bounds
+    ),
+    f0 AS (
+      SELECT sp.source, sp.b,
+             last_value(hb.s::DOUBLE / hb.c IGNORE NULLS) OVER (
+               PARTITION BY sp.source ORDER BY sp.b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS x
+      FROM spine sp LEFT JOIN hb ON hb.source = sp.source AND hb.b = sp.b
+    ),
+    f AS (
+      SELECT source, b, x,
+             row_number() OVER (PARTITION BY source ORDER BY b) - 1 AS i
+      FROM f0
+    )"""
+
+    def _zs_cte(W: int) -> str:
+        return f""",
+    zs AS (
+      SELECT source, b, x,
+             avg(x)        OVER w AS mu,
+             stddev_pop(x) OVER w AS sigma,
+             count(*)      OVER w AS cw,
+             min(x)        OVER w AS mn,
+             max(x)        OVER w AS mx
+      FROM f
+      WINDOW w AS (PARTITION BY source ORDER BY b
+                   ROWS BETWEEN {W - 1} PRECEDING AND CURRENT ROW)
+    )"""
+
+    def _ew_cte() -> str:
+        return f""",
+    ew AS (
+      SELECT source, b, i, x, x AS s, 0.0::DOUBLE AS v,
+             0.0::DOUBLE AS r, 0.0::DOUBLE AS score
+      FROM f WHERE i = 0
+      UNION ALL
+      SELECT f.source, f.b, f.i, f.x,
+             {_a!r} * f.x + {_c!r} * ew.s,
+             {_c!r} * ew.v + {_ca!r} * ((f.x - ew.s) * (f.x - ew.s)),
+             f.x - ew.s,
+             CASE WHEN ew.v > {_eps!r}
+                  THEN (f.x - ew.s) / sqrt(ew.v) ELSE 0.0 END
+      FROM ew JOIN f ON f.source = ew.source AND f.i = ew.i + 1
+    )"""
+
+    def _scores_oracle(W: int) -> str:
+        return engine_oracle(
+            _filled_cte() + _zs_cte(W) + _ew_cte() + f"""
+    SELECT source, epoch(b)::BIGINT AS bucket_s, 'zscore' AS detector,
+           x AS value_d,
+           CASE WHEN cw < {W} OR mn = mx THEN NULL
+                WHEN sigma > 0 THEN
+                  CASE WHEN abs((x - mu) / sigma) < 1e-4 THEN 0.0
+                       ELSE round((x - mu) / sigma, 6) END
+                ELSE 0.0 END AS score_r,
+           CASE WHEN cw < {W} THEN -1
+                WHEN mn = mx THEN 0
+                WHEN sigma > 0
+                  THEN (abs(round((x - mu) / sigma, 6)) >= {_tau!r})::INT
+                ELSE 0 END AS anom_i
+    FROM zs
+    UNION ALL
+    SELECT source, epoch(b)::BIGINT, 'ewma', x,
+           CASE WHEN abs(score) < 1e-4 THEN 0.0 ELSE round(score, 6) END,
+           (abs(round(score, 6)) >= {_tau!r})::INT
+    FROM ew
+    """,
+            recursive=True,
+        )
+
+    zscore_1h = _scores_oracle(12)        # flagship uses window=12
+    incremental_derive = _scores_oracle(60)  # pipeline default window
+
+    resid_stats = engine_oracle(
+        _filled_cte() + _zs_cte(60) + _ew_cte() + """,
+    srcs AS (SELECT DISTINCT source FROM f),
+    zagg AS (
+      SELECT source, count(*)::BIGINT AS n,
+             avg(x - mu) AS mean, var_pop(x - mu) AS var
+      FROM zs WHERE cw = 60 GROUP BY source
+    ),
+    eagg AS (
+      SELECT source, count(*)::BIGINT AS n,
+             avg(r) AS mean, var_pop(r) AS var
+      FROM ew GROUP BY source
+    )
+    SELECT s.source, '1h' AS tier, 'zscore' AS detector,
+           coalesce(z.n, 0)::BIGINT AS n,
+           round(z.mean, 6) AS mean_r, round(z.var, 6) AS var_r
+    FROM srcs s LEFT JOIN zagg z USING (source)
+    UNION ALL
+    SELECT source, '1h', 'ewma', n, round(mean, 6), round(var, 6)
+    FROM eagg
+    """,
+        recursive=True,
+    )
+
+    # streaming Welford finals: each source's last update-mode emission
+    # folds all of its rows, so whole-input per-source stats are the twin
+    streaming_welford = engine_oracle("""
+    SELECT source, count(*)::BIGINT AS n,
+           round(avg(n_tok), 6) AS mean_r,
+           round(var_pop(n_tok), 6) AS var_r
+    FROM seq GROUP BY source
+    """)
+
     return {
         "engine_streaming_rollup": streaming_rollup,
         "engine_read_range": read_range,
@@ -590,6 +812,10 @@ def _engine_oracles() -> dict[str, str]:
         "engine_resume_ledger": resume_ledger,
         "engine_read_decoded": read_decoded,
         "engine_codec_blocks": codec_blocks,
+        "engine_zscore_1h": zscore_1h,
+        "engine_incremental_derive": incremental_derive,
+        "engine_residual_stats": resid_stats,
+        "engine_streaming_welford": streaming_welford,
         "ann_lsh": _ann_lsh_oracle(),
     }
 

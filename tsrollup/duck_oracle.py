@@ -133,9 +133,12 @@ seq AS (
 """
 
 
-def engine_oracle(body: str) -> str:
+def engine_oracle(body: str, recursive: bool = False) -> str:
     """Compose a full oracle statement: xxh64 macro prelude (multi-
     statement; DuckDB returns the trailing SELECT's relation) + the seq
     CTE + the query body. `body` must start with its own CTE list or a
-    SELECT that references `seq`."""
-    return XXH64_PRELUDE + "\nWITH " + SEQ_CTE + body
+    SELECT that references `seq`. `recursive=True` opens the CTE list
+    with WITH RECURSIVE so the body may include recursive CTEs (the
+    EWMA-recurrence twins need one)."""
+    kw = "WITH RECURSIVE " if recursive else "WITH "
+    return XXH64_PRELUDE + "\n" + kw + SEQ_CTE + body
