@@ -1261,3 +1261,99 @@ def tx_tfidf(spark, sf_dir):
         .where(F.col("rnk") <= 5)
         .select("lang", "word", "tf", "df", "tfidf")
     )
+
+
+# ------------------------------------------------- J6 / G3 / DS (round 3)
+
+@q(
+    "j6_asof_join",
+    """
+    WITH cl AS (SELECT DISTINCT user_id, ts FROM events
+                WHERE event_type = 'click'),
+         pu AS (SELECT event_id, user_id, ts FROM events
+                WHERE event_type = 'purchase')
+    SELECT p.event_id, epoch_us(p.ts) - epoch_us(cl.ts) AS gap_us
+    FROM pu p ASOF LEFT JOIN cl
+      ON p.user_id = cl.user_id AND p.ts >= cl.ts
+    """,
+)
+def j6_asof_join(spark, sf_dir):
+    """True backward as-of join (tsrollup.asof.asof_join): each purchase
+    matched to the user's latest prior-or-equal click. The engine runs the
+    union-tag + single-window-carry plan (ONE shuffle on user_id, no
+    range-join explosion); the oracle is DuckDB's native ASOF LEFT JOIN —
+    both are deterministic because the right side is deduped per
+    (user_id, ts). gap_us is exact integer microseconds."""
+    from .asof import asof_join
+
+    e = t(spark, sf_dir, "events")
+    clicks = e.where("event_type = 'click'").select("user_id", "ts").distinct()
+    purchases = e.where("event_type = 'purchase'").select(
+        "event_id", "user_id", "ts"
+    )
+    j = asof_join(purchases, clicks, on=["user_id"], left_ts="ts", right_ts="ts")
+    return j.select(
+        "event_id",
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("ts_asof").cast("timestamp"))
+        ).alias("gap_us"),
+    )
+
+
+@q(
+    "g3_m4_downsample",
+    """
+    WITH r AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket, value,
+             row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    )
+    SELECT event_type, epoch(bucket)::BIGINT AS bucket_s,
+           max(CASE WHEN rn_a = 1 THEN value END) AS v_first,
+           max(CASE WHEN rn_d = 1 THEN value END) AS v_last,
+           min(value) AS v_min, max(value) AS v_max,
+           count(*)::BIGINT AS n_pts
+    FROM r GROUP BY 1, 2
+    """,
+)
+def g3_m4_downsample(spark, sf_dir):
+    """M4 visualization downsampling (tsrollup.downsample.downsample_m4,
+    VLDB 2014 algorithm): per (event_type, hour pixel-bucket) the
+    first/last/min/max values — pure SELECTIONS of existing doubles, so
+    both sides are bit-exact with no rounding. event_id pins first/last
+    under equal timestamps."""
+    from .downsample import downsample_m4
+
+    m4 = downsample_m4(
+        t(spark, sf_dir, "events"),
+        keys=["event_type"], ts_col="ts", value_col="value",
+        bucket="hour", order_tiebreak="event_id",
+    )
+    return m4.select(
+        "event_type", F.unix_timestamp("bucket").alias("bucket_s"),
+        "v_first", "v_last", "v_min", "v_max", "n_pts",
+    )
+
+
+@q("ds_lttb")
+def ds_lttb(spark, sf_dir):
+    """LTTB downsampling to 100 points per event_type series (rows-only:
+    the bucket-anchor recurrence isn't ANSI-expressible; the kernel is
+    pinned against an independent pure-loop reference in
+    tests/test_downsample.py). Selected points are a SUBSET of the input,
+    so values pass through bit-exact."""
+    from .downsample import downsample_lttb
+
+    d = downsample_lttb(
+        t(spark, sf_dir, "events"),
+        keys=["event_type"], ts_col="ts", value_col="value", n_out=100,
+    )
+    return d.select(
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.col("value").alias("value_d"),
+    )
