@@ -160,6 +160,8 @@ def main() -> None:
         "dd_minhash_lsh",
         "ann_cosine_topk",
         "tx_quality",
+        "j6_asof_join",
+        "g3_m4_downsample",
     ):
         t0 = time.monotonic()
         SPARK[name](spark, sf_dir).count()

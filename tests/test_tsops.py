@@ -1,0 +1,197 @@
+"""tsops: counter increase/rate, seasonal-naive deviation, exact corr —
+each checked against an independent pandas/NumPy reference plus the edge
+cases the SQL twin can't see (empty input, all-reset, constant series)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tsrollup.tsops import (
+    counter_increase,
+    counter_rate,
+    exact_corr_pair,
+    seasonal_naive,
+)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["key", "ts", "val", "eid"]).assign(
+            ts=lambda d: pd.to_datetime(d["ts"])
+        )
+    )
+
+
+@pytest.fixture(scope="module")
+def counter_df(spark):
+    # one series with two in-bucket resets and a bucket boundary crossing
+    rows = [
+        ("a", "2024-01-01 00:00:10", 10.0, 1),
+        ("a", "2024-01-01 00:10:00", 25.0, 2),   # +15
+        ("a", "2024-01-01 00:20:00", 5.0, 3),    # reset -> +5
+        ("a", "2024-01-01 00:59:00", 8.0, 4),    # +3
+        ("a", "2024-01-01 01:05:00", 2.0, 5),    # reset -> +2 (next bucket)
+        ("a", "2024-01-01 01:30:00", 9.0, 6),    # +7
+        ("b", "2024-01-01 00:30:00", 100.0, 7),  # lone first row: no delta
+    ]
+    return _events(spark, rows)
+
+
+class TestCounterIncrease:
+    def test_reference_values(self, spark, counter_df):
+        out = (
+            counter_increase(
+                counter_df, ["key"], "ts", "val", "hour", tiebreak="eid"
+            )
+            .orderBy("key", "bucket")
+            .collect()
+        )
+        # series b contributes nothing (single sample -> no delta)
+        assert [r["key"] for r in out] == ["a", "a"]
+        assert out[0]["increase"] == pytest.approx(15 + 5 + 3)
+        assert out[0]["n_resets"] == 1
+        assert out[0]["n_samples"] == 3
+        assert out[1]["increase"] == pytest.approx(2 + 7)
+        assert out[1]["n_resets"] == 1
+        assert out[1]["n_samples"] == 2
+
+    def test_matches_pandas_reference(self, spark):
+        rng = np.random.default_rng(11)
+        n = 4000
+        ts = pd.Timestamp("2024-03-01") + pd.to_timedelta(
+            np.sort(rng.integers(0, 86_400, n)), unit="s"
+        )
+        # sawtooth counters: mostly increasing, occasional resets
+        val = np.cumsum(rng.integers(0, 50, n)).astype(float)
+        reset_at = rng.random(n) < 0.01
+        val[reset_at] = rng.integers(0, 10, reset_at.sum())
+        key = rng.choice(["x", "y", "z"], n)
+        pdf = pd.DataFrame({"key": key, "ts": ts, "val": val, "eid": np.arange(n)})
+
+        got = (
+            counter_increase(
+                spark.createDataFrame(pdf), ["key"], "ts", "val", "hour",
+                tiebreak="eid",
+            )
+            .toPandas()
+            .sort_values(["key", "bucket"])
+            .reset_index(drop=True)
+        )
+
+        ref_rows = []
+        for k, g in pdf.sort_values(["ts", "eid"]).groupby("key"):
+            prev = g["val"].shift(1)
+            delta = g["val"] - prev
+            adj = np.where(delta < 0, g["val"], delta)
+            sub = pd.DataFrame(
+                {
+                    "bucket": g["ts"].dt.floor("h"),
+                    "adj": adj,
+                    "reset": (delta < 0).astype(int),
+                }
+            )[prev.notna().to_numpy()]
+            for b, gg in sub.groupby("bucket"):
+                ref_rows.append((k, b, gg["adj"].sum(), gg["reset"].sum(), len(gg)))
+        ref = (
+            pd.DataFrame(
+                ref_rows,
+                columns=["key", "bucket", "increase", "n_resets", "n_samples"],
+            )
+            .sort_values(["key", "bucket"])
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(ref)
+        assert (got["key"] == ref["key"]).all()
+        np.testing.assert_allclose(got["increase"], ref["increase"], rtol=1e-12)
+        assert (got["n_resets"].to_numpy() == ref["n_resets"].to_numpy()).all()
+        assert (got["n_samples"].to_numpy() == ref["n_samples"].to_numpy()).all()
+
+    def test_rate_is_increase_over_span(self, spark, counter_df):
+        out = counter_rate(
+            counter_df, ["key"], "ts", "val", "hour", 3600, tiebreak="eid"
+        ).collect()
+        for r in out:
+            assert r["rate_per_s"] == pytest.approx(r["increase"] / 3600)
+
+    def test_empty_input(self, spark, counter_df):
+        out = counter_increase(
+            counter_df.where(F.lit(False)), ["key"], "ts", "val", "hour"
+        )
+        assert out.count() == 0
+
+
+class TestSeasonalNaive:
+    def test_missing_season_is_null(self, spark):
+        rows = [
+            ("a", "2024-01-01 05:00:00", 0.0, 1),
+            ("a", "2024-01-01 05:30:00", 0.0, 2),
+            ("a", "2024-01-02 05:15:00", 0.0, 3),
+            ("a", "2024-01-03 07:00:00", 0.0, 4),  # no 05h row on day 3
+        ]
+        out = {
+            (r["bucket"].isoformat(), r["cnt"], r["cnt_season"], r["dev"])
+            for r in seasonal_naive(
+                _events(spark, rows), ["key"], "ts", "hour", "24 HOURS"
+            ).collect()
+        }
+        assert ("2024-01-01T05:00:00", 2, None, None) in out
+        assert ("2024-01-02T05:00:00", 1, 2, -1) in out
+        assert ("2024-01-03T07:00:00", 1, None, None) in out
+
+    def test_dev_is_exact_integer(self, spark):
+        rng = np.random.default_rng(5)
+        n = 3000
+        ts = pd.Timestamp("2024-05-01") + pd.to_timedelta(
+            rng.integers(0, 3 * 86_400, n), unit="s"
+        )
+        pdf = pd.DataFrame(
+            {"key": rng.choice(["u", "v"], n), "ts": ts,
+             "val": 0.0, "eid": np.arange(n)}
+        )
+        out = seasonal_naive(
+            spark.createDataFrame(pdf), ["key"], "ts", "hour", "24 HOURS"
+        ).toPandas()
+        ref = (
+            pdf.assign(bucket=pdf["ts"].dt.floor("h"))
+            .groupby(["key", "bucket"]).size().rename("cnt").reset_index()
+        )
+        merged = out.merge(ref, on=["key", "bucket"], suffixes=("", "_ref"))
+        assert len(merged) == len(out) == len(ref)
+        assert (merged["cnt"] == merged["cnt_ref"]).all()
+        prev = ref.assign(bucket=ref["bucket"] + pd.Timedelta(hours=24)).rename(
+            columns={"cnt": "cnt_season_ref"}
+        )
+        m2 = out.merge(prev, on=["key", "bucket"], how="left")
+        got = m2["cnt_season"].fillna(-1).astype(int)
+        want = m2["cnt_season_ref"].fillna(-1).astype(int)
+        assert (got == want).all()
+
+
+class TestExactCorr:
+    def test_matches_numpy(self, spark):
+        rng = np.random.default_rng(3)
+        rows = []
+        for g in range(4):
+            x = rng.integers(0, 100, 24)
+            y = (x * 2 + rng.integers(0, 30, 24)).astype(int)
+            rows += [(g, int(a), int(b)) for a, b in zip(x, y)]
+        df = spark.createDataFrame(rows, "g int, x long, y long")
+        out = {
+            r["g"]: r["r"]
+            for r in exact_corr_pair(df, ["g"], "x", "y").collect()
+        }
+        pdf = pd.DataFrame(rows, columns=["g", "x", "y"])
+        for g, sub in pdf.groupby("g"):
+            want = np.corrcoef(sub["x"], sub["y"])[0, 1]
+            assert out[g] == pytest.approx(want, rel=1e-12)
+
+    def test_constant_series_null(self, spark):
+        df = spark.createDataFrame(
+            [(0, 5, i) for i in range(10)], "g int, x long, y long"
+        )
+        [row] = exact_corr_pair(df, ["g"], "x", "y").collect()
+        assert row["r"] is None
+        assert row["n_pts"] == 10

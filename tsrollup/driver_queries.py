@@ -1357,3 +1357,135 @@ def ds_lttb(spark, sf_dir):
         F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
         F.col("value").alias("value_d"),
     )
+
+
+# --------------------------------------------- C5 / W5 / W6 (round 3)
+
+@q(
+    "c5_counter_increase",
+    """
+    WITH d AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket, value,
+             value - lag(value) OVER w AS delta,
+             lag(value) OVER w AS prev
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    )
+    SELECT event_type, epoch(bucket)::BIGINT AS bucket_s,
+           round(sum(CASE WHEN delta < 0 THEN value ELSE delta END), 4)
+             AS increase_r,
+           sum(CASE WHEN delta < 0 THEN 1 ELSE 0 END)::BIGINT AS n_resets,
+           count(*)::BIGINT AS n_samples
+    FROM d
+    WHERE prev IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def c5_counter_increase(spark, sf_dir):
+    """PromQL-style counter increase with reset handling
+    (tsrollup.tsops.counter_increase): per (event_type, hour) the sum of
+    reset-adjusted adjacent deltas of `value`, treating each event_type
+    stream as a counter (a negative delta is a restart and contributes
+    the post-reset value). event_id pins delta order under equal
+    timestamps. The per-bucket sum is rounded to 1e-4 on BOTH sides —
+    adjacent-delta floats are exact, only the bucket summation order
+    differs between engines (error ~1e-9, far below the floor)."""
+    from .tsops import counter_increase
+
+    inc = counter_increase(
+        t(spark, sf_dir, "events"),
+        keys=["event_type"], ts_col="ts", value_col="value",
+        bucket="hour", tiebreak="event_id",
+    )
+    return inc.select(
+        "event_type",
+        F.unix_timestamp("bucket").alias("bucket_s"),
+        F.round("increase", 4).alias("increase_r"),
+        "n_resets",
+        "n_samples",
+    )
+
+
+@q(
+    "w5_seasonal_naive",
+    """
+    WITH c AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket,
+             count(*)::BIGINT AS cnt
+      FROM events GROUP BY 1, 2
+    )
+    SELECT a.event_type, epoch(a.bucket)::BIGINT AS bucket_s, a.cnt,
+           b.cnt AS cnt_season, a.cnt - b.cnt AS dev
+    FROM c a LEFT JOIN c b
+      ON a.event_type = b.event_type
+     AND b.bucket = a.bucket - INTERVAL 24 HOURS
+    """,
+)
+def w5_seasonal_naive(spark, sf_dir):
+    """Seasonal-naive baseline (tsrollup.tsops.seasonal_naive): hourly
+    event count vs the SAME hour 24 h earlier, joined by time arithmetic
+    (not row offset, so day-one rows get NULL instead of a wrong
+    neighbor). Exact integer counts and deviations — bit-exact twin."""
+    from .tsops import seasonal_naive
+
+    sn = seasonal_naive(
+        t(spark, sf_dir, "events"),
+        keys=["event_type"], ts_col="ts", bucket="hour", season="24 HOURS",
+    )
+    return sn.select(
+        "event_type",
+        F.unix_timestamp("bucket").alias("bucket_s"),
+        "cnt", "cnt_season", "dev",
+    )
+
+
+@q(
+    "w6_corr_daily",
+    """
+    WITH h AS (
+      SELECT date_trunc('hour', ts) AS h,
+             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT
+               AS x,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+               AS y
+      FROM events GROUP BY 1
+    ), s AS (
+      SELECT date_trunc('day', h) AS day,
+             count(*)::BIGINT AS n_pts, count(*)::DOUBLE AS nd,
+             sum(x)::DOUBLE AS sx, sum(y)::DOUBLE AS sy,
+             sum(x * y)::DOUBLE AS sxy,
+             sum(x * x)::DOUBLE AS sxx, sum(y * y)::DOUBLE AS syy
+      FROM h GROUP BY 1
+    )
+    SELECT epoch(day)::BIGINT AS day_s, n_pts,
+           round(CASE WHEN nd * sxx - sx * sx > 0 AND nd * syy - sy * sy > 0
+                 THEN (nd * sxy - sx * sy)
+                      / (sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy))
+                 END, 6) AS r_r
+    FROM s
+    """,
+)
+def w6_corr_daily(spark, sf_dir):
+    """Per-day Pearson correlation between the hourly click-count and
+    purchase-count series (tsrollup.tsops.exact_corr_pair). The six
+    accumulators are exact BIGINTs; both engines evaluate the identical
+    closed-form double expression, so r is summation-order-free (rounded
+    to 1e-6 as a belt on the final ulp)."""
+    from .tsops import exact_corr_pair
+
+    e = t(spark, sf_dir, "events")
+    hourly = e.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.sum(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).alias("x"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("y"),
+    )
+    hourly = hourly.withColumn("day", F.date_trunc("day", "h"))
+    r = exact_corr_pair(hourly, group=["day"], x_col="x", y_col="y")
+    return r.select(
+        F.unix_timestamp("day").alias("day_s"),
+        "n_pts",
+        F.round("r", 6).alias("r_r"),
+    )
