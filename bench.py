@@ -162,6 +162,8 @@ def main() -> None:
         "tx_quality",
         "j6_asof_join",
         "g3_m4_downsample",
+        "c6_cusum",
+        "w7_robust_zscore",
     ):
         t0 = time.monotonic()
         SPARK[name](spark, sf_dir).count()

@@ -12,7 +12,10 @@ from pyspark.sql import functions as F
 from tsrollup.tsops import (
     counter_increase,
     counter_rate,
+    cusum,
     exact_corr_pair,
+    pctl_rollup,
+    robust_zscore,
     seasonal_naive,
 )
 
@@ -168,6 +171,136 @@ class TestSeasonalNaive:
         got = m2["cnt_season"].fillna(-1).astype(int)
         want = m2["cnt_season_ref"].fillna(-1).astype(int)
         assert (got == want).all()
+
+
+class TestCusum:
+    def _loop_reference(self, x, k_sig, h_sig):
+        # the textbook SEQUENTIAL recurrence — independent of the engine's
+        # closed-form cumsum-minus-running-min formulation
+        x = np.asarray(x, dtype=np.float64)
+        n = len(x)
+        mu = x.sum() / n
+        sigma = np.sqrt(max(n * (x * x).sum() - x.sum() ** 2, 0.0)) / n
+        k, h = k_sig * sigma, h_sig * sigma
+        gp = np.zeros(n)
+        gn = np.zeros(n)
+        p = m = 0.0
+        for i in range(n):
+            p = max(0.0, p + (x[i] - mu - k))
+            m = max(0.0, m + (mu - x[i] - k))
+            gp[i], gn[i] = p, m
+        flag = (sigma > 0) & ((gp > h) | (gn > h))
+        return gp, gn, flag
+
+    def test_matches_sequential_recurrence(self, spark):
+        rng = np.random.default_rng(17)
+        rows = []
+        for key in ["a", "b"]:
+            base = rng.integers(20, 40, 200).astype(float)
+            if key == "a":
+                base[120:] += 30  # planted level shift
+            rows += [
+                (key, f"2024-01-01 {i // 60:02d}:{i % 60:02d}:00", v, i)
+                for i, v in enumerate(base)
+            ]
+        df = _events(spark, rows)
+        out = (
+            cusum(df, ["key"], "ts", "val", 0.5, 5.0, tiebreak="eid")
+            .toPandas()
+            .sort_values(["key", "ts"])
+        )
+        for key, g in out.groupby("key"):
+            x = g["val"].to_numpy()
+            gp, gn, flag = self._loop_reference(x, 0.5, 5.0)
+            np.testing.assert_allclose(g["g_pos"], gp, atol=1e-9)
+            np.testing.assert_allclose(g["g_neg"], gn, atol=1e-9)
+            assert (g["is_change"].to_numpy() == flag).all()
+        # the planted UPWARD shift in 'a' is detected by the upward
+        # statistic, and never before it happens (the downward side may
+        # flag earlier: with a global-mean baseline the pre-shift segment
+        # sits below mu0 by construction — correct CUSUM behavior)
+        a = out[out["key"] == "a"].reset_index(drop=True)
+        x = a["val"].to_numpy()
+        n = len(x)
+        sigma = np.sqrt(max(n * (x * x).sum() - x.sum() ** 2, 0.0)) / n
+        up = a["g_pos"].to_numpy() > 5.0 * sigma
+        assert up[120:].any()
+        assert not up[:120].any()
+
+    def test_constant_series_never_flags(self, spark):
+        rows = [("c", f"2024-01-01 00:{i:02d}:00", 7.0, i) for i in range(30)]
+        out = cusum(_events(spark, rows), ["key"], "ts", "val").toPandas()
+        assert not out["is_change"].any()
+        np.testing.assert_allclose(out["g_pos"], 0.0)
+
+
+class TestRobustZscore:
+    def test_matches_pandas_rolling_quantiles(self, spark):
+        rng = np.random.default_rng(23)
+        vals = rng.integers(0, 50, 300).astype(float)
+        vals[250] = 500.0  # one wild outlier
+        rows = [
+            ("k", f"2024-01-01 {i // 60:02d}:{i % 60:02d}:00", v, i)
+            for i, v in enumerate(vals)
+        ]
+        W = 24
+        out = (
+            robust_zscore(_events(spark, rows), ["key"], "ts", "val", W, 3.0)
+            .toPandas()
+            .sort_values("ts")
+            .reset_index(drop=True)
+        )
+        s = pd.Series(vals)
+        med = s.rolling(W, min_periods=W).quantile(0.5, interpolation="linear")
+        q1 = s.rolling(W, min_periods=W).quantile(0.25, interpolation="linear")
+        q3 = s.rolling(W, min_periods=W).quantile(0.75, interpolation="linear")
+        iqr = q3 - q1
+        z = np.where(iqr > 0, (vals - med) / iqr, 0.0)
+        filled = med.notna().to_numpy()
+        np.testing.assert_allclose(
+            out["robust_z"][filled], z[filled], atol=1e-12
+        )
+        assert out["robust_z"][:W - 1].isna().all()
+        assert bool(out["is_anomaly"][250])
+        # robustness: the outlier does NOT suppress detection of itself
+        # via the baseline (moment-based z over the same window would
+        # include it in sigma); neighbors stay unflagged
+        assert not out["is_anomaly"][251:260].fillna(False).any()
+
+    def test_constant_window_zero(self, spark):
+        rows = [("k", f"2024-01-01 00:{i:02d}:00", 5.0, i) for i in range(10)]
+        out = (
+            robust_zscore(_events(spark, rows), ["key"], "ts", "val", 4)
+            .toPandas()
+            .sort_values("ts")
+            .reset_index(drop=True)
+        )
+        assert (out["robust_z"][3:] == 0.0).all()
+        assert out["robust_z"][:3].isna().all()
+
+
+class TestPctlRollup:
+    def test_matches_numpy_percentile(self, spark):
+        rng = np.random.default_rng(29)
+        n = 2000
+        ts = pd.Timestamp("2024-06-01") + pd.to_timedelta(
+            rng.integers(0, 3 * 86_400, n), unit="s"
+        )
+        pdf = pd.DataFrame(
+            {"key": rng.choice(["p", "q"], n), "ts": ts,
+             "val": rng.integers(0, 1000, n).astype(float), "eid": np.arange(n)}
+        )
+        out = pctl_rollup(
+            spark.createDataFrame(pdf), ["key"], "ts", "val", "day",
+            (0.5, 0.9, 0.99),
+        ).toPandas()
+        ref = pdf.assign(bucket=pdf["ts"].dt.floor("D"))
+        for _, row in out.iterrows():
+            sub = ref[(ref["key"] == row["key"]) & (ref["bucket"] == row["bucket"])]
+            assert row["n"] == len(sub)
+            for col, p in (("p50", 50), ("p90", 90), ("p99", 99)):
+                want = np.percentile(sub["val"], p, method="linear")
+                assert row[col] == pytest.approx(want, abs=1e-9)
 
 
 class TestExactCorr:

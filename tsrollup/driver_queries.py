@@ -1489,3 +1489,153 @@ def w6_corr_daily(spark, sf_dir):
         "n_pts",
         F.round("r", 6).alias("r_r"),
     )
+
+
+@q(
+    "c6_cusum",
+    """
+    WITH c AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket,
+             count(*)::BIGINT AS cnt
+      FROM events GROUP BY 1, 2
+    ), st AS (
+      SELECT event_type, count(*)::DOUBLE AS n, sum(cnt)::DOUBLE AS sx,
+             sum(cnt * cnt)::DOUBLE AS sxx
+      FROM c GROUP BY 1
+    ), m AS (
+      SELECT event_type, sx / n AS mu0,
+             sqrt(greatest(n * sxx - sx * sx, 0)) / n AS sigma
+      FROM st
+    ), s AS (
+      SELECT c.event_type, c.bucket, c.cnt, m.sigma,
+             sum(c.cnt - m.mu0 - 0.5 * m.sigma)
+               OVER (PARTITION BY c.event_type ORDER BY c.bucket) AS sp,
+             sum(m.mu0 - c.cnt - 0.5 * m.sigma)
+               OVER (PARTITION BY c.event_type ORDER BY c.bucket) AS sn
+      FROM c JOIN m USING (event_type)
+    )
+    SELECT event_type, epoch(bucket)::BIGINT AS bucket_s, cnt,
+           round(sp - least(0, min(sp) OVER w), 6) AS g_pos_r,
+           round(sn - least(0, min(sn) OVER w), 6) AS g_neg_r,
+           (sigma > 0 AND (
+              sp - least(0, min(sp) OVER w) > 5.0 * sigma
+              OR sn - least(0, min(sn) OVER w) > 5.0 * sigma
+           )) AS is_change
+    FROM s
+    WINDOW w AS (PARTITION BY event_type ORDER BY bucket)
+    """,
+)
+def c6_cusum(spark, sf_dir):
+    """Two-sided tabular CUSUM changepoint detector over the hourly
+    event-count series of each event_type (tsrollup.tsops.cusum; Page
+    1954). The sequential max(0, ...) recurrence is evaluated in its
+    closed form — prefix sum minus running min — so the whole detector is
+    two codegen window aggregates, and the oracle runs the identical
+    closed form. mu0/sigma come from exact BIGINT sums; both engines then
+    evaluate the same doubles in the same left-to-right window order
+    (round(.,6) is a belt on the final ulp)."""
+    from .tsops import cusum
+
+    e = t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    out = cusum(hourly, ["event_type"], "bucket", "cnt", 0.5, 5.0)
+    return out.select(
+        "event_type",
+        F.unix_timestamp("bucket").alias("bucket_s"),
+        "cnt",
+        F.round("g_pos", 6).alias("g_pos_r"),
+        F.round("g_neg", 6).alias("g_neg_r"),
+        "is_change",
+    )
+
+
+@q(
+    "w7_robust_zscore",
+    """
+    WITH c AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket,
+             count(*)::BIGINT AS cnt
+      FROM events GROUP BY 1, 2
+    ), r AS (
+      SELECT event_type, bucket, cnt,
+             quantile_cont(cnt, 0.5) OVER w AS med,
+             quantile_cont(cnt, 0.75) OVER w - quantile_cont(cnt, 0.25) OVER w
+               AS iqr,
+             count(*) OVER w AS nw
+      FROM c
+      WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+                   ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, epoch(bucket)::BIGINT AS bucket_s, cnt,
+           CASE WHEN nw >= 24 THEN med END AS med,
+           CASE WHEN nw >= 24 THEN iqr END AS iqr,
+           round(CASE WHEN nw >= 24
+                 THEN CASE WHEN iqr > 0 THEN (cnt - med) / iqr ELSE 0.0 END
+                 END, 6) AS robust_z_r,
+           CASE WHEN nw >= 24
+                THEN (abs(CASE WHEN iqr > 0 THEN (cnt - med) / iqr ELSE 0.0 END)
+                     >= 3.0)::INT
+                END AS is_anomaly_i
+    FROM r
+    """,
+)
+def w7_robust_zscore(spark, sf_dir):
+    """Robust rolling z-score (median/IQR, trailing 24 h, min_periods=24)
+    over the hourly event-count series (tsrollup.tsops.robust_zscore).
+    Spark's EXACT `percentile` aggregate over a row frame and DuckDB's
+    `quantile_cont` pin the same (n-1)*p linear interpolation; on BIGINT
+    counts the quantiles are exact quarters, so only the final division
+    needs the 1e-6 rounding belt. NULL score/flag in the warmup region on
+    both sides."""
+    from .tsops import robust_zscore
+
+    e = t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    out = robust_zscore(hourly, ["event_type"], "bucket", "cnt", 24, 3.0)
+    return out.select(
+        "event_type",
+        F.unix_timestamp("bucket").alias("bucket_s"),
+        "cnt",
+        "med",
+        "iqr",
+        F.round("robust_z", 6).alias("robust_z_r"),
+        F.col("is_anomaly").cast("int").alias("is_anomaly_i"),
+    )
+
+
+@q(
+    "a5_pctl_rollup",
+    """
+    SELECT event_type, epoch(date_trunc('day', ts))::BIGINT AS day_s,
+           count(*)::BIGINT AS n,
+           round(quantile_cont(value, 0.5), 6) AS p50_r,
+           round(quantile_cont(value, 0.9), 6) AS p90_r,
+           round(quantile_cont(value, 0.99), 6) AS p99_r
+    FROM events GROUP BY 1, 2
+    """,
+)
+def a5_pctl_rollup(spark, sf_dir):
+    """Exact per-(event_type, day) latency-style percentile rollup of
+    `value` (tsrollup.tsops.pctl_rollup): p50/p90/p99 via Spark's exact
+    `percentile` vs DuckDB's `quantile_cont` — the same sorted
+    (n-1)*p linear interpolation; round(.,6) covers the interpolation
+    arithmetic's last bit on doubles. The mergeable/approximate
+    cross-tier variant lives in tsrollup.sketches (sk_hist_pctl)."""
+    from .tsops import pctl_rollup
+
+    out = pctl_rollup(
+        t(spark, sf_dir, "events"), ["event_type"], "ts", "value", "day",
+        (0.5, 0.9, 0.99),
+    )
+    return out.select(
+        "event_type",
+        F.unix_timestamp("bucket").alias("day_s"),
+        "n",
+        F.round("p50", 6).alias("p50_r"),
+        F.round("p90", 6).alias("p90_r"),
+        F.round("p99", 6).alias("p99_r"),
+    )

@@ -27,6 +27,30 @@ entirely in built-in expressions (no Python on the scan path):
   integers, the float result is a deterministic function of the data —
   no summation-order noise — so it can be hash-compared against a SQL
   oracle that uses the identical expression.
+
+- **CUSUM changepoint detector** (Page 1954, tabular form): the usual
+  statement is a sequential recurrence g⁺_t = max(0, g⁺_{t-1} + (x_t −
+  μ₀ − kσ)) — but reflection-at-zero has a closed form: with S_t the
+  prefix sum of the increments, g⁺_t = S_t − min(0, min_{j≤t} S_j). That
+  turns the "inherently sequential" detector into TWO running window
+  aggregates (a cumulative sum and a running min over it) — pure
+  whole-stage-codegen window algebra, no kernel, no Arrow exchange, and
+  the identical closed form runs in the SQL oracle. μ₀/σ are the per-key
+  population moments assembled from exact integer sums (inputs are
+  counts), so both engines evaluate the same doubles in the same order.
+
+- **Robust rolling z-score**: median/IQR replace mean/std — one wild
+  outlier inside the trailing window no longer poisons the baseline that
+  judges its successors (the classic masking failure of moment-based
+  detectors). Spark's exact `percentile` aggregate runs over a row frame
+  (median() does not), and DuckDB's `quantile_cont` pins the same
+  (n−1)·p linear interpolation, so the twin is value-exact on integral
+  inputs.
+
+- **Exact percentile rollup**: per-bucket p50/p90/p99 via the same exact
+  percentile aggregate — the go-to latency/size rollup. For re-aggregable
+  (approximate, mergeable) percentiles across tiers see
+  tsrollup.sketches; this operator is the exact single-pass form.
 """
 
 from __future__ import annotations
@@ -123,6 +147,123 @@ def seasonal_naive(
             (F.col("cnt") - F.col("cnt_season")).alias("dev"),
         )
     )
+
+
+def cusum(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    value_col: str,
+    k_sigmas: float = 0.5,
+    h_sigmas: float = 5.0,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Two-sided tabular CUSUM per series key, closed-form (module doc).
+
+    Baseline μ₀ and population σ are computed per key from exact sums
+    (`value_col` should be integral — counts — for a bit-deterministic
+    result): σ = sqrt(n·Σx² − (Σx)²)/n. Allowance k = k_sigmas·σ,
+    threshold h = h_sigmas·σ. Returns keys + ts + value + ``g_pos`` +
+    ``g_neg`` (the one-sided statistics, ≥0) + ``is_change`` (either side
+    over h; false everywhere when σ = 0 — a constant series has no
+    changepoints).
+    """
+    order = [F.col(ts_col)] + ([F.col(tiebreak)] if tiebreak else [])
+    stats = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(value_col).alias("__sx"),
+        F.sum(F.col(value_col) * F.col(value_col)).alias("__sxx"),
+    )
+    n = F.col("__n").cast("double")
+    sx = F.col("__sx").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    stats = stats.select(
+        *keys,
+        (sx / n).alias("__mu0"),
+        (F.sqrt(F.greatest(n * sxx - sx * sx, F.lit(0.0))) / n).alias("__sigma"),
+    )
+    x = F.col(value_col).cast("double")
+    run = Window.partitionBy(*keys).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    s_pos = F.sum(x - F.col("__mu0") - F.lit(k_sigmas) * F.col("__sigma")).over(run)
+    s_neg = F.sum(F.col("__mu0") - x - F.lit(k_sigmas) * F.col("__sigma")).over(run)
+    carry = [tiebreak] if tiebreak and tiebreak not in (ts_col, value_col) else []
+    d = df.join(stats, on=keys, how="inner").select(
+        *keys, ts_col, value_col, *carry, "__sigma",
+        s_pos.alias("__sp"), s_neg.alias("__sn"),
+    )
+    g_pos = F.col("__sp") - F.least(F.lit(0.0), F.min("__sp").over(run))
+    g_neg = F.col("__sn") - F.least(F.lit(0.0), F.min("__sn").over(run))
+    h = F.lit(h_sigmas) * F.col("__sigma")
+    return d.select(
+        *keys, ts_col, value_col,
+        g_pos.alias("g_pos"), g_neg.alias("g_neg"),
+        (
+            (F.col("__sigma") > 0.0)
+            & ((g_pos > h) | (g_neg > h))
+        ).alias("is_change"),
+    )
+
+
+def robust_zscore(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    value_col: str,
+    window: int = 24,
+    tau: float = 3.0,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Rolling median/IQR robust z per series key (module doc).
+
+    Trailing `window` rows (min_periods = window: NULL score until the
+    frame fills). ``robust_z`` = (x − median) / IQR when IQR > 0 else
+    0.0, with IQR = q75 − q25 of the same frame; ``is_anomaly`` =
+    |robust_z| ≥ tau (NULL in the warmup region). Uses Spark's EXACT
+    `percentile` aggregate over the row frame — the (n−1)·p linear
+    interpolation DuckDB's quantile_cont also pins.
+    """
+    order = [F.col(ts_col)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(*keys).orderBy(*order).rowsBetween(
+        -(window - 1), Window.currentRow
+    )
+    x = F.col(value_col).cast("double")
+    med = F.expr(f"percentile({value_col}, 0.5)").over(w)
+    q1 = F.expr(f"percentile({value_col}, 0.25)").over(w)
+    q3 = F.expr(f"percentile({value_col}, 0.75)").over(w)
+    filled = F.count(F.lit(1)).over(w) >= window
+    iqr = q3 - q1
+    z = F.when(iqr > 0.0, (x - med) / iqr).otherwise(F.lit(0.0))
+    z = F.when(filled, z)
+    return df.select(
+        *keys, ts_col, value_col,
+        F.when(filled, med).alias("med"),
+        F.when(filled, iqr).alias("iqr"),
+        z.alias("robust_z"),
+        F.when(filled, F.abs(z) >= tau).alias("is_anomaly"),
+    )
+
+
+def pctl_rollup(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    value_col: str,
+    bucket: str = "day",
+    ps: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Exact per-(keys, bucket) percentiles of `value_col` — one column
+    ``p<NN>`` per requested quantile, plus ``n`` (module doc)."""
+    aggs = [F.count(F.lit(1)).alias("n")] + [
+        F.expr(f"percentile({value_col}, {p!r})").alias(
+            "p" + str(p).replace("0.", "").ljust(2, "0")
+        )
+        for p in ps
+    ]
+    return df.groupBy(
+        *keys, F.date_trunc(bucket, ts_col).alias("bucket")
+    ).agg(*aggs)
 
 
 def exact_corr_pair(
