@@ -287,3 +287,48 @@ def test_ann_ivf_kernel_matches_driver_query(spark):
     quer = {(r["q_id"], r["vec_id"]): r["cos_sim"]
             for r in DQ["ann_ivf"](spark, sf).collect()}
     assert kern == quer and kern
+
+
+def test_ngram_decontaminate_planted(spark):
+    """Planted contamination: a corpus doc that quotes a benchmark
+    passage is flagged with the exact distinct-ngram overlap count; clean
+    docs and sub-n-word docs are not flagged; min_hits filters
+    single-collision noise."""
+    from tsrollup.datapipe import ngram_decontaminate
+
+    bench = spark.createDataFrame(
+        [(1000, "the quick brown fox jumps over the lazy dog tonight"),
+         (1001, "pack my box with five dozen liquor jugs")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # quotes an 8-word benchmark passage -> 8-5+1 = 4 distinct 5-grams
+            (1, "he said the quick brown fox jumps over the lazy cat"),
+            # one accidental 5-gram collision only -> filtered by min_hits=2
+            (2, "pack my box with five red apples and some pears"),
+            (3, "completely clean document with no overlap at all here"),
+            (4, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: (r["n_hits"], r["n_bench_docs"])
+           for r in ngram_decontaminate(corpus, bench, "doc_id", "text", 5, 2).collect()}
+    # doc 1: window "the quick ... lazy" = 9 shared words -> 5 overlapping
+    # 5-grams? verify against a pure-python reference instead of guessing
+    def grams(txt, n=5):
+        w = txt.lower().split(" ")
+        return {" ".join(w[i:i + n]) for i in range(len(w) - n + 1)} if len(w) >= n else set()
+
+    bset = grams("the quick brown fox jumps over the lazy dog tonight") | grams(
+        "pack my box with five dozen liquor jugs")
+    for did, txt in [(1, "he said the quick brown fox jumps over the lazy cat"),
+                     (2, "pack my box with five red apples and some pears"),
+                     (3, "completely clean document with no overlap at all here"),
+                     (4, "too short")]:
+        hits = grams(txt) & bset
+        if len(hits) >= 2:
+            assert out[did][0] == len(hits)
+        else:
+            assert did not in out
+    assert 1 in out and out[1][1] == 1  # one benchmark doc hit

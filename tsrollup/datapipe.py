@@ -793,3 +793,64 @@ def ann_ivf_topk_kernel(
         .where(F.col("rnk") <= topk)
         .select("q_id", "vec_id", "cos_sim")
     )
+
+
+# ------------------------------------------------------------------
+# Benchmark decontamination (n-gram overlap against an eval set)
+# ------------------------------------------------------------------
+
+def word_ngrams_expr(text_col, n: int):
+    """Distinct word n-grams of `lower(text)` split on single spaces —
+    the same tokenization every tx_* query pins. Returns an array<string>
+    column; docs shorter than n words give an empty array."""
+    words = F.split(F.lower(text_col), " ")
+    # guard: sequence(1, 0) counts DOWN in Spark, so short docs must take
+    # an explicit empty branch rather than rely on an empty sequence
+    return F.when(F.size(words) >= n, F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        )
+    )).otherwise(F.array().cast("array<string>"))
+
+
+def ngram_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_hits: int = 2,
+) -> DataFrame:
+    """Flag corpus documents that overlap an evaluation benchmark — the
+    standard pre-training decontamination pass (word-n-gram collision, as
+    in public LLM data-curation reports).
+
+    Each side explodes to its DISTINCT n-grams (explode feeds straight
+    into the join inside one codegen stage — per-doc fan-out is bounded
+    by word count, there is no materialized n-gram table). The benchmark
+    side is the small one by construction (an eval set vs the corpus), so
+    the n-gram join broadcasts it; the corpus side streams. Returns one
+    row per contaminated corpus doc: ``n_hits`` = distinct overlapping
+    n-grams, ``n_bench_docs`` = distinct benchmark docs sharing any, and
+    only docs with n_hits >= min_hits survive (single-collision noise is
+    dropped at the agg, not carried).
+    """
+    c = corpus.select(
+        F.col(id_col).alias("c_id"),
+        F.explode(word_ngrams_expr(F.col(text_col), n)).alias("ngram"),
+    )
+    b = benchmark.select(
+        F.col(id_col).alias("b_id"),
+        F.explode(word_ngrams_expr(F.col(text_col), n)).alias("ngram"),
+    )
+    hits = c.join(F.broadcast(b), "ngram", "inner")
+    return (
+        hits.groupBy("c_id")
+        .agg(
+            F.count_distinct("ngram").alias("n_hits"),
+            F.count_distinct("b_id").alias("n_bench_docs"),
+        )
+        .where(F.col("n_hits") >= min_hits)
+        .select(F.col("c_id").alias(id_col), "n_hits", "n_bench_docs")
+    )

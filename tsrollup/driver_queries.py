@@ -1639,3 +1639,40 @@ def a5_pctl_rollup(spark, sf_dir):
         F.round("p90", 6).alias("p90_r"),
         F.round("p99", 6).alias("p99_r"),
     )
+
+
+@q(
+    "tx_decontam",
+    """
+    WITH g AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents
+    ), ng AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(words) - 1, 1)),
+               i -> array_to_string(words[i:i+2], ' ')))) AS ngram
+      FROM g
+    ),
+    c AS (SELECT doc_id AS c_id, ngram FROM ng WHERE c_id % 37 <> 0),
+    b AS (SELECT doc_id AS b_id, ngram FROM ng WHERE b_id % 37 = 0)
+    SELECT c_id AS doc_id,
+           count(DISTINCT c.ngram)::BIGINT AS n_hits,
+           count(DISTINCT b.b_id)::BIGINT AS n_bench_docs
+    FROM c JOIN b USING (ngram)
+    GROUP BY 1 HAVING count(DISTINCT c.ngram) >= 3
+    """,
+)
+def tx_decontam(spark, sf_dir):
+    """Benchmark decontamination (datapipe.ngram_decontaminate): corpus
+    docs sharing >= 3 distinct word-3-grams with the held-out "eval set"
+    (doc_id % 37 == 0 — a deterministic benchmark stand-in). The n-gram
+    explode feeds straight into a BROADCAST join of the small benchmark
+    side; exact integer hit counts, bit-exact twin. At 10^12 docs the
+    same plan holds: the benchmark n-gram set is eval-sized (millions),
+    broadcastable, and the corpus side streams through one stage."""
+    from .datapipe import ngram_decontaminate
+
+    docs = t(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 37 != 0)
+    bench = docs.where(F.col("doc_id") % 37 == 0)
+    return ngram_decontaminate(corpus, bench, "doc_id", "text", 3, 3)
