@@ -475,7 +475,35 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def engine_token_hist(spark, sf_dir):
+        """Corpus top-20 token ids by exact count (tokenstats.top_tokens):
+        mapInPandas bincount partials bounded by vocab size — the
+        explode-free scale path — then one vocab-sized hash agg and a
+        TakeOrdered. Counts are exact BIGINTs; ties break on token_id, so
+        the set is deterministic and the DuckDB unnest twin matches
+        bit-exactly."""
+        from tsrollup.tokenstats import top_tokens
+
+        return top_tokens(sequences_from_documents(spark, sf_dir), 20)
+
+    def engine_token_profile(spark, sf_dir):
+        """Per-source token-distribution profile (tokenstats.
+        source_token_profile): vocab coverage, total tokens, Shannon
+        entropy in nats from the exact (source, token_id, cnt) histogram.
+        Entropy is one closed-form reduction over exact integers — 6-dp
+        rounding absorbs the last-ulp summation-order difference vs the
+        SQL twin."""
+        from tsrollup.tokenstats import source_token_profile
+
+        prof = source_token_profile(sequences_from_documents(spark, sf_dir))
+        return prof.select(
+            "source", "n_distinct", "tok_total",
+            F.round("entropy", 6).alias("entropy_r"),
+        )
+
     return {
+        "engine_token_hist": engine_token_hist,
+        "engine_token_profile": engine_token_profile,
         "engine_zscore_1h": engine_zscore_1h,
         "engine_residual_stats": engine_residual_stats,
         "engine_codec_blocks": engine_codec_blocks,
@@ -804,7 +832,32 @@ def _engine_oracles() -> dict[str, str]:
     FROM seq GROUP BY source
     """)
 
+    token_hist = engine_oracle("""
+    , tok AS (SELECT unnest(tokens) AS token_id FROM seq),
+    h AS (SELECT token_id::INTEGER AS token_id, count(*)::BIGINT AS cnt
+          FROM tok GROUP BY 1)
+    SELECT token_id, cnt FROM (
+      SELECT token_id, cnt,
+             row_number() OVER (ORDER BY cnt DESC, token_id) AS rnk
+      FROM h
+    ) WHERE rnk <= 20
+    """)
+
+    token_profile = engine_oracle("""
+    , tok AS (SELECT source, unnest(tokens) AS token_id FROM seq),
+    h AS (SELECT source, token_id, count(*)::BIGINT AS cnt
+          FROM tok GROUP BY 1, 2)
+    SELECT source, count(*)::BIGINT AS n_distinct,
+           sum(cnt)::BIGINT AS tok_total,
+           round(ln(sum(cnt)::DOUBLE)
+                 - sum(cnt::DOUBLE * ln(cnt::DOUBLE)) / sum(cnt)::DOUBLE,
+                 6) AS entropy_r
+    FROM h GROUP BY source
+    """)
+
     return {
+        "engine_token_hist": token_hist,
+        "engine_token_profile": token_profile,
         "engine_streaming_rollup": streaming_rollup,
         "engine_read_range": read_range,
         "engine_streamed_ingest": streamed_ingest,
