@@ -501,7 +501,47 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("entropy", 6).alias("entropy_r"),
         )
 
+    def engine_seq_dedup(spark, sf_dir):
+        """Exact sequence-level dedup on the TOKEN PAYLOAD: group by
+        xxhash64(tokens) (Catalyst's int-fold over the array — one
+        JVM-side hash per row, the token arrays themselves never
+        shuffle), keep the min doc_id, count members — the keeper table
+        a dedup pass writes (the fixture has no exact token dups, so
+        every group has size 1 and the entry's value is that ALL ~10k
+        per-row hash folds must match). The DuckDB twin
+        re-evaluates the same fold via the xxh64_intlist macro, so hash
+        values — not just group shapes — must match bit-for-bit."""
+        return (
+            sequences_from_documents(spark, sf_dir)
+            .groupBy(F.xxhash64("tokens").alias("tok_hash"))
+            .agg(
+                F.count(F.lit(1)).alias("n_dups"),
+                F.min("doc_id").alias("keeper_doc_id"),
+            )
+        )
+
+    def engine_seq_pack(spark, sf_dir):
+        """Sequence packing (packing.pack_sequences): each source's
+        token stream — ordered by (event_ts, doc_id), a total order — is
+        concatenated and split into 512-token training chunks in one
+        applyInPandas kernel per source. The entry publishes each chunk's
+        xxhash64 (Catalyst's int-fold over the array), so the twin proves
+        the packed streams are BIT-identical: the DuckDB oracle rebuilds
+        the same flatten+slice in SQL (list ORDER BY + flatten + array
+        slicing) and re-evaluates the same hash fold via xxh64_intlist."""
+        from tsrollup.packing import pack_sequences
+
+        packed = pack_sequences(
+            sequences_from_documents(spark, sf_dir), max_len=512
+        )
+        return packed.select(
+            "source", "chunk_id", "n_tok", "n_docs",
+            F.xxhash64("tokens").alias("tok_hash"),
+        )
+
     return {
+        "engine_seq_dedup": engine_seq_dedup,
+        "engine_seq_pack": engine_seq_pack,
         "engine_token_hist": engine_token_hist,
         "engine_token_profile": engine_token_profile,
         "engine_zscore_1h": engine_zscore_1h,
@@ -855,7 +895,43 @@ def _engine_oracles() -> dict[str, str]:
     FROM h GROUP BY source
     """)
 
+    seq_dedup = engine_oracle("""
+    SELECT xxh64_intlist(tokens) AS tok_hash,
+           count(*)::BIGINT AS n_dups,
+           min(doc_id) AS keeper_doc_id
+    FROM seq GROUP BY 1
+    """)
+
+    seq_pack = engine_oracle("""
+    , ord AS (
+      SELECT source, tokens, n_tok,
+             sum(n_tok) OVER (PARTITION BY source ORDER BY event_ts, doc_id
+                              ROWS UNBOUNDED PRECEDING) - n_tok AS d_start
+      FROM seq WHERE n_tok > 0
+    ),
+    flats AS (
+      SELECT source, flatten(list(tokens ORDER BY event_ts, doc_id)) AS flat
+      FROM seq GROUP BY source
+    ),
+    chunks AS (
+      SELECT source, t.i AS chunk_id,
+             flat[t.i * 512 + 1 : least((t.i + 1) * 512, len(flat))] AS ctoks
+      FROM flats, unnest(range((len(flat) + 511) // 512)) AS t(i)
+    )
+    SELECT c.source, c.chunk_id,
+           len(c.ctoks)::INTEGER AS n_tok,
+           count(o.d_start)::INTEGER AS n_docs,
+           xxh64_intlist(c.ctoks) AS tok_hash
+    FROM chunks c JOIN ord o
+      ON o.source = c.source
+     AND o.d_start < (c.chunk_id + 1) * 512
+     AND o.d_start + o.n_tok > c.chunk_id * 512
+    GROUP BY c.source, c.chunk_id, c.ctoks
+    """)
+
     return {
+        "engine_seq_dedup": seq_dedup,
+        "engine_seq_pack": seq_pack,
         "engine_token_hist": token_hist,
         "engine_token_profile": token_profile,
         "engine_streaming_rollup": streaming_rollup,

@@ -1,0 +1,117 @@
+"""Sequence packing: concatenate variable-length tokenized sequences into
+fixed-length training chunks — the standard pre-training batching
+transform (pack-then-split, as in public LLM training recipes).
+
+Spark shape: one `applyInPandas` per pack key (default `source`) — the
+packing order inside a key must be a total order over that key's
+sequences, so the whole key's stream is rebuilt in one kernel call, the
+same whole-series-per-group contract every detector kernel obeys
+(kernels.py module doc). The concatenation is ONE NumPy op per group and
+chunking is a view slice — no per-token Python. Keys are independent, so
+the job parallelizes across sources and the group-size ceiling is a pack
+key's total token count, not the corpus (a hot source can be pre-split by
+a coarse time range upstream, same as detector sharding).
+
+Determinism contract: with a fixed `order` (default event_ts, doc_id —
+a total order because doc_id is unique), the emitted chunk stream is a
+pure function of the input set, independent of partitioning/parallelism.
+Token arrays flow through bit-identical: int32 in, asserted int32 out
+(the BASELINE per-row invariant), and chunk c is literally
+`concat(all tokens)[c*L : (c+1)*L]`.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+_OUT_SCHEMA = (
+    "{key} , chunk_id long, tokens array<int>, n_tok int, n_docs int"
+)
+
+
+def pack_sequences(
+    seq: DataFrame,
+    max_len: int = 512,
+    keys: Iterable[str] = ("source",),
+    order: Iterable[str] = ("event_ts", "doc_id"),
+    pad_id: int | None = None,
+    drop_last: bool = False,
+) -> DataFrame:
+    """Pack each key's sequences (sorted by `order`) into chunks of
+    `max_len` tokens. Returns keys + ``chunk_id`` (0-based within the
+    key) + ``tokens`` (array<int>) + ``n_tok`` (REAL tokens in the chunk,
+    excluding padding) + ``n_docs`` (input docs overlapping the chunk).
+
+    The final partial chunk is kept as-is by default; `pad_id` right-pads
+    it to max_len (n_tok still counts real tokens only); `drop_last`
+    drops it instead (mutually exclusive with pad_id).
+    """
+    if pad_id is not None and drop_last:
+        raise ValueError("pad_id and drop_last are mutually exclusive")
+    keys = list(keys)
+    order = list(order)
+
+    def _pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order, kind="mergesort")
+        arrs = [np.asarray(a) for a in pdf["tokens"]]
+        arrs = [a for a in arrs if a.size]
+        if not arrs:
+            return pd.DataFrame(
+                {c: pd.Series(dtype=o) for c, o in (
+                    [(k, pdf[k].dtype) for k in keys]
+                    + [("chunk_id", "int64"), ("tokens", "object"),
+                       ("n_tok", "int32"), ("n_docs", "int32")]
+                )}
+            )
+        for a in arrs:
+            assert a.dtype == np.int32, f"tokens upcast to {a.dtype}"
+        flat = np.concatenate(arrs)
+        total = flat.shape[0]
+        n_chunks = total // max_len if drop_last else -(-total // max_len)
+        if n_chunks == 0:
+            return pd.DataFrame(
+                {c: pd.Series(dtype=o) for c, o in (
+                    [(k, pdf[k].dtype) for k in keys]
+                    + [("chunk_id", "int64"), ("tokens", "object"),
+                       ("n_tok", "int32"), ("n_docs", "int32")]
+                )}
+            )
+        # doc start offsets -> docs overlapping chunk [c*L, (c+1)*L):
+        # overlap iff doc.start < chunk.end and doc.end > chunk.start
+        lens = np.array([a.shape[0] for a in arrs], dtype=np.int64)
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        ends = starts + lens
+        chunks = []
+        n_tok = np.empty(n_chunks, dtype=np.int32)
+        n_docs = np.empty(n_chunks, dtype=np.int32)
+        for c in range(n_chunks):
+            lo, hi = c * max_len, min((c + 1) * max_len, total)
+            piece = flat[lo:hi]
+            n_tok[c] = piece.shape[0]
+            n_docs[c] = int(np.count_nonzero((starts < hi) & (ends > lo)))
+            if pad_id is not None and piece.shape[0] < max_len:
+                piece = np.concatenate(
+                    [piece, np.full(max_len - piece.shape[0], pad_id, np.int32)]
+                )
+            chunks.append(piece.astype(np.int32, copy=False))
+        out = {k: [pdf[k].iloc[0]] * n_chunks for k in keys}
+        out.update(
+            chunk_id=np.arange(n_chunks, dtype=np.int64),
+            tokens=chunks, n_tok=n_tok, n_docs=n_docs,
+        )
+        return pd.DataFrame(out)
+
+    key_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in seq.select(*keys).schema.fields
+    )
+    out_schema = _OUT_SCHEMA.format(key=key_schema)
+    return (
+        seq.select(*keys, *order, "tokens")
+        .groupBy(*keys)
+        .applyInPandas(_pack_group, out_schema)
+    )
