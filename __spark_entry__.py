@@ -539,9 +539,24 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.xxhash64("tokens").alias("tok_hash"),
         )
 
+    def engine_token_heavy(spark, sf_dir):
+        """Distributed heavy hitters over the token payload
+        (sketches.heavy_hitters): per-partition Misra-Gries summaries
+        (budget 40) generate a guaranteed-superset candidate list, a
+        broadcast-semi-join recount makes the surviving counts EXACT, so
+        the frequent set above N/(k+1) is oracle-twinnable even though a
+        sketch drives the scan."""
+        from tsrollup.sketches import heavy_hitters
+
+        seq = sequences_from_documents(spark, sf_dir)
+        return heavy_hitters(seq, "tokens", k=40, flatten_arrays=True).select(
+            F.col("item").alias("token_id"), "cnt"
+        )
+
     return {
         "engine_seq_dedup": engine_seq_dedup,
         "engine_seq_pack": engine_seq_pack,
+        "engine_token_heavy": engine_token_heavy,
         "engine_token_hist": engine_token_hist,
         "engine_token_profile": engine_token_profile,
         "engine_zscore_1h": engine_zscore_1h,
@@ -929,9 +944,18 @@ def _engine_oracles() -> dict[str, str]:
     GROUP BY c.source, c.chunk_id, c.ctoks
     """)
 
+    token_heavy = engine_oracle("""
+    , tok AS (SELECT unnest(tokens) AS token_id FROM seq),
+    n AS (SELECT count(*)::BIGINT AS total FROM tok)
+    SELECT token_id::BIGINT AS token_id, count(*)::BIGINT AS cnt
+    FROM tok, n GROUP BY token_id, n.total
+    HAVING count(*) * 41 > n.total
+    """)
+
     return {
         "engine_seq_dedup": seq_dedup,
         "engine_seq_pack": seq_pack,
+        "engine_token_heavy": token_heavy,
         "engine_token_hist": token_hist,
         "engine_token_profile": token_profile,
         "engine_streaming_rollup": streaming_rollup,

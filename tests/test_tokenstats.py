@@ -85,3 +85,62 @@ class TestSourceTokenProfile:
             assert row["n_distinct"] == len(c)
             assert row["tok_total"] == int(n)
             assert row["entropy"] == pytest.approx(want, rel=1e-10)
+
+
+class TestHeavyHitters:
+    """sketches.heavy_hitters: exactness above threshold + MG guarantees
+    in the genuinely-approximate regime (budget << distinct items)."""
+
+    def _zipf_df(self, spark, n=30_000, vocab=2_000, seed=7, parts=8):
+        import pandas as pd
+        rng = np.random.default_rng(seed)
+        items = rng.zipf(1.3, n) % vocab
+        return spark.createDataFrame(
+            pd.DataFrame({"item": items.astype(np.int64)})
+        ).repartition(parts)
+
+    def test_exact_above_threshold_small_budget(self, spark):
+        from tsrollup.sketches import heavy_hitters
+
+        df = self._zipf_df(spark)
+        k = 16  # far below the ~2000 distinct items
+        got = {r["item"]: r["cnt"] for r in heavy_hitters(df, "item", k).collect()}
+        pdf = df.toPandas()
+        n = len(pdf)
+        true = pdf["item"].value_counts()
+        want = {int(i): int(c) for i, c in true.items() if c * (k + 1) > n}
+        assert got == want and want  # the frequent set is EXACT, not approx
+
+    def test_array_mode_matches_scalar_mode(self, spark):
+        from tsrollup.sketches import heavy_hitters
+        import pandas as pd
+
+        rng = np.random.default_rng(9)
+        rows = [
+            (rng.zipf(1.4, int(rng.integers(1, 50))) % 300)
+            .astype(np.int32).tolist()
+            for _ in range(800)
+        ]
+        adf = spark.createDataFrame(
+            pd.DataFrame({"tokens": rows}), "tokens array<int>"
+        ).repartition(6)
+        sdf = adf.select(F.explode("tokens").alias("item"))
+        k = 12
+        a = {r["item"]: r["cnt"]
+             for r in heavy_hitters(adf, "tokens", k, flatten_arrays=True).collect()}
+        b = {r["item"]: r["cnt"] for r in heavy_hitters(sdf, "item", k).collect()}
+        assert a == b and a
+
+    def test_mg_partial_lower_bounds(self, spark):
+        """Every MG summary count is a LOWER bound on the item's true
+        count in that partition's data, and the summary never exceeds
+        the budget."""
+        from tsrollup.sketches import mg_summary_partials
+
+        df = self._zipf_df(spark, parts=1)  # one partition -> one summary
+        k = 16
+        summ = mg_summary_partials(df, "item", k).collect()
+        assert 0 < len(summ) <= k
+        true = df.toPandas()["item"].value_counts()
+        for r in summ:
+            assert r["cnt_lb"] <= int(true.get(r["item"], 0))

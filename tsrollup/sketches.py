@@ -202,3 +202,105 @@ def hll_rollup_tiers(
             )
             out[tier] = hll_merge(coarser, ["source", "bucket_start"])
     return out
+
+
+# ------------------------------------------------------- heavy hitters (MG)
+
+def mg_summary_partials(
+    df: DataFrame, item_col: str, k: int, flatten_arrays: bool = False
+) -> DataFrame:
+    """Per-PARTITION Misra-Gries summaries of item frequencies, budget k.
+
+    mapInPandas keeps one k-entry counter table per task and folds each
+    Arrow batch's exact (np.unique) histogram into it with the summary
+    MERGE rule (combine counts; if > k entries survive, subtract the
+    (k+1)-largest count from all and keep positives — the mergeable-
+    summaries form, error <= n_partition/(k+1)). Guarantee used
+    downstream: any item whose TRUE count in a partition exceeds
+    n_p/(k+1) is present in that partition's summary.
+
+    `flatten_arrays=True` treats item_col as array<int> and counts
+    elements (the token-payload case) — one np.concatenate per batch,
+    no explode. Returns (item, cnt_lb, part_rows): the MG lower-bound
+    count and the partition's row (or token) total.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def _mg(batches):
+        cnt: dict = {}
+        total = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            if flatten_arrays:
+                arrs = [np.asarray(a) for a in pdf[item_col] if len(a)]
+                if not arrs:
+                    continue
+                items = np.concatenate(arrs)
+            else:
+                items = pdf[item_col].to_numpy()
+            total += items.shape[0]
+            u, c = np.unique(items, return_counts=True)
+            for it, ci in zip(u.tolist(), c.tolist()):
+                cnt[it] = cnt.get(it, 0) + ci
+            if len(cnt) > k:
+                kth = sorted(cnt.values(), reverse=True)[k]
+                cnt = {it: v - kth for it, v in cnt.items() if v > kth}
+        if cnt:
+            yield pd.DataFrame(
+                {
+                    "item": list(cnt.keys()),
+                    "cnt_lb": np.array(list(cnt.values()), dtype=np.int64),
+                    "part_rows": np.int64(total),
+                }
+            )
+
+    return df.select(item_col).mapInPandas(_mg, "item long, cnt_lb long, part_rows long")
+
+
+def heavy_hitters(
+    df: DataFrame,
+    item_col: str,
+    k: int,
+    flatten_arrays: bool = False,
+) -> DataFrame:
+    """EXACT frequent-item set above the N/(k+1) threshold, two scans.
+
+    Scan 1: per-partition MG summaries (budget k) -> the candidate set.
+    Completeness: an item with global count > N/(k+1) must exceed
+    n_p/(k+1) in at least one partition (averaging argument), so it
+    appears in that partition's summary — candidates are a guaranteed
+    superset of the frequent set. Scan 2: exact recount of ONLY the
+    candidates (broadcast semi-join of the small candidate list into the
+    scan — the full item histogram is never built), then filter
+    cnt > N/(k+1). Output is therefore EXACT (items + true counts), which
+    is what makes the operator oracle-twinnable; the sketch bounds live
+    in the tests. Candidate count <= k x partitions, bounded and small.
+    N comes from a size aggregate over the same scan (never a histogram).
+    Items must be integral (token ids); string items would need a hash
+    column first.
+    """
+    import pyspark.sql.functions as F2
+
+    cands = mg_summary_partials(df, item_col, k, flatten_arrays).select(
+        "item"
+    ).distinct()
+    if flatten_arrays:
+        exploded = df.select(F.explode(item_col).alias("item"))
+    else:
+        exploded = df.select(F.col(item_col).cast("long").alias("item"))
+    counted = (
+        exploded.join(F2.broadcast(cands), "item", "left_semi")
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    if flatten_arrays:
+        n_total = df.select(
+            F.coalesce(F.sum(F.size(item_col)), F.lit(0))
+        ).collect()[0][0]
+    else:
+        n_total = df.count()
+    return counted.where(F.col("cnt") * (k + 1) > F.lit(n_total)).select(
+        "item", "cnt"
+    )
