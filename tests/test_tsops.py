@@ -328,3 +328,64 @@ class TestExactCorr:
         [row] = exact_corr_pair(df, ["g"], "x", "y").collect()
         assert row["r"] is None
         assert row["n_pts"] == 10
+
+
+class TestHoltWinters:
+    def test_recurrence_invariants_pointwise(self, spark):
+        from tsrollup.kernels import hw_detector
+
+        rng = np.random.default_rng(31)
+        x = rng.integers(0, 100, 500).astype(float)
+        a, b = 0.3, 0.1
+        level, trend, resid, score = hw_detector(x, a, b)
+        assert level[0] == x[0] and trend[0] == 0.0 and resid[0] == 0.0
+        for t in range(1, len(x)):
+            f = level[t - 1] + trend[t - 1]
+            assert resid[t] == x[t] - f
+            assert level[t] == a * x[t] + (1 - a) * f
+            assert trend[t] == b * (level[t] - level[t - 1]) + (1 - b) * trend[t - 1]
+
+    def test_linear_ramp_residuals_vanish(self, spark):
+        from tsrollup.kernels import ewma_detector, hw_detector
+
+        x = 10.0 + 3.0 * np.arange(300)
+        *_, resid, _ = hw_detector(x, 0.3, 0.1)
+        # trend term learns the slope: late residuals ~ 0
+        assert np.abs(resid[250:]).max() < 0.15
+        # the trendless EWMA detector cannot: its one-step residual
+        # converges to slope/alpha-ish, far from zero
+        _, r_ew, _ = ewma_detector(x, 0.3, 1e-12)
+        assert np.abs(r_ew[250:]).min() > 5.0
+
+    def test_level_shift_spikes_score(self, spark):
+        from tsrollup.kernels import hw_detector
+
+        rng = np.random.default_rng(37)
+        x = rng.normal(50, 2, 400)
+        x[300:] += 40
+        *_, score = hw_detector(x, 0.3, 0.1)
+        assert np.abs(score[300]) > 10
+        assert np.abs(score[100:299]).max() < 8
+
+    def test_spark_operator_matches_kernel(self, spark):
+        from tsrollup.kernels import hw_detector
+        from tsrollup.tsops import holt_winters
+
+        rng = np.random.default_rng(43)
+        rows = []
+        for key in ["a", "b"]:
+            for i, v in enumerate(rng.integers(0, 50, 200)):
+                rows.append((key, f"2024-01-01 {i // 60:02d}:{i % 60:02d}:00",
+                             float(v), i))
+        df = _events(spark, rows).repartition(8)
+        out = (
+            holt_winters(df, ["key"], "ts", "val", 0.3, 0.1)
+            .toPandas().sort_values(["key", "ts"])
+        )
+        for key, g in out.groupby("key"):
+            level, trend, resid, score = hw_detector(
+                g["x"].to_numpy(), 0.3, 0.1
+            )
+            np.testing.assert_array_equal(g["level"].to_numpy(), level)
+            np.testing.assert_array_equal(g["trend"].to_numpy(), trend)
+            np.testing.assert_array_equal(g["score"].to_numpy(), score)

@@ -1676,3 +1676,67 @@ def tx_decontam(spark, sf_dir):
     corpus = docs.where(F.col("doc_id") % 37 != 0)
     bench = docs.where(F.col("doc_id") % 37 == 0)
     return ngram_decontaminate(corpus, bench, "doc_id", "text", 3, 3)
+
+
+@q(
+    "c7_holt_winters",
+    """
+    WITH RECURSIVE c AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket,
+             count(*)::BIGINT AS cnt
+      FROM events GROUP BY 1, 2
+    ), f AS (
+      SELECT event_type, bucket, cnt::DOUBLE AS x,
+             row_number() OVER (PARTITION BY event_type ORDER BY bucket) - 1
+               AS i
+      FROM c
+    ), hw AS (
+      SELECT event_type, bucket, i, x, x AS l, 0.0::DOUBLE AS b,
+             0.0::DOUBLE AS v, 0.0::DOUBLE AS r, 0.0::DOUBLE AS score
+      FROM f WHERE i = 0
+      UNION ALL
+      SELECT f.event_type, f.bucket, f.i, f.x,
+             0.3 * f.x + 0.7 * (hw.l + hw.b),
+             0.1 * ((0.3 * f.x + 0.7 * (hw.l + hw.b)) - hw.l) + 0.9 * hw.b,
+             0.7 * (hw.v + 0.3 * ((f.x - (hw.l + hw.b))
+                                  * (f.x - (hw.l + hw.b)))),
+             f.x - (hw.l + hw.b),
+             CASE WHEN hw.v > 1e-12
+                  THEN (f.x - (hw.l + hw.b)) / sqrt(hw.v) ELSE 0.0 END
+      FROM hw JOIN f ON f.event_type = hw.event_type AND f.i = hw.i + 1
+    )
+    SELECT event_type, epoch(bucket)::BIGINT AS bucket_s, x AS x_d,
+           round(l, 6) AS level_r, round(b, 6) AS trend_r,
+           round(r, 6) AS resid_r,
+           CASE WHEN abs(score) < 1e-4 THEN 0.0 ELSE round(score, 6) END
+             AS score_r
+    FROM hw
+    """,
+)
+def c7_holt_winters(spark, sf_dir):
+    """Holt double-exponential (level+trend) forecast detector over the
+    hourly event-count series (tsrollup.tsops.holt_winters; pinned loop
+    in kernels.hw_detector). The DuckDB twin evaluates the identical
+    coupled recurrence as a recursive CTE advancing one row index per
+    event_type in lockstep — same expressions, same association, same
+    literals (0.3/0.7, 0.1/0.9), so the doubles match to the last bit and
+    round(.,6) + the 1e-4 score noise floor are belts, mirroring the EWMA
+    engine twin."""
+    from .tsops import holt_winters
+
+    e = t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    out = holt_winters(hourly, ["event_type"], "bucket", "cnt", 0.3, 0.1)
+    return out.select(
+        "event_type",
+        F.unix_timestamp("bucket").alias("bucket_s"),
+        F.col("x").alias("x_d"),
+        F.round("level", 6).alias("level_r"),
+        F.round("trend", 6).alias("trend_r"),
+        F.round("resid", 6).alias("resid_r"),
+        F.when(F.abs("score") < 1e-4, F.lit(0.0))
+        .otherwise(F.round("score", 6))
+        .alias("score_r"),
+    )

@@ -192,6 +192,59 @@ def ewma_detector(
     return s, r, score
 
 
+def hw_detector(
+    x: np.ndarray, alpha: float, beta: float, eps: float = 1e-12
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Holt's double exponential smoothing (additive trend) as a
+    forecast-based detector — pinned numerics:
+
+    l_0 = x_0; b_0 = 0
+    f_t = l_{t-1} + b_{t-1}                       (one-step forecast)
+    l_t = alpha*x_t + (1-alpha)*(l_{t-1} + b_{t-1})
+    b_t = beta*(l_t - l_{t-1}) + (1-beta)*b_{t-1}
+    r_0 = 0;  r_t = x_t - f_t                     (forecast residual)
+    v_0 = 0;  v_t = (1-alpha)*(v_{t-1} + alpha*r_t^2)   (EW residual var,
+                                                   same form as ewma_detector)
+    score_t = r_t / sqrt(v_{t-1}) if v_{t-1} > eps else 0.0
+
+    Element-sequential loop BY CONTRACT (the coupled (l, b) recurrence is
+    a 2x2 affine scan; the chunked-matrix vectorization exists if a
+    profile ever demands it, but the loop IS the pinned evaluation —
+    Python-float arithmetic == IEEE float64, and the SQL twin's recursive
+    CTE evaluates the identical expressions in the identical order).
+    Returns (level, trend, resid, score), float64[n].
+    """
+    x = np.asarray(x, dtype=np.float64)
+    n = x.shape[0]
+    level = np.empty(n, dtype=np.float64)
+    trend = np.empty(n, dtype=np.float64)
+    resid = np.zeros(n, dtype=np.float64)
+    score = np.zeros(n, dtype=np.float64)
+    if n == 0:
+        return level, trend, resid, score
+    from math import sqrt  # correctly-rounded IEEE sqrt == SQL sqrt()
+
+    xl = x.tolist()
+    l_prev = xl[0]
+    b_prev = 0.0
+    v_prev = 0.0
+    level[0] = l_prev
+    trend[0] = 0.0
+    for t in range(1, n):
+        f = l_prev + b_prev
+        r = xl[t] - f
+        score[t] = r / sqrt(v_prev) if v_prev > eps else 0.0
+        l_t = alpha * xl[t] + (1.0 - alpha) * f
+        b_t = beta * (l_t - l_prev) + (1.0 - beta) * b_prev
+        # alpha * (r*r), parenthesized to match the SQL twin's association
+        v_prev = (1.0 - alpha) * (v_prev + alpha * (r * r))
+        level[t] = l_t
+        trend[t] = b_t
+        resid[t] = r
+        l_prev, b_prev = l_t, b_t
+    return level, trend, resid, score
+
+
 def welford_fold(
     values: np.ndarray, n: int = 0, mean: float = 0.0, m2: float = 0.0
 ) -> tuple[int, float, float]:

@@ -266,6 +266,55 @@ def pctl_rollup(
     ).agg(*aggs)
 
 
+def holt_winters(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+) -> DataFrame:
+    """Holt double-exponential (level+trend) forecast detector per series
+    key over the OBSERVED series (no gap-fill — semantics are row-ordered;
+    feed a gap-filled frame for grid semantics). One applyInPandas per
+    key running kernels.hw_detector (pinned loop; see its docstring for
+    the recurrences). Returns keys + ts + value + level/trend/resid/score.
+
+    Unlike the EWMA detector, the trend term tracks drifting series, so a
+    slow ramp stops looking anomalous while a step change still spikes
+    the one-step forecast residual.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from .kernels import hw_detector
+
+    key_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.select(*keys).schema.fields
+    )
+    ts_type = df.schema[ts_col].dataType.simpleString()
+    out_schema = (
+        f"{key_schema}, {ts_col} {ts_type}, x double, level double, "
+        "trend double, resid double, score double"
+    )
+
+    def _hw(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col, kind="mergesort")
+        x = pdf[value_col].to_numpy(dtype=np.float64)
+        level, trend, resid, score = hw_detector(x, alpha, beta)
+        out = {k: pdf[k].to_numpy() for k in keys}
+        out[ts_col] = pdf[ts_col].to_numpy()
+        out.update(x=x, level=level, trend=trend, resid=resid, score=score)
+        return pd.DataFrame(out)
+
+    return (
+        df.select(*keys, ts_col, value_col)
+        .groupBy(*keys)
+        .applyInPandas(_hw, out_schema)
+    )
+
+
 def exact_corr_pair(
     df: DataFrame,
     group: list[str],
