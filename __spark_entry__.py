@@ -553,7 +553,43 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("item").alias("token_id"), "cnt"
         )
 
+    def mx_split(spark, sf_dir):
+        """Deterministic train/val/test assignment (mixing.hash_split):
+        bucket = pmod(xxhash64("<doc_id>#seed"), 10k) — a stateless
+        filterable column, stable under corpus growth. Row-level twin:
+        every doc's assignment must match the oracle's re-evaluation of
+        the same hash."""
+        from tsrollup.mixing import hash_split
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return hash_split(d, "doc_id", 500, 500, seed=0).select("doc_id", "split")
+
+    def mx_sample(spark, sf_dir):
+        """Per-source mixture sampling (mixing.stratified_sample):
+        broadcast rates table, hash-range membership — reproducible and
+        row-auditable, which is exactly what lets the oracle verify
+        membership doc-by-doc."""
+        from tsrollup.mixing import stratified_sample
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return stratified_sample(
+            d, {"src0": 5000, "src5": 2500}, "source", "doc_id",
+            default_per10k=1000, seed=1,
+        ).select("doc_id", "source")
+
+    def mx_shuffle(spark, sf_dir):
+        """Epoch-keyed deterministic global shuffle (mixing.shuffle_rank):
+        rank = row_number over (xxhash64("<doc_id>#epoch"), doc_id). The
+        twin proves the whole permutation, not just membership."""
+        from tsrollup.mixing import shuffle_rank
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return shuffle_rank(d, "doc_id", epoch=2).select("doc_id", "shuffle_rank")
+
     return {
+        "mx_split": mx_split,
+        "mx_sample": mx_sample,
+        "mx_shuffle": mx_shuffle,
         "engine_seq_dedup": engine_seq_dedup,
         "engine_seq_pack": engine_seq_pack,
         "engine_token_heavy": engine_token_heavy,
@@ -952,7 +988,36 @@ def _engine_oracles() -> dict[str, str]:
     HAVING count(*) * 41 > n.total
     """)
 
+    mx_split_o = engine_oracle("""
+    , d AS (SELECT doc_id,
+                   xxpmod(xxh64(doc_id::VARCHAR || '#0'), 10000) AS b
+            FROM documents)
+    SELECT doc_id, CASE WHEN b < 500 THEN 'test'
+                        WHEN b < 1000 THEN 'val'
+                        ELSE 'train' END AS split
+    FROM d
+    """)
+
+    mx_sample_o = engine_oracle("""
+    , r AS (SELECT * FROM (VALUES ('src0', 5000), ('src5', 2500))
+            AS t(source, rate))
+    SELECT d.doc_id, d.source
+    FROM documents d LEFT JOIN r USING (source)
+    WHERE xxpmod(xxh64(d.doc_id::VARCHAR || '#1'), 10000)
+          < coalesce(r.rate, 1000)
+    """)
+
+    mx_shuffle_o = engine_oracle("""
+    SELECT doc_id,
+           (row_number() OVER (ORDER BY xxh64(doc_id::VARCHAR || '#2'),
+                               doc_id) - 1)::BIGINT AS shuffle_rank
+    FROM documents
+    """)
+
     return {
+        "mx_split": mx_split_o,
+        "mx_sample": mx_sample_o,
+        "mx_shuffle": mx_shuffle_o,
         "engine_seq_dedup": seq_dedup,
         "engine_seq_pack": seq_pack,
         "engine_token_heavy": token_heavy,

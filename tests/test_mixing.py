@@ -1,0 +1,105 @@
+"""mixing: hash split / stratified sample / shuffle rank — determinism,
+growth-stability, and scalable-rank == naive-global-rank equality."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from tsrollup.mixing import hash_split, shuffle_rank, stratified_sample
+
+
+def _docs(spark, n=4000, n_src=4):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [f"doc{i:06d}" for i in range(n)],
+            "source": [f"s{i % n_src}" for i in range(n)],
+        }
+    )
+    return spark.createDataFrame(pdf).repartition(8)
+
+
+class TestHashSplit:
+    def test_proportions_and_determinism(self, spark):
+        df = _docs(spark)
+        out = hash_split(df, "doc_id", 500, 500, seed=0)
+        counts = {r["split"]: r["cnt"] for r in
+                  out.groupBy("split").agg(F.count("*").alias("cnt")).collect()}
+        n = sum(counts.values())
+        assert n == 4000
+        # 5% each with binomial noise
+        assert abs(counts["val"] / n - 0.05) < 0.02
+        assert abs(counts["test"] / n - 0.05) < 0.02
+        again = {r["doc_id"]: r["split"] for r in out.collect()}
+        assert {r["doc_id"]: r["split"]
+                for r in hash_split(df, "doc_id", 500, 500, 0).collect()} == again
+
+    def test_stable_under_corpus_growth(self, spark):
+        small = _docs(spark, 1000)
+        big = _docs(spark, 4000)
+        a = {r["doc_id"]: r["split"] for r in hash_split(small).collect()}
+        b = {r["doc_id"]: r["split"] for r in hash_split(big).collect()}
+        for k, v in a.items():
+            assert b[k] == v  # a doc's split never changes as corpus grows
+
+
+class TestStratifiedSample:
+    def test_rates_and_membership_recomputable(self, spark):
+        df = _docs(spark)
+        out = stratified_sample(
+            df, {"s0": 5000, "s1": 2500}, "source", "doc_id",
+            default_per10k=1000, seed=1,
+        )
+        kept = out.groupBy("source").agg(F.count("*").alias("c")).collect()
+        by_src = {r["source"]: r["c"] for r in kept}
+        assert abs(by_src["s0"] / 1000 - 0.5) < 0.08
+        assert abs(by_src["s1"] / 1000 - 0.25) < 0.07
+        assert abs(by_src.get("s2", 0) / 1000 - 0.10) < 0.05
+        # membership is a pure function: rerun == same set
+        ids1 = {r["doc_id"] for r in out.collect()}
+        ids2 = {r["doc_id"] for r in stratified_sample(
+            df, {"s0": 5000, "s1": 2500}, "source", "doc_id", 1000, 1
+        ).collect()}
+        assert ids1 == ids2
+
+    def test_zero_default_drops_unlisted(self, spark):
+        df = _docs(spark)
+        out = stratified_sample(df, {"s0": 10_000}, default_per10k=0)
+        srcs = {r["source"] for r in out.select("source").distinct().collect()}
+        assert srcs == {"s0"}
+        assert out.count() == 1000  # rate 10000/10k = keep all of s0
+
+
+class TestShuffleRank:
+    def test_is_a_permutation_and_matches_naive(self, spark):
+        df = _docs(spark, 2500)
+        out = shuffle_rank(df, "doc_id", epoch=3)
+        ranks = [r["shuffle_rank"] for r in out.collect()]
+        assert sorted(ranks) == list(range(2500))
+        # scalable bucketed evaluation == naive single-partition window
+        key = F.concat(F.col("doc_id"), F.lit("#3"))
+        naive = df.withColumn(
+            "nr",
+            F.row_number().over(
+                Window.orderBy(F.xxhash64(key), F.col("doc_id"))
+            ).cast("long") - 1,
+        )
+        merged = out.join(naive, "doc_id")
+        assert merged.where(F.col("shuffle_rank") != F.col("nr")).count() == 0
+
+    def test_epochs_decorrelated(self, spark):
+        df = _docs(spark, 2000)
+        a = {r["doc_id"]: r["shuffle_rank"]
+             for r in shuffle_rank(df, "doc_id", 0).collect()}
+        b = {r["doc_id"]: r["shuffle_rank"]
+             for r in shuffle_rank(df, "doc_id", 1).collect()}
+        ra = np.array([a[k] for k in sorted(a)])
+        rb = np.array([b[k] for k in sorted(b)])
+        r = np.corrcoef(ra, rb)[0, 1]
+        assert abs(r) < 0.06  # independent permutations
+
+    def test_empty(self, spark):
+        df = _docs(spark, 10).where(F.lit(False))
+        assert shuffle_rank(df).count() == 0

@@ -1,0 +1,138 @@
+"""Training-mix operators: deterministic split / per-source sampling /
+global shuffle — the data-mixing layer between a curated corpus and a
+training run.
+
+Everything here is a pure function of (doc_id, seed) via Spark's
+`xxhash64` — JVM-side, no Python, no RNG state:
+
+- **hash_split**: assign each document to train/val/test by hash range.
+  Stable under corpus growth (a doc's split never changes when other
+  docs are added/removed), stable across runs and cluster sizes, and a
+  filter — fully pushdown-friendly, no shuffle.
+- **stratified_sample**: per-source sampling rates (the "mixture
+  weights" of a training recipe) by the same hash-range test against a
+  broadcast rates table. Exact determinism makes sampled-corpus
+  experiments reproducible and AUDITABLE: membership is recomputable
+  row-by-row, which is also what lets a SQL oracle check it.
+- **shuffle_rank**: an epoch-keyed deterministic global order
+  (rank = row_number over xxhash64(doc_id, epoch)): epoch 0 and epoch 1
+  are decorrelated permutations, every worker agrees on the order
+  without coordination, and resuming mid-epoch is a rank-range filter.
+
+At 10^12 rows: split/sample are stateless filters fused into the scan;
+shuffle_rank's global row_number is the only shuffle (a total sort by
+hash — rank ranges can also be served per-partition by sorting WITHIN
+hash-range partitions when a strict global rank is not required).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: denominator of every hash-range test; rates are expressed in 1/10000ths
+GRAIN = 10_000
+
+
+def _seed_key(id_col, seed: int):
+    """The hashed key is the STRING "<id>#<seed>" — one canonical byte
+    encoding that any engine can reproduce (the DuckDB oracle re-evaluates
+    the same XXH64 over the same bytes via the duck_oracle macros), rather
+    than Spark's type-dependent multi-argument hash fold. Different seeds
+    are fully decorrelated hash functions."""
+    return F.concat(F.col(id_col).cast("string"), F.lit(f"#{seed}"))
+
+
+def _bucket(id_col, seed: int):
+    """Deterministic bucket in [0, GRAIN)."""
+    return F.pmod(F.xxhash64(_seed_key(id_col, seed)), F.lit(GRAIN))
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    val_per10k: int = 500,
+    test_per10k: int = 500,
+    seed: int = 0,
+) -> DataFrame:
+    """Add a ``split`` column: 'test' for bucket < test_per10k, 'val' for
+    the next val_per10k buckets, 'train' for the rest."""
+    b = _bucket(id_col, seed)
+    return df.withColumn(
+        "split",
+        F.when(b < test_per10k, F.lit("test"))
+        .when(b < test_per10k + val_per10k, F.lit("val"))
+        .otherwise(F.lit("train")),
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates_per10k: dict[str, int],
+    strat_col: str = "source",
+    id_col: str = "doc_id",
+    default_per10k: int = 0,
+    seed: int = 1,
+) -> DataFrame:
+    """Keep each row iff its hash bucket < its stratum's rate (per-10k).
+    The rates table is broadcast-joined (strata counts are dim-sized);
+    strata absent from `rates_per10k` use `default_per10k`."""
+    spark = df.sparkSession
+    rates = spark.createDataFrame(
+        list(rates_per10k.items()), f"{strat_col} string, __rate int"
+    )
+    return (
+        df.join(F.broadcast(rates), strat_col, "left")
+        .withColumn("__rate", F.coalesce(F.col("__rate"), F.lit(default_per10k)))
+        .where(_bucket(id_col, seed) < F.col("__rate"))
+        .drop("__rate")
+    )
+
+
+#: hash-range buckets for the scalable global rank (top bits of the hash)
+_RANK_BUCKETS_BITS = 12
+
+
+def shuffle_rank(
+    df: DataFrame, id_col: str = "doc_id", epoch: int = 0
+) -> DataFrame:
+    """Add ``shuffle_rank`` (0-based): the row's position in the epoch's
+    deterministic global permutation, ordered by (xxhash64(id#epoch),
+    id) — the id tiebreak makes the order total even under hash
+    collisions.
+
+    Scalable evaluation (identical result to a naive global row_number,
+    which would funnel the corpus through ONE partition): the hash's top
+    12 bits are a range-aligned bucket, so global rank = (prefix sum of
+    bucket counts) + rank within the bucket. Bucket counts are one small
+    aggregate (4096 rows collected — O(buckets), never O(rows)); the
+    within-bucket row_numbers run as 4096 independent window partitions.
+    """
+    from pyspark.sql import Window
+
+    h = F.xxhash64(_seed_key(id_col, epoch))
+    # signed >> keeps bucket monotone in the signed hash order;
+    # +2^(bits-1) maps to [0, 2^bits)
+    bucket = (
+        F.shiftright(h, 64 - _RANK_BUCKETS_BITS)
+        + F.lit(1 << (_RANK_BUCKETS_BITS - 1))
+    ).alias("__rb")
+    with_b = df.withColumn("__rb", bucket)
+    counts = with_b.groupBy("__rb").count().collect()
+    off, acc = {}, 0
+    for r in sorted(counts, key=lambda r: r["__rb"]):
+        off[r["__rb"]] = acc
+        acc += r["count"]
+    spark = df.sparkSession
+    offsets = spark.createDataFrame(
+        list(off.items()) or [(0, 0)], "__rb long, __off long"
+    )
+    w = Window.partitionBy("__rb").orderBy(h, F.col(id_col))
+    return (
+        with_b.join(F.broadcast(offsets), "__rb", "left")
+        .withColumn(
+            "shuffle_rank",
+            F.col("__off") + F.row_number().over(w).cast("long") - 1,
+        )
+        .drop("__rb", "__off")
+    )
