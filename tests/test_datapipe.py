@@ -332,3 +332,47 @@ def test_ngram_decontaminate_planted(spark):
         else:
             assert did not in out
     assert 1 in out and out[1][1] == 1  # one benchmark doc hit
+
+
+def test_connected_components_vs_union_find(spark):
+    """Label propagation == classic union-find on random graphs, and the
+    chain/star/cycle/singleton shapes behave; non-convergence raises."""
+    import numpy as np
+    import pytest
+    from tsrollup.datapipe import connected_components
+
+    def uf_components(edges):
+        parent = {}
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {n: find(n) for n in parent}
+
+    rng = np.random.default_rng(51)
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, 120, (220, 2)) if a != b]
+    edges += [(1000 + i, 1001 + i) for i in range(12)]  # a 13-node chain
+    edges += [(2000, 2000 + i) for i in range(1, 8)]    # a star
+    edges += [(3000, 3001), (3001, 3002), (3002, 3000)] # a cycle
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {r["node"]: r["component"]
+           for r in connected_components(df, "a", "b").collect()}
+    want = uf_components(edges)
+    assert got == want
+    # every chain/star/cycle member got its cluster min
+    assert all(got[1000 + i] == 1000 for i in range(13))
+    assert all(got[2000 + i] == 2000 for i in range(8))
+    assert all(got[3000 + i] == 3000 for i in range(3))
+
+    # a chain longer than max_iter must raise, not under-merge
+    long_chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "a long, b long"
+    )
+    with pytest.raises(RuntimeError, match="no convergence"):
+        connected_components(long_chain, "a", "b", max_iter=3)

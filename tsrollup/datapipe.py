@@ -854,3 +854,72 @@ def ngram_decontaminate(
         .where(F.col("n_hits") >= min_hits)
         .select(F.col("c_id").alias(id_col), "n_hits", "n_bench_docs")
     )
+
+
+# ------------------------------------------------------------------
+# Connected components (transitive near-dup clustering)
+# ------------------------------------------------------------------
+
+def connected_components(
+    edges: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Distributed connected components by iterative min-label
+    propagation: every node's label converges to the MINIMUM node id in
+    its component — turning one-hop near-dup pairs into TRANSITIVE
+    duplicate clusters (a~b, b~c => one cluster), which is the semantics
+    a keeper-dedup actually wants at scale.
+
+    Each iteration is one shuffle: labels join onto the (symmetrized)
+    edge list, candidate labels group-min per node, and a convergence
+    check (`changed == 0`) stops the loop — O(component diameter)
+    iterations, each a plain join + hash agg that AQE sizes. Near-dup
+    graphs are dense clusters (tiny diameters); for adversarial
+    chain-shaped graphs the alternating large-star/small-star scheme
+    (Kiveris et al., "Connected Components in MapReduce and Beyond")
+    drops this to O(log n) rounds at the cost of edge rewriting — the
+    label-propagation loop is the right default for dedup workloads.
+    `localCheckpoint` truncates the growing lineage each round (the loop
+    would otherwise replay every prior join on each action).
+
+    Returns (node, component) for every node appearing in `edges`;
+    component = min node id in the component. Raises if not converged
+    within max_iter (a diameter red flag, not a silent wrong answer).
+    """
+    sym = edges.select(
+        F.col(a_col).alias("u"), F.col(b_col).alias("v")
+    ).union(edges.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
+    sym = sym.where(F.col("u") != F.col("v")).distinct().localCheckpoint()
+    labels = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        # candidate labels: own label + every neighbor's label
+        nbr = (
+            sym.join(labels.withColumnRenamed("node", "u"), "u")
+            .select(F.col("v").alias("node"), "component")
+        )
+        new_labels = (
+            labels.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("component", "old"), "node")
+            .where(F.col("component") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components: no convergence in {max_iter} iterations "
+        "(component diameter > max_iter) — raise max_iter or switch to "
+        "the alternating-star scheme"
+    )

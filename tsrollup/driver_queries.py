@@ -846,6 +846,31 @@ def _register_neardup_lsh():
     SELECT vec_id, min(nbr) AS keep_id FROM edges GROUP BY vec_id
     """
 
+    cc_sql = f"""
+    WITH RECURSIVE pairs AS ({pairs_sql}),
+    e AS (
+      SELECT vec_a AS u, vec_b AS v FROM pairs
+      UNION SELECT vec_b, vec_a FROM pairs
+    ),
+    reach(node, root) AS (
+      SELECT u, u FROM e
+      UNION
+      SELECT e.v, r.root FROM reach r JOIN e ON e.u = r.node
+    )
+    SELECT node, min(root) AS component FROM reach GROUP BY node
+    """
+
+    @q("dd_components", cc_sql)
+    def dd_components(spark, sf_dir):
+        """TRANSITIVE near-dup clustering (datapipe.connected_components)
+        over the banded-LSH pair list: iterative min-label propagation —
+        one join + hash agg per round with a convergence stop — versus a
+        DuckDB recursive-CTE reachability closure. One-hop keeper dedup
+        (dd_embedding_keeper) under-merges chains (a~b, b~c); components
+        give every doc its cluster's min id exactly."""
+        pairs = dp.embedding_neardup_pairs(spark, sf_dir)
+        return dp.connected_components(pairs, "vec_a", "vec_b")
+
     @q("dd_embedding_keeper", keeper_sql)
     def dd_embedding_keeper(spark, sf_dir):
         pairs = dp.embedding_neardup_pairs(spark, sf_dir)
