@@ -139,8 +139,12 @@ class TestHeavyHitters:
 
         df = self._zipf_df(spark, parts=1)  # one partition -> one summary
         k = 16
-        summ = mg_summary_partials(df, "item", k).collect()
+        rows = mg_summary_partials(df, "item", k).collect()
+        markers = [r for r in rows if r["item"] is None]
+        summ = [r for r in rows if r["item"] is not None]
         assert 0 < len(summ) <= k
+        # the marker row carries the partition's exact item total
+        assert len(markers) == 1 and markers[0]["part_rows"] == df.count()
         true = df.toPandas()["item"].value_counts()
         for r in summ:
             assert r["cnt_lb"] <= int(true.get(r["item"], 0))

@@ -881,8 +881,11 @@ def connected_components(
     (Kiveris et al., "Connected Components in MapReduce and Beyond")
     drops this to O(log n) rounds at the cost of edge rewriting — the
     label-propagation loop is the right default for dedup workloads.
-    `localCheckpoint` truncates the growing lineage each round (the loop
-    would otherwise replay every prior join on each action).
+    Rounds `persist()` their label table and explicitly UNPERSIST the
+    previous round's once the convergence count has consumed it, so
+    executor storage holds at most two label-table copies; every 5th
+    round upgrades to `localCheckpoint` to truncate the growing plan
+    lineage (otherwise each action replays every prior join).
 
     Returns (node, component) for every node appearing in `edges`;
     component = min node id in the component. Raises if not converged
@@ -898,7 +901,8 @@ def connected_components(
         .withColumn("component", F.col("node"))
         .localCheckpoint()
     )
-    for _ in range(max_iter):
+    labels_persisted = None  # the previous round's unpersistable table
+    for it in range(max_iter):
         # candidate labels: own label + every neighbor's label
         nbr = (
             sym.join(labels.withColumnRenamed("node", "u"), "u")
@@ -908,14 +912,21 @@ def connected_components(
             labels.unionByName(nbr)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
-            .localCheckpoint()
         )
+        if (it + 1) % 5 == 0:
+            new_labels = new_labels.localCheckpoint()  # truncate lineage
+            new_persisted = None
+        else:
+            new_labels = new_labels.persist()
+            new_persisted = new_labels
         changed = (
             new_labels.join(labels.withColumnRenamed("component", "old"), "node")
             .where(F.col("component") != F.col("old"))
             .count()
         )
-        labels = new_labels
+        if labels_persisted is not None:
+            labels_persisted.unpersist()
+        labels, labels_persisted = new_labels, new_persisted
         if changed == 0:
             return labels
     raise RuntimeError(

@@ -57,6 +57,12 @@ def hash_split(
 ) -> DataFrame:
     """Add a ``split`` column: 'test' for bucket < test_per10k, 'val' for
     the next val_per10k buckets, 'train' for the rest."""
+    if not (0 <= val_per10k and 0 <= test_per10k
+            and val_per10k + test_per10k <= GRAIN):
+        raise ValueError(
+            f"val_per10k + test_per10k must be within [0, {GRAIN}]: "
+            f"{val_per10k} + {test_per10k}"
+        )
     b = _bucket(id_col, seed)
     return df.withColumn(
         "split",
@@ -107,6 +113,13 @@ def shuffle_rank(
     bucket counts) + rank within the bucket. Bucket counts are one small
     aggregate (4096 rows collected — O(buckets), never O(rows)); the
     within-bucket row_numbers run as 4096 independent window partitions.
+
+    Two-pass contract: `df` is evaluated twice (counts, then ranks) — as
+    with ANY two-pass global rank, it must be deterministic. The offsets
+    join is INNER, so if a nondeterministic upstream makes the second
+    pass disagree with the first, the disagreeing rows disappear from
+    the output (a countable symptom) instead of silently carrying NULL
+    ranks.
     """
     from pyspark.sql import Window
 
@@ -129,7 +142,7 @@ def shuffle_rank(
     )
     w = Window.partitionBy("__rb").orderBy(h, F.col(id_col))
     return (
-        with_b.join(F.broadcast(offsets), "__rb", "left")
+        with_b.join(F.broadcast(offsets), "__rb", "inner")
         .withColumn(
             "shuffle_rank",
             F.col("__off") + F.row_number().over(w).cast("long") - 1,

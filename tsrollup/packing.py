@@ -55,31 +55,28 @@ def pack_sequences(
     keys = list(keys)
     order = list(order)
 
+    def _empty(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {c: pd.Series(dtype=o) for c, o in (
+                [(k, pdf[k].dtype) for k in keys]
+                + [("chunk_id", "int64"), ("tokens", "object"),
+                   ("n_tok", "int32"), ("n_docs", "int32")]
+            )}
+        )
+
     def _pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order, kind="mergesort")
         arrs = [np.asarray(a) for a in pdf["tokens"]]
         arrs = [a for a in arrs if a.size]
         if not arrs:
-            return pd.DataFrame(
-                {c: pd.Series(dtype=o) for c, o in (
-                    [(k, pdf[k].dtype) for k in keys]
-                    + [("chunk_id", "int64"), ("tokens", "object"),
-                       ("n_tok", "int32"), ("n_docs", "int32")]
-                )}
-            )
+            return _empty(pdf)
         for a in arrs:
             assert a.dtype == np.int32, f"tokens upcast to {a.dtype}"
         flat = np.concatenate(arrs)
         total = flat.shape[0]
         n_chunks = total // max_len if drop_last else -(-total // max_len)
         if n_chunks == 0:
-            return pd.DataFrame(
-                {c: pd.Series(dtype=o) for c, o in (
-                    [(k, pdf[k].dtype) for k in keys]
-                    + [("chunk_id", "int64"), ("tokens", "object"),
-                       ("n_tok", "int32"), ("n_docs", "int32")]
-                )}
-            )
+            return _empty(pdf)
         # doc start offsets -> docs overlapping chunk [c*L, (c+1)*L):
         # overlap iff doc.start < chunk.end and doc.end > chunk.start
         lens = np.array([a.shape[0] for a in arrs], dtype=np.int64)

@@ -222,7 +222,9 @@ def mg_summary_partials(
     `flatten_arrays=True` treats item_col as array<int> and counts
     elements (the token-payload case) — one np.concatenate per batch,
     no explode. Returns (item, cnt_lb, part_rows): the MG lower-bound
-    count and the partition's row (or token) total.
+    count and the partition's row (or token) total; one extra MARKER row
+    per non-empty partition (item NULL, cnt_lb 0) carries the partition
+    total so callers can derive N without re-scanning the input.
     """
     import numpy as np
     import pandas as pd
@@ -247,11 +249,11 @@ def mg_summary_partials(
             if len(cnt) > k:
                 kth = sorted(cnt.values(), reverse=True)[k]
                 cnt = {it: v - kth for it, v in cnt.items() if v > kth}
-        if cnt:
+        if total:
             yield pd.DataFrame(
                 {
-                    "item": list(cnt.keys()),
-                    "cnt_lb": np.array(list(cnt.values()), dtype=np.int64),
+                    "item": list(cnt.keys()) + [None],
+                    "cnt_lb": np.array(list(cnt.values()) + [0], dtype=np.int64),
                     "part_rows": np.int64(total),
                 }
             )
@@ -277,30 +279,26 @@ def heavy_hitters(
     cnt > N/(k+1). Output is therefore EXACT (items + true counts), which
     is what makes the operator oracle-twinnable; the sketch bounds live
     in the tests. Candidate count <= k x partitions, bounded and small.
-    N comes from a size aggregate over the same scan (never a histogram).
-    Items must be integral (token ids); string items would need a hash
-    column first.
+    N comes from the summaries' per-partition marker rows, so the input
+    is scanned exactly TWICE (summaries, recount) — the small summary
+    table is localCheckpointed so neither the candidate list nor the N
+    aggregate re-runs the sketch scan. Items must be integral (token
+    ids); string items would need a hash column first.
     """
-    import pyspark.sql.functions as F2
-
-    cands = mg_summary_partials(df, item_col, k, flatten_arrays).select(
-        "item"
-    ).distinct()
+    summ = mg_summary_partials(df, item_col, k, flatten_arrays).localCheckpoint()
+    n_total = summ.where(F.col("item").isNull()).agg(
+        F.coalesce(F.sum("part_rows"), F.lit(0))
+    ).collect()[0][0]
+    cands = summ.where(F.col("item").isNotNull()).select("item").distinct()
     if flatten_arrays:
         exploded = df.select(F.explode(item_col).alias("item"))
     else:
         exploded = df.select(F.col(item_col).cast("long").alias("item"))
     counted = (
-        exploded.join(F2.broadcast(cands), "item", "left_semi")
+        exploded.join(F.broadcast(cands), "item", "left_semi")
         .groupBy("item")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    if flatten_arrays:
-        n_total = df.select(
-            F.coalesce(F.sum(F.size(item_col)), F.lit(0))
-        ).collect()[0][0]
-    else:
-        n_total = df.count()
     return counted.where(F.col("cnt") * (k + 1) > F.lit(n_total)).select(
         "item", "cnt"
     )

@@ -33,21 +33,30 @@ _HIST_SCHEMA = "token_id int, cnt long"
 _SRC_HIST_SCHEMA = "source string, token_id int, cnt long"
 
 
+#: above this id range, bincount's dense array (8 B per slot) stops being
+#: the cheap path — np.unique is O(n log n) but allocation-bounded by the
+#: BATCH, not the id space. Both are exact.
+_BINCOUNT_MAX_ID = 1 << 24
+
+
+def _exact_counts(flat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    if flat.max() < _BINCOUNT_MAX_ID:
+        counts = np.bincount(flat)
+        ids = np.nonzero(counts)[0]
+        return ids, counts[ids]
+    return np.unique(flat, return_counts=True)
+
+
 def _batch_hist(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         if not len(pdf):
             continue
-        flat = (
-            np.concatenate(pdf["tokens"].to_list())
-            if len(pdf)
-            else np.empty(0, dtype=np.int64)
-        )
+        flat = np.concatenate(pdf["tokens"].to_list())
         if not flat.size:
             continue
-        counts = np.bincount(flat)
-        ids = np.nonzero(counts)[0]
+        ids, cnts = _exact_counts(flat)
         yield pd.DataFrame(
-            {"token_id": ids.astype(np.int32), "cnt": counts[ids].astype(np.int64)}
+            {"token_id": ids.astype(np.int32), "cnt": cnts.astype(np.int64)}
         )
 
 
@@ -62,11 +71,10 @@ def _batch_hist_by_source(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
             flat = np.concatenate(g["tokens"].to_list())
             if not flat.size:
                 continue
-            counts = np.bincount(flat)
-            ids = np.nonzero(counts)[0]
+            ids, cnts = _exact_counts(flat)
             out_src.extend([src] * len(ids))
             out_ids.append(ids.astype(np.int32))
-            out_cnt.append(counts[ids].astype(np.int64))
+            out_cnt.append(cnts.astype(np.int64))
         if out_src:
             yield pd.DataFrame(
                 {

@@ -273,6 +273,7 @@ def holt_winters(
     value_col: str,
     alpha: float = 0.3,
     beta: float = 0.1,
+    tiebreak: str | None = None,
 ) -> DataFrame:
     """Holt double-exponential (level+trend) forecast detector per series
     key over the OBSERVED series (no gap-fill — semantics are row-ordered;
@@ -298,9 +299,14 @@ def holt_winters(
         f"{key_schema}, {ts_col} {ts_type}, x double, level double, "
         "trend double, resid double, score double"
     )
+    # tiebreak pins the order under equal timestamps (same contract as
+    # counter_increase/cusum — without it, duplicate-ts inputs would make
+    # the recurrence partition-order-dependent)
+    sort_cols = [ts_col] + ([tiebreak] if tiebreak else [])
+    carry = [tiebreak] if tiebreak and tiebreak not in (ts_col, value_col) else []
 
     def _hw(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(ts_col, kind="mergesort")
+        pdf = pdf.sort_values(sort_cols, kind="mergesort")
         x = pdf[value_col].to_numpy(dtype=np.float64)
         level, trend, resid, score = hw_detector(x, alpha, beta)
         out = {k: pdf[k].to_numpy() for k in keys}
@@ -309,7 +315,7 @@ def holt_winters(
         return pd.DataFrame(out)
 
     return (
-        df.select(*keys, ts_col, value_col)
+        df.select(*keys, ts_col, value_col, *carry)
         .groupBy(*keys)
         .applyInPandas(_hw, out_schema)
     )
