@@ -1765,3 +1765,86 @@ def c7_holt_winters(spark, sf_dir):
         .otherwise(F.round("score", 6))
         .alias("score_r"),
     )
+
+
+@q(
+    "tx_repetition",
+    """
+    WITH g AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents
+    ), ng AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(len(words) - 1, 1)),
+                            i -> array_to_string(words[i:i+2], ' ')) AS grams
+      FROM g
+    )
+    SELECT doc_id,
+           len(grams)::BIGINT AS n_grams,
+           len(list_distinct(grams))::BIGINT AS n_distinct,
+           round(CASE WHEN len(grams) > 0
+                 THEN 1.0 - len(list_distinct(grams))::DOUBLE / len(grams)
+                 ELSE 0.0 END, 6) AS rep_ratio_r
+    FROM ng
+    """,
+)
+def tx_repetition(spark, sf_dir):
+    """Intra-document repetition ratio — the standard LLM-curation
+    quality signal (fraction of DUPLICATE word-3-grams inside a doc;
+    boilerplate/spam scores high, natural prose low). Pure array
+    built-ins per row, no shuffle beyond the scan: rep = 1 -
+    distinct_ngrams/total_ngrams, exact integers + one division."""
+    d = t(spark, sf_dir, "documents")
+    words = F.split(F.lower("text"), " ")
+    grams = F.when(
+        F.size(words) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - 2),
+            lambda i: F.concat_ws(" ", F.slice(words, i, 3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = d.select("doc_id", grams.alias("grams"))
+    n = F.size("grams")
+    nd = F.size(F.array_distinct("grams"))
+    return g.select(
+        "doc_id",
+        n.cast("long").alias("n_grams"),
+        nd.cast("long").alias("n_distinct"),
+        F.round(
+            F.when(n > 0, 1.0 - nd.cast("double") / n.cast("double"))
+            .otherwise(F.lit(0.0)),
+            6,
+        ).alias("rep_ratio_r"),
+    )
+
+
+@q(
+    "tx_pii_scan",
+    r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT
+             AS n_emails,
+           len(regexp_extract_all(text,
+               '\+?[0-9][0-9() .-]{7,}[0-9]'))::BIGINT AS n_phones,
+           len(regexp_extract_all(text,
+               'https?://[^ ]+'))::BIGINT AS n_urls
+    FROM documents
+    """,
+)
+def tx_pii_scan(spark, sf_dir):
+    """PII / boilerplate pattern counts per document (emails, phone-like
+    digit runs, URLs) — the redaction-triage scan every curation
+    pipeline runs before release. regexp_extract_all is JVM-side; the
+    patterns avoid engine-specific regex syntax (no lookaround, no \\d
+    class shorthand differences) so DuckDB counts identically."""
+    d = t(spark, sf_dir, "documents")
+
+    def cnt(pat):
+        return F.size(F.regexp_extract_all("text", F.lit(pat), 0)).cast("long")
+
+    return d.select(
+        "doc_id",
+        cnt(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}").alias("n_emails"),
+        cnt(r"\+?[0-9][0-9() .-]{7,}[0-9]").alias("n_phones"),
+        cnt(r"https?://[^ ]+").alias("n_urls"),
+    )
