@@ -376,3 +376,30 @@ def test_connected_components_vs_union_find(spark):
     )
     with pytest.raises(RuntimeError, match="no convergence"):
         connected_components(long_chain, "a", "b", max_iter=3)
+
+
+def test_connected_components_star_matches_label_prop(spark):
+    """Alternating large-star/small-star == min-label propagation ==
+    union-find on random graphs; and it converges on a LONG PATH in few
+    rounds where label propagation would need O(diameter) iterations."""
+    import numpy as np
+    from tsrollup.datapipe import connected_components, connected_components_star
+
+    rng = np.random.default_rng(61)
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, 150, (260, 2)) if a != b]
+    edges += [(5000 + i, 5001 + i) for i in range(9)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    star = {r["node"]: r["component"]
+            for r in connected_components_star(df, "a", "b").collect()}
+    prop = {r["node"]: r["component"]
+            for r in connected_components(df, "a", "b").collect()}
+    assert star == prop and star
+
+    # 400-node path: diameter 399 >> max_rounds, but alternating-star
+    # needs only O(log n) rounds
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(400)], "a long, b long"
+    )
+    got = {r["node"]: r["component"]
+           for r in connected_components_star(path, "a", "b", max_rounds=20).collect()}
+    assert got == {i: 0 for i in range(401)}

@@ -934,3 +934,107 @@ def connected_components(
         "(component diameter > max_iter) — raise max_iter or switch to "
         "the alternating-star scheme"
     )
+
+
+def connected_components_star(
+    edges: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Connected components by ALTERNATING large-star / small-star edge
+    rewriting (Kiveris et al., MR'14) — O(log n) rounds even on
+    adversarial chain-shaped graphs, where min-label propagation
+    (`connected_components`) needs O(diameter) rounds. Same output
+    contract: (node, component = min node id in the component) for every
+    node appearing in `edges`.
+
+    One round = large-star then small-star, each ONE groupBy + ONE join
+    over the current edge list:
+      large-star(u): every neighbor v > u re-attaches to
+        m = min(neighbors(u) + {u});
+      small-star(u): every neighbor v <= u (edges oriented toward their
+        larger endpoint) re-attaches to m = min of that set.
+    The edge list monotonically converges to star graphs rooted at each
+    component's minimum; convergence is detected by a (count,
+    bit_xor-of-edge-hash) fingerprint going stable — an exact count plus
+    a 64-bit XOR fingerprint whose false-stable probability is ~2^-64
+    per round. Each round's edge list is EAGERLY localCheckpoint-ed:
+    unlike persist(), that truncates the logical plan, which otherwise
+    doubles per round (each star op references the edge list twice) and
+    sends Catalyst analysis time exponential by round ~10. Rounds are
+    O(log n), so at most ~a few dozen edge-list snapshots exist; stale
+    ones are freed by the context cleaner as they drop out of scope.
+    """
+    E = (
+        edges.select(F.col(a_col).cast("long").alias("u"),
+                     F.col(b_col).cast("long").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        E.select(F.col("u").alias("node"))
+        .union(E.select("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def fingerprint(e):
+        row = e.agg(
+            F.count(F.lit(1)).alias("c"),
+            F.bit_xor(F.xxhash64("u", "v")).alias("h"),
+        ).collect()[0]
+        return row["c"], row["h"]
+
+    def large_star(e):
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = (
+            sym.groupBy("u").agg(F.min("v").alias("minv"))
+            .select("u", F.least("minv", "u").alias("mn"))
+        )
+        return (
+            sym.join(m, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def small_star(e):
+        o = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        m = o.groupBy("u").agg(F.min("v").alias("mn"))
+        re_children = o.join(m, "u").select(
+            F.col("v").alias("u"), F.col("mn").alias("v")
+        )
+        re_center = m.select(F.col("u"), F.col("mn").alias("v"))
+        return (
+            re_children.union(re_center)
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    fp = fingerprint(E)
+    for _ in range(max_rounds):
+        # eager=True (default) materializes AND truncates lineage — see
+        # docstring; persist() alone leaves the doubling logical plan in
+        # place and Catalyst analysis goes exponential by round ~10.
+        E = small_star(large_star(E)).localCheckpoint()
+        new_fp = fingerprint(E)
+        if new_fp == fp:
+            break
+        fp = new_fp
+    else:
+        raise RuntimeError(
+            f"connected_components_star: no convergence in {max_rounds} rounds"
+        )
+    # converged: edges are (child, root) stars with root = component min
+    labels = E.select(
+        F.greatest("u", "v").alias("node"), F.least("u", "v").alias("component")
+    ).distinct()
+    roots = nodes.join(
+        labels.select(F.col("node")), "node", "left_anti"
+    ).select("node", F.col("node").alias("component"))
+    return labels.union(roots)

@@ -871,6 +871,17 @@ def _register_neardup_lsh():
         pairs = dp.embedding_neardup_pairs(spark, sf_dir)
         return dp.connected_components(pairs, "vec_a", "vec_b")
 
+    @q("dd_components_star", cc_sql)
+    def dd_components_star(spark, sf_dir):
+        """Same clustering contract as dd_components, computed by the
+        ALTERNATING large-star/small-star scheme (datapipe.
+        connected_components_star) — the O(log n)-rounds variant for
+        adversarial (chain-shaped) component diameters, twinned against
+        the identical recursive-CTE closure so the board proves both
+        component algorithms agree value-exactly on the same pair list."""
+        pairs = dp.embedding_neardup_pairs(spark, sf_dir)
+        return dp.connected_components_star(pairs, "vec_a", "vec_b")
+
     @q("dd_embedding_keeper", keeper_sql)
     def dd_embedding_keeper(spark, sf_dir):
         pairs = dp.embedding_neardup_pairs(spark, sf_dir)
