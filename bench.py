@@ -164,6 +164,8 @@ def main() -> None:
         "g3_m4_downsample",
         "c6_cusum",
         "w7_robust_zscore",
+        "tx_bigram_lm",
+        "j7_interval_overlap",
     ):
         t0 = time.monotonic()
         SPARK[name](spark, sf_dir).count()

@@ -403,3 +403,62 @@ def test_connected_components_star_matches_label_prop(spark):
     got = {r["node"]: r["component"]
            for r in connected_components_star(path, "a", "b", max_rounds=20).collect()}
     assert got == {i: 0 for i in range(401)}
+
+
+def test_bigram_lm_vs_pure_python(spark):
+    """bigram_lm_score == a pure-Python add-1/2-smoothed bigram model on a
+    tiny corpus with repeated bigrams, a single-word doc (no bigrams —
+    excluded), and doubled spaces (empty-string tokens count as words,
+    identically on both sides)."""
+    import math
+    from collections import Counter
+
+    from tsrollup.datapipe import bigram_lm_score
+
+    texts = {
+        1: "the cat sat on the mat",
+        2: "the cat sat",
+        3: "one",
+        4: "a  b a  b",  # double spaces -> empty-string tokens
+        5: "zzz qqq zzz qqq zzz",
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["bits_per_word"])
+        for r in bigram_lm_score(docs).collect()
+    }
+
+    words = {i: t.lower().split(" ") for i, t in texts.items()}
+    bigrams = {i: list(zip(ws, ws[1:])) for i, ws in words.items()}
+    bc = Counter(b for bs in bigrams.values() for b in bs)
+    cc = Counter(b[0] for bs in bigrams.values() for b in bs)
+    vocab = len({w for ws in words.values() for w in ws})
+    exp = {}
+    for i, bs in bigrams.items():
+        if not bs:
+            continue
+        micro = sum(
+            round(
+                m * math.log2((2 * bc[b] + 1) / (2 * cc[b[0]] + vocab)) * 1e6
+            )
+            for b, m in Counter(bs).items()
+        )
+        exp[i] = (len(bs), round(-micro / 1e6 / len(bs), 4))
+    assert 3 not in got and got == exp
+
+
+def test_bigram_lm_flags_gibberish(spark):
+    """A doc whose bigrams never repeat anywhere in the corpus scores
+    strictly more bits-per-word than docs made of corpus-frequent
+    bigrams — the filter actually separates fluent from gibberish."""
+    from tsrollup.datapipe import bigram_lm_score
+
+    common = [(i, "the quick brown fox jumps over the lazy dog") for i in range(10)]
+    docs = spark.createDataFrame(
+        common + [(99, "xq zv wk jp qg vb nm tr lw ke")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["bits_per_word"] for r in bigram_lm_score(docs).collect()}
+    assert rows[99] > max(v for k, v in rows.items() if k != 99) + 1.0

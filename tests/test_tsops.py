@@ -389,3 +389,32 @@ class TestHoltWinters:
             np.testing.assert_array_equal(g["level"].to_numpy(), level)
             np.testing.assert_array_equal(g["trend"].to_numpy(), trend)
             np.testing.assert_array_equal(g["score"].to_numpy(), score)
+
+
+def test_interval_overlap_join_vs_brute(spark):
+    """Bucketed interval join == brute-force O(n^2) reference, including
+    pairs that span several buckets (claimed exactly once), exact-touch
+    endpoints (overlap 0), containment, and intervals longer than the
+    bucket. Small bucket_us forces multi-bucket coverage."""
+    import itertools
+
+    from tsrollup.tsops import interval_overlap_join
+
+    H = 1_000  # tiny bucket so intervals cover many buckets
+    a_iv = [(1, 100, 2500), (2, 4000, 4000), (3, 7000, 12000), (4, 20000, 21000)]
+    b_iv = [(10, 0, 99), (11, 99, 101), (12, 2500, 2500), (13, 4000, 8000),
+            (14, 9000, 9500), (15, 11999, 30000)]
+    a = spark.createDataFrame(a_iv, "id long, start_us long, end_us long")
+    b = spark.createDataFrame(b_iv, "id long, start_us long, end_us long")
+    got = {
+        (r["a_id"], r["b_id"]): r["overlap_us"]
+        for r in interval_overlap_join(a, b, bucket_us=H).collect()
+    }
+    exp = {
+        (ai, bi): min(ae, be) - max(as_, bs)
+        for (ai, as_, ae), (bi, bs, be) in itertools.product(a_iv, b_iv)
+        if as_ <= be and bs <= ae
+    }
+    assert got == exp
+    # sanity on the fixture itself: it does exercise the edge shapes
+    assert (1, 11) in exp and exp[(1, 12)] == 0 and exp[(3, 15)] == 1

@@ -1038,3 +1038,126 @@ def connected_components_star(
         labels.select(F.col("node")), "node", "left_anti"
     ).select("node", F.col("node").alias("component"))
     return labels.union(roots)
+
+
+# ------------------------------------------------------------------
+# Corpus bigram-LM quality scoring (CCNet-style perplexity filter)
+# ------------------------------------------------------------------
+
+def bigram_lm_score(docs: DataFrame, k_num: int = 1, text_col: str = "text") -> DataFrame:
+    """Per-document cross-entropy under a corpus-trained bigram language
+    model — the classic LM-perplexity quality filter of web-scale
+    training-data pipelines (CCNet / Gopher style, trained here on the
+    corpus itself rather than an external KenLM): documents whose word
+    sequences the corpus model finds surprising (high bits-per-word) are
+    boilerplate/gibberish candidates; unusually LOW bits flag templated
+    near-boilerplate. Returns (doc_id, n_bigrams, bits_per_word).
+
+    Model: add-1/2 smoothed bigram probabilities
+        P(w | prev) = (c(prev,w) + 1/2) / (c(prev) + V/2)
+    evaluated as log2((2*c(prev,w) + k_num) / (2*c(prev) + k_num*V)) so
+    both numerator and denominator are EXACT integers and the only float
+    ops are one division + one log2 per distinct (prev, w) — identical
+    IEEE inputs in any engine. bits_per_word = -avg(log2 P).
+
+    Determinism contract (what makes this hash-twinnable): a per-doc SUM
+    of doubles is summation-order-dependent, and Spark's partial
+    aggregation order varies run to run. So each doc-level term
+    m * log2(...) (m = the bigram's multiplicity in the doc) is rounded
+    and scaled to INTEGER micro-bits first; the per-doc reduction is
+    then a BIGINT sum — associative, order-free, bit-identical in Spark
+    and any SQL oracle. Final bits_per_word rounds to 4 decimals.
+
+    Scale shape (the 100-TB plan): ONE explode of per-doc zipped word
+    slices → map-side-combined (doc, prev, w) counts (the instance
+    stream never shuffles raw; multiplicities do) → corpus counts are a
+    re-aggregate OF those doc-level counts (never a second scan) → two
+    shuffle joins keyed (prev, w) and (prev) that AQE sizes → one
+    BIGINT hash agg per doc. Vocabulary size V is a 1-row broadcast
+    cross join, not a driver collect.
+    """
+    w = docs.select("doc_id", F.split(F.lower(text_col), " ").alias("ws"))
+    bg = w.where(F.size("ws") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.expr("slice(ws, 1, size(ws) - 1)").alias("prev"),
+                F.expr("slice(ws, 2, size(ws) - 1)").alias("w"),
+            )
+        ).alias("z"),
+    ).select("doc_id", F.col("z.prev").alias("prev"), F.col("z.w").alias("w"))
+    # doc-level multiplicities: the only pass over bigram INSTANCES
+    dbg = bg.groupBy("doc_id", "prev", "w").agg(F.count(F.lit(1)).alias("m"))
+    bc = dbg.groupBy("prev", "w").agg(F.sum("m").alias("c_bw"))
+    cc = bc.groupBy("prev").agg(F.sum("c_bw").alias("c_b"))
+    vocab = w.select(F.explode("ws").alias("word")).agg(
+        F.count_distinct("word").alias("v_size")
+    )
+    logp = F.log2(
+        (2 * F.col("c_bw") + F.lit(k_num)).cast("double")
+        / (2 * F.col("c_b") + F.lit(k_num) * F.col("v_size")).cast("double")
+    )
+    scored = (
+        dbg.join(bc, ["prev", "w"])
+        .join(cc, "prev")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            "m",
+            # integer micro-bits: round(m * logp * 1e6) as BIGINT — the
+            # doc-level sum below is then order-independent and exact
+            F.round(F.col("m") * logp * F.lit(1_000_000.0), 0)
+            .cast("long")
+            .alias("microbits"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("m").alias("n_bigrams"),
+        F.round(
+            -F.sum("microbits").cast("double") / F.lit(1_000_000.0) / F.sum("m"), 4
+        ).alias("bits_per_word"),
+    )
+
+
+def bigram_lm_sql(k_num: int = 1) -> str:
+    """DuckDB twin of bigram_lm_score: identical integer-count model,
+    identical micro-bit integer summation, over the same whitespace
+    tokenization (`string_split(lower(text), ' ')`)."""
+    return f"""
+    WITH w AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+    ),
+    wp AS (
+      SELECT doc_id, unnest(ws) AS word, generate_subscripts(ws, 1) AS i
+      FROM w
+    ),
+    bg AS (
+      SELECT p.doc_id, p.word AS prev, n.word AS w
+      FROM wp p JOIN wp n ON n.doc_id = p.doc_id AND n.i = p.i + 1
+    ),
+    dbg AS (
+      SELECT doc_id, prev, w, CAST(count(*) AS BIGINT) AS m
+      FROM bg GROUP BY doc_id, prev, w
+    ),
+    bc AS (SELECT prev, w, CAST(sum(m) AS BIGINT) AS c_bw FROM dbg GROUP BY prev, w),
+    cc AS (SELECT prev, CAST(sum(c_bw) AS BIGINT) AS c_b FROM bc GROUP BY prev),
+    vocab AS (
+      SELECT CAST(count(DISTINCT word) AS BIGINT) AS v_size
+      FROM (SELECT unnest(ws) AS word FROM w)
+    ),
+    scored AS (
+      SELECT dbg.doc_id, dbg.m,
+             CAST(round(dbg.m * log2(
+               CAST(2 * bc.c_bw + {k_num} AS DOUBLE)
+               / CAST(2 * cc.c_b + {k_num} * vocab.v_size AS DOUBLE)
+             ) * 1e6, 0) AS BIGINT) AS microbits
+      FROM dbg
+      JOIN bc USING (prev, w)
+      JOIN cc USING (prev)
+      CROSS JOIN vocab
+    )
+    SELECT doc_id,
+           CAST(sum(m) AS BIGINT) AS n_bigrams,
+           round(-CAST(sum(microbits) AS DOUBLE) / 1e6 / sum(m), 4) AS bits_per_word
+    FROM scored GROUP BY doc_id
+    """

@@ -1299,6 +1299,69 @@ def tx_tfidf(spark, sf_dir):
     )
 
 
+# ------------------------------------- bigram-LM perplexity filter (TX)
+
+def _register_bigram_lm():
+    """tx_bigram_lm: per-doc bits-per-word under a corpus-trained
+    smoothed bigram LM (datapipe.bigram_lm_score) — the CCNet/Gopher
+    LM-perplexity quality filter, self-trained so no external model is
+    needed. Twin-exact because per-doc reduction happens in integer
+    micro-bits (see the operator docstring's determinism contract)."""
+    from . import datapipe as dp
+
+    @q("tx_bigram_lm", dp.bigram_lm_sql())
+    def tx_bigram_lm(spark, sf_dir):
+        return dp.bigram_lm_score(t(spark, sf_dir, "documents"))
+
+
+_register_bigram_lm()
+
+
+# ---------------------------------------- J7 interval overlap (round 3)
+
+@q(
+    "j7_interval_overlap",
+    """
+    WITH iv AS (
+      SELECT event_id AS id, event_type,
+             epoch_us(ts) AS start_us,
+             epoch_us(ts)
+               + 60000000 * (1 + CAST(floor(value) AS BIGINT) % 29) AS end_us
+      FROM events WHERE event_type IN ('error', 'purchase')
+    )
+    SELECT a.id AS a_id, b.id AS b_id,
+           least(a.end_us, b.end_us) - greatest(a.start_us, b.start_us)
+             AS overlap_us
+    FROM iv a JOIN iv b
+      ON a.event_type = 'error' AND b.event_type = 'purchase'
+     AND a.start_us <= b.end_us AND b.start_us <= a.end_us
+    """,
+)
+def j7_interval_overlap(spark, sf_dir):
+    """Bounded-duration interval overlap join (tsops.interval_overlap_join):
+    error windows x purchase windows (each event opens a 1-29-minute
+    window derived deterministically from its value), all intersecting
+    pairs with exact integer overlap microseconds. The engine explodes
+    intervals to 1h epoch buckets and equi-joins on bucket, claiming each
+    pair only in its overlap-start bucket (no distinct); the oracle is
+    the naive range-predicate join DuckDB runs as an IEJoin. A plain
+    Spark range join would be a broadcast nested loop — quadratic."""
+    from .tsops import interval_overlap_join
+
+    ev = t(spark, sf_dir, "events")
+
+    def windows(typ):
+        start = F.unix_micros(F.col("ts").cast("timestamp"))
+        dur = 60_000_000 * (1 + F.floor("value").cast("long") % 29)
+        return ev.where(F.col("event_type") == typ).select(
+            F.col("event_id").alias("id"),
+            start.alias("start_us"),
+            (start + dur).alias("end_us"),
+        )
+
+    return interval_overlap_join(windows("error"), windows("purchase"))
+
+
 # ------------------------------------------------- J6 / G3 / DS (round 3)
 
 @q(

@@ -354,3 +354,54 @@ def exact_corr_pair(
         (n * sxy - sx * sy) / (F.sqrt(varx) * F.sqrt(vary)),
     )
     return sums.select(*group, "n_pts", r.alias("r"))
+
+
+def interval_overlap_join(
+    a: DataFrame, b: DataFrame, bucket_us: int = 3_600_000_000
+) -> DataFrame:
+    """Bounded-duration interval overlap join: all (a, b) pairs whose
+    [start_us, end_us] intervals intersect, with the exact intersection
+    length. Inputs are (id, start_us, end_us) frames (BIGINT
+    microseconds, start <= end); output is (a_id, b_id, overlap_us).
+
+    Scale shape: a naive range-predicate join compiles to a broadcast
+    nested loop (quadratic — dead at any real volume). Instead each
+    interval is exploded to the `bucket_us`-sized epoch buckets it
+    covers (ceil(duration / bucket_us) + 1 rows, O(1) when durations are
+    bounded by construction, e.g. sessions/incidents), the join becomes
+    an EQUI-join on bucket that hash-partitions and AQE sizes, and the
+    exact overlap predicate verifies inside each bucket. A pair spanning
+    several buckets would match more than once, so each pair is CLAIMED
+    exactly once — only in the bucket containing the overlap's start —
+    which removes the de-dup shuffle a distinct() would cost. All bucket
+    arithmetic stays in BIGINT (`div`), never double-floor, so epoch
+    microseconds round-trip exactly.
+    """
+    def cov(df: DataFrame, p: str) -> DataFrame:
+        return df.select(
+            F.col("id").alias(f"{p}_id"),
+            F.col("start_us").alias(f"{p}_start_us"),
+            F.col("end_us").alias(f"{p}_end_us"),
+            F.explode(
+                F.sequence(
+                    F.expr(f"start_us div {bucket_us}"),
+                    F.expr(f"end_us div {bucket_us}"),
+                )
+            ).alias("bucket"),
+        )
+
+    ov_start = F.greatest("a_start_us", "b_start_us")
+    return (
+        cov(a, "a")
+        .join(cov(b, "b"), "bucket")
+        .where(
+            (F.col("a_start_us") <= F.col("b_end_us"))
+            & (F.col("b_start_us") <= F.col("a_end_us"))
+            & (F.col("bucket") == F.expr(f"greatest(a_start_us, b_start_us) div {bucket_us}"))
+        )
+        .select(
+            "a_id",
+            "b_id",
+            (F.least("a_end_us", "b_end_us") - ov_start).alias("overlap_us"),
+        )
+    )
