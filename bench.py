@@ -166,6 +166,9 @@ def main() -> None:
         "w7_robust_zscore",
         "tx_bigram_lm",
         "j7_interval_overlap",
+        "w8_anomaly_islands",
+        "w9_xcorr_lag",
+        "tx_vocab_growth",
     ):
         t0 = time.monotonic()
         SPARK[name](spark, sf_dir).count()

@@ -418,3 +418,70 @@ def test_interval_overlap_join_vs_brute(spark):
     assert got == exp
     # sanity on the fixture itself: it does exercise the edge shapes
     assert (1, 11) in exp and exp[(1, 12)] == 0 and exp[(3, 15)] == 1
+
+
+def test_collapse_islands_vs_brute(spark):
+    """Islands == a pure-Python run-collapser: runs at series start/end,
+    singleton islands, and adjacent key groups that must NOT merge even
+    when their indices are consecutive."""
+    rows = [
+        ("a", 1, 5), ("a", 2, 7), ("a", 4, 3),          # [1,2] and [4]
+        ("b", 3, 2), ("b", 4, 2), ("b", 5, 9), ("b", 9, 1),  # [3..5], [9]
+        ("c", 7, 4),                                     # lone [7]
+    ]
+    from tsrollup.tsops import collapse_islands
+
+    df = spark.createDataFrame(rows, "k string, idx long, v long")
+    got = {
+        (r["k"], r["start_idx"]): (r["end_idx"], r["n_buckets"], r["total"], r["peak"])
+        for r in collapse_islands(df, ["k"], "idx", "v").collect()
+    }
+    exp = {}
+    by_k = {}
+    for k, i, v in sorted(rows):
+        by_k.setdefault(k, []).append((i, v))
+    for k, pts in by_k.items():
+        run = [pts[0]]
+        for i, v in pts[1:]:
+            if i == run[-1][0] + 1:
+                run.append((i, v))
+            else:
+                exp[(k, run[0][0])] = (
+                    run[-1][0], len(run), sum(v for _, v in run), max(v for _, v in run)
+                )
+                run = [(i, v)]
+        exp[(k, run[0][0])] = (
+            run[-1][0], len(run), sum(v for _, v in run), max(v for _, v in run)
+        )
+    assert got == exp
+
+
+def test_xcorr_lags_vs_numpy(spark):
+    """xcorr at each lag == numpy corrcoef over the aligned pairs, with a
+    GAP in one series (inner-join semantics drop unmatched buckets) and a
+    perfectly shifted copy peaking at exactly its lead."""
+    import numpy as np
+
+    from tsrollup.tsops import xcorr_lags
+
+    rng = np.random.default_rng(7)
+    xs = [(i, int(v)) for i, v in enumerate(rng.integers(0, 50, 40))]
+    ys = [(i + 2, xv * 2 + 3) for i, xv in xs if i % 11 != 5]  # x shifted by +2, gaps
+    x = spark.createDataFrame(xs, "i long, c long")
+    y = spark.createDataFrame(ys, "i long, c long")
+    got = {r["lag"]: (r["n_pts"], r["r"]) for r in
+           xcorr_lags(x, y, lags=[-1, 0, 1, 2, 3]).collect()}
+    yd = dict(ys)
+    for lag in (-1, 0, 1, 2, 3):
+        pairs = [(xv, yd[i + lag]) for i, xv in xs if (i + lag) in yd]
+        n, r = got[lag]
+        assert n == len(pairs)
+        expected = np.corrcoef([p[0] for p in pairs], [p[1] for p in pairs])[0, 1]
+        assert abs(r - expected) < 1e-9
+    # the planted lead: y == 2x+3 at lag 2 — r peaks there at ~1
+    assert abs(got[2][1] - 1.0) < 1e-9
+    assert got[2][1] == max(v[1] for v in got.values())
+
+    const = spark.createDataFrame([(i, 4) for i in range(10)], "i long, c long")
+    rows = {r["lag"]: r["r"] for r in xcorr_lags(x, const, lags=[0]).collect()}
+    assert rows[0] is None  # zero variance -> NULL, not NaN

@@ -1317,6 +1317,176 @@ def _register_bigram_lm():
 _register_bigram_lm()
 
 
+@q(
+    "tx_vocab_growth",
+    """
+    WITH w AS (
+      SELECT source, doc_id, unnest(string_split(lower(text), ' ')) AS word
+      FROM documents
+    ),
+    first_seen AS (
+      SELECT source, word, min(doc_id) AS first_doc
+      FROM w GROUP BY source, word
+    ),
+    nw AS (
+      SELECT source, first_doc AS doc_id, CAST(count(*) AS BIGINT) AS new_words
+      FROM first_seen GROUP BY source, first_doc
+    )
+    SELECT d.source, d.doc_id,
+           coalesce(nw.new_words, 0) AS new_words,
+           CAST(sum(coalesce(nw.new_words, 0)) OVER (
+             PARTITION BY d.source ORDER BY d.doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cum_vocab
+    FROM documents d LEFT JOIN nw ON nw.source = d.source AND nw.doc_id = d.doc_id
+    """,
+)
+def tx_vocab_growth(spark, sf_dir):
+    """Corpus vocabulary growth curve (Heaps-law measurement): per source,
+    the cumulative count of DISTINCT words after each document in doc_id
+    order — the curve whose flattening says a source has stopped
+    contributing new vocabulary (a dedup/diversity acquisition signal).
+    Computed without any per-prefix re-scan: each word charges its
+    FIRST-seen doc (min doc_id per (source, word)), first-seen counts
+    aggregate per doc, and one per-source running BIGINT sum turns them
+    into the cumulative curve — two hash aggs + one window, all exact
+    integers. At 10^9 docs/source the running sum is the only per-source
+    sequential step; it shards the same way mixing.py's shuffle rank
+    does (range-bucket prefix offsets) if a single source outgrows a
+    partition."""
+    d = t(spark, sf_dir, "documents")
+    w = d.select(
+        "source", "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word")
+    )
+    nw = (
+        w.groupBy("source", "word")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("source", "doc_id")
+        .agg(F.count(F.lit(1)).alias("new_words"))
+    )
+    win = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.select("source", "doc_id")
+        .join(nw, ["source", "doc_id"], "left")
+        .na.fill({"new_words": 0})
+        .select(
+            "source",
+            "doc_id",
+            "new_words",
+            F.sum("new_words").over(win).alias("cum_vocab"),
+        )
+    )
+
+
+# ------------------------------------- W9 lagged cross-corr (round 3)
+
+@q(
+    "w9_xcorr_lag",
+    """
+    WITH hb AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS i,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    x AS (SELECT i, c AS xv FROM hb WHERE event_type = 'error'),
+    y AS (SELECT i AS j, c AS yv FROM hb WHERE event_type = 'purchase'),
+    l AS (SELECT unnest([-3, -2, -1, 0, 1, 2, 3]) AS lag),
+    p AS (SELECT l.lag, x.xv, y.yv
+          FROM x CROSS JOIN l JOIN y ON x.i + l.lag = y.j),
+    s AS (
+      SELECT lag, CAST(count(*) AS BIGINT) AS n_pts,
+             count(*)::DOUBLE AS nd,
+             sum(xv)::DOUBLE AS sx, sum(yv)::DOUBLE AS sy,
+             sum(xv * yv)::DOUBLE AS sxy,
+             sum(xv * xv)::DOUBLE AS sxx, sum(yv * yv)::DOUBLE AS syy
+      FROM p GROUP BY lag
+    )
+    SELECT lag, n_pts,
+           round(CASE WHEN nd * sxx - sx * sx > 0 AND nd * syy - sy * sy > 0
+                 THEN (nd * sxy - sx * sy)
+                      / (sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy))
+                 END, 6) AS r_r
+    FROM s
+    """,
+)
+def w9_xcorr_lag(spark, sf_dir):
+    """Lagged cross-correlation (tsops.xcorr_lags): Pearson r between the
+    hourly error-count series and the purchase-count series shifted by
+    each lag in -3..3 hours — the lead/lag diagnostic whose r-vs-lag
+    profile locates how far one series leads the other. Exact BIGINT
+    sums -> identical closed-form double both engines (rounded 1e-6 as
+    the final-ulp belt, same as w6)."""
+    from .tsops import xcorr_lags
+
+    hb = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000").alias("i"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    r = xcorr_lags(
+        hb.where("event_type = 'error'"),
+        hb.where("event_type = 'purchase'"),
+        lags=[-3, -2, -1, 0, 1, 2, 3],
+    )
+    return r.select("lag", "n_pts", F.round("r", 6).alias("r_r"))
+
+
+# ------------------------------------- W8 anomaly islands (round 3)
+
+@q(
+    "w8_anomaly_islands",
+    """
+    WITH hb AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS hour_idx,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    flagged AS (SELECT * FROM hb WHERE cnt >= 5),
+    runs AS (
+      SELECT event_type, hour_idx, cnt,
+             hour_idx - row_number() OVER (
+               PARTITION BY event_type ORDER BY hour_idx) AS grp
+      FROM flagged
+    )
+    SELECT event_type,
+           min(hour_idx) AS start_idx, max(hour_idx) AS end_idx,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(sum(cnt) AS BIGINT) AS total, max(cnt) AS peak
+    FROM runs GROUP BY event_type, grp
+    """,
+)
+def w8_anomaly_islands(spark, sf_dir):
+    """Incident intervals from per-bucket flags (tsops.collapse_islands):
+    hourly event counts per type, buckets with cnt >= 5 flagged, maximal
+    CONSECUTIVE runs collapsed via the idx - row_number() constancy trick
+    — one window pass + one same-partitioned hash agg, no self-join. The
+    output intervals are exactly what interval_overlap_join consumes to
+    correlate incidents against deploy/maintenance windows. All-integer
+    output, value-exact twin."""
+    from .tsops import collapse_islands
+
+    hb = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000").alias(
+                "hour_idx"
+            ),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return collapse_islands(
+        hb.where(F.col("cnt") >= 5), ["event_type"], "hour_idx", "cnt"
+    )
+
+
 # ---------------------------------------- J7 interval overlap (round 3)
 
 @q(

@@ -405,3 +405,69 @@ def interval_overlap_join(
             (F.least("a_end_us", "b_end_us") - ov_start).alias("overlap_us"),
         )
     )
+
+
+def collapse_islands(
+    df: DataFrame,
+    keys: list[str],
+    idx_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Gaps-and-islands: collapse CONSECUTIVE flagged buckets (rows of
+    `df`, one per flagged bucket, integer index `idx_col`) into maximal
+    runs per key group — the step that turns per-bucket anomaly flags
+    into reportable incident INTERVALS (which e.g. interval_overlap_join
+    can then correlate against deploy/maintenance windows).
+
+    The classic trick: idx - row_number() over (keys, ORDER BY idx) is
+    constant exactly within a consecutive run, so islands fall out of
+    ONE window pass + ONE hash aggregate — no self-join, no iteration.
+    Window and aggregate both partition by the keys, so the second
+    shuffle reuses the first's partitioning at scale. Output per island:
+    keys, start/end index, n_buckets, total/peak of `value_col` — all
+    exact integers (hash-twinnable).
+    """
+    w = Window.partitionBy(*keys).orderBy(idx_col)
+    grp = (F.col(idx_col) - F.row_number().over(w)).alias("_grp")
+    return (
+        df.select(*keys, idx_col, value_col, grp)
+        .groupBy(*keys, "_grp")
+        .agg(
+            F.min(idx_col).alias("start_idx"),
+            F.max(idx_col).alias("end_idx"),
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum(value_col).alias("total"),
+            F.max(value_col).alias("peak"),
+        )
+        .drop("_grp")
+    )
+
+
+def xcorr_lags(
+    x: DataFrame,
+    y: DataFrame,
+    lags: list[int],
+    idx_col: str = "i",
+    val_col: str = "c",
+) -> DataFrame:
+    """Lagged cross-correlation of two integral bucket series: for each
+    lag L, Pearson r over the inner-joined pairs (x[i], y[i+L]) — the
+    "does series x lead series y, and by how much?" diagnostic (the r-vs-L
+    profile peaks at the lead time). Inputs are (idx_col BIGINT bucket
+    index, val_col integral count) frames; output one row per lag:
+    (lag, n_pts, r) via exact_corr_pair's BIGINT-sum assembly, so r is
+    summation-order-free and hash-twinnable.
+
+    Scale shape: the lag set is a tiny literal array exploded onto the x
+    side (|lags| copies — a constant factor, not a join), and the shift
+    becomes ONE equi-join on the computed key i + lag that Catalyst
+    hash-partitions; per-lag reduction is one hash agg on `lag`. No
+    window over the full series, no |lags| separate passes.
+    """
+    xs = x.select(F.col(idx_col).alias("i"), F.col(val_col).alias("xv"))
+    ys = y.select(F.col(idx_col).alias("j"), F.col(val_col).alias("yv"))
+    ex = xs.select(
+        "i", "xv", F.explode(F.array(*[F.lit(int(l)) for l in lags])).alias("lag")
+    )
+    joined = ex.join(ys, ex["i"] + ex["lag"] == ys["j"]).select("lag", "xv", "yv")
+    return exact_corr_pair(joined, group=["lag"], x_col="xv", y_col="yv")
