@@ -169,6 +169,8 @@ def main() -> None:
         "w8_anomaly_islands",
         "w9_xcorr_lag",
         "tx_vocab_growth",
+        "j8_point_in_interval",
+        "dd_containment",
     ):
         t0 = time.monotonic()
         SPARK[name](spark, sf_dir).count()

@@ -462,3 +462,37 @@ def test_bigram_lm_flags_gibberish(spark):
     )
     rows = {r["doc_id"]: r["bits_per_word"] for r in bigram_lm_score(docs).collect()}
     assert rows[99] > max(v for k, v in rows.items() if k != 99) + 1.0
+
+
+def test_containment_is_directional(spark):
+    """dd_containment semantics: a short doc pasted verbatim into a long
+    one scores containment ~1.0 in the short->long direction but low the
+    other way — the asymmetry symmetric Jaccard cannot express. Checked
+    against a pure-python reference including the df<=50 stop-gram bound
+    (inert here, n_docs < 50)."""
+    from tsrollup.driver_queries import SPARK
+    import tempfile, os
+
+    short = "the unique quick zebra vaulted over nine lazy marmots today"
+    long_doc = ("completely different opening prose first. " + short
+                + " and then a very long unrelated tail " + "filler words " * 40)
+    docs = [(1, short, "en", "s1", len(short)),
+            (2, long_doc, "en", "s1", len(long_doc)),
+            (3, "nothing in common with either of them at all", "en", "s1", 45)]
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            docs, "doc_id long, text string, lang string, source string, n_chars long"
+        ).coalesce(1).write.parquet(os.path.join(td, "documents.parquet"))
+        rows = {(r["doc_a"], r["doc_b"]): r["containment"]
+                for r in SPARK["dd_containment"](spark, td).collect()}
+
+    def gramset(s):
+        s = s.lower()
+        return {s[i:i + 5] for i in range(len(s) - 4)}
+
+    g = {i: gramset(t) for i, t, *_ in docs}
+    c12 = len(g[1] & g[2]) / len(g[1])
+    assert c12 >= 0.9  # short inside long
+    assert rows[(1, 2)] == round(c12, 6)
+    assert (2, 1) not in rows  # long is NOT contained in short
+    assert not any(3 in p for p in rows)

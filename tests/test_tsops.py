@@ -485,3 +485,30 @@ def test_xcorr_lags_vs_numpy(spark):
     const = spark.createDataFrame([(i, 4) for i in range(10)], "i long, c long")
     rows = {r["lag"]: r["r"] for r in xcorr_lags(x, const, lags=[0]).collect()}
     assert rows[0] is None  # zero variance -> NULL, not NaN
+
+
+def test_point_in_interval_join_vs_brute(spark):
+    """Bucketed point-in-interval == brute force, incl. intervals spanning
+    many buckets, points exactly on start/end boundaries, and points
+    covered by several intervals."""
+    import itertools
+
+    from tsrollup.tsops import point_in_interval_join
+
+    H = 1_000
+    ivs = [(1, 100, 2500), (2, 2500, 2500), (3, 2000, 8000), (4, 9500, 9600)]
+    pts = [(10, 99), (11, 100), (12, 2500), (13, 5000), (14, 8000), (15, 9601)]
+    iv = spark.createDataFrame(ivs, "id long, start_us long, end_us long")
+    pt = spark.createDataFrame(pts, "id long, t_us long")
+    got = {
+        (r["p_id"], r["iv_id"]): r["offset_us"]
+        for r in point_in_interval_join(pt, iv, bucket_us=H).collect()
+    }
+    exp = {
+        (pid, iid): t - s
+        for (pid, t), (iid, s, e) in itertools.product(pts, ivs)
+        if s <= t <= e
+    }
+    assert got == exp
+    assert (12, 1) in exp and (12, 2) in exp and (12, 3) in exp  # multi-cover
+    assert (10, 1) not in exp and (15, 4) not in exp  # strict outside

@@ -1107,6 +1107,81 @@ def dd_ngram_jaccard(spark, sf_dir):
     )
 
 
+# ----------------------------------------- containment dedup (DD)
+
+@q(
+    "dd_containment",
+    """
+    WITH g0 AS (
+      SELECT doc_id,
+             unnest(list_distinct([substring(t, i, 5)
+                                   for i in generate_series(1, length(t) - 4)]))
+               AS gram
+      FROM (SELECT doc_id, lower(text) AS t FROM documents)
+      WHERE length(t) >= 5
+    ),
+    df AS (SELECT gram, CAST(count(*) AS BIGINT) AS dfreq FROM g0 GROUP BY gram),
+    g AS (SELECT g0.doc_id, g0.gram FROM g0 JOIN df USING (gram)
+          WHERE df.dfreq <= 50),
+    sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY doc_id),
+    sh AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS shared
+      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id != b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(shared AS DOUBLE) / sz.n, 6) AS containment
+    FROM sh JOIN sz ON sz.doc_id = sh.doc_a
+    WHERE round(CAST(shared AS DOUBLE) / sz.n, 6) >= 0.6
+    """,
+)
+def dd_containment(spark, sf_dir):
+    """DIRECTIONAL containment dedup: fraction of A's distinct char-5-
+    grams that also appear in B — the asymmetric cousin of Jaccard that
+    catches quote inclusion and partial copies (a short doc fully pasted
+    into a long one scores containment ~1 but Jaccard ~|A|/|B|, far
+    below any symmetric threshold). Emits ordered pairs, so A-inside-B
+    and B-inside-A are independent verdicts.
+
+    Scale shape — this is the inverted-index join, NOT blocked
+    quadratic: distinct (doc, gram) postings self-join on gram and a
+    hash agg counts shared grams per ordered pair. Grams seen in more
+    than 50 docs are dropped on BOTH sides first (boilerplate carries no
+    containment signal and caps the per-gram pair fan-out at df^2 — the
+    standard stop-shingle bound that keeps the join linear-ish at corpus
+    scale); the containment denominator is A's FILTERED gram count, so a
+    fully-boilerplate doc can still reach 1.0 against its duplicate."""
+    d = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.lower("text").alias("t"))
+        .where(F.length("t") >= 5)
+    )
+    grams = F.expr(
+        "array_distinct(transform(sequence(1, length(t) - 4), i -> substring(t, i, 5)))"
+    )
+    g0 = d.select("doc_id", F.explode(grams).alias("gram"))
+    df_ok = g0.groupBy("gram").count().where(F.col("count") <= 50).select("gram")
+    g = g0.join(df_ok, "gram")
+    sz = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = g.select(F.col("doc_id").alias("doc_a"), "gram")
+    b = g.select(F.col("doc_id").alias("doc_b"), "gram")
+    sh = (
+        a.join(b, "gram")
+        .where(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        sh.join(sz.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumn(
+            "containment", F.round(F.col("shared").cast("double") / F.col("n"), 6)
+        )
+        .where(F.col("containment") >= 0.6)
+        .select("doc_a", "doc_b", "containment")
+    )
+
+
 # --------------------------------------------------------- IVF ANN (ANN)
 
 _IVF_K = 8       # coarse cells (centroid seeds: vec_id < K)
@@ -1530,6 +1605,48 @@ def j7_interval_overlap(spark, sf_dir):
         )
 
     return interval_overlap_join(windows("error"), windows("purchase"))
+
+
+# ------------------------------------ J8 point-in-interval (round 3)
+
+@q(
+    "j8_point_in_interval",
+    """
+    WITH iv AS (
+      SELECT event_id AS id,
+             epoch_us(ts) AS start_us,
+             epoch_us(ts)
+               + 60000000 * (1 + CAST(floor(value) AS BIGINT) % 29) AS end_us
+      FROM events WHERE event_type = 'purchase'
+    ),
+    pt AS (SELECT event_id AS id, epoch_us(ts) AS t_us
+           FROM events WHERE event_type = 'error')
+    SELECT pt.id AS p_id, iv.id AS iv_id, pt.t_us - iv.start_us AS offset_us
+    FROM pt JOIN iv ON pt.t_us >= iv.start_us AND pt.t_us <= iv.end_us
+    """,
+)
+def j8_point_in_interval(spark, sf_dir):
+    """Point-in-interval enrichment (tsops.point_in_interval_join): each
+    error event tagged with every purchase window (same deterministic
+    1-29-minute construction as j7) containing it, plus the exact offset
+    into the window. Bucketed equi-join — a point sits in exactly one
+    epoch bucket, so unlike the interval x interval case no claim step
+    is needed; the oracle is the naive range join."""
+    from .tsops import point_in_interval_join
+
+    ev = t(spark, sf_dir, "events")
+    start = F.unix_micros(F.col("ts").cast("timestamp"))
+    iv = ev.where("event_type = 'purchase'").select(
+        F.col("event_id").alias("id"),
+        start.alias("start_us"),
+        (start + 60_000_000 * (1 + F.floor("value").cast("long") % 29)).alias(
+            "end_us"
+        ),
+    )
+    pt = ev.where("event_type = 'error'").select(
+        F.col("event_id").alias("id"), start.alias("t_us")
+    )
+    return point_in_interval_join(pt, iv)
 
 
 # ------------------------------------------------- J6 / G3 / DS (round 3)

@@ -471,3 +471,43 @@ def xcorr_lags(
     )
     joined = ex.join(ys, ex["i"] + ex["lag"] == ys["j"]).select("lag", "xv", "yv")
     return exact_corr_pair(joined, group=["lag"], x_col="xv", y_col="yv")
+
+
+def point_in_interval_join(
+    points: DataFrame, intervals: DataFrame, bucket_us: int = 3_600_000_000
+) -> DataFrame:
+    """Point-in-interval join: every (point, interval) pair where the
+    point's timestamp falls inside the interval — the enrichment step
+    that tags raw events with the incident/deploy/session window they
+    occurred in. `points` is (id, t_us), `intervals` is (id, start_us,
+    end_us) with bounded durations; output (p_id, iv_id, offset_us =
+    t - start).
+
+    Same scale shape as interval_overlap_join: intervals explode to the
+    epoch buckets they cover, points land in exactly ONE bucket, and the
+    containment predicate verifies inside an EQUI-join on bucket — no
+    broadcast nested loop, and (unlike interval x interval) no claim
+    step is needed because a point's single bucket can only match a
+    covering interval once. BIGINT `div` throughout.
+    """
+    iv = intervals.select(
+        F.col("id").alias("iv_id"),
+        "start_us",
+        "end_us",
+        F.explode(
+            F.sequence(
+                F.expr(f"start_us div {bucket_us}"),
+                F.expr(f"end_us div {bucket_us}"),
+            )
+        ).alias("bucket"),
+    )
+    pt = points.select(
+        F.col("id").alias("p_id"),
+        "t_us",
+        F.expr(f"t_us div {bucket_us}").alias("bucket"),
+    )
+    return (
+        pt.join(iv, "bucket")
+        .where((F.col("t_us") >= F.col("start_us")) & (F.col("t_us") <= F.col("end_us")))
+        .select("p_id", "iv_id", (F.col("t_us") - F.col("start_us")).alias("offset_us"))
+    )
