@@ -1162,7 +1162,11 @@ def dd_containment(spark, sf_dir):
     )
     g0 = d.select("doc_id", F.explode(grams).alias("gram"))
     df_ok = g0.groupBy("gram").count().where(F.col("count") <= 50).select("gram")
-    g = g0.join(df_ok, "gram")
+    # EAGER localCheckpoint: the filtered postings feed THREE consumers
+    # (both join sides and the denominator sizes) — left lazy, their
+    # concurrent first-action stages each recompute the explode + df
+    # join redundantly (measured ~3x slower at sf0.1)
+    g = g0.join(df_ok, "gram").localCheckpoint()
     sz = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = g.select(F.col("doc_id").alias("doc_a"), "gram")
     b = g.select(F.col("doc_id").alias("doc_b"), "gram")
