@@ -512,3 +512,52 @@ def test_point_in_interval_join_vs_brute(spark):
     assert got == exp
     assert (12, 1) in exp and (12, 2) in exp and (12, 3) in exp  # multi-cover
     assert (10, 1) not in exp and (15, 4) not in exp  # strict outside
+
+
+def test_interval_family_randomized_bulk(spark):
+    """Randomized bulk check of BOTH interval operators against brute
+    force: 3 seeded draws of ~120x140 intervals/points with durations
+    straddling the bucket size (some zero-length, some 10x bucket), so
+    multi-bucket claiming and single-bucket fast paths both get hit."""
+    import itertools
+
+    import numpy as np
+
+    from tsrollup.tsops import interval_overlap_join, point_in_interval_join
+
+    H = 500
+    for seed in (1, 2, 3):
+        rng = np.random.default_rng(seed)
+        mk = lambda n, base: [
+            (base + i, int(s), int(s + d))
+            for i, (s, d) in enumerate(
+                zip(rng.integers(0, 20_000, n), rng.integers(0, 5_000, n))
+            )
+        ]
+        a_iv, b_iv = mk(120, 0), mk(140, 10_000)
+        pts = [(50_000 + i, int(t)) for i, t in enumerate(rng.integers(0, 25_000, 150))]
+        a = spark.createDataFrame(a_iv, "id long, start_us long, end_us long")
+        b = spark.createDataFrame(b_iv, "id long, start_us long, end_us long")
+        p = spark.createDataFrame(pts, "id long, t_us long")
+
+        got_ov = {
+            (r["a_id"], r["b_id"]): r["overlap_us"]
+            for r in interval_overlap_join(a, b, bucket_us=H).collect()
+        }
+        exp_ov = {
+            (ai, bi): min(ae, be) - max(as_, bs)
+            for (ai, as_, ae), (bi, bs, be) in itertools.product(a_iv, b_iv)
+            if as_ <= be and bs <= ae
+        }
+        assert got_ov == exp_ov
+
+        got_pi = {
+            (r["p_id"], r["iv_id"]): r["offset_us"]
+            for r in point_in_interval_join(p, a, bucket_us=H).collect()
+        }
+        exp_pi = {
+            (pid, ai): t - as_
+            for (pid, t), (ai, as_, ae) in itertools.product(pts, a_iv)
+            if as_ <= t <= ae
+        }
+        assert got_pi == exp_pi
