@@ -171,6 +171,7 @@ def main() -> None:
         "tx_vocab_growth",
         "j8_point_in_interval",
         "dd_containment",
+        "emb_kmeans",
     ):
         t0 = time.monotonic()
         SPARK[name](spark, sf_dir).count()

@@ -496,3 +496,48 @@ def test_containment_is_directional(spark):
     assert rows[(1, 2)] == round(c12, 6)
     assert (2, 1) not in rows  # long is NOT contained in short
     assert not any(3 in p for p in rows)
+
+
+def test_kmeans_fixed_point_vs_numpy(spark):
+    """Fixed-point Lloyd == a pure-NumPy integer reference on the sf0.001
+    embeddings: same quantization, integer distances, round(sum/count)
+    centroid update, (dist, cell) tie-break. Also sanity: assignments
+    use > 1 cell and round-2 total inertia <= round-1 (Lloyd descent)."""
+    import numpy as np
+
+    from tsrollup.datapipe import KM_K, KM_SCALE, kmeans_fixed_point
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").orderBy("vec_id").collect()
+    ids = np.array([r["vec_id"] for r in emb])
+    def round_half_away(v):
+        # Spark's round() and DuckDB's round() both round half AWAY from
+        # zero; np.rint is half-to-even and diverges on exact .5 ties
+        return (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+
+    X = round_half_away(
+        np.array([r["embedding"] for r in emb], dtype=np.float64) * KM_SCALE
+    )
+
+    def assign(C, cells):
+        # exact integer distances; ties -> smaller cell id (lexsort order)
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        best = np.argmin(d, axis=1)  # argmin takes first index == min cell
+        return cells[best], d[np.arange(len(X)), best]
+
+    C0 = X[ids < KM_K]
+    cells0 = ids[ids < KM_K]
+    a1, _ = assign(C0, cells0)
+    live = np.unique(a1)
+    C1 = np.array(
+        [round_half_away(X[a1 == c].sum(axis=0) / (a1 == c).sum()) for c in live]
+    )
+    a2, d2 = assign(C1, live)
+    _, d1 = assign(C0, cells0)
+
+    got = {r["vec_id"]: (r["cell"], r["dist"])
+           for r in kmeans_fixed_point(spark, sf).collect()}
+    exp = {int(i): (int(c), int(d)) for i, c, d in zip(ids, a2, d2)}
+    assert got == exp
+    assert len(set(c for c, _ in got.values())) > 1
+    assert d2.sum() <= d1.sum()

@@ -1171,3 +1171,112 @@ def bigram_lm_sql(k_num: int = 1) -> str:
            round(-CAST(sum(microbits) AS DOUBLE) / 1e6 / sum(m), 4) AS bits_per_word
     FROM scored GROUP BY doc_id
     """
+
+
+# ------------------------------------------------------------------
+# Exact fixed-point Lloyd k-means (hash-twinnable clustering)
+# ------------------------------------------------------------------
+
+KM_K = 8       # cells; seeds = vec_id < K (same convention as ann_ivf)
+KM_SCALE = 1_000_000  # fixed-point scale for embedding coordinates
+
+
+def kmeans_fixed_point(spark: SparkSession, sf_dir: str, k: int = KM_K) -> DataFrame:
+    """TWO Lloyd rounds of k-means over the embeddings table, computed
+    entirely in FIXED-POINT BIGINT arithmetic so the clustering is
+    hash-twinnable: coordinates quantize to round(x * 1e6) once, squared
+    distances are exact integer sums (|x_fp| <~ 5e6 -> 64-dim distances
+    <~ 2^61, no overflow), centroid updates are round(sum/count) on
+    integer sums that stay exact in a double (<~ 2^53) — every value an
+    identical integer in any engine, no float-summation-order anywhere.
+    Assignment ties break toward the smaller cell id. Returns (vec_id,
+    cell, dist) after round 2 — dist in squared fixed-point units.
+
+    Float k-means cannot be value-twinned (per-centroid float sums are
+    summation-order-dependent); fixed-point Lloyd is the same algorithm
+    on a 1e-6 grid. The declarative per-dim shape here is the SEMANTICS
+    anchor at n x k x dim rows; the matmul kernel path for 10^9-vector
+    corpora is `ivf_assign` (one BLAS call per Arrow batch), whose cell
+    assignment this query's round-1 logic pins (seed centroids are the
+    same vec_id < k convention as ann_ivf).
+    """
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
+            "d0", "x"
+        ),
+    )
+    # 1-based dim to match SQL generate_subscripts; fp quantization once
+    fp = e.select(
+        "vec_id",
+        (F.col("d0") + 1).alias("d"),
+        F.round(F.col("x") * KM_SCALE, 0).cast("long").alias("xfp"),
+    ).localCheckpoint()  # feeds both assignment rounds + the centroid update
+
+    def assign(cent: DataFrame) -> DataFrame:
+        t = fp.join(cent, "d")
+        dist = (
+            t.withColumn("sq", (F.col("xfp") - F.col("cfp")) * (F.col("xfp") - F.col("cfp")))
+            .groupBy("vec_id", "cell")
+            .agg(F.sum("sq").alias("dist"))
+        )
+        w = Window.partitionBy("vec_id").orderBy("dist", "cell")
+        return (
+            dist.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("vec_id", "cell", "dist")
+        )
+
+    c0 = fp.where(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cell"), "d", F.col("xfp").alias("cfp")
+    )
+    a1 = assign(c0)
+    c1 = (
+        a1.select("vec_id", "cell")
+        .join(fp, "vec_id")
+        .groupBy("cell", "d")
+        .agg(
+            F.round(F.sum("xfp").cast("double") / F.count(F.lit(1)), 0)
+            .cast("long")
+            .alias("cfp")
+        )
+    )
+    return assign(c1)
+
+
+def kmeans_sql(k: int = KM_K) -> str:
+    """DuckDB twin of kmeans_fixed_point: identical quantization, integer
+    distances, round(sum/count) centroid update, and (dist, cell) ties."""
+    return f"""
+    WITH fp AS (
+      SELECT vec_id, generate_subscripts(e, 1) AS d,
+             CAST(round(unnest(e) * {KM_SCALE}, 0) AS BIGINT) AS xfp
+      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+    ),
+    c0 AS (SELECT vec_id AS cell, d, xfp AS cfp FROM fp WHERE vec_id < {k}),
+    d1 AS (
+      SELECT fp.vec_id, c0.cell,
+             sum((fp.xfp - c0.cfp) * (fp.xfp - c0.cfp)) AS dist
+      FROM fp JOIN c0 USING (d) GROUP BY 1, 2
+    ),
+    a1 AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+        FROM d1) WHERE rn = 1
+    ),
+    c1 AS (
+      SELECT a1.cell, fp.d,
+             CAST(round(CAST(sum(fp.xfp) AS DOUBLE) / count(*), 0) AS BIGINT) AS cfp
+      FROM a1 JOIN fp USING (vec_id) GROUP BY 1, 2
+    ),
+    d2 AS (
+      SELECT fp.vec_id, c1.cell,
+             sum((fp.xfp - c1.cfp) * (fp.xfp - c1.cfp)) AS dist
+      FROM fp JOIN c1 USING (d) GROUP BY 1, 2
+    )
+    SELECT vec_id, cell, CAST(dist AS BIGINT) AS dist FROM (
+      SELECT vec_id, cell, dist,
+             row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+      FROM d2) WHERE rn = 1
+    """

@@ -1107,6 +1107,25 @@ def dd_ngram_jaccard(spark, sf_dir):
     )
 
 
+# ------------------------------------- fixed-point k-means (EMB)
+
+def _register_kmeans():
+    """emb_kmeans: two Lloyd rounds over the embeddings in exact
+    fixed-point BIGINT arithmetic (datapipe.kmeans_fixed_point) — the
+    clustering member of the embedding family (ANN brute/LSH/IVF exist;
+    this adds the centroid-refinement semantics IVF seeds lack), made
+    hash-twinnable by keeping every distance and centroid an identical
+    integer in both engines."""
+    from . import datapipe as dp
+
+    @q("emb_kmeans", dp.kmeans_sql())
+    def emb_kmeans(spark, sf_dir):
+        return dp.kmeans_fixed_point(spark, sf_dir)
+
+
+_register_kmeans()
+
+
 # ----------------------------------------- containment dedup (DD)
 
 @q(
