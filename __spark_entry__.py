@@ -586,10 +586,25 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = spark.read.parquet(f"{sf_dir}/documents.parquet")
         return shuffle_rank(d, "doc_id", epoch=2).select("doc_id", "shuffle_rank")
 
+    def mx_weighted(spark, sf_dir):
+        """Weighted sampling without replacement, top-5 per source
+        (mixing.weighted_sample_topk, Efraimidis-Spirakis): rank by
+        ln(u)/w with u hash-derived and w = n_chars — longer docs win
+        proportionally more often, and the oracle re-derives the exact
+        keys from the same bytes (rank on the rounded key, doc-id
+        tiebreak, so ln() last-ulp drift can't flip an order)."""
+        from tsrollup.mixing import weighted_sample_topk
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return weighted_sample_topk(d, "n_chars", k=5, seed=3).select(
+            "source", "doc_id", "es_key", "rnk"
+        )
+
     return {
         "mx_split": mx_split,
         "mx_sample": mx_sample,
         "mx_shuffle": mx_shuffle,
+        "mx_weighted": mx_weighted,
         "engine_seq_dedup": engine_seq_dedup,
         "engine_seq_pack": engine_seq_pack,
         "engine_token_heavy": engine_token_heavy,
@@ -1014,10 +1029,25 @@ def _engine_oracles() -> dict[str, str]:
     FROM documents
     """)
 
+    mx_weighted_o = engine_oracle("""
+    , keyed AS (
+      SELECT source, doc_id,
+             round(ln((xxpmod(xxh64(doc_id::VARCHAR || '#3'), 1000000000)
+                       + 1) / 1000000001.0) / n_chars, 9) AS es_key
+      FROM documents
+    )
+    SELECT source, doc_id, es_key, rnk FROM (
+      SELECT source, doc_id, es_key,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY es_key DESC, doc_id) AS rnk
+      FROM keyed) WHERE rnk <= 5
+    """)
+
     return {
         "mx_split": mx_split_o,
         "mx_sample": mx_sample_o,
         "mx_shuffle": mx_shuffle_o,
+        "mx_weighted": mx_weighted_o,
         "engine_seq_dedup": seq_dedup,
         "engine_seq_pack": seq_pack,
         "engine_token_heavy": token_heavy,

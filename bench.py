@@ -172,6 +172,8 @@ def main() -> None:
         "j8_point_in_interval",
         "dd_containment",
         "emb_kmeans",
+        "a6_grouping_sets",
+        "a7_pivot",
     ):
         t0 = time.monotonic()
         SPARK[name](spark, sf_dir).count()

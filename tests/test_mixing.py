@@ -103,3 +103,32 @@ class TestShuffleRank:
     def test_empty(self, spark):
         df = _docs(spark, 10).where(F.lit(False))
         assert shuffle_rank(df).count() == 0
+
+
+def test_weighted_sample_topk_bias_and_determinism(spark):
+    """Efraimidis-Spirakis sampling: with one 500x-weight doc among five
+    per stratum and k=1, the heavy doc must win ~w/(w+4) = 99.2% of 100
+    strata (assert >= 90%). Exactly k rows per stratum, rnk is 1..k, and
+    a second evaluation is bit-identical (stateless hash keys)."""
+    from tsrollup.mixing import weighted_sample_topk
+
+    rows = []
+    for s in range(100):
+        for i in range(5):
+            rows.append((s * 10 + i, f"src{s}", 500 if i == 4 else 1))
+    df = spark.createDataFrame(rows, "doc_id long, source string, w long")
+
+    out = weighted_sample_topk(df, "w", k=1, strat_col="source", id_col="doc_id")
+    got = {(r["source"], r["doc_id"], r["es_key"], r["rnk"]) for r in out.collect()}
+    assert len(got) == 100 and all(r == 1 for *_, r in got)
+    heavy_wins = sum(1 for _, d, *_ in got if d % 10 == 4)
+    assert heavy_wins >= 90
+
+    again = {(r["source"], r["doc_id"], r["es_key"], r["rnk"])
+             for r in weighted_sample_topk(
+                 df, "w", k=1, strat_col="source", id_col="doc_id").collect()}
+    assert again == got
+
+    k3 = weighted_sample_topk(df, "w", k=3, strat_col="source", id_col="doc_id")
+    per = k3.groupBy("source").count().collect()
+    assert all(r["count"] == 3 for r in per)

@@ -1480,6 +1480,68 @@ def tx_vocab_growth(spark, sf_dir):
     )
 
 
+# ----------------------------- A6/A7 rollup cube + pivot (round 3)
+
+@q(
+    "a6_grouping_sets",
+    """
+    SELECT coalesce(event_type, '(all)') AS event_type,
+           coalesce(CAST(ts AS DATE), DATE '1900-01-01') AS day,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM events
+    GROUP BY ROLLUP (event_type, CAST(ts AS DATE))
+    """,
+)
+def a6_grouping_sets(spark, sf_dir):
+    """Multi-level aggregate in ONE pass: Spark's native rollup()
+    produces (type, day), (type), and grand-total rows — the OLAP
+    grouping-sets surface, computed by Expand + one hash agg instead of
+    three scans + union. NULL grouping markers are rewritten to explicit
+    sentinels ('(all)' / 1900-01-01) so subtotal rows are unambiguous
+    (and NULL-vs-NaT sort order can't differ between engines). Twin is
+    SQL ROLLUP."""
+    return (
+        t(spark, sf_dir, "events")
+        .withColumn("day", F.to_date("ts"))
+        .rollup("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.coalesce("event_type", F.lit("(all)")).alias("event_type"),
+            F.coalesce("day", F.lit("1900-01-01").cast("date")).alias("day"),
+            "cnt",
+        )
+    )
+
+
+@q(
+    "a7_pivot",
+    """
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS error,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           CAST(sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+           CAST(sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS view
+    FROM events GROUP BY day
+    """,
+)
+def a7_pivot(spark, sf_dir):
+    """Long-to-wide pivot: daily counts per event_type as COLUMNS via
+    Spark's native pivot with an EXPLICIT value list — the explicit list
+    matters at scale (without it Spark runs an extra distinct() job to
+    discover the columns) and pins column order deterministically. The
+    oracle is the CASE-sum expansion pivot compiles to. Missing cells
+    are 0 (count of an empty set), not NULL."""
+    return (
+        t(spark, sf_dir, "events")
+        .withColumn("day", F.to_date("ts"))
+        .groupBy("day")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+        .na.fill(0)
+    )
+
+
 # ------------------------------------- W9 lagged cross-corr (round 3)
 
 @q(

@@ -149,3 +149,40 @@ def shuffle_rank(
         )
         .drop("__rb", "__off")
     )
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    weight_col: str,
+    k: int = 5,
+    strat_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 3,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement, top-k per
+    stratum (Efraimidis-Spirakis A-ES): each row draws u ~ U(0,1) and
+    ranks by u^(1/w) — equivalently ln(u)/w, used here — and the k
+    largest keys per stratum form an exact weighted sample (heavier
+    rows win proportionally more often). The quality-weighted doc
+    selection step of a training-mix pipeline, with the same
+    replay-anywhere determinism as the rest of mixing.py: u comes from
+    xxhash64("<id>#<seed>") folded to a 1e9 grid then shifted into
+    (0, 1), so the oracle re-derives the identical key from the same
+    bytes; ranking happens on the ROUNDED key (1e-9, doc-id tiebreak)
+    so last-ulp ln() drift between engines can never flip a rank.
+
+    One hash + one per-stratum top-k window — no shuffle beyond the
+    stratum partitioning; weights must be > 0. Returns the sampled rows
+    with ``es_key`` and ``rnk`` (1-based)."""
+    from pyspark.sql import Window
+
+    grain = 1_000_000_000
+    u = (F.pmod(F.xxhash64(_seed_key(id_col, seed)), F.lit(grain)) + 1) / F.lit(
+        float(grain + 1)
+    )
+    keyed = df.withColumn("es_key", F.round(F.log(u) / F.col(weight_col), 9))
+    w = Window.partitionBy(strat_col).orderBy(F.desc("es_key"), F.asc(id_col))
+    return (
+        keyed.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+    )
