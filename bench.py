@@ -174,6 +174,8 @@ def main() -> None:
         "emb_kmeans",
         "a6_grouping_sets",
         "a7_pivot",
+        "b2_twap",
+        "a8_cohort",
     ):
         t0 = time.monotonic()
         SPARK[name](spark, sf_dir).count()

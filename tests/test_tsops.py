@@ -561,3 +561,34 @@ def test_interval_family_randomized_bulk(spark):
             if as_ <= t <= ae
         }
         assert got_pi == exp_pi
+
+
+def test_twap_hand_example(spark):
+    """TWAP semantics on a hand-computed series: value holds until the
+    next sample, weights are exact durations, a plain avg would differ.
+    user 1: 10.0 for 60s, 20.0 for 30s within one day ->
+    twap = (1000*60e6 + 2000*30e6) / (100 * 90e6) = 13.333333."""
+    import os
+    import tempfile
+
+    from tsrollup.driver_queries import SPARK
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "view", 10.0, ""),
+        (2, "2024-01-01 00:01:00", 1, "view", 20.0, ""),
+        (3, "2024-01-01 00:01:30", 1, "view", 99.0, ""),  # terminal: no segment
+        (4, "2024-01-02 00:00:00", 2, "view", 5.0, ""),   # lone sample: no segment
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long, event_type string,"
+            " value double, props string",
+        ).withColumn("ts", F.to_timestamp("ts")).coalesce(1).write.parquet(
+            os.path.join(td, "events.parquet")
+        )
+        got = {(r["user_id"], str(r["day"])): (r["n_segments"], r["twap"])
+               for r in SPARK["b2_twap"](spark, td).collect()}
+    assert got == {(1, "2024-01-01"): (2, round((1000 * 60e6 + 2000 * 30e6)
+                                                / (100 * 90e6), 6))}
+    assert got[(1, "2024-01-01")][1] == 13.333333

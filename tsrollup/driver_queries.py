@@ -1480,6 +1480,103 @@ def tx_vocab_growth(spark, sf_dir):
     )
 
 
+# ------------------------------- B2 time-weighted average (round 3)
+
+@q(
+    "b2_twap",
+    """
+    WITH seg AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             CAST(round(value * 100, 0) AS BIGINT) AS v_fp,
+             lead(epoch_us(ts)) OVER w - epoch_us(ts) AS dur_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, day,
+           CAST(count(*) AS BIGINT) AS n_segments,
+           round(CAST(sum(v_fp * dur_us) AS DOUBLE)
+                 / (100.0 * sum(dur_us)), 6) AS twap
+    FROM seg WHERE dur_us IS NOT NULL AND dur_us > 0
+    GROUP BY user_id, day
+    """,
+)
+def b2_twap(spark, sf_dir):
+    """Time-weighted average over IRREGULAR samples (the finance/telemetry
+    TWAP): each sample's value holds until the user's next event (LOCF
+    segments via one lead() window), and each segment weighs its value by
+    its exact µs duration, attributed to the day the segment starts.
+    A plain avg() over irregular samples over-weights bursts; TWAP is the
+    duration-correct mean. Values are exact 2-decimal -> BIGINT
+    fixed-point at x100, durations are BIGINT µs, so the weighted sums
+    are exact integers (<= 5e4 x 2.6e9 x n, far under 2^63) and the final
+    double division is identical in both engines. One window + one hash
+    agg, both partitioned by user."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    seg = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("v_fp"),
+        (F.lead(us).over(w) - us).alias("dur_us"),
+    )
+    return (
+        seg.where(F.col("dur_us").isNotNull() & (F.col("dur_us") > 0))
+        .groupBy("user_id", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.round(
+                F.sum(F.col("v_fp") * F.col("dur_us")).cast("double")
+                / (F.lit(100.0) * F.sum("dur_us")),
+                6,
+            ).alias("twap"),
+        )
+    )
+
+
+# ------------------------------- A8 cohort retention (round 3)
+
+@q(
+    "a8_cohort",
+    """
+    WITH first_signup AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    )
+    SELECT f.cohort_day,
+           CAST((CAST(e.ts AS DATE) - f.cohort_day) // 7 AS BIGINT)
+             AS week_offset,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active
+    FROM events e JOIN first_signup f ON f.user_id = e.user_id
+    WHERE CAST(e.ts AS DATE) >= f.cohort_day
+    GROUP BY 1, 2
+    """,
+)
+def a8_cohort(spark, sf_dir):
+    """Cohort retention: users grouped by FIRST-signup day, distinct
+    active users per cohort per 7-day offset — the standard retention
+    triangle. The cohort table is user-cardinality (broadcast side);
+    activity streams through one join + one distinct-count agg. Week
+    offsets are exact integer day arithmetic, so the twin is value-exact
+    with no float anywhere."""
+    ev = t(spark, sf_dir, "events")
+    first = (
+        ev.where("event_type = 'signup'")
+        .groupBy("user_id")
+        .agg(F.min(F.to_date("ts")).alias("cohort_day"))
+    )
+    return (
+        ev.join(F.broadcast(first), "user_id")
+        .where(F.to_date("ts") >= F.col("cohort_day"))
+        .groupBy(
+            "cohort_day",
+            F.floor(F.datediff(F.to_date("ts"), F.col("cohort_day")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+
+
 # ----------------------------- A6/A7 rollup cube + pivot (round 3)
 
 @q(
