@@ -270,6 +270,41 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "cnt", "n_tok_sum", "n_tok_min", "n_tok_max", "tok_sum", "tok_cnt",
         )
 
+    def engine_streaming_join(spark, sf_dir):
+        """T6: stream-static BROADCAST join (sequence stream enriched with
+        a deterministic source->region dim) feeding a watermarked 1m
+        window agg per region, through the exactly-once file sink.
+        Twinned: the oracle re-derives the same region assignment from
+        the same bytes (xxh64 macro) and the same watermark cut."""
+        from pyspark.sql import functions as F
+
+        from tsrollup.streaming import run_streaming_enriched
+
+        base = _scratch("streaming_join")
+        in_dir = _seq_files(spark, sf_dir, base)
+        dim = (
+            spark.read.parquet(in_dir)
+            .select("source")
+            .distinct()
+            .select(
+                "source",
+                F.concat(
+                    F.lit("r"), F.pmod(F.xxhash64("source"), F.lit(3)).cast("string")
+                ).alias("region"),
+            )
+        )
+        out = os.path.join(base, "enriched")
+        run_streaming_enriched(
+            spark, in_dir, dim, out, os.path.join(base, "ckpt"),
+            max_files_per_trigger=2,
+        )
+        return spark.read.parquet(out).select(
+            "region",
+            F.unix_timestamp("bucket_start").alias("bucket_s"),
+            "cnt",
+            "n_tok_sum",
+        )
+
     def engine_streaming_welford(spark, sf_dir):
         """T4+T5: stateful per-source Welford via applyInPandasWithState,
         idempotent overwrite-by-batch sink; returns the last batch's
@@ -617,6 +652,7 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_features": mm_features,
         "mm_features2": mm_features2,
         "engine_streaming_rollup": engine_streaming_rollup,
+        "engine_streaming_join": engine_streaming_join,
         "engine_streaming_welford": engine_streaming_welford,
         "engine_resume_ledger": engine_resume_ledger,
         "engine_retention": engine_retention,
@@ -654,6 +690,23 @@ def _engine_oracles() -> dict[str, str]:
     )
     SELECT source, epoch(bucket_start)::BIGINT AS bucket_s,
            cnt, n_tok_sum, n_tok_min, n_tok_max, tok_sum, tok_cnt
+    FROM agg, wm WHERE bucket_start + INTERVAL 1 MINUTE <= wm.w
+    """)
+
+    streaming_join = engine_oracle(""",
+    wm AS (SELECT max(event_ts) - INTERVAL 10 MINUTE AS w FROM seq),
+    enr AS (
+      SELECT 'r' || xxpmod(xxh64(source), 3)::VARCHAR AS region,
+             date_trunc('minute', event_ts) AS bucket_start,
+             n_tok
+      FROM seq
+    ),
+    agg AS (
+      SELECT region, bucket_start,
+             count(*)::BIGINT AS cnt, sum(n_tok)::BIGINT AS n_tok_sum
+      FROM enr GROUP BY 1, 2
+    )
+    SELECT region, epoch(bucket_start)::BIGINT AS bucket_s, cnt, n_tok_sum
     FROM agg, wm WHERE bucket_start + INTERVAL 1 MINUTE <= wm.w
     """)
 
@@ -1054,6 +1107,7 @@ def _engine_oracles() -> dict[str, str]:
         "engine_token_hist": token_hist,
         "engine_token_profile": token_profile,
         "engine_streaming_rollup": streaming_rollup,
+        "engine_streaming_join": streaming_join,
         "engine_read_range": read_range,
         "engine_streamed_ingest": streamed_ingest,
         "engine_retention": retention,

@@ -185,3 +185,48 @@ def test_streaming_hll_matches_batch_sketch(spark, stream_input):
         ["source", "bucket_start"],
         msg="streamed hll",
     )
+
+
+def test_streaming_enriched_join_matches_batch(spark, stream_input):
+    """T6 stream-static broadcast join: the streamed region-level rollup
+    equals the batch groupBy over the SAME join on the emitted (finalized)
+    window set — and every region is a genuine multi-source group (the
+    join really merged sources, not renamed them)."""
+    from pyspark.sql import functions as F
+
+    from tsrollup.streaming import run_streaming_enriched
+
+    dim = (
+        read_sequences(spark, stream_input)
+        .select("source")
+        .distinct()
+        .select(
+            "source",
+            F.concat(
+                F.lit("r"), F.pmod(F.xxhash64("source"), F.lit(3)).cast("string")
+            ).alias("region"),
+        )
+    )
+    out = os.path.join(BASE, "enriched_out")
+    ckpt = os.path.join(BASE, "enriched_ckpt")
+    run_streaming_enriched(spark, stream_input, dim, out, ckpt,
+                           max_files_per_trigger=1)
+    got = spark.read.parquet(out).toPandas()
+    assert len(got) > 0
+
+    batch = (
+        read_sequences(spark, stream_input)
+        .join(dim, "source")
+        .groupBy("region", F.date_trunc("minute", "event_ts").alias("bucket_start"))
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("n_tok").alias("n_tok_sum"))
+        .toPandas()
+    )
+    got = normalize_ts(got, ("bucket_start",))
+    batch = normalize_ts(batch, ("bucket_start",))
+    emitted = set(zip(got["region"], got["bucket_start"]))
+    sub = batch[[(r, b) in emitted for r, b in zip(batch["region"], batch["bucket_start"])]]
+    assert_frame_byte_equal(got, sub, ["region", "bucket_start"], msg="enriched rollup")
+    # the dim actually coalesces: fewer regions than sources
+    n_src = dim.count()
+    n_reg = dim.select("region").distinct().count()
+    assert 1 < n_reg < n_src

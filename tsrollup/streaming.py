@@ -253,3 +253,60 @@ def streaming_hll_distinct_1m(
     return agg.select(
         "source", F.col("window.start").alias("bucket_start"), "hll"
     )
+
+
+# ------------------------------------------------------------- T6
+# stream-static enrichment join: the remaining Structured Streaming
+# join surface (stream x batch dim). Spark executes it as a per-batch
+# broadcast hash join against the static side — no state store, no
+# watermark interaction from the join itself; the windowed agg after it
+# finalizes exactly like streaming_rollup_1m.
+
+def streaming_enriched_rollup_1m(
+    stream: DataFrame, dim: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """T6 — enrich the sequence stream with a static dimension table
+    (source -> region) via a broadcast stream-static join, then tumbling
+    1m aggregates per REGION. Append mode: emitted rows are final. The
+    join must happen BEFORE the aggregation but the watermark attaches to
+    the stream side first; the static side never advances it."""
+    wm = stream.withWatermark("event_ts", watermark)
+    joined = wm.join(F.broadcast(dim), "source")
+    agg = (
+        joined.select("region", "event_ts", F.col("n_tok"))
+        .groupBy(F.window("event_ts", "1 minute"), F.col("region"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("n_tok").alias("n_tok_sum"),
+        )
+    )
+    return agg.select(
+        "region",
+        F.col("window.start").alias("bucket_start"),
+        "cnt",
+        "n_tok_sum",
+    )
+
+
+def run_streaming_enriched(
+    spark: SparkSession,
+    in_dir: str,
+    dim: DataFrame,
+    out_dir: str,
+    checkpoint: str,
+    watermark: str = "10 minutes",
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """availableNow drain of the enriched rollup into a parquet sink
+    (same exactly-once file-sink contract as run_streaming_rollup)."""
+    stream = read_sequence_stream(spark, in_dir, max_files_per_trigger)
+    enriched = streaming_enriched_rollup_1m(stream, dim, watermark)
+    q = (
+        enriched.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
