@@ -270,6 +270,17 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "cnt", "n_tok_sum", "n_tok_min", "n_tok_max", "tok_sum", "tok_cnt",
         )
 
+    def mm_video_frames(spark, sf_dir):
+        """Multimodal frame sampling (datapipe.video_frame_features):
+        deterministic TSVR videos (6 real BMP frames per doc), demuxed
+        with byte-offset skip, every 2nd frame decoded through the
+        registered BMP parser, ONE ROW PER SAMPLED FRAME. Rows-only:
+        binary demux/decode has no SQL expression; frame-level parity is
+        pytest-pinned (tests/test_datapipe.py)."""
+        from tsrollup.datapipe import video_frame_features
+
+        return video_frame_features(spark, sf_dir, stride=2, n_frames=6)
+
     def engine_streaming_join(spark, sf_dir):
         """T6: stream-static BROADCAST join (sequence stream enriched with
         a deterministic source->region dim) feeding a watermarked 1m
@@ -651,6 +662,7 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": ann_lsh,
         "mm_features": mm_features,
         "mm_features2": mm_features2,
+        "mm_video_frames": mm_video_frames,
         "engine_streaming_rollup": engine_streaming_rollup,
         "engine_streaming_join": engine_streaming_join,
         "engine_streaming_welford": engine_streaming_welford,

@@ -541,3 +541,46 @@ def test_kmeans_fixed_point_vs_numpy(spark):
     assert got == exp
     assert len(set(c for c, _ in got.values())) > 1
     assert d2.sum() <= d1.sum()
+
+
+def test_video_frame_sampling(spark):
+    """TSVR demux + stride sampling: sampled frame features == direct BMP
+    decode of the same frames; stride semantics exact (frames 0,2,4 of
+    6); truncated containers raise instead of yielding partial frames."""
+    import numpy as np
+    import pytest
+
+    from tsrollup.datapipe import (
+        _decode_bmp,
+        make_bmp,
+        make_video,
+        sample_video_frames,
+        video_frame_features,
+    )
+
+    frames = [make_bmp(np.full((4, 8, 3), 10 * i, dtype=np.uint8)) for i in range(6)]
+    vid = make_video(frames)
+    got = sample_video_frames(vid, stride=2)
+    assert [i for i, _ in got] == [0, 2, 4]
+    for i, fb in got:
+        assert fb == frames[i]
+        w, h, feats = _decode_bmp(fb, 4)
+        assert (w, h) == (8, 4) and feats[0] == 10.0 * i
+    with pytest.raises(ValueError, match="truncated"):
+        sample_video_frames(vid[:-3], stride=1)
+    with pytest.raises(ValueError, match="not a TSVR"):
+        sample_video_frames(b"nope", stride=1)
+
+    df = video_frame_features(spark, "/root/testdata/sf0.001", stride=2, n_frames=6)
+    pdf = df.toPandas()
+    n_docs = pdf["doc_id"].nunique()
+    assert sorted(pdf["frame_idx"].unique()) == [0, 2, 4]
+    assert len(pdf) == 3 * n_docs and n_docs > 0
+    assert (pdf["width"] == 8).all() and (pdf["height"] == 4).all()
+    # determinism: second run identical
+    pdf2 = video_frame_features(
+        spark, "/root/testdata/sf0.001", stride=2, n_frames=6
+    ).toPandas()
+    a = pdf.sort_values(["doc_id", "frame_idx"]).reset_index(drop=True)
+    b = pdf2.sort_values(["doc_id", "frame_idx"]).reset_index(drop=True)
+    assert a.equals(b)

@@ -1280,3 +1280,99 @@ def kmeans_sql(k: int = KM_K) -> str:
              row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
       FROM d2) WHERE rn = 1
     """
+
+
+# ------------------------------------------------- video frame sampling
+
+#: minimal deterministic video container for the frame-sampling path:
+#: b"TSVR" | uint32 n_frames | n x (uint32 frame_len | frame_bytes).
+#: Frames are any payload a registered image decoder understands (BMP
+#: here). A real mp4 demuxer would slot in behind the same two
+#: functions; the container exists because this sandbox ships no
+#: ffmpeg — the Spark-side plumbing (binary column, stride sampling,
+#: one-video -> many-frame-rows mapInPandas) is the production shape.
+
+def make_video(frames: list[bytes]) -> bytes:
+    """Encode frames into the TSVR container."""
+    out = [b"TSVR", np.uint32(len(frames)).tobytes()]
+    for f in frames:
+        out.append(np.uint32(len(f)).tobytes())
+        out.append(f)
+    return b"".join(out)
+
+
+def sample_video_frames(payload: bytes, stride: int) -> list[tuple[int, bytes]]:
+    """Parse the TSVR header and return every `stride`-th frame as
+    (frame_idx, frame_bytes) WITHOUT materializing unsampled frames
+    (byte-offset skip — at real video sizes decoding only sampled frames
+    is the entire point of frame sampling). Raises on truncation rather
+    than returning partial frames."""
+    if payload[:4] != b"TSVR":
+        raise ValueError("not a TSVR payload")
+    n = int(np.frombuffer(payload[4:8], dtype=np.uint32)[0])
+    off = 8
+    out = []
+    for i in range(n):
+        if off + 4 > len(payload):
+            raise ValueError("truncated TSVR frame table")
+        ln = int(np.frombuffer(payload[off:off + 4], dtype=np.uint32)[0])
+        off += 4
+        if off + ln > len(payload):
+            raise ValueError("truncated TSVR frame payload")
+        if i % stride == 0:
+            out.append((i, payload[off:off + ln]))
+        off += ln
+    return out
+
+
+def video_frame_features(
+    spark: SparkSession, sf_dir: str, stride: int = 2, n_frames: int = 6
+) -> DataFrame:
+    """Multimodal frame-sampling end to end: every document becomes a
+    deterministic n_frames-frame TSVR video (each frame a REAL encoded
+    BMP tiling a rotation of the text bytes), then one mapInPandas pass
+    demuxes, samples every `stride`-th frame, and decodes ONLY the
+    sampled frames through the registered BMP parser — emitting one row
+    per (doc, sampled frame): the fan-out shape a video training
+    pipeline feeds downstream. Returns (doc_id, frame_idx, width,
+    height, px_mean)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            vids = []
+            for text in pdf["text"]:
+                raw = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+                if raw.size == 0:
+                    raw = np.zeros(1, dtype=np.uint8)
+                frames = []
+                for i in range(n_frames):
+                    px = np.resize(np.roll(raw, i), (4, 8, 3))
+                    frames.append(make_bmp(px))
+                vids.append(make_video(frames))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": vids})
+
+    videos = d.mapInPandas(synth, schema="doc_id string, payload binary")
+
+    def extract(batches):
+        for pdf in batches:
+            rows = {"doc_id": [], "frame_idx": [], "width": [],
+                    "height": [], "px_mean": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for idx, frame in sample_video_frames(bytes(payload), stride):
+                    w, h, feats = _decode_bmp(frame, 4)
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(idx)
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    # feats[0] = R-channel mean (exact mean of uint8
+                    # pixels — deterministic per frame)
+                    rows["px_mean"].append(feats[0])
+            yield pd.DataFrame(rows)
+
+    return videos.mapInPandas(
+        extract,
+        schema="doc_id string, frame_idx int, width int, height int, px_mean double",
+    )
