@@ -202,7 +202,31 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # into a private scratch dir and returns a deterministic projection.
     import shutil
 
-    scratch_base = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".scratch")
+    # per-PID scratch root: two harness processes (e.g. pytest and
+    # bench/oracle_check.py running concurrently) must not share a store
+    # — dynamic-partition-overwrite commits rename out of a
+    # .spark-staging dir inside the store, and a concurrent overwrite of
+    # the same store deletes it mid-commit (observed as
+    # FileNotFoundException on .spark-staging-*/tier=...).
+    scratch_base = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".scratch", str(os.getpid())
+    )
+
+    # reap scratch roots left by exited processes so rounds don't
+    # accumulate stores (live PIDs are left untouched)
+    for d in os.listdir(os.path.dirname(scratch_base)) if os.path.isdir(
+        os.path.dirname(scratch_base)
+    ) else []:
+        if d.isdigit() and d != str(os.getpid()):
+            try:
+                os.kill(int(d), 0)
+            except ProcessLookupError:
+                shutil.rmtree(
+                    os.path.join(os.path.dirname(scratch_base), d),
+                    ignore_errors=True,
+                )
+            except PermissionError:
+                pass
 
     def _scratch(name: str) -> str:
         p = os.path.join(scratch_base, name)
