@@ -176,6 +176,8 @@ def main() -> None:
         "a7_pivot",
         "b2_twap",
         "a8_cohort",
+        "j9_funnel",
+        "a9_winsorized",
     ):
         t0 = time.monotonic()
         SPARK[name](spark, sf_dir).count()

@@ -592,3 +592,31 @@ def test_twap_hand_example(spark):
     assert got == {(1, "2024-01-01"): (2, round((1000 * 60e6 + 2000 * 30e6)
                                                 / (100 * 90e6), 6))}
     assert got[(1, "2024-01-01")][1] == 13.333333
+
+
+def test_winsorized_robustness(spark):
+    """a9 semantics: one absurd outlier swings the plain mean but leaves
+    the trimmed mean at the clean-data value and caps its winsorized
+    contribution at p95."""
+    import os
+    import tempfile
+
+    from tsrollup.driver_queries import SPARK
+
+    docs = [(i, "x", "en", "s", 100 + i) for i in range(19)]  # 100..118
+    docs.append((99, "x", "en", "s", 10_000_000))             # the outlier
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            docs, "doc_id long, text string, lang string, source string, n_chars long"
+        ).coalesce(1).write.parquet(os.path.join(td, "documents.parquet"))
+        r = SPARK["a9_winsorized"](spark, td).collect()[0]
+    plain_mean = (sum(100 + i for i in range(19)) + 10_000_000) / 20
+    # p05 at (n-1)*0.05 = 0.95 interpolates to 100.95, so the MINIMUM is
+    # trimmed as well: the trimmed set is 101..118 (18 values, mean 109.5)
+    assert r["n"] == 20 and r["trimmed_n"] == 18
+    assert abs(r["trimmed_mean"] - 109.5) < 1e-6
+    # hi interpolates at (n-1)*0.95 = 18.05, i.e. 5% of the way from 118
+    # toward the outlier (~500k): winsorizing caps the outlier's pull at
+    # ~20x less than the raw mean; trimming removes it entirely
+    assert r["trimmed_mean"] < r["winsor_mean"] < plain_mean / 10
+    assert r["lo"] == 100.95 and r["hi"] < 10_000_000

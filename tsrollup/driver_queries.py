@@ -1480,6 +1480,141 @@ def tx_vocab_growth(spark, sf_dir):
     )
 
 
+# ------------------------------ A9 winsorized/trimmed agg (round 3)
+
+@q(
+    "a9_winsorized",
+    """
+    WITH b AS (
+      SELECT source,
+             round(quantile_cont(n_chars, 0.05), 4) AS lo,
+             round(quantile_cont(n_chars, 0.95), 4) AS hi,
+             CAST(count(*) AS BIGINT) AS n
+      FROM documents GROUP BY source
+    ),
+    c AS (
+      SELECT d.source, b.lo, b.hi, b.n,
+             CAST(round(least(greatest(d.n_chars, b.lo), b.hi) * 10000, 0)
+                  AS BIGINT) AS w_fp,
+             CASE WHEN d.n_chars >= b.lo AND d.n_chars <= b.hi
+                  THEN d.n_chars ELSE NULL END AS t_val
+      FROM documents d JOIN b USING (source)
+    )
+    SELECT source, n, lo, hi,
+           round(CAST(sum(w_fp) AS DOUBLE) / 10000.0 / n, 6) AS winsor_mean,
+           CAST(count(t_val) AS BIGINT) AS trimmed_n,
+           round(CAST(sum(t_val) AS DOUBLE) / count(t_val), 6) AS trimmed_mean
+    FROM c GROUP BY source, n, lo, hi
+    """,
+)
+def a9_winsorized(spark, sf_dir):
+    """Outlier-robust summary stats, the standard pre-training length
+    cleanup: per source, doc lengths are WINSORIZED (clamped to the
+    exact p05/p95) and TRIMMED (outside-range rows dropped) before the
+    mean — one wild document no longer drags the per-source profile.
+    Determinism contract: the percentile bounds round to 1e-4 (exact
+    (n-1)·p interpolation matches DuckDB quantile_cont, w7's pin), so
+    each clamped value lies on a 1e-4 grid and scales to an exact BIGINT
+    — both means reduce over INTEGER sums, order-free. Two passes over
+    the group (bounds, then clamp+agg) joined through a source-sized
+    bounds table Spark broadcasts."""
+    d = t(spark, sf_dir, "documents")
+    b = d.groupBy("source").agg(
+        F.round(F.percentile("n_chars", F.lit(0.05)), 4).alias("lo"),
+        F.round(F.percentile("n_chars", F.lit(0.95)), 4).alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    c = d.join(F.broadcast(b), "source").select(
+        "source",
+        "lo",
+        "hi",
+        "n",
+        F.round(
+            F.least(F.greatest(F.col("n_chars"), F.col("lo")), F.col("hi")) * 10000,
+            0,
+        )
+        .cast("long")
+        .alias("w_fp"),
+        F.when(
+            (F.col("n_chars") >= F.col("lo")) & (F.col("n_chars") <= F.col("hi")),
+            F.col("n_chars"),
+        ).alias("t_val"),
+    )
+    return c.groupBy("source", "n", "lo", "hi").agg(
+        F.round(F.sum("w_fp").cast("double") / 10000.0 / F.col("n"), 6).alias(
+            "winsor_mean"
+        ),
+        F.count("t_val").alias("trimmed_n"),
+        F.round(F.sum("t_val").cast("double") / F.count("t_val"), 6).alias(
+            "trimmed_mean"
+        ),
+    ).select(
+        "source", "n", "lo", "hi", "winsor_mean", "trimmed_n", "trimmed_mean"
+    )
+
+
+# ---------------------------------- J9 funnel conversion (round 3)
+
+@q(
+    "j9_funnel",
+    """
+    WITH cl AS (SELECT DISTINCT user_id, ts FROM events
+                WHERE event_type = 'click'),
+         pu AS (SELECT event_id, user_id, ts, CAST(ts AS DATE) AS day
+                FROM events WHERE event_type = 'purchase'),
+         m AS (
+           SELECT p.day,
+                  CASE WHEN cl.ts IS NOT NULL
+                        AND epoch_us(p.ts) - epoch_us(cl.ts) <= 3600000000
+                       THEN 1 ELSE 0 END AS conv
+           FROM pu p ASOF LEFT JOIN cl
+             ON p.user_id = cl.user_id AND p.ts >= cl.ts
+         )
+    SELECT day, CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum(conv) AS BIGINT) AS n_converted,
+           CAST((10000 * sum(conv)) // count(*) AS BIGINT) AS conv_per10k
+    FROM m GROUP BY day
+    """,
+)
+def j9_funnel(spark, sf_dir):
+    """Two-step funnel with an attribution window: a purchase CONVERTS
+    if the same user clicked within the preceding hour — the classic
+    click→purchase attribution query. One backward as-of join
+    (tsrollup.asof.asof_join: union-tag + single window carry, ONE
+    shuffle on user_id) plus the tolerance filter, then an all-integer
+    daily conversion summary (rate as exact per-10k integer division,
+    no float). Oracle: DuckDB native ASOF LEFT JOIN + the same window
+    predicate."""
+    from .asof import asof_join
+
+    e = t(spark, sf_dir, "events")
+    clicks = e.where("event_type = 'click'").select("user_id", "ts").distinct()
+    purchases = e.where("event_type = 'purchase'").select(
+        "event_id", "user_id", "ts", F.to_date("ts").alias("day")
+    )
+    m = asof_join(purchases, clicks, on=["user_id"])
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    conv = F.when(
+        F.col("ts_asof").isNotNull()
+        & ((us("ts") - us("ts_asof")) <= 3_600_000_000),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return (
+        m.select("day", conv.alias("conv"))
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("conv").alias("n_converted"),
+        )
+        .select(
+            "day",
+            "n_purchases",
+            "n_converted",
+            F.expr("(10000 * n_converted) div n_purchases").alias("conv_per10k"),
+        )
+    )
+
+
 # ------------------------------- B2 time-weighted average (round 3)
 
 @q(
