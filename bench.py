@@ -178,6 +178,7 @@ def main() -> None:
         "a8_cohort",
         "j9_funnel",
         "a9_winsorized",
+        "tx_entropy",
     ):
         t0 = time.monotonic()
         SPARK[name](spark, sf_dir).count()

@@ -584,3 +584,36 @@ def test_video_frame_sampling(spark):
     a = pdf.sort_values(["doc_id", "frame_idx"]).reset_index(drop=True)
     b = pdf2.sort_values(["doc_id", "frame_idx"]).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_entropy_semantics(spark):
+    """tx_entropy: uniform distinct words -> log2(n); single repeated
+    word -> 0; matches a pure-python Shannon computation with the same
+    micro-bit rounding."""
+    import math
+    import os
+    import tempfile
+    from collections import Counter
+
+    from tsrollup.driver_queries import SPARK
+
+    texts = {
+        1: "a b c d",          # uniform over 4 -> exactly 2.0 bits
+        2: "x x x x x",        # degenerate -> 0.0
+        3: "a a b",            # 2/3,1/3
+        4: "one",              # single word -> 0.0
+    }
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            [(i, t, "en", "s", len(t)) for i, t in texts.items()],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).coalesce(1).write.parquet(os.path.join(td, "documents.parquet"))
+        got = {r["doc_id"]: (r["n_words"], r["entropy_bits"])
+               for r in SPARK["tx_entropy"](spark, td).collect()}
+
+    for i, t in texts.items():
+        c = Counter(t.split(" "))
+        n = sum(c.values())
+        micro = sum(round(m * math.log2(m / n) * 1e6) for m in c.values())
+        assert got[i] == (n, round(-micro / 1e6 / n, 4))
+    assert got[1][1] == 2.0 and got[2][1] == 0.0 and got[4][1] == 0.0

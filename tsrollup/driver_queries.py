@@ -1416,6 +1416,58 @@ _register_bigram_lm()
 
 
 @q(
+    "tx_entropy",
+    """
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+      FROM documents
+    ),
+    m AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS m
+          FROM w GROUP BY doc_id, word),
+    n AS (SELECT doc_id, CAST(sum(m) AS BIGINT) AS n FROM m GROUP BY doc_id),
+    terms AS (
+      SELECT m.doc_id, n.n,
+             CAST(round(m.m * log2(CAST(m.m AS DOUBLE) / n.n) * 1e6, 0)
+                  AS BIGINT) AS microbits
+      FROM m JOIN n USING (doc_id)
+    )
+    SELECT doc_id, n AS n_words,
+           round(-CAST(sum(microbits) AS DOUBLE) / 1e6 / n, 4) AS entropy_bits
+    FROM terms GROUP BY doc_id, n
+    """,
+)
+def tx_entropy(spark, sf_dir):
+    """Per-doc unigram Shannon entropy (bits/word) — the repetition-
+    collapse curation signal: low entropy flags template spam and
+    keyboard-mash runs that the corpus-relative bigram LM can miss
+    (a doc repeating one rare word is LM-surprising yet near-zero
+    entropy). H = -(1/n) Σ m·log2(m/n) needs only DOC-LOCAL counts (no
+    corpus join): one explode + two hash aggs. Same determinism contract
+    as tx_bigram_lm — each m·log2(m/n) term (a double of two exact
+    integers) rounds to integer micro-bits before the per-doc BIGINT
+    sum, so the float result is summation-order-free."""
+    d = t(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word"))
+    m = w.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("m"))
+    n = m.groupBy("doc_id").agg(F.sum("m").alias("n"))
+    terms = m.join(n, "doc_id").select(
+        "doc_id",
+        "n",
+        F.round(
+            F.col("m") * F.log2(F.col("m").cast("double") / F.col("n")) * F.lit(1e6),
+            0,
+        )
+        .cast("long")
+        .alias("microbits"),
+    )
+    return terms.groupBy("doc_id", "n").agg(
+        F.round(-F.sum("microbits").cast("double") / 1e6 / F.col("n"), 4).alias(
+            "entropy_bits"
+        )
+    ).select("doc_id", F.col("n").alias("n_words"), "entropy_bits")
+
+
+@q(
     "tx_vocab_growth",
     """
     WITH w AS (
