@@ -179,6 +179,7 @@ def main() -> None:
         "j9_funnel",
         "a9_winsorized",
         "tx_entropy",
+        "tx_novelty",
     ):
         t0 = time.monotonic()
         SPARK[name](spark, sf_dir).count()

@@ -617,3 +617,30 @@ def test_entropy_semantics(spark):
         micro = sum(round(m * math.log2(m / n) * 1e6) for m in c.values())
         assert got[i] == (n, round(-micro / 1e6 / n, 4))
     assert got[1][1] == 2.0 and got[2][1] == 0.0 and got[4][1] == 0.0
+
+
+def test_novelty_semantics(spark):
+    """tx_novelty: an exact duplicate pair has novelty 0 (every gram
+    shared); a doc with no 5-gram in common with anything scores 10000;
+    a half-quoted doc lands strictly between."""
+    import os
+    import tempfile
+
+    from tsrollup.driver_queries import SPARK
+
+    quoted = "the quick brown fox jumps over the lazy dog tonight"
+    docs = [
+        (1, quoted, "en", "s", len(quoted)),
+        (2, quoted, "en", "s", len(quoted)),                  # exact dup of 1
+        (3, "zq xv wk jm pf unique gibberish entirely", "en", "s", 40),
+        (4, quoted + " BUT with a fresh tail found nowhere zzqq", "en", "s", 90),
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            docs, "doc_id long, text string, lang string, source string, n_chars long"
+        ).coalesce(1).write.parquet(os.path.join(td, "documents.parquet"))
+        got = {r["doc_id"]: r["novelty_per10k"]
+               for r in SPARK["tx_novelty"](spark, td).collect()}
+    assert got[1] == 0 and got[2] == 0       # dup pair: nothing unique
+    assert got[3] == 10000                   # fully novel
+    assert 0 < got[4] < 10000                # quote + fresh tail

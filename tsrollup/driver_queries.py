@@ -1126,6 +1126,65 @@ def _register_kmeans():
 _register_kmeans()
 
 
+# --------------------------------------------- n-gram novelty (TX)
+
+@q(
+    "tx_novelty",
+    """
+    WITH g AS (
+      SELECT doc_id,
+             unnest(list_distinct([substring(t, i, 5)
+                                   for i in generate_series(1, length(t) - 4)]))
+               AS gram
+      FROM (SELECT doc_id, lower(text) AS t FROM documents)
+      WHERE length(t) >= 5
+    ),
+    df AS (SELECT gram, CAST(count(*) AS BIGINT) AS dfreq FROM g GROUP BY gram)
+    SELECT g.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN df.dfreq = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unique,
+           CAST((10000 * sum(CASE WHEN df.dfreq = 1 THEN 1 ELSE 0 END))
+                // count(*) AS BIGINT) AS novelty_per10k
+    FROM g JOIN df USING (gram)
+    GROUP BY g.doc_id
+    """,
+)
+def tx_novelty(spark, sf_dir):
+    """Per-doc n-gram NOVELTY rate: the share of a document's distinct
+    char-5-grams that appear in NO other document — the inverse lens of
+    dd_containment (novelty ~0 flags boilerplate assembled entirely from
+    corpus-common text even when no single source contains it; novelty
+    ~1 marks genuinely fresh content worth keeping). Same inverted-index
+    shape as containment (one explode + the gram document-frequency
+    agg + one join back), all-integer output (rate as exact per-10k
+    integer division)."""
+    d = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.lower("text").alias("t"))
+        .where(F.length("t") >= 5)
+    )
+    grams = F.expr(
+        "array_distinct(transform(sequence(1, length(t) - 4), i -> substring(t, i, 5)))"
+    )
+    g = d.select("doc_id", F.explode(grams).alias("gram"))
+    df_ = g.groupBy("gram").agg(F.count(F.lit(1)).alias("dfreq"))
+    return (
+        g.join(df_, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("dfreq") == 1, 1).otherwise(0)).alias("n_unique"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_unique",
+            F.expr("(10000 * n_unique) div n_grams").alias("novelty_per10k"),
+        )
+    )
+
+
 # ----------------------------------------- containment dedup (DD)
 
 @q(
