@@ -148,3 +148,15 @@ class TestHeavyHitters:
         true = df.toPandas()["item"].value_counts()
         for r in summ:
             assert r["cnt_lb"] <= int(true.get(r["item"], 0))
+
+
+class TestExactCountsContract:
+    def test_negative_token_id_is_a_clear_error(self):
+        """A -1 padding sentinel must raise a contract error, not an
+        opaque executor-side np.bincount ValueError."""
+        import numpy as np
+        import pytest
+        from tsrollup.tokenstats import _exact_counts
+
+        with pytest.raises(ValueError, match="negative token id"):
+            _exact_counts(np.array([3, -1, 7], dtype=np.int64))

@@ -125,6 +125,20 @@ class TestCounterIncrease:
         )
         assert out.count() == 0
 
+    def test_rate_span_derived_from_bucket(self, spark, counter_df):
+        """bucket='day' with no explicit span divides by 86400, and an
+        inconsistent (bucket, bucket_seconds) pair is rejected instead of
+        silently inflating rates."""
+        out = counter_rate(
+            counter_df, ["key"], "ts", "val", "day", tiebreak="eid"
+        ).collect()
+        for r in out:
+            assert r["rate_per_s"] == pytest.approx(r["increase"] / 86400)
+        with pytest.raises(ValueError, match="contradicts"):
+            counter_rate(counter_df, ["key"], "ts", "val", "day", 3600)
+        with pytest.raises(ValueError, match="no known span"):
+            counter_rate(counter_df, ["key"], "ts", "val", "quarter")
+
 
 class TestSeasonalNaive:
     def test_missing_season_is_null(self, spark):
@@ -620,3 +634,18 @@ def test_winsorized_robustness(spark):
     # ~20x less than the raw mean; trimming removes it entirely
     assert r["trimmed_mean"] < r["winsor_mean"] < plain_mean / 10
     assert r["lo"] == 100.95 and r["hi"] < 10_000_000
+
+
+class TestPctlNaming:
+    def test_basis_point_names_unambiguous(self):
+        from tsrollup.tsops import _pctl_name
+
+        assert _pctl_name(0.5) == "p50"
+        assert _pctl_name(0.9) == "p90"
+        assert _pctl_name(0.99) == "p99"
+        assert _pctl_name(1.0) == "p100"
+        assert _pctl_name(0.0) == "p0"
+        assert _pctl_name(0.999) == "p999"
+        assert _pctl_name(0.9995) == "p9995"
+        with pytest.raises(ValueError):
+            _pctl_name(1.5)

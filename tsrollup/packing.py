@@ -71,7 +71,8 @@ def pack_sequences(
         if not arrs:
             return _empty(pdf)
         for a in arrs:
-            assert a.dtype == np.int32, f"tokens upcast to {a.dtype}"
+            if a.dtype != np.int32:  # data contract — must survive python -O
+                raise TypeError(f"tokens upcast to {a.dtype}, expected int32")
         flat = np.concatenate(arrs)
         total = flat.shape[0]
         n_chunks = total // max_len if drop_last else -(-total // max_len)

@@ -40,6 +40,11 @@ _BINCOUNT_MAX_ID = 1 << 24
 
 
 def _exact_counts(flat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    if flat.min() < 0:  # e.g. a -1 padding sentinel: bincount would raise
+        raise ValueError(
+            "negative token id in histogram input — token ids must be >= 0 "
+            "(strip padding sentinels before token_histogram)"
+        )
     if flat.max() < _BINCOUNT_MAX_ID:
         counts = np.bincount(flat)
         ids = np.nonzero(counts)[0]

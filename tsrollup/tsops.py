@@ -95,16 +95,37 @@ def counter_increase(
     )
 
 
+#: seconds per date_trunc bucket name — used to derive/validate the span
+#: counter_rate divides by (a 'day' bucket with a silently-default 3600
+#: would inflate rates 24x).
+_BUCKET_SECONDS = {"minute": 60, "hour": 3600, "day": 86400, "week": 604800}
+
+
 def counter_rate(
     df: DataFrame,
     keys: list[str],
     ts_col: str,
     value_col: str,
     bucket: str = "hour",
-    bucket_seconds: int = 3600,
+    bucket_seconds: int | None = None,
     tiebreak: str | None = None,
 ) -> DataFrame:
-    """``counter_increase`` divided by the bucket span — per-second rate."""
+    """``counter_increase`` divided by the bucket span — per-second rate.
+
+    ``bucket_seconds`` is derived from the bucket name; passing it
+    explicitly for a known bucket must agree (consistency-checked)."""
+    known = _BUCKET_SECONDS.get(bucket)
+    if bucket_seconds is None:
+        if known is None:
+            raise ValueError(
+                f"bucket {bucket!r} has no known span; pass bucket_seconds"
+            )
+        bucket_seconds = known
+    elif known is not None and bucket_seconds != known:
+        raise ValueError(
+            f"bucket_seconds={bucket_seconds} contradicts bucket "
+            f"{bucket!r} ({known}s)"
+        )
     inc = counter_increase(df, keys, ts_col, value_col, bucket, tiebreak)
     return inc.withColumn(
         "rate_per_s", F.col("increase") / F.lit(float(bucket_seconds))
@@ -229,9 +250,10 @@ def robust_zscore(
         -(window - 1), Window.currentRow
     )
     x = F.col(value_col).cast("double")
-    med = F.expr(f"percentile({value_col}, 0.5)").over(w)
-    q1 = F.expr(f"percentile({value_col}, 0.25)").over(w)
-    q3 = F.expr(f"percentile({value_col}, 0.75)").over(w)
+    vq = value_col.replace("`", "``")  # backquote: names with spaces/dots
+    med = F.expr(f"percentile(`{vq}`, 0.5)").over(w)
+    q1 = F.expr(f"percentile(`{vq}`, 0.25)").over(w)
+    q3 = F.expr(f"percentile(`{vq}`, 0.75)").over(w)
     filled = F.count(F.lit(1)).over(w) >= window
     iqr = q3 - q1
     z = F.when(iqr > 0.0, (x - med) / iqr).otherwise(F.lit(0.0))
@@ -245,6 +267,23 @@ def robust_zscore(
     )
 
 
+def _pctl_name(p: float) -> str:
+    """Column name for a quantile, from an integer basis-points basis so
+    every p in [0, 1] gets an unambiguous name: p50/p90/p99 for the common
+    two-decimal quantiles (stable with the existing oracle twins), p100
+    for 1.0, per-mille/basis-point digits only when needed (0.999 → p999,
+    0.9995 → p9995 — any name with >3 digits or value >100 is sub-percent
+    resolution by construction)."""
+    bp = int(round(p * 10000))
+    if not 0 <= bp <= 10000:
+        raise ValueError(f"quantile {p} outside [0, 1]")
+    if bp % 100 == 0:
+        return f"p{bp // 100}"
+    if bp % 10 == 0:
+        return f"p{bp // 10}"
+    return f"p{bp}"
+
+
 def pctl_rollup(
     df: DataFrame,
     keys: list[str],
@@ -255,11 +294,9 @@ def pctl_rollup(
 ) -> DataFrame:
     """Exact per-(keys, bucket) percentiles of `value_col` — one column
     ``p<NN>`` per requested quantile, plus ``n`` (module doc)."""
+    vq = value_col.replace("`", "``")
     aggs = [F.count(F.lit(1)).alias("n")] + [
-        F.expr(f"percentile({value_col}, {p!r})").alias(
-            "p" + str(p).replace("0.", "").ljust(2, "0")
-        )
-        for p in ps
+        F.expr(f"percentile(`{vq}`, {p!r})").alias(_pctl_name(p)) for p in ps
     ]
     return df.groupBy(
         *keys, F.date_trunc(bucket, ts_col).alias("bucket")
