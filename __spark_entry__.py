@@ -670,7 +670,38 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "source", "doc_id", "es_key", "rnk"
         )
 
+    def dd_substring(spark, sf_dir):
+        """Substring-level exact dedup, the Lee-et-al-2022 duplicated-span
+        family (datapipe.substring_duplication): every 8-token window of
+        the token payload gets a rolling xxhash64 fingerprint; windows
+        whose fingerprint occurs in >= 2 distinct docs are duplicated,
+        and the per-doc rate is the union-coverage of those windows —
+        all exact BIGINTs. The DuckDB twin groups windows by CONTENT
+        (the token slice itself), so the entry cross-checks the
+        fingerprint semantics against literal window equality — a hash
+        collision or slice-offset drift would hash-mismatch."""
+        from tsrollup.datapipe import substring_duplication
+
+        return substring_duplication(sequences_from_documents(spark, sf_dir), k=8)
+
+    def dd_substring_removal(spark, sf_dir):
+        """Span-removal transform (datapipe.substring_span_removal):
+        keeper = corpus-min (doc_id, pos) occurrence per duplicated
+        8-token window; every other occurrence's positions are dropped.
+        Publishes xxhash64 of each kept array so the twin proves the
+        REWRITTEN token payloads are bit-identical, not just counts —
+        the same fold the seq-dedup/pack twins pin via xxh64_intlist."""
+        from tsrollup.datapipe import substring_span_removal
+
+        out = substring_span_removal(sequences_from_documents(spark, sf_dir), k=8)
+        return out.select(
+            "doc_id", "n_tok", "n_kept",
+            F.xxhash64("tokens_kept").alias("kept_hash"),
+        )
+
     return {
+        "dd_substring": dd_substring,
+        "dd_substring_removal": dd_substring_removal,
         "mx_split": mx_split,
         "mx_sample": mx_sample,
         "mx_shuffle": mx_shuffle,
@@ -1132,7 +1163,72 @@ def _engine_oracles() -> dict[str, str]:
       FROM keyed) WHERE rnk <= 5
     """)
 
+    # substring dedup twins: dup windows grouped by CONTENT (the literal
+    # token slice), not by re-hashing — cross-checks the Spark side's
+    # fingerprint equality against window equality itself.
+    _SUB_WIN = """
+    , p0 AS (
+      SELECT doc_id, n_tok, tokens,
+             unnest(generate_series(1, n_tok - 7)) AS pos
+      FROM seq WHERE n_tok >= 8
+    ),
+    win AS (SELECT doc_id, pos, tokens[pos : pos + 7] AS w FROM p0),
+    dup AS (
+      SELECT w FROM (SELECT DISTINCT w, doc_id FROM win)
+      GROUP BY w HAVING count(*) >= 2
+    )
+    """
+
+    dd_substring_o = engine_oracle(_SUB_WIN + """,
+    dw AS (SELECT win.doc_id, win.pos FROM win JOIN dup USING (w)),
+    cov AS (
+      SELECT doc_id,
+             count(*)::BIGINT AS n_dup_windows,
+             sum(coalesce(least(8, nxt - pos), 8))::BIGINT AS dup_tokens
+      FROM (SELECT doc_id, pos,
+                   lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+            FROM dw)
+      GROUP BY doc_id
+    )
+    SELECT s.doc_id,
+           s.n_tok::BIGINT AS n_tok,
+           greatest(s.n_tok - 7, 0)::BIGINT AS n_windows,
+           coalesce(c.n_dup_windows, 0)::BIGINT AS n_dup_windows,
+           coalesce(c.dup_tokens, 0)::BIGINT AS dup_tokens,
+           (CASE WHEN s.n_tok > 0
+                 THEN (10000 * coalesce(c.dup_tokens, 0)) // s.n_tok
+                 ELSE 0 END)::BIGINT AS dup_per10k
+    FROM seq s LEFT JOIN cov c USING (doc_id)
+    """)
+
+    dd_substring_removal_o = engine_oracle(_SUB_WIN + """,
+    dw AS (
+      SELECT win.doc_id, win.pos,
+             row_number() OVER (PARTITION BY win.w
+                                ORDER BY win.doc_id, win.pos) AS rn
+      FROM win JOIN dup USING (w)
+    ),
+    rmp AS (SELECT DISTINCT doc_id,
+                   unnest(generate_series(pos, pos + 7)) AS p
+            FROM dw WHERE rn > 1),
+    rml AS (SELECT doc_id, list_sort(list(p)) AS rm FROM rmp GROUP BY doc_id),
+    kept AS (
+      SELECT s.doc_id, s.n_tok,
+             CASE WHEN r.rm IS NULL THEN s.tokens
+                  ELSE [s.tokens[i] for i in generate_series(1, len(s.tokens))
+                        if NOT list_contains(r.rm, i)]
+             END AS tk
+      FROM seq s LEFT JOIN rml r USING (doc_id)
+    )
+    SELECT doc_id, n_tok::BIGINT AS n_tok,
+           len(tk)::BIGINT AS n_kept,
+           xxh64_intlist(tk) AS kept_hash
+    FROM kept
+    """)
+
     return {
+        "dd_substring": dd_substring_o,
+        "dd_substring_removal": dd_substring_removal_o,
         "mx_split": mx_split_o,
         "mx_sample": mx_sample_o,
         "mx_shuffle": mx_shuffle_o,

@@ -185,6 +185,15 @@ def main() -> None:
         SPARK[name](spark, sf_dir).count()
         timings[f"q_{name}"] = round(time.monotonic() - t0, 3)
 
+    # substring-level dedup runs over the token payload (engine query,
+    # not a driver_queries entry — it needs sequences_from_documents)
+    from tsrollup.datapipe import substring_duplication
+    from tsrollup.flagship import sequences_from_documents
+
+    t0 = time.monotonic()
+    substring_duplication(sequences_from_documents(spark, sf_dir), k=8).count()
+    timings["q_dd_substring"] = round(time.monotonic() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

@@ -1376,3 +1376,160 @@ def video_frame_features(
         extract,
         schema="doc_id string, frame_idx int, width int, height int, px_mean double",
     )
+
+
+# ------------------------------------------------------------------
+# Substring-level exact dedup (Lee et al. 2022, "Deduplicating Training
+# Data Makes Language Models Better" — the duplicated-span family)
+# ------------------------------------------------------------------
+#
+# The suffix-array construction of the paper is replaced by the
+# MapReduce-friendly equivalent: a rolling k-token fingerprint per
+# window position (Spark's xxhash64 over the window slice — the same
+# Catalyst int-fold SD1 and the packing twin already pin bit-for-bit
+# against the DuckDB xxh64_intlist macro). A span of length L >= k
+# duplicated across documents produces L-k+1 duplicated windows, and
+# the union of those windows IS the span — so per-doc duplicated-span
+# coverage is exact at window granularity, with 64-bit fingerprints
+# standing in for content equality (collision probability ~n^2/2^64,
+# negligible; the pytest reference compares window CONTENT, so a
+# collision would surface as a parity failure, never silently).
+#
+# Scale shape (100 TB): the postings table is one (doc_id, pos, fp)
+# row per window — linear in corpus token count; the k-token window
+# content NEVER shuffles, only its 64-bit fingerprint. Duplicate
+# detection is a distinct + hash agg on fp and a semi-join back:
+# there is NO pair fan-out anywhere (unlike containment's df^2
+# pairs). For corpora where even the postings shuffle is too large,
+# `select_mod=p` keeps only windows with pmod(fp, p) == 0 — a
+# CONTENT-DEFINED sample (the same windows are selected in every
+# document regardless of span alignment — a position stride would
+# miss misaligned copies), detecting spans of expected length
+# >= k + p at 1/p the shuffle volume (robust-winnowing family,
+# Schleimer et al. SIGMOD'03).
+
+
+def substring_fingerprints(
+    seq: DataFrame, k: int = 8, select_mod: int = 1
+) -> DataFrame:
+    """(doc_id, pos, fp) postings: xxhash64 of each k-token window of
+    `tokens`, 1-based pos; docs shorter than k contribute nothing.
+    All-JVM codegen (transform/slice/xxhash64 + posexplode)."""
+    if k < 2:
+        raise ValueError("window length k must be >= 2")
+    if select_mod < 1:
+        raise ValueError("select_mod must be >= 1")
+    fps = F.expr(
+        f"transform(sequence(1, n_tok - {k - 1}), i -> xxhash64(slice(tokens, i, {k})))"
+    )
+    out = (
+        seq.where(F.col("n_tok") >= k)
+        .select("doc_id", F.posexplode(fps).alias("pos0", "fp"))
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "fp")
+    )
+    if select_mod > 1:
+        out = out.where(F.pmod("fp", F.lit(select_mod)) == 0)
+    return out
+
+
+def _dup_fps(postings: DataFrame) -> DataFrame:
+    """Fingerprints seen in >= 2 DISTINCT documents (within-doc repeats
+    alone are repetition, not cross-doc duplication — tx_repetition
+    covers those)."""
+    return (
+        postings.select("doc_id", "fp")
+        .distinct()
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= 2)
+        .select("fp")
+    )
+
+
+def substring_duplication(
+    seq: DataFrame, k: int = 8, select_mod: int = 1
+) -> DataFrame:
+    """Per-document duplicated-span rate: the fraction of a document's
+    tokens covered by some k-token window whose fingerprint also occurs
+    in another document.
+
+    Returns one row per input doc: (doc_id, n_tok, n_windows,
+    n_dup_windows, dup_tokens, dup_per10k) — all exact BIGINTs
+    (coverage = union of [pos, pos+k) over duplicated windows, computed
+    with one lead() window: each window contributes
+    min(k, next_pos - pos); rate as integer per-10k), so the DuckDB
+    twin hash-matches bit-for-bit."""
+    postings = substring_fingerprints(seq, k, select_mod)
+    dup = postings.join(_dup_fps(postings), "fp", "left_semi")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    cov = (
+        dup.withColumn("nxt", F.lead("pos").over(w))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_windows"),
+            F.sum(
+                F.coalesce(F.least(F.lit(k), F.col("nxt") - F.col("pos")), F.lit(k))
+            ).alias("dup_tokens"),
+        )
+    )
+    n_tok = F.col("n_tok").cast("long")
+    return (
+        seq.select("doc_id", n_tok.alias("n_tok"))
+        .join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tok",
+            F.greatest(F.col("n_tok") - F.lit(k - 1), F.lit(0).cast("long")).alias(
+                "n_windows"
+            ),
+            F.coalesce("n_dup_windows", F.lit(0).cast("long")).alias("n_dup_windows"),
+            F.coalesce("dup_tokens", F.lit(0).cast("long")).alias("dup_tokens"),
+            F.when(
+                F.col("n_tok") > 0,
+                F.expr("(10000 * coalesce(dup_tokens, 0)) div n_tok"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("dup_per10k"),
+        )
+    )
+
+
+def substring_span_removal(seq: DataFrame, k: int = 8) -> DataFrame:
+    """Span-removal transform: drop every token position covered by a
+    duplicated window EXCEPT the corpus-canonical occurrence — for each
+    duplicated fingerprint the window at min (doc_id, pos) corpus-wide
+    is the keeper; all other occurrences (including later repeats inside
+    the keeper document) are removed. Position-granular and
+    deterministic, so the kept arrays are byte-stable across
+    parallelism.
+
+    Returns (doc_id, n_tok, n_kept, tokens_kept:array<int>). Removal
+    joins a per-doc sorted removed-position array back to the sequence
+    table and filters by position in one codegen expression — the token
+    arrays themselves never shuffle."""
+    postings = substring_fingerprints(seq, k)
+    dup = postings.join(_dup_fps(postings), "fp", "left_semi")
+    wk = Window.partitionBy("fp").orderBy("doc_id", "pos")
+    removable = dup.withColumn("rn", F.row_number().over(wk)).where(F.col("rn") > 1)
+    rm = (
+        removable.select(
+            "doc_id", F.explode(F.expr(f"sequence(pos, pos + {k - 1})")).alias("p")
+        )
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("p")).alias("rm"))
+    )
+    return (
+        seq.join(rm, "doc_id", "left")
+        .withColumn("rm", F.coalesce("rm", F.expr("cast(array() as array<int>)")))
+        .select(
+            "doc_id",
+            F.col("n_tok").cast("long").alias("n_tok"),
+            F.expr(
+                "transform(filter(transform(tokens, (x, i) -> struct(x AS tok, i + 1 AS p)),"
+                " s -> NOT array_contains(rm, s.p)), s -> s.tok)"
+            ).alias("tokens_kept"),
+        )
+        .withColumn("n_kept", F.size("tokens_kept").cast("long"))
+        .select("doc_id", "n_tok", "n_kept", "tokens_kept")
+    )
