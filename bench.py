@@ -180,6 +180,7 @@ def main() -> None:
         "a9_winsorized",
         "tx_entropy",
         "tx_novelty",
+        "dd_semantic",
     ):
         t0 = time.monotonic()
         SPARK[name](spark, sf_dir).count()

@@ -644,3 +644,81 @@ def test_novelty_semantics(spark):
     assert got[1] == 0 and got[2] == 0       # dup pair: nothing unique
     assert got[3] == 10000                   # fully novel
     assert 0 < got[4] < 10000                # quote + fresh tail
+
+
+def test_semantic_dedup_recall_and_keeper(spark):
+    """SemDeDup (datapipe.semantic_dedup) on the sf0.01 embeddings:
+    (a) removal verdicts match an independent pure-python reference
+    (brute pairs restricted to the engine's own probed cells,
+    keep-the-outlier (dist, vec_id) order); (b) probe-bounded pair
+    recall vs UNclustered brute force is high on the fixture — the
+    multi-probe is what buys this; (c) every co-probed dup pair retains
+    at least one keeper; (d) primary cell/dist equal kmeans_fixed_point."""
+    import numpy as np
+
+    from tsrollup.datapipe import (
+        SEM_EPS,
+        SEM_NPROBE,
+        _kmeans_round2_dists,
+        kmeans_fixed_point,
+        semantic_dedup,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").orderBy("vec_id").collect()
+    ids = np.array([r["vec_id"] for r in emb])
+    X = np.array([r["embedding"] for r in emb], dtype=np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    sim = np.round(Xn @ Xn.T, 4)
+    idx = {int(v): i for i, v in enumerate(ids)}
+
+    d2 = _kmeans_round2_dists(spark, sf).toPandas()
+    d2 = d2.sort_values(["vec_id", "dist", "cell"], kind="mergesort")
+    probes: dict[int, list] = {}
+    primary: dict[int, tuple] = {}
+    for vid, g in d2.groupby("vec_id"):
+        top = list(g[["cell", "dist"]].itertuples(index=False, name=None))
+        probes[int(vid)] = [c for c, _ in top[:SEM_NPROBE]]
+        primary[int(vid)] = top[0]
+
+    out = semantic_dedup(spark, sf).collect()
+    got = {r["vec_id"]: r["keep"] for r in out}
+
+    # (d) primary assignment passes through identical to kmeans
+    km = {r["vec_id"]: (r["cell"], r["dist"])
+          for r in kmeans_fixed_point(spark, sf).collect()}
+    assert {r["vec_id"]: (r["cell"], r["dist"]) for r in out} == km == primary
+
+    # (a) reference verdicts over the engine's own probes
+    ref = {}
+    for v in map(int, ids):
+        dist_v = primary[v][1]
+        removed = False
+        for u in map(int, ids):
+            if u == v or not set(probes[v]) & set(probes[u]):
+                continue
+            if sim[idx[v], idx[u]] < SEM_EPS:
+                continue
+            du = primary[u][1]
+            if du > dist_v or (du == dist_v and u > v):
+                removed = True
+                break
+        ref[v] = not removed
+    assert got == ref
+
+    # (b) recall of probe-bounded pairs vs unclustered brute force
+    brute = {
+        (int(a), int(b))
+        for i, a in enumerate(ids) for j, b in enumerate(ids)
+        if a < b and sim[i, j] >= SEM_EPS
+    }
+    probed = {(a, b) for (a, b) in brute if set(probes[a]) & set(probes[b])}
+    assert brute, "fixture has no semantic-dup pairs — test is vacuous"
+    assert len(probed) * 2 >= len(brute), (
+        f"probe-bounded recall collapsed: {len(probed)}/{len(brute)}"
+    )
+
+    # (c) at least one keeper survives per co-probed dup pair
+    for a, b in probed:
+        assert got[a] or got[b], f"pair ({a},{b}) fully removed"
+    assert sum(1 for k in got.values() if not k) > 0, "no removals — vacuous"

