@@ -150,3 +150,101 @@ def test_linear_fill_falls_back_to_classic(spark, tmp_path):
     ).all()
     filled.unpersist()
     dec_b.unpersist()
+
+
+class TestRound4Layouts:
+    def test_intzz_mode_selection_and_roundtrip(self):
+        """The three intzz payload modes: fixed width (uniform deltas),
+        delta-FOR miniblocks (spike / constant slope), value-FOR
+        (iid noise) — each round-trips and the encoder picks by size."""
+        rng = np.random.default_rng(3)
+        slope = np.arange(1440, dtype=np.int64) * 60
+        spike = np.array([5] * 1439 + [10**12], dtype=np.int64)
+        noise = rng.integers(50, 80, 1440).astype(np.int64)
+        for a, mode in ((slope, 255), (spike, 255), (noise, 254)):
+            blob = encode_intzz(a)
+            assert blob[2] == mode
+            assert np.array_equal(decode_intzz(blob), a)
+        # constant slope: FOR collapses the payload to width bytes
+        assert len(encode_intzz(slope)) < 40
+        # extreme modular deltas survive both adaptive modes
+        ext = np.array([2**62, -(2**62), 2**62, -(2**62)], dtype=np.int64)
+        assert np.array_equal(decode_intzz(encode_intzz(ext)), ext)
+
+    def _mk_block(self, n, gaps=0.0, seed=11):
+        rng = np.random.default_rng(seed)
+        cnt = rng.integers(80, 200, n).astype(np.float64)
+        if gaps:
+            g = rng.random(n) < gaps
+            g[0] = False
+            cnt[g] = 0.0
+        obs = cnt > 0
+        ntoksum = np.where(obs, cnt * rng.integers(200, 300, n), 0.0)
+        toksum = np.where(obs, ntoksum * rng.integers(20_000, 30_000, n), 0.0)
+        tokcnt = ntoksum.copy()
+        idx = np.maximum.accumulate(np.where(obs, np.arange(n), -1))
+        locf = lambda v: v[np.maximum(idx, 0)]  # noqa: E731
+        ntm = np.where(locf(cnt) > 0, locf(ntoksum) / locf(cnt), np.nan)
+        tkm = np.where(locf(tokcnt) > 0, locf(toksum) / locf(tokcnt), np.nan)
+        ts = np.arange(n, dtype=np.int64) * 60_000_000 + 1_700_000_000_000_000
+        return cnt, ntm, tkm, ntoksum, toksum, tokcnt, ts
+
+    def test_v2_and_tiny_layouts_roundtrip_bitexact(self):
+        from tsrollup.codec import _dec_unpack, _reconstruct_dec
+
+        base = 1_700_000_000_000_000 // 86_400_000_000 * 86_400_000_000
+        for n, want_magic in ((1, 0xD3), (3, 0xD3), (5, 0xD2), (300, 0xD2)):
+            blk = self._mk_block(n)
+            p = try_decompose_block(*blk)
+            assert p is not None and p[0] == want_magic, n
+            ts2, (c2, n2, t2, td2) = _dec_unpack(p, base)
+            assert np.array_equal(ts2, blk[6])
+            rc, rn, rt = _reconstruct_dec(c2, n2, t2, n2 + td2)
+            assert np.array_equal(rc, blk[0])
+            assert np.array_equal(rn, blk[1], equal_nan=True)
+            assert np.array_equal(rt, blk[2], equal_nan=True)
+
+    def test_v2_gappy_block_roundtrip(self):
+        from tsrollup.codec import _dec_unpack, _reconstruct_dec
+
+        base = 1_700_000_000_000_000 // 86_400_000_000 * 86_400_000_000
+        blk = self._mk_block(1000, gaps=0.4)
+        p = try_decompose_block(*blk)
+        assert p is not None
+        ts2, (c2, n2, t2, td2) = _dec_unpack(p, base)
+        rc, rn, rt = _reconstruct_dec(c2, n2, t2, n2 + td2)
+        assert np.array_equal(rc, blk[0])
+        assert np.array_equal(rn, blk[1], equal_nan=True)
+        assert np.array_equal(rt, blk[2], equal_nan=True)
+
+    def test_legacy_v1_payload_still_decodes(self):
+        """Old stores carry 0xD1 payloads — decode compatibility is a
+        retention-horizon contract, not an optional nicety."""
+        from tsrollup.codec import (
+            _dec_pack,
+            _dec_unpack,
+            _encode_ts_stream,
+            encode_intzz,
+        )
+
+        n = 50
+        blk = self._mk_block(n)
+        cnt_i = blk[0].astype(np.int64)
+        ntoksum = blk[3].astype(np.int64)
+        toksum = blk[4].astype(np.int64)
+        base = 1_700_000_000_000_000 // 86_400_000_000 * 86_400_000_000
+        legacy = _dec_pack(
+            [
+                _encode_ts_stream(blk[6], base),
+                encode_intzz(cnt_i),
+                encode_intzz(ntoksum),
+                encode_intzz(toksum),
+                b"",
+            ]
+        )
+        ts2, (c2, n2, t2, td2) = _dec_unpack(legacy, base)
+        assert np.array_equal(ts2, blk[6])
+        assert np.array_equal(c2, cnt_i)
+        assert np.array_equal(n2, ntoksum)
+        assert np.array_equal(t2, toksum)
+        assert not td2.any()
