@@ -294,6 +294,57 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "cnt", "n_tok_sum", "n_tok_min", "n_tok_max", "tok_sum", "tok_cnt",
         )
 
+    def engine_streaming_scores(spark, sf_dir):
+        """Streamed per-bucket detectors (streaming.streaming_scores):
+        the 1h tier is written as 3 time-ordered bucket-file slices and
+        drained through the stateful applyInPandasWithState scorer —
+        EWMA state carried at the SCAN_CHUNK grid cut plus the z-window
+        tail, gaps LOCF-rebuilt in-kernel — then projected exactly like
+        engine_zscore_1h. The STREAMED path therefore sits on the same
+        independent DuckDB twin (recursive-CTE EWMA + constant-window-
+        masked z); byte-parity with batch score_tier across micro-batch
+        cuts is additionally pinned in tests/test_streaming.py."""
+        import glob as _glob
+        import shutil as _shutil
+
+        from dataclasses import replace
+
+        from tsrollup.streaming import run_streaming_scores
+
+        cfg = RollupConfig()
+        cfg = replace(cfg, detector=replace(cfg.detector, window=12))
+        seq = sequences_from_documents(spark, sf_dir)
+        tier = build_all_tiers(seq, cfg)["1h"]
+        base = _scratch("streaming_scores")
+        flat = os.path.join(base, "buckets")
+        os.makedirs(flat, exist_ok=True)
+        pdf = (
+            tier.toPandas()
+            .sort_values(["bucket_start", "source"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        n = len(pdf)
+        cuts = (0, n // 3, 2 * n // 3, n)
+        for i in range(3):
+            sl = os.path.join(base, f"slice-{i}")
+            spark.createDataFrame(pdf.iloc[cuts[i]:cuts[i + 1]]).coalesce(
+                1
+            ).write.mode("overwrite").parquet(sl)
+            (f,) = _glob.glob(os.path.join(sl, "*.parquet"))
+            dst = os.path.join(flat, f"part-{i}.parquet")
+            _shutil.copy(f, dst)
+            # FileStreamSource orders by ms-truncated mtime: space slices
+            # a second apart so micro-batches arrive in event-time order
+            os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+        out = os.path.join(base, "scored")
+        run_streaming_scores(
+            spark, flat, out, os.path.join(base, "ckpt"), "1h", cfg,
+            max_files_per_trigger=1,
+        )
+        return _scores_projection(
+            spark.read.parquet(out).drop("gap_filled"), window=12
+        )
+
     def mm_video_frames(spark, sf_dir):
         """Multimodal frame sampling (datapipe.video_frame_features):
         deterministic TSVR videos (6 real BMP frames per doc), demuxed
@@ -712,6 +763,7 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_token_hist": engine_token_hist,
         "engine_token_profile": engine_token_profile,
         "engine_zscore_1h": engine_zscore_1h,
+        "engine_streaming_scores": engine_streaming_scores,
         "engine_residual_stats": engine_residual_stats,
         "engine_codec_blocks": engine_codec_blocks,
         "ann_lsh": ann_lsh,
@@ -1247,6 +1299,7 @@ def _engine_oracles() -> dict[str, str]:
         "engine_read_decoded": read_decoded,
         "engine_codec_blocks": codec_blocks,
         "engine_zscore_1h": zscore_1h,
+        "engine_streaming_scores": zscore_1h,
         "engine_incremental_derive": incremental_derive,
         "engine_residual_stats": resid_stats,
         "engine_streaming_welford": streaming_welford,

@@ -230,3 +230,138 @@ def test_streaming_enriched_join_matches_batch(spark, stream_input):
     n_src = dim.count()
     n_reg = dim.select("region").distinct().count()
     assert 1 < n_reg < n_src
+
+
+# ----------------------------------------------------- streaming scores
+
+
+def _batch_scores(spark, tier_df, cfg):
+    from tsrollup.detect import score_tier
+    from tsrollup.gapfill import gapfill
+
+    return score_tier(gapfill(tier_df, "1m", cfg), "1m", cfg).toPandas()
+
+
+def test_streaming_scores_match_batch(spark, stream_input):
+    """Feed the batch 1m tier as 3 time-ordered slices through the
+    stateful scores operator: every emitted (bucket, detector) row must
+    be byte-identical to detect.score_tier over the gap-filled batch
+    tier — the grid-cut state discipline at work across micro-batches."""
+    from tsrollup.config import RollupConfig
+    from tsrollup.streaming import run_streaming_scores
+
+    cfg = RollupConfig()
+    tier = rollup_from_raw(read_sequences(spark, stream_input), "1m", None)
+    tier_pdf = tier.toPandas().sort_values("bucket_start", kind="mergesort")
+    bdir = os.path.join(BASE, "buckets_in")
+    shutil.rmtree(bdir, ignore_errors=True)
+    os.makedirs(bdir)
+    n = len(tier_pdf)
+    for i, (lo, hi) in enumerate(((0, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, n))):
+        spark.createDataFrame(tier_pdf.iloc[lo:hi]).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(bdir, f"slice-{i}"))
+    # flatten: file source needs a flat dir of parquet files
+    flat = os.path.join(BASE, "buckets_flat")
+    shutil.rmtree(flat, ignore_errors=True)
+    os.makedirs(flat)
+    base_t = 1_700_000_000
+    for i in range(3):
+        (f,) = glob.glob(os.path.join(bdir, f"slice-{i}", "*.parquet"))
+        dst = os.path.join(flat, f"part-{i}.parquet")
+        shutil.copy(f, dst)
+        # FileStreamSource orders by mtime truncated to MILLISECONDS —
+        # same-ms files can batch in reverse; space them a second apart
+        os.utime(dst, (base_t + i, base_t + i))
+    out = os.path.join(BASE, "scores_out")
+    ckpt = os.path.join(BASE, "scores_ckpt")
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    run_streaming_scores(spark, flat, out, ckpt, "1m", cfg,
+                         max_files_per_trigger=1)
+    got = spark.read.parquet(out).toPandas()
+    assert len(got) > 0
+    want = _batch_scores(spark, tier, cfg)
+    assert_frame_byte_equal(
+        normalize_ts(got.drop(columns=["gap_filled"]), ("bucket_start",)),
+        normalize_ts(want, ("bucket_start",)),
+        ["source", "detector", "bucket_start"],
+        "streamed scores vs batch",
+    )
+
+
+def test_streaming_scores_chained_from_streaming_rollup(spark, stream_input):
+    """Two-stage pipeline: streamed rollup sink -> streamed scores. The
+    scored output must equal the batch detectors over the gap-filled
+    FINALIZED bucket set (a per-source time-prefix of the tier)."""
+    from tsrollup.config import RollupConfig
+    from tsrollup.streaming import run_streaming_scores
+
+    cfg = RollupConfig()
+    r_out = os.path.join(BASE, "chain_rollup_out")
+    r_ckpt = os.path.join(BASE, "chain_rollup_ckpt")
+    shutil.rmtree(r_out, ignore_errors=True)
+    shutil.rmtree(r_ckpt, ignore_errors=True)
+    run_streaming_rollup(spark, stream_input, r_out, r_ckpt,
+                         watermark="10 minutes", max_files_per_trigger=1)
+    # no maxFilesPerTrigger here: one upstream micro-batch spreads a
+    # source's windows across MANY part files (the agg's shuffle
+    # partitioning), so file-at-a-time triggering would violate the
+    # per-source order contract. Consuming batch-aligned file sets (here:
+    # all of them at once; the kernel sorts within a batch) is the
+    # documented deployment rule for chaining the scores stage.
+    s_out = os.path.join(BASE, "chain_scores_out")
+    s_ckpt = os.path.join(BASE, "chain_scores_ckpt")
+    shutil.rmtree(s_out, ignore_errors=True)
+    shutil.rmtree(s_ckpt, ignore_errors=True)
+    run_streaming_scores(spark, r_out, s_out, s_ckpt, "1m", cfg)
+    got = spark.read.parquet(s_out).toPandas()
+    assert len(got) > 0
+    # batch twin restricted to the finalized buckets the stream saw
+    emitted = spark.read.parquet(r_out).select("source", "bucket_start")
+    tier = rollup_from_raw(read_sequences(spark, stream_input), "1m", None)
+    sub = tier.join(emitted, ["source", "bucket_start"], "left_semi")
+    want = _batch_scores(spark, sub, cfg)
+    assert_frame_byte_equal(
+        normalize_ts(got.drop(columns=["gap_filled"]), ("bucket_start",)),
+        normalize_ts(want, ("bucket_start",)),
+        ["source", "detector", "bucket_start"],
+        "chained streamed scores vs batch over finalized set",
+    )
+
+
+def test_streaming_scores_rejects_linear_and_late(spark):
+    """linear gap-fill cannot stream (needs future buckets); a bucket
+    behind the streamed end is a contract violation surfaced loudly."""
+    from dataclasses import replace
+
+    from tsrollup.config import RollupConfig
+    from tsrollup.streaming import _scores_update, streaming_scores
+
+    cfg = RollupConfig()
+    lin = replace(cfg, gapfill_method="linear")
+    empty = os.path.join(BASE, "empty_in")
+    os.makedirs(empty, exist_ok=True)
+    with pytest.raises(ValueError, match="linear"):
+        streaming_scores(spark.readStream.schema(
+            "source string, bucket_start timestamp, n_tok_mean double"
+        ).parquet(empty), "1m", lin)
+
+    # drive the kernel directly for the late-data path
+    class FakeState:
+        exists = True
+        get = (0, 10, float("nan"), 0.0, b"")
+
+        def update(self, v):
+            pass
+
+    upd = _scores_update(60, 3.0, 0.3, 1e-12, "n_tok_mean", 60_000_000, "1m")
+    pdf = pd.DataFrame(
+        {
+            "source": ["s"],
+            "bucket_start": [pd.Timestamp("1970-01-01 00:01:00")],  # slot 1 < n=10
+            "n_tok_mean": [1.0],
+        }
+    )
+    with pytest.raises(ValueError, match="late bucket"):
+        list(upd(("s",), iter([pdf]), FakeState()))

@@ -310,3 +310,210 @@ def run_streaming_enriched(
         .start()
     )
     q.awaitTermination()
+
+
+# ------------------------------------------------------- streaming scores
+#
+# Per-bucket detector scores ON THE STREAM: the stage after the
+# streaming rollup reads the finalized 1m bucket rows (append-mode
+# output is final by the watermark contract) and scores each source's
+# series incrementally with applyInPandasWithState. The state carries
+# the same grid-cut discipline as the exactly-incremental batch path
+# (increment._inc_kernel): EWMA (s, v) at the last multiple-of-
+# kernels.SCAN_CHUNK index g — so the chunked-scan grid, and therefore
+# every float rounding, matches the batch evaluation bit-for-bit — plus
+# the filled values [g - (W-1), n) that re-anchor the z-score windows
+# and the post-g EWMA segment. Gap buckets are rebuilt in-kernel (LOCF
+# only: linear interpolation needs future values and cannot stream).
+# Emitted scores are BYTE-IDENTICAL to detect.score_tier over the
+# gap-filled batch tier for the same buckets (tests/test_streaming.py).
+
+SCORES_STATE_SCHEMA = (
+    "series_start long, n long, ewma_s double, ewma_v double, buf binary"
+)
+SCORES_OUT_SCHEMA = (
+    "source string, bucket_start timestamp, tier string, detector string, "
+    "value double, score double, is_anomaly boolean, gap_filled boolean"
+)
+
+
+def _scores_update(window: int, tau: float, alpha: float, eps: float,
+                   value_col: str, step_us: int, tier: str):
+    import numpy as np
+
+    chunk = kernels.SCAN_CHUNK
+
+    def upd(key, pdf_iter, state: GroupState):
+        chunks = [p for p in pdf_iter]
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            "bucket_start", kind="mergesort"
+        )
+        b = pdf["bucket_start"].to_numpy().astype("datetime64[us]").view(np.int64)
+        vals = pdf[value_col].to_numpy(dtype="float64")
+        if state.exists:
+            ss, n, es, ev, buf_b = state.get
+            buf = (
+                np.frombuffer(buf_b, dtype=np.float64)
+                if buf_b
+                else np.empty(0, dtype=np.float64)
+            )
+        else:
+            ss, n, es, ev = int(b[0]), 0, float("nan"), 0.0
+            buf = np.empty(0, dtype=np.float64)
+        rel = b - ss
+        if np.any(rel % step_us):
+            raise ValueError(f"bucket not on the {tier} grid for {key[0]!r}")
+        idx = rel // step_us
+        if idx.shape[0] != np.unique(idx).shape[0]:
+            raise ValueError(f"duplicate finalized bucket for {key[0]!r}")
+        if int(idx[0]) < n:
+            raise ValueError(
+                f"late bucket for {key[0]!r} behind streamed end — finalized "
+                "rows must be in order; late data reconciles via the batch "
+                "re-roll path (T3 contract)"
+            )
+        n_end = int(idx[-1]) + 1
+        # rebuild the dense grid for the new slots (in-kernel G1 + LOCF G2)
+        new = np.full(n_end - n, np.nan, dtype=np.float64)
+        obs_new = np.zeros(n_end - n, dtype=bool)
+        new[idx - n] = vals
+        obs_new[idx - n] = True
+        g = (n // chunk) * chunk
+        tail_len = min(window - 1, g)
+        xx = np.concatenate((buf, new))  # covers slots [g - tail_len, n_end)
+        # LOCF copy of observed doubles (same pure-copy semantics as
+        # gapfill: every filled value is a bit-copy of an observed one)
+        miss = np.isnan(xx) & np.concatenate(
+            (np.zeros(buf.shape[0], dtype=bool), ~obs_new)
+        )
+        pos = np.arange(xx.shape[0])
+        src_idx = np.maximum.accumulate(np.where(miss, -1, pos))
+        xx = xx[np.maximum(src_idx, 0)]
+
+        seg = xx[tail_len:]  # slots [g, n_end)
+        mu, sigma = kernels.rolling_mean_std(xx, window)
+        z_all, zf_all = kernels.zscore_from_stats(xx, mu, sigma, tau)
+        off_new = tail_len + (n - g)
+        z_new, zf_new = z_all[off_new:], zf_all[off_new:]
+
+        g_new = (n_end // chunk) * chunk
+        split = g_new - g
+        init = None if (g == 0 and np.isnan(es)) else (es, ev)
+        if split > 0:
+            _s1, _r1, e1, st_g = kernels.ewma_detector(
+                seg[:split], alpha, eps, init=init, with_state=True
+            )
+            _s2, _r2, e2, _st = kernels.ewma_detector(
+                seg[split:], alpha, eps, init=st_g, with_state=True
+            )
+            e_score = np.concatenate((e1, e2))
+        else:
+            _s, _r, e_score, _st = kernels.ewma_detector(
+                seg, alpha, eps, init=init, with_state=True
+            )
+            st_g = init if init is not None else (float("nan"), 0.0)
+        e_new = e_score[(n - g):]
+        e_flag = pd.array(np.abs(e_new) >= tau, dtype="boolean")
+
+        # refreshed state: buf covers [g_new - min(W-1, g_new), n_end)
+        tail_new = min(window - 1, g_new)
+        start_xx = tail_len + (g_new - tail_new - g)
+        state.update(
+            (
+                int(ss), int(n_end), float(st_g[0]), float(st_g[1]),
+                xx[start_xx:].tobytes(),
+            )
+        )
+
+        n_out = n_end - n
+        buckets = pd.Series(
+            (ss + (np.arange(n, n_end) * step_us)).astype("datetime64[us]")
+        )
+        val_new = xx[off_new:]
+        gap = pd.array(~obs_new, dtype="boolean")
+        yield pd.DataFrame(
+            {
+                "source": [key[0]] * (2 * n_out),
+                "bucket_start": pd.concat([buckets, buckets], ignore_index=True),
+                "tier": tier,
+                "detector": ["zscore"] * n_out + ["ewma"] * n_out,
+                "value": np.concatenate((val_new, val_new)),
+                "score": np.concatenate((z_new, e_new)),
+                "is_anomaly": pd.array(list(zf_new) + list(e_flag), dtype="boolean"),
+                "gap_filled": pd.array(list(gap) + list(gap), dtype="boolean"),
+            }
+        )
+
+    return upd
+
+
+def streaming_scores(bucket_stream: DataFrame, tier: str = "1m", cfg=None) -> DataFrame:
+    """Stateful per-bucket z-score + EWMA scores over a stream of
+    FINALIZED rollup bucket rows (the append-mode output of
+    streaming_rollup_1m or any time-ordered feed of final buckets).
+    Output rows are byte-identical to the batch detect.score_tier over
+    the gap-filled tier (plus a gap_filled flag). LOCF gap-fill only —
+    linear interpolation cannot stream (raises).
+
+    Ordering contract: each source's buckets must be non-decreasing
+    ACROSS micro-batches (within a batch the kernel sorts). Finalized
+    windows satisfy this naturally — the watermark is monotone — but
+    when chaining from a file sink, trigger on batch-aligned file sets:
+    one upstream micro-batch spreads a source's windows across many
+    part files, so file-at-a-time triggers would interleave. A violated
+    contract raises loudly (late data reconciles via the batch re-roll
+    path, the T3 contract)."""
+    from .config import TIER_US, RollupConfig
+
+    cfg = cfg or RollupConfig()
+    if cfg.gapfill_method != "locf":
+        raise ValueError(
+            f"streaming scores require gapfill_method='locf' "
+            f"(got {cfg.gapfill_method!r}): linear interpolation needs "
+            "future buckets and cannot stream"
+        )
+    det = cfg.detector
+    return (
+        bucket_stream.select("source", "bucket_start", det.value_col)
+        .groupBy("source")
+        .applyInPandasWithState(
+            _scores_update(
+                det.window, det.tau, det.alpha, det.eps, det.value_col,
+                dict(TIER_US)[tier], tier,
+            ),
+            outputStructType=SCORES_OUT_SCHEMA,
+            stateStructType=SCORES_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_streaming_scores(
+    spark: SparkSession,
+    bucket_dir: str,
+    out_dir: str,
+    checkpoint: str,
+    tier: str = "1m",
+    cfg=None,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """availableNow drain: read finalized bucket rows as a file stream,
+    score statefully, append to a parquet sink (exactly-once via the
+    file-sink transaction log)."""
+    from . import schemas
+
+    reader = spark.readStream.schema(schemas.ROLLUP_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(bucket_dir)
+    scored = streaming_scores(stream, tier, cfg)
+    q = (
+        scored.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
