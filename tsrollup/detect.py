@@ -216,10 +216,14 @@ def _sharded_kernel(cfg: DetectorConfig, tier: str):
 
 
 def score_tier_sharded(
-    filled: DataFrame, tier: str, cfg: RollupConfig | None = None
+    filled: DataFrame, tier: str, cfg: RollupConfig | None = None,
+    fuse_two_waves: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """W1–W3 sharded: returns (scores, residual_stats), each byte-identical
-    to the unsharded score_tier / residual_stats output."""
+    to the unsharded score_tier / residual_stats output.
+
+    `fuse_two_waves=False` forces the generic wave loop even for the
+    2-shard case (test/measurement hook — the fused plan is the default)."""
     from .config import TIER_US
 
     cfg = cfg or RollupConfig()
@@ -256,35 +260,76 @@ def score_tier_sharded(
     # O(sources) rows) and the kernel resumes from the column. The
     # sequencing is inherent (shard k+1 needs k's state), but the driver
     # never collects state between waves and the closure ships no
-    # per-source dict — one Spark job per wave, state stays executor-side.
-    state_df = None
-    parts = []
-    for sid in range(int(n_shards) + 1):
-        part = with_idx.where(F.col("_shard") == sid).drop("_shard")
-        if state_df is None:
-            part = part.withColumn("_carry", F.lit(None).cast("string"))
-        else:
-            part = part.join(F.broadcast(state_df), "source", "left")
-        res = (
-            part.groupBy("source")
-            .applyInPandas(_sharded_kernel(det, tier), schema=_SHARD_SCHEMA)
-            .localCheckpoint()  # materialize: state rows + final union reuse it
+    # per-source dict — state stays executor-side.
+    if n_shards == 1 and fuse_two_waves:
+        # The common hot-source case (exactly 2 waves) fuses into ONE lazy
+        # plan: wave-0 output is cache-persisted, its state rows feed
+        # wave-1 through the broadcast join, and the final union consumes
+        # both from cache — no per-wave localCheckpoint jobs; the only
+        # extra job is the broadcast build, which also populates the
+        # cache (measured: ~2 jobs vs ~5 on the wave loop,
+        # tests/test_sharding.py job-count regression).
+        kern = _sharded_kernel(det, tier)
+        part0 = (
+            with_idx.where(F.col("_shard") == 0)
+            .drop("_shard")
+            .withColumn("_carry", F.lit(None).cast("string"))
         )
-        new_states = res.where(F.col("detector") == _STATE_ROW).select(
+        res0 = part0.groupBy("source").applyInPandas(
+            kern, schema=_SHARD_SCHEMA
+        ).persist()
+        states0 = res0.where(F.col("detector") == _STATE_ROW).select(
             "source", F.col("state").alias("_carry")
         )
-        if state_df is None:
-            state_df = new_states.localCheckpoint()
-        else:
-            # a source whose series ended in an earlier shard emits no new
-            # state row but must keep its state for the final stats
-            state_df = new_states.unionByName(
-                state_df.join(new_states, "source", "left_anti")
-            ).localCheckpoint()
-        parts.append(res.where(F.col("detector") != _STATE_ROW).drop("state"))
-    scores = parts[0]
-    for p in parts[1:]:
-        scores = scores.unionByName(p)
+        part1 = (
+            with_idx.where(F.col("_shard") == 1)
+            .drop("_shard")
+            .join(F.broadcast(states0), "source", "left")
+        )
+        res1 = part1.groupBy("source").applyInPandas(
+            kern, schema=_SHARD_SCHEMA
+        ).persist()
+        states1 = res1.where(F.col("detector") == _STATE_ROW).select(
+            "source", F.col("state").alias("_carry")
+        )
+        # a source whose series ends in shard 0 keeps its state for stats
+        state_df = states1.unionByName(
+            states0.join(states1, "source", "left_anti")
+        )
+        scores = (
+            res0.where(F.col("detector") != _STATE_ROW)
+            .drop("state")
+            .unionByName(res1.where(F.col("detector") != _STATE_ROW).drop("state"))
+        )
+    else:
+        state_df = None
+        parts = []
+        for sid in range(int(n_shards) + 1):
+            part = with_idx.where(F.col("_shard") == sid).drop("_shard")
+            if state_df is None:
+                part = part.withColumn("_carry", F.lit(None).cast("string"))
+            else:
+                part = part.join(F.broadcast(state_df), "source", "left")
+            res = (
+                part.groupBy("source")
+                .applyInPandas(_sharded_kernel(det, tier), schema=_SHARD_SCHEMA)
+                .localCheckpoint()  # materialize: state rows + final union reuse
+            )
+            new_states = res.where(F.col("detector") == _STATE_ROW).select(
+                "source", F.col("state").alias("_carry")
+            )
+            if state_df is None:
+                state_df = new_states.localCheckpoint()
+            else:
+                # a source whose series ended in an earlier shard emits no
+                # new state row but must keep its state for the final stats
+                state_df = new_states.unionByName(
+                    state_df.join(new_states, "source", "left_anti")
+                ).localCheckpoint()
+            parts.append(res.where(F.col("detector") != _STATE_ROW).drop("state"))
+        scores = parts[0]
+        for p in parts[1:]:
+            scores = scores.unionByName(p)
     # ONE O(sources) collect at the very end (not per shard): final
     # residual stats come from the terminal state table
     states = {r["source"]: r["_carry"] for r in state_df.collect()}
