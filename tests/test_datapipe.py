@@ -114,11 +114,13 @@ def test_decoders_on_committed_fixture_files(spark):
         os.path.join(data_dir, "sample.*")
     ).select("path", "content")
 
+    ext_mt = {".bmp": "image/bmp", ".wav": "audio/wav", ".jpg": "image/jpeg"}
+
     def extract(batches):
         for pdf in batches:
             rows = []
             for path, payload in zip(pdf["path"], pdf["content"]):
-                mt = "image/bmp" if path.endswith(".bmp") else "audio/wav"
+                mt = ext_mt[os.path.splitext(path)[1]]
                 w, h, f = _decode(bytes(payload), mt, 8)
                 rows.append((os.path.basename(path), mt, len(payload), w, h, f))
             yield pd.DataFrame(
@@ -134,6 +136,12 @@ def test_decoders_on_committed_fixture_files(spark):
     wav = out["sample.wav"]
     assert (wav["width"], wav["height"]) == (2000, 8000)
     assert abs(wav["feature"][3] - 2 * 440 / 8000) < 0.01  # tone zcr
+    jpg = out["sample.jpg"]
+    assert (jpg["width"], jpg["height"]) == (56, 40)
+    # features computed from the frozen decoded pixels
+    want = np.load(os.path.join(data_dir, "sample_jpg_pixels.npy")).astype(np.float64)
+    assert abs(jpg["feature"][0] - want[..., 0].mean()) < 1e-9
+    assert abs(jpg["feature"][6] - want.mean(axis=2).mean()) < 1e-9
 
 
 def test_unregistered_media_type_raises():
@@ -144,17 +152,21 @@ def test_unregistered_media_type_raises():
 
 
 def test_multimodal_mixed_dispatch(spark):
-    """The mixed entry must exercise all three decoders and produce
-    format-consistent dimensions per media type."""
+    """The mixed entry must exercise all FOUR decoders (incl. the real
+    compressed image/jpeg path) and produce format-consistent dimensions
+    per media type."""
     from tsrollup.datapipe import multimodal_features_mixed
 
     feats = multimodal_features_mixed(spark, SF).toPandas()
     kinds = set(feats["media_type"])
-    assert kinds == {"text/plain", "image/bmp", "audio/wav"}
+    assert kinds == {"text/plain", "image/bmp", "audio/wav", "image/jpeg"}
     bmp = feats[feats["media_type"] == "image/bmp"]
     assert (bmp["width"] == 16).all() and bmp["height"].between(1, 8).all()
     wav = feats[feats["media_type"] == "audio/wav"]
     assert (wav["height"] == 8000).all() and (wav["width"] > 0).all()
+    jpg = feats[feats["media_type"] == "image/jpeg"]
+    assert len(jpg) > 0
+    assert (jpg["width"] == 16).all() and jpg["height"].between(1, 8).all()
     # deterministic: re-run equals first run
     again = multimodal_features_mixed(spark, SF).toPandas()
     a = feats.sort_values("doc_id").reset_index(drop=True)

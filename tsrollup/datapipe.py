@@ -402,21 +402,44 @@ def _decode_wav(payload: bytes, feat_dim: int):
     return n, int(rate), _fit(feats, feat_dim)
 
 
+def _decode_jpeg_features(payload: bytes, feat_dim: int):
+    """REAL decoder for a genuinely COMPRESSED format: pure-NumPy baseline
+    JPEG (tsrollup.jpeg — Huffman entropy decode + dequant + IDCT +
+    YCbCr->RGB), then the same channel-stat features as the BMP path."""
+    from .jpeg import decode_jpeg
+
+    px = decode_jpeg(payload)
+    if px.ndim == 2:
+        px = np.stack([px, px, px], axis=-1)
+    h, w = px.shape[:2]
+    rgb = px.astype(np.float64)
+    gray = rgb.mean(axis=2)
+    feats = [
+        float(rgb[..., 0].mean()), float(rgb[..., 1].mean()), float(rgb[..., 2].mean()),
+        float(rgb[..., 0].std()), float(rgb[..., 1].std()), float(rgb[..., 2].std()),
+        float(gray.mean()), float(gray.std()),
+    ]
+    return w, h, _fit(feats, feat_dim)
+
+
 register_decoder("image/bmp", _decode_bmp)
 register_decoder("audio/wav", _decode_wav)
+register_decoder("image/jpeg", _decode_jpeg_features)
 
 
 def multimodal_features_mixed(
     spark: SparkSession, sf_dir: str, feat_dim: int = 8
 ) -> DataFrame:
-    """Media-type DISPATCH on real decoders: documents become a 3-way mix
+    """Media-type DISPATCH on real decoders: documents become a 4-way mix
     of payloads by doc_id — text/plain (utf-8 bytes), image/bmp (a real
     encoded BMP whose pixels tile the text bytes), audio/wav (a real PCM
-    wave derived from the text bytes). Stage 1 synthesizes the binary
-    payload column (fixture adapter — the testdata ships no media blobs);
-    stage 2 is the SAME Arrow-batched decode path as multimodal_features,
-    now exercising three decoders incl. the two real parsers. Everything
-    is deterministic, so the driver entry is stable run to run."""
+    wave derived from the text bytes), image/jpeg (a real baseline-JFIF
+    encode of the same pixel tile — the genuinely COMPRESSED format,
+    round 4). Stage 1 synthesizes the binary payload column (fixture
+    adapter — the testdata ships no media blobs); stage 2 is the SAME
+    Arrow-batched decode path as multimodal_features, now exercising
+    four decoders incl. the three real parsers. Everything is
+    deterministic, so the driver entry is stable run to run."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         F.col("doc_id").cast("string").alias("doc_id"),
         "text",
@@ -428,7 +451,7 @@ def multimodal_features_mixed(
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 raw = text.encode("utf-8")
                 arr = np.frombuffer(raw, dtype=np.uint8)
-                kind = int(doc_id) % 3
+                kind = int(doc_id) % 4
                 if kind == 0 or arr.size == 0:
                     mt, payload = "text/plain", raw
                 elif kind == 1:
@@ -436,9 +459,16 @@ def multimodal_features_mixed(
                     h = max(1, min(8, arr.size // (w * 3)))
                     px = np.resize(arr, (h, w, 3))
                     mt, payload = "image/bmp", make_bmp(px)
-                else:
+                elif kind == 2:
                     samples = (arr.astype(np.int32) - 128) * 256
                     mt, payload = "audio/wav", make_wav(samples.astype(np.int16))
+                else:
+                    from .jpeg import make_jpeg
+
+                    w = 16
+                    h = max(1, min(8, arr.size // (w * 3)))
+                    px = np.resize(arr, (h, w, 3))
+                    mt, payload = "image/jpeg", make_jpeg(px, quality=85)
                 rows["doc_id"].append(doc_id)
                 rows["payload"].append(payload)
                 rows["media_type"].append(mt)
