@@ -622,6 +622,25 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("entropy", 6).alias("entropy_r"),
         )
 
+    def engine_token_drift(spark, sf_dir):
+        """Per-(source, day) token-distribution drift vs the whole
+        corpus that day (tokenstats.token_drift): exact KL divergence
+        assembled the bigram-LM way — each token's c*ln((c*M)/(N*C))
+        term is ONE float division of exact BIGINT products, rounded to
+        integer micro-nats BEFORE the cross-token sum, so the aggregate
+        is an order-free BIGINT and the published kl_nats is a single
+        exact-integer division. The time x token signature signal: a
+        source whose token mix shifts away from the day's corpus flags
+        scraper drift or template floods before volume moves."""
+        from tsrollup.tokenstats import token_drift
+
+        out = token_drift(sequences_from_documents(spark, sf_dir))
+        return out.select(
+            "source",
+            F.unix_timestamp("bucket").alias("bucket_s"),
+            "n_tok", "n_distinct", "kl_unats", "kl_nats",
+        )
+
     def engine_seq_dedup(spark, sf_dir):
         """Exact sequence-level dedup on the TOKEN PAYLOAD: group by
         xxhash64(tokens) (Catalyst's int-fold over the array — one
@@ -753,6 +772,7 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dd_substring": dd_substring,
         "dd_substring_removal": dd_substring_removal,
+        "engine_token_drift": engine_token_drift,
         "mx_split": mx_split,
         "mx_sample": mx_sample,
         "mx_shuffle": mx_shuffle,
@@ -1167,6 +1187,35 @@ def _engine_oracles() -> dict[str, str]:
     GROUP BY c.source, c.chunk_id, c.ctoks
     """)
 
+    token_drift = engine_oracle("""
+    , tok AS (SELECT source, date_trunc('day', event_ts) AS bucket,
+                     unnest(tokens) AS token_id FROM seq),
+    h AS (SELECT source, bucket, token_id, count(*)::BIGINT AS cnt
+          FROM tok GROUP BY 1, 2, 3),
+    dt AS (SELECT bucket, token_id, sum(cnt)::BIGINT AS day_cnt
+           FROM h GROUP BY 1, 2),
+    ns AS (SELECT source, bucket, sum(cnt)::BIGINT AS n_sb
+           FROM h GROUP BY 1, 2),
+    mb AS (SELECT bucket, sum(day_cnt)::BIGINT AS m_b FROM dt GROUP BY 1),
+    t AS (
+      SELECT h.source, h.bucket, ns.n_sb,
+             CAST(round(h.cnt * ln(CAST(h.cnt * mb.m_b AS DOUBLE)
+                                   / CAST(ns.n_sb * dt.day_cnt AS DOUBLE))
+                        * 1000000, 0) AS BIGINT) AS term_u
+      FROM h
+      JOIN dt ON dt.bucket = h.bucket AND dt.token_id = h.token_id
+      JOIN ns ON ns.source = h.source AND ns.bucket = h.bucket
+      JOIN mb ON mb.bucket = h.bucket
+    )
+    SELECT source, CAST(epoch(bucket) AS BIGINT) AS bucket_s,
+           min(n_sb) AS n_tok,
+           count(*)::BIGINT AS n_distinct,
+           sum(term_u)::BIGINT AS kl_unats,
+           CAST(sum(term_u) AS DOUBLE)
+             / CAST(min(n_sb) * 1000000 AS DOUBLE) AS kl_nats
+    FROM t GROUP BY 1, 2
+    """)
+
     token_heavy = engine_oracle("""
     , tok AS (SELECT unnest(tokens) AS token_id FROM seq),
     n AS (SELECT count(*)::BIGINT AS total FROM tok)
@@ -1281,6 +1330,7 @@ def _engine_oracles() -> dict[str, str]:
     return {
         "dd_substring": dd_substring_o,
         "dd_substring_removal": dd_substring_removal_o,
+        "engine_token_drift": token_drift,
         "mx_split": mx_split_o,
         "mx_sample": mx_sample_o,
         "mx_shuffle": mx_shuffle_o,

@@ -216,6 +216,12 @@ def main() -> None:
     substring_duplication(sequences_from_documents(spark, sf_dir), k=8).count()
     timings["q_dd_substring"] = round(time.monotonic() - t0, 3)
 
+    from tsrollup.tokenstats import token_drift
+
+    t0 = time.monotonic()
+    token_drift(sequences_from_documents(spark, sf_dir)).count()
+    timings["q_token_drift"] = round(time.monotonic() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

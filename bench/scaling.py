@@ -164,6 +164,11 @@ def main() -> None:
     ap.add_argument("--masters", default="local[8],local[32]")
     ap.add_argument("--fixture", default=None, help="pre-built sequences.parquet (skips synth)")
     ap.add_argument(
+        "--label", default="",
+        help="suffix for the span key (e.g. '_r4') so a re-run never "
+        "clobbers a prior round's sample in BENCH/scaling.json",
+    )
+    ap.add_argument(
         "--control-only", action="store_true",
         help="re-run only the CPU-ceiling control and merge into BENCH/scaling.json",
     )
@@ -176,7 +181,7 @@ def main() -> None:
         path = os.path.join(REPO, "BENCH", "scaling.json")
         with open(path) as f:
             report = json.load(f)
-        span = report["spans"][f"{lo_n}x{hi_n}"]
+        span = report["spans"][f"{lo_n}x{hi_n}{args.label}"]
         span["cpu_ceiling_control"] = cpu_ceiling(lo_n, hi_n)
         ceil = span["cpu_ceiling_control"]["compute_ceiling_eff"]
         span["phase_efficiency_normalized"] = {
@@ -256,13 +261,18 @@ def main() -> None:
         with open(path) as f:
             prior = json.load(f)
         combined = prior if "spans" in prior else {}
-    combined.setdefault("spans", {})[f"{lo_n}x{hi_n}"] = span_report
+    combined.setdefault("spans", {})[f"{lo_n}x{hi_n}{args.label}"] = span_report
     combined["fixture_rows"] = args.rows
     combined["criterion"] = (
         "eff = (throughput_4N/throughput_N)/4 >= 0.8 for some N->4N core "
         "span, same input, fresh JVM per master via spark-submit"
     )
-    combined["passed"] = any(s["passed"] for s in combined["spans"].values())
+    # hand-curated annotation entries (e.g. rerun-attempt LISTS) sit next
+    # to measured span dicts — only dicts carry a pass verdict
+    combined["passed"] = any(
+        s["passed"] for s in combined["spans"].values()
+        if isinstance(s, dict) and "passed" in s
+    )
     combined["normalization"] = (
         "phase_efficiency / compute_ceiling_eff at the same span; the "
         "compute + bandwidth controls bound what ANY job can show on this "

@@ -160,3 +160,97 @@ class TestExactCountsContract:
 
         with pytest.raises(ValueError, match="negative token id"):
             _exact_counts(np.array([3, -1, 7], dtype=np.int64))
+
+
+class TestTokenDrift:
+    def test_matches_numpy_reference(self, spark):
+        """token_drift vs an independent pure-numpy KL computation over a
+        synthetic (source, day) corpus with one deliberately-drifted
+        source-day (narrow token range) that must rank highest."""
+        import numpy as np
+        import pandas as pd
+
+        from tsrollup.tokenstats import token_drift
+
+        rng = np.random.default_rng(23)
+        rows = []
+        days = [pd.Timestamp("2024-03-01"), pd.Timestamp("2024-03-02")]
+        for day in days:
+            for src in ("a", "b", "c"):
+                for i in range(20):
+                    if src == "c" and day == days[1]:
+                        toks = rng.integers(0, 10, 40)  # drifted: narrow vocab
+                    else:
+                        toks = rng.integers(0, 500, 40)
+                    ts = day + pd.Timedelta(minutes=int(rng.integers(0, 1440)))
+                    rows.append(
+                        (f"{src}{day.day}{i}", toks.astype(np.int32).tolist(),
+                         len(toks), src, ts.to_pydatetime())
+                    )
+        seq = spark.createDataFrame(
+            rows,
+            "doc_id string, tokens array<int>, n_tok int, source string, "
+            "event_ts timestamp",
+        )
+        got = token_drift(seq).toPandas()
+
+        # reference
+        pdf = pd.DataFrame(rows, columns=["doc_id", "tokens", "n_tok",
+                                          "source", "event_ts"])
+        pdf["bucket"] = pdf["event_ts"].dt.floor("D")
+        ref = {}
+        for (src, day), g in pdf.groupby(["source", "bucket"]):
+            flat = np.concatenate(g["tokens"].to_list())
+            ids, c = np.unique(flat, return_counts=True)
+            all_day = np.concatenate(
+                pdf[pdf["bucket"] == day]["tokens"].to_list()
+            )
+            dids, dc = np.unique(all_day, return_counts=True)
+            dmap = dict(zip(dids, dc))
+            N, M = len(flat), len(all_day)
+            terms = [
+                int(np.floor(abs(v) + 0.5) * np.sign(v))
+                for v in (
+                    c * np.log((c * M).astype(float) / (N * np.array([dmap[t] for t in ids])).astype(float)) * 1e6
+                )
+            ]
+            ref[(src, day)] = (N, len(ids), sum(terms))
+        assert len(got) == len(ref)
+        for _, r in got.iterrows():
+            n, nd, kl_u = ref[(r["source"], pd.Timestamp(r["bucket"]))]
+            assert r["n_tok"] == n and r["n_distinct"] == nd
+            assert r["kl_unats"] == kl_u, (r["source"], r["bucket"])
+            assert r["kl_nats"] == kl_u / (n * 1e6)
+        # the drifted source-day dominates
+        top = got.sort_values("kl_nats", ascending=False).iloc[0]
+        assert top["source"] == "c" and pd.Timestamp(top["bucket"]).day == 2
+        # KL >= 0 within rounding (micro-nat units)
+        assert (got["kl_unats"] >= -len(got) * 1).all()
+
+    def test_keyed_histogram_equals_explode(self, spark):
+        import numpy as np
+
+        from tsrollup.tokenstats import token_histogram_keyed
+
+        rng = np.random.default_rng(4)
+        rows = [
+            (f"d{i}", rng.integers(0, 50, rng.integers(1, 30)).astype(np.int32).tolist(),
+             0, ["x", "y"][i % 2], ["g1", "g2", "g3"][i % 3])
+            for i in range(200)
+        ]
+        seq = spark.createDataFrame(
+            rows, "doc_id string, tokens array<int>, n_tok int, source string, grp string"
+        )
+        got = token_histogram_keyed(
+            seq, ["source", "grp"], "source string, grp string"
+        ).toPandas()
+        want = (
+            seq.select("source", "grp", F.explode("tokens").alias("token_id"))
+            .groupBy("source", "grp", "token_id")
+            .count()
+            .toPandas()
+        )
+        g = got.sort_values(["source", "grp", "token_id"]).reset_index(drop=True)
+        w = want.sort_values(["source", "grp", "token_id"]).reset_index(drop=True)
+        assert (g["cnt"].to_numpy() == w["count"].to_numpy()).all()
+        assert len(g) == len(w)

@@ -90,6 +90,94 @@ def _batch_hist_by_source(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
             )
 
 
+def token_histogram_keyed(
+    seq: DataFrame, keys: list[str], key_schema: str
+) -> DataFrame:
+    """Exact (keys..., token_id, cnt) histogram via the same vocab-bounded
+    bincount partials, grouped by an arbitrary key tuple (e.g.
+    (source, day) for drift analysis). `key_schema` declares the key
+    columns' DDL (`"source string, bucket timestamp"`)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            outs = []
+            for kv, g in pdf.groupby(keys, sort=False):
+                flat = np.concatenate(g["tokens"].to_list())
+                if not flat.size:
+                    continue
+                ids, cnts = _exact_counts(flat)
+                kv = kv if isinstance(kv, tuple) else (kv,)
+                d = {k: [v] * len(ids) for k, v in zip(keys, kv)}
+                d["token_id"] = ids.astype(np.int32)
+                d["cnt"] = cnts.astype(np.int64)
+                outs.append(pd.DataFrame(d))
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    partials = seq.select(*keys, "tokens").mapInPandas(
+        gen, f"{key_schema}, token_id int, cnt long"
+    )
+    return partials.groupBy(*keys, "token_id").agg(F.sum("cnt").alias("cnt"))
+
+
+def token_drift(
+    seq: DataFrame, ts_col: str = "event_ts", bucket: str = "day"
+) -> DataFrame:
+    """Per-(source, bucket) token-distribution DRIFT vs the whole corpus
+    in that bucket: exact KL divergence D(p_source,bucket || p_bucket) —
+    the time x token signature signal (a source whose token mix shifts
+    away from the day's corpus flags ingestion regressions, scraper
+    drift, or template floods long before volume metrics move).
+
+    Exactness contract (the bigram-LM idiom): every per-token term
+    c * ln((c * M) / (N * C)) is computed from ONE float division of two
+    exact BIGINT products and rounded to integer MICRO-NAT units before
+    the cross-token sum, so the aggregate is a BIGINT — summation-order
+    free, hash-twinnable. The published ``kl_nats`` is one final division
+    of exact integers.
+
+    Scale shape: the (source, bucket, token) histogram comes from the
+    vocab-bounded bincount partials (never an explode of the corpus);
+    the three reference tables (per-bucket token totals, per-(source,
+    bucket) totals, per-bucket totals) are all re-aggregations of that
+    histogram — one extra shuffle each, all bounded by vocab x buckets.
+
+    Returns (source, bucket, n_tok, n_distinct, kl_unats BIGINT,
+    kl_nats double)."""
+    d = seq.withColumn("bucket", F.date_trunc(bucket, ts_col))
+    h = token_histogram_keyed(
+        d, ["source", "bucket"], "source string, bucket timestamp"
+    )
+    day_tot = h.groupBy("bucket", "token_id").agg(F.sum("cnt").alias("day_cnt"))
+    n_sb = h.groupBy("source", "bucket").agg(F.sum("cnt").alias("n_sb"))
+    m_b = day_tot.groupBy("bucket").agg(F.sum("day_cnt").alias("m_b"))
+    j = (
+        h.join(day_tot, ["bucket", "token_id"])
+        .join(n_sb, ["source", "bucket"])
+        .join(F.broadcast(m_b), "bucket")
+    )
+    # exact integer products, ONE division, ln, micro-nat rounding
+    ratio = (F.col("cnt") * F.col("m_b")).cast("double") / (
+        F.col("n_sb") * F.col("day_cnt")
+    ).cast("double")
+    term_u = F.round(F.col("cnt").cast("double") * F.log(ratio) * 1e6, 0).cast("long")
+    return (
+        j.groupBy("source", "bucket")
+        .agg(
+            F.min("n_sb").alias("n_tok"),  # constant within the group
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum(term_u).alias("kl_unats"),
+        )
+        .select(
+            "source", "bucket", "n_tok", "n_distinct", "kl_unats",
+            (F.col("kl_unats").cast("double")
+             / (F.col("n_tok") * F.lit(1_000_000)).cast("double")).alias("kl_nats"),
+        )
+    )
+
+
 def token_histogram(seq: DataFrame, by_source: bool = False) -> DataFrame:
     """Exact corpus token-frequency histogram (module doc). Input needs a
     `tokens: array<int>` column (plus `source` when by_source). Returns
