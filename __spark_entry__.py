@@ -726,6 +726,19 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = spark.read.parquet(f"{sf_dir}/documents.parquet")
         return shuffle_rank(d, "doc_id", epoch=2).select("doc_id", "shuffle_rank")
 
+    def mx_reservoir(spark, sf_dir):
+        """Deterministic per-source UNIFORM k-sample (mixing.
+        reservoir_topk) — weighted_sample_topk's uniform sibling for
+        eval-set / human-review draws: rank by (xxhash64(id#seed), id)
+        within each source, keep 5. The twin re-derives every rank, so
+        the whole draw — not just membership — is value-checked."""
+        from tsrollup.mixing import reservoir_topk
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return reservoir_topk(d, "source", "doc_id", k=5, seed=7).select(
+            "source", "doc_id", "rnk"
+        )
+
     def mx_weighted(spark, sf_dir):
         """Weighted sampling without replacement, top-5 per source
         (mixing.weighted_sample_topk, Efraimidis-Spirakis): rank by
@@ -777,6 +790,7 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mx_sample": mx_sample,
         "mx_shuffle": mx_shuffle,
         "mx_weighted": mx_weighted,
+        "mx_reservoir": mx_reservoir,
         "engine_seq_dedup": engine_seq_dedup,
         "engine_seq_pack": engine_seq_pack,
         "engine_token_heavy": engine_token_heavy,
@@ -1250,6 +1264,14 @@ def _engine_oracles() -> dict[str, str]:
     FROM documents
     """)
 
+    mx_reservoir_o = engine_oracle("""
+    , r AS (SELECT source, doc_id,
+                   row_number() OVER (PARTITION BY source
+                     ORDER BY xxh64(doc_id::VARCHAR || '#7'), doc_id) AS rnk
+            FROM documents)
+    SELECT source, doc_id, rnk FROM r WHERE rnk <= 5
+    """)
+
     mx_weighted_o = engine_oracle("""
     , keyed AS (
       SELECT source, doc_id,
@@ -1335,6 +1357,7 @@ def _engine_oracles() -> dict[str, str]:
         "mx_sample": mx_sample_o,
         "mx_shuffle": mx_shuffle_o,
         "mx_weighted": mx_weighted_o,
+        "mx_reservoir": mx_reservoir_o,
         "engine_seq_dedup": seq_dedup,
         "engine_seq_pack": seq_pack,
         "engine_token_heavy": token_heavy,

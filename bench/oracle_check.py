@@ -8,6 +8,7 @@ the driver widens ints), so an int32-vs-int64 "False" with `diffs 0`
 printed is a dtype artifact, not a value mismatch.
 
     python bench/oracle_check.py [entry ...]      # default: all oracles
+    python bench/oracle_check.py --json BENCH/board_r04.json   # persist board
 """
 
 from __future__ import annotations
@@ -39,9 +40,16 @@ def canon(df):
 
 
 def main() -> int:
+    args = sys.argv[1:]
+    json_path = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_path = args[i + 1]
+        args = args[:i] + args[i + 2:]
     spark = get_spark("local[8]")
     qs, osql = entry.queries(), entry.oracle_sql()
-    names = sys.argv[1:] or sorted(osql)
+    names = args or sorted(osql)
+    board: dict = {}
     con = duckdb.connect()
     for t in TABLES:
         p = f"{SF}/{t}.parquet"
@@ -72,8 +80,26 @@ def main() -> int:
         status = "OK" if (ok_rows and ok_cols and ok_vals) else "FAIL"
         if status == "FAIL":
             failures += 1
+        board[name] = {
+            "status": status, "spark_rows": len(a), "oracle_rows": len(b),
+            "rows_match": ok_rows, "cols_match": ok_cols, "values_match": bool(ok_vals),
+        }
         print(f"{name}: {status} rows={len(a)}/{len(b)}")
     print(f"{len(names) - failures}/{len(names)} value-exact")
+    if json_path:
+        import json as _json
+        import time as _time
+
+        payload = {
+            "sf_dir": SF,
+            "n_queries": len(names),
+            "n_value_exact": len(names) - failures,
+            "timestamp": _time.strftime("%Y-%m-%dT%H:%M:%SZ", _time.gmtime()),
+            "queries": board,
+        }
+        with open(json_path, "w") as f:
+            _json.dump(payload, f, indent=2)
+        print(f"board written to {json_path}")
     return 1 if failures else 0
 
 

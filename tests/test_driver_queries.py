@@ -84,3 +84,37 @@ def test_all_spark_queries_run(spark):
             continue
         df = fn(spark, SF_DIR)
         assert df.count() >= 0, name
+
+
+def test_dd_incremental_semantics(spark):
+    """Incremental dedup vs a pure-python reference on planted dups:
+    a new-batch doc duplicating an existing doc -> dup_of_existing with
+    the existing keeper; two new docs sharing text -> min-id keeps
+    'unique'/'dup_in_batch'; fresh text -> unique."""
+    import hashlib
+
+    import pandas as pd
+
+    from tsrollup.driver_queries import SPARK
+
+    docs = []
+    for i in range(20):
+        docs.append((str(i), f"existing text {i}", len(f"{i}"), "s0"))
+    docs.append(("350", "existing text 3", 1, "s0"))     # dup of existing id 3
+    docs.append(("351", "brand new text A", 1, "s0"))    # unique
+    docs.append(("352", "brand new text B", 1, "s0"))    # batch keeper
+    docs.append(("353", "brand new text B", 1, "s0"))    # dup in batch
+    pdf = pd.DataFrame(docs, columns=["doc_id", "text", "n_chars", "source"])
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+            f"{td}/documents.parquet"
+        )
+        out = {r["doc_id"]: (r["verdict"], r["keeper_doc_id"])
+               for r in SPARK["dd_incremental"](spark, td).collect()}
+    assert out[350] == ("dup_of_existing", 3)
+    assert out[351] == ("unique", 351)
+    assert out[352] == ("unique", 352)
+    assert out[353] == ("dup_in_batch", 352)
+    assert len(out) == 4  # existing docs never re-emitted

@@ -132,3 +132,40 @@ def test_weighted_sample_topk_bias_and_determinism(spark):
     k3 = weighted_sample_topk(df, "w", k=3, strat_col="source", id_col="doc_id")
     per = k3.groupBy("source").count().collect()
     assert all(r["count"] == 3 for r in per)
+
+
+def test_reservoir_topk_uniform_deterministic(spark):
+    """Per-group uniform k-sample: ranks 1..k per group, byte-stable
+    across runs, decorrelated across seeds, and roughly uniform over the
+    group members across many seeds (the hash-uniformity sanity)."""
+    from tsrollup.mixing import reservoir_topk
+
+    rows = [(s * 100 + i, f"src{s}") for s in range(10) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+
+    out = reservoir_topk(df, "source", "doc_id", k=5, seed=0)
+    got = {(r["source"], r["doc_id"], r["rnk"]) for r in out.collect()}
+    per = {}
+    for src, _d, rnk in got:
+        per.setdefault(src, []).append(rnk)
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per.values())
+    assert len(per) == 10
+
+    again = {(r["source"], r["doc_id"], r["rnk"])
+             for r in reservoir_topk(df, "source", "doc_id", k=5, seed=0).collect()}
+    assert again == got
+
+    other = {(r["source"], r["doc_id"], r["rnk"])
+             for r in reservoir_topk(df, "source", "doc_id", k=5, seed=1).collect()}
+    assert other != got  # decorrelated draw
+
+    # uniformity over 30 seeds: each member of one group sampled with
+    # frequency ~ k/n = 1/8; no member should be wildly over/under drawn
+    counts = {}
+    for seed in range(30):
+        for r in reservoir_topk(
+            df.where("source = 'src0'"), "source", "doc_id", 5, seed
+        ).collect():
+            counts[r["doc_id"]] = counts.get(r["doc_id"], 0) + 1
+    # expectation 30 * 5/40 = 3.75 draws/member
+    assert max(counts.values()) <= 12 and len(counts) >= 25

@@ -557,6 +557,67 @@ def dd_exact_dedup(spark, sf_dir):
 
 
 @q(
+    "dd_incremental",
+    """
+    WITH d AS (SELECT CAST(doc_id AS BIGINT) AS did, md5(text) AS h
+               FROM documents),
+    ex AS (SELECT h, min(did) AS ex_keeper FROM d WHERE did < 350 GROUP BY h),
+    nw AS (SELECT did, h FROM d WHERE did >= 350),
+    bk AS (SELECT h, min(did) AS batch_min FROM nw GROUP BY h)
+    SELECT nw.did AS doc_id,
+           CASE WHEN ex.ex_keeper IS NOT NULL THEN 'dup_of_existing'
+                WHEN bk.batch_min < nw.did THEN 'dup_in_batch'
+                ELSE 'unique' END AS verdict,
+           CAST(CASE WHEN ex.ex_keeper IS NOT NULL THEN ex.ex_keeper
+                     WHEN bk.batch_min < nw.did THEN bk.batch_min
+                     ELSE nw.did END AS BIGINT) AS keeper_doc_id
+    FROM nw LEFT JOIN ex ON ex.h = nw.h JOIN bk ON bk.h = nw.h
+    """,
+)
+def dd_incremental(spark, sf_dir):
+    """INCREMENTAL exact dedup — the production ingestion shape: a new
+    batch (doc_id >= 350) dedups against the EXISTING corpus's keeper
+    hash table (doc_id < 350) and within itself, without ever
+    re-scanning existing text. Verdict per new doc: dup_of_existing
+    (keeper = existing min-id holder of the hash), dup_in_batch
+    (keeper = the batch's min-id holder), or unique (its own keeper).
+
+    Scale shape at 100 TB: the existing side is the MAINTAINED hash
+    keeper side table (hash + keeper id only — the corpus text never
+    re-reads), joined by hash; within-batch resolution is one hash agg
+    over the batch. Every ingestion batch costs O(batch) + a join
+    against the index, not O(corpus). Near-dup ingestion composes the
+    same way against the persisted MinHash shingle side table
+    (dd_minhash_lsh's storage note)."""
+    d = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("did"), F.md5("text").alias("h")
+    )
+    ex = (
+        d.where(F.col("did") < 350)
+        .groupBy("h")
+        .agg(F.min("did").alias("ex_keeper"))
+    )
+    nw = d.where(F.col("did") >= 350)
+    bk = nw.groupBy("h").agg(F.min("did").alias("batch_min"))
+    j = nw.join(ex, "h", "left").join(bk, "h")
+    verdict = (
+        F.when(F.col("ex_keeper").isNotNull(), F.lit("dup_of_existing"))
+        .when(F.col("batch_min") < F.col("did"), F.lit("dup_in_batch"))
+        .otherwise(F.lit("unique"))
+    )
+    keeper = (
+        F.when(F.col("ex_keeper").isNotNull(), F.col("ex_keeper"))
+        .when(F.col("batch_min") < F.col("did"), F.col("batch_min"))
+        .otherwise(F.col("did"))
+    )
+    return j.select(
+        F.col("did").alias("doc_id"),
+        verdict.alias("verdict"),
+        keeper.cast("long").alias("keeper_doc_id"),
+    )
+
+
+@q(
     "dd_dup_groups",
     """
     SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n

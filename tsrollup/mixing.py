@@ -186,3 +186,27 @@ def weighted_sample_topk(
         keyed.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= k)
     )
+
+
+def reservoir_topk(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    k: int = 5,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic per-group UNIFORM k-sample without replacement —
+    the eval-set / human-review draw (weighted_sample_topk's uniform
+    sibling): rank = row_number over (xxhash64(id#seed), id) within each
+    group, keep rank <= k. Every member is equally likely under the
+    hash's uniformity, the draw is reproducible and row-auditable
+    (membership recomputable per row), and different seeds give
+    decorrelated samples. One shuffle on group_col; at corpus scale the
+    per-group top-k is a per-partition heap, never a global sort."""
+    h = F.xxhash64(_seed_key(id_col, seed))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(h, F.col(id_col))
+    return df.withColumn("rnk", F.row_number().over(w)).where(
+        F.col("rnk") <= k
+    )
