@@ -1633,6 +1633,14 @@ def substring_duplication(
     with one lead() window: each window contributes
     min(k, next_pos - pos); rate as integer per-10k), so the DuckDB
     twin hash-matches bit-for-bit."""
+    # postings feed TWO consumers (the dup-set agg and the coverage
+    # semi-join) but stay LAZY deliberately: A/B-measured at sf0.1, an
+    # eager localCheckpoint is ~2.6x SLOWER (0.36 -> 0.93 s) — the
+    # postings are LARGER than the input (one row per window), so
+    # materializing them costs more than re-running the cheap codegen
+    # hash pass twice. The containment lesson (checkpoint multi-consumer
+    # subtrees) applies when the shared subtree is expensive RELATIVE to
+    # its size — here it is the opposite.
     postings = substring_fingerprints(seq, k, select_mod)
     dup = postings.join(_dup_fps(postings), "fp", "left_semi")
     w = Window.partitionBy("doc_id").orderBy("pos")
@@ -1682,7 +1690,7 @@ def substring_span_removal(seq: DataFrame, k: int = 8) -> DataFrame:
     joins a per-doc sorted removed-position array back to the sequence
     table and filters by position in one codegen expression — the token
     arrays themselves never shuffle."""
-    postings = substring_fingerprints(seq, k)
+    postings = substring_fingerprints(seq, k)  # lazy on purpose (see above)
     dup = postings.join(_dup_fps(postings), "fp", "left_semi")
     wk = Window.partitionBy("fp").orderBy("doc_id", "pos")
     removable = dup.withColumn("rn", F.row_number().over(wk)).where(F.col("rn") > 1)

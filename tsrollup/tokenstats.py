@@ -147,9 +147,12 @@ def token_drift(
     Returns (source, bucket, n_tok, n_distinct, kl_unats BIGINT,
     kl_nats double)."""
     d = seq.withColumn("bucket", F.date_trunc(bucket, ts_col))
+    # EAGER checkpoint: the histogram feeds THREE consumers (per-bucket
+    # totals, per-(source,bucket) totals, and the term join) — left lazy,
+    # the bincount partials pass over the corpus runs three times
     h = token_histogram_keyed(
         d, ["source", "bucket"], "source string, bucket timestamp"
-    )
+    ).localCheckpoint()
     day_tot = h.groupBy("bucket", "token_id").agg(F.sum("cnt").alias("day_cnt"))
     n_sb = h.groupBy("source", "bucket").agg(F.sum("cnt").alias("n_sb"))
     m_b = day_tot.groupBy("bucket").agg(F.sum("day_cnt").alias("m_b"))
