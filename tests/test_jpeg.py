@@ -144,3 +144,39 @@ class TestRegistry:
         dec = decode_jpeg(blob).astype(np.float64)
         assert feat[0] == pytest.approx(dec[..., 0].mean())
         assert feat[6] == pytest.approx(dec.mean(axis=2).mean())
+
+
+class TestFuzzRobustness:
+    """Corrupted payloads must raise cleanly (ValueError /
+    NotImplementedError / IndexError-free hang-free), never loop forever
+    or return garbage silently — the registry's loud-failure contract."""
+
+    def test_truncations_raise(self):
+        blob = make_jpeg(_smooth(24, 24), 75)
+        for cut in (2, 4, 20, len(blob) // 2, len(blob) - 3):
+            with pytest.raises((ValueError, NotImplementedError, struct.error)):
+                decode_jpeg(blob[:cut])
+
+    def test_random_byte_flips_never_hang_or_crash_unexpectedly(self):
+        rng = np.random.default_rng(77)
+        blob = bytearray(make_jpeg(_smooth(24, 24), 75))
+        ok, raised = 0, 0
+        for _ in range(300):
+            b = bytearray(blob)
+            for _ in range(int(rng.integers(1, 4))):
+                b[int(rng.integers(2, len(b)))] = int(rng.integers(0, 256))
+            try:
+                out = decode_jpeg(bytes(b))
+                assert out.dtype == np.uint8  # decoded despite the flip
+                ok += 1
+            except (ValueError, NotImplementedError, struct.error):
+                raised += 1
+        assert ok + raised == 300
+        assert raised > 0  # some flips must be detected
+
+    def test_random_garbage_raises(self):
+        rng = np.random.default_rng(3)
+        for n in (0, 1, 2, 10, 200):
+            junk = bytes(rng.integers(0, 256, n, dtype=np.uint8))
+            with pytest.raises((ValueError, NotImplementedError, struct.error)):
+                decode_jpeg(b"\xff\xd8" + junk if n else junk)

@@ -374,6 +374,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 tc, th = body[o] >> 4, body[o] & 0xF
                 bits = list(body[o + 1 : o + 17])
                 n = sum(bits)
+                if len(bits) < 16 or len(body) < o + 17 + n:
+                    raise ValueError("truncated DHT segment")
                 vals = list(body[o + 17 : o + 17 + n])
                 hts[(tc, th)] = _HuffTable(bits, vals)
                 o += 17 + n
@@ -381,6 +383,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision")
+            if h == 0 or w == 0 or h * w > 64_000_000:
+                # corrupted dimensions would allocate plane buffers far
+                # beyond any plausible payload before the entropy stream
+                # even gets a chance to fail — reject up front
+                raise ValueError(f"implausible SOF dimensions {w}x{h}")
             for i in range(nc):
                 cid, samp, tq = body[6 + 3 * i : 9 + 3 * i]
                 if samp != 0x11:
@@ -396,7 +403,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         elif marker == 0xDD:
             raise NotImplementedError("restart intervals (DRI)")
         elif marker == 0xDA:  # SOS
-            ns = body[0]
+            ns = body[0] if body else 0
+            if len(body) < 1 + 2 * ns + 3:
+                raise ValueError("truncated SOS segment")
             for i in range(ns):
                 cid, tids = body[1 + 2 * i], body[2 + 2 * i]
                 scan.append((cid, tids >> 4, tids & 0xF))
@@ -408,6 +417,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     if len(scan) != len(comps):
         raise NotImplementedError("multi-scan files")
 
+    for _cid, d, a_ in scan:
+        if (0, d) not in hts or (1, a_) not in hts:
+            raise ValueError(f"SOS references undefined Huffman table dc={d} ac={a_}")
+    for _cid, _s, tq in comps:
+        if tq not in qts:
+            raise ValueError(f"SOF references undefined quant table {tq}")
     br = _BitReader(payload, data_start)
     bh, bw_ = (h + 7) // 8, (w + 7) // 8
     nmcu = bh * bw_
@@ -422,6 +437,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         for ci in range(len(comps)):
             zz = np.zeros(64, dtype=np.int64)
             size = dc_by_ci[ci].decode(br)
+            if size > 15:  # corrupted table: DC categories are 0..11
+                raise ValueError(f"invalid DC size category {size}")
             diff = _extend(br.bits(size), size) if size else 0
             preds[ci] += diff
             zz[0] = preds[ci]
