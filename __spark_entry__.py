@@ -345,6 +345,29 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark.read.parquet(out).drop("gap_filled"), window=12
         )
 
+    def engine_streaming_token_hist(spark, sf_dir):
+        """Tokens x streaming composition: exact per-(1m bucket, token)
+        counts ON THE STREAM (streaming.streaming_token_hist_1m) —
+        vocab-bounded mapInPandas bincount partials, then a watermarked
+        windowed sum. The watermark attaches to the partials' floored
+        bucket column, so the finalization threshold the oracle
+        reproduces is date_trunc(minute, max event_ts) - 10min; emitted
+        rows are FINAL exact counts equal to the batch histogram for
+        those buckets."""
+        from tsrollup.streaming import run_streaming_token_hist
+
+        base = _scratch("streaming_tokhist")
+        in_dir = _seq_files(spark, sf_dir, base)
+        out = os.path.join(base, "hist")
+        run_streaming_token_hist(
+            spark, in_dir, out, os.path.join(base, "ckpt"),
+            max_files_per_trigger=1,
+        )
+        return spark.read.parquet(out).select(
+            F.unix_timestamp("bucket_start").alias("bucket_s"),
+            "token_id", "cnt",
+        )
+
     def mm_video_frames(spark, sf_dir):
         """Multimodal frame sampling (datapipe.video_frame_features):
         deterministic TSVR videos (6 real BMP frames per doc), demuxed
@@ -798,6 +821,7 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_token_profile": engine_token_profile,
         "engine_zscore_1h": engine_zscore_1h,
         "engine_streaming_scores": engine_streaming_scores,
+        "engine_streaming_token_hist": engine_streaming_token_hist,
         "engine_residual_stats": engine_residual_stats,
         "engine_codec_blocks": engine_codec_blocks,
         "ann_lsh": ann_lsh,
@@ -1230,6 +1254,19 @@ def _engine_oracles() -> dict[str, str]:
     FROM t GROUP BY 1, 2
     """)
 
+    streaming_token_hist = engine_oracle("""
+    , wm AS (SELECT date_trunc('minute', max(event_ts)) - INTERVAL 10 MINUTE
+                    AS w FROM seq),
+    tok AS (SELECT date_trunc('minute', event_ts) AS bucket,
+                   unnest(tokens) AS token_id
+            FROM seq)
+    SELECT epoch(bucket)::BIGINT AS bucket_s,
+           token_id::INTEGER AS token_id,
+           count(*)::BIGINT AS cnt
+    FROM tok, wm WHERE bucket + INTERVAL 1 MINUTE <= wm.w
+    GROUP BY 1, 2
+    """)
+
     token_heavy = engine_oracle("""
     , tok AS (SELECT unnest(tokens) AS token_id FROM seq),
     n AS (SELECT count(*)::BIGINT AS total FROM tok)
@@ -1373,6 +1410,7 @@ def _engine_oracles() -> dict[str, str]:
         "engine_codec_blocks": codec_blocks,
         "engine_zscore_1h": zscore_1h,
         "engine_streaming_scores": zscore_1h,
+        "engine_streaming_token_hist": streaming_token_hist,
         "engine_incremental_derive": incremental_derive,
         "engine_residual_stats": resid_stats,
         "engine_streaming_welford": streaming_welford,

@@ -365,3 +365,40 @@ def test_streaming_scores_rejects_linear_and_late(spark):
     )
     with pytest.raises(ValueError, match="late bucket"):
         list(upd(("s",), iter([pdf]), FakeState()))
+
+
+def test_streaming_token_hist_matches_batch(spark, stream_input):
+    """Streamed per-(1m bucket, token) counts must equal the batch
+    explode histogram exactly on every finalized bucket, and the
+    finalized set must be the watermark-threshold subset."""
+    from pyspark.sql import functions as F
+
+    from tsrollup.streaming import run_streaming_token_hist
+
+    out = os.path.join(BASE, "tokhist_out")
+    ckpt = os.path.join(BASE, "tokhist_ckpt")
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    run_streaming_token_hist(spark, stream_input, out, ckpt,
+                             watermark="10 minutes", max_files_per_trigger=1)
+    got = spark.read.parquet(out).toPandas()
+    assert len(got) > 0
+
+    seq = read_sequences(spark, stream_input)
+    batch = (
+        seq.select(F.date_trunc("minute", "event_ts").alias("bucket_start"),
+                   F.explode("tokens").alias("token_id"))
+        .groupBy("bucket_start", "token_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .toPandas()
+    )
+    wm = (seq.agg(F.max("event_ts")).first()[0].replace(second=0, microsecond=0)
+          - pd.Timedelta(minutes=10))
+    final = batch[batch["bucket_start"] + pd.Timedelta(minutes=1) <= wm]
+    g = normalize_ts(got, ("bucket_start",)).sort_values(
+        ["bucket_start", "token_id"]).reset_index(drop=True)
+    w = normalize_ts(final, ("bucket_start",)).sort_values(
+        ["bucket_start", "token_id"]).reset_index(drop=True)
+    assert len(g) == len(w)
+    assert (g["token_id"].to_numpy() == w["token_id"].to_numpy()).all()
+    assert (g["cnt"].to_numpy() == w["cnt"].to_numpy()).all()

@@ -517,3 +517,88 @@ def run_streaming_scores(
         .start()
     )
     q.awaitTermination()
+
+
+# -------------------------------------------------- streaming token stats
+
+TOKEN_HIST_PARTIAL_SCHEMA = "bucket timestamp, token_id int, cnt long"
+
+
+def _token_hist_partials(batches):
+    """Per-Arrow-batch (1m bucket, token_id, cnt) bincount partials —
+    the tokenstats explode-free pattern on the stream: each batch emits
+    at most |V| rows per bucket instead of one row per token."""
+    import numpy as np
+
+    from .tokenstats import _exact_counts
+
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        pdf = pdf.assign(bucket=pdf["event_ts"].dt.floor("min"))
+        outs = []
+        for b, g in pdf.groupby("bucket", sort=False):
+            flat = np.concatenate(g["tokens"].to_list())
+            if not flat.size:
+                continue
+            ids, cnts = _exact_counts(flat)
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "bucket": b,
+                        "token_id": ids.astype(np.int32),
+                        "cnt": cnts.astype(np.int64),
+                    }
+                )
+            )
+        if outs:
+            yield pd.concat(outs, ignore_index=True)
+
+
+def streaming_token_hist_1m(
+    stream: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Per-(1m bucket, token_id) EXACT token counts on the stream — the
+    tokens x streaming composition: vocab-bounded mapInPandas bincount
+    partials (stateless, so legal before the stateful agg), then a
+    watermarked windowed SUM. The watermark attaches to the PARTIALS'
+    bucket column (mapInPandas detaches the original event-time
+    attribute — same reason streaming_rollup_1m must not rename
+    event_ts): bucket = floor_minute(event_ts) <= event_ts, so
+    finalization is conservative by < 1 minute and append-mode rows
+    remain FINAL exact counts, byte-comparable to the batch histogram
+    for the same buckets."""
+    partials = stream.select("event_ts", "tokens").mapInPandas(
+        _token_hist_partials, TOKEN_HIST_PARTIAL_SCHEMA
+    )
+    agg = (
+        partials.withWatermark("bucket", watermark)
+        .groupBy(F.window("bucket", "1 minute"), F.col("token_id"))
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    return agg.select(
+        F.col("window.start").alias("bucket_start"), "token_id", "cnt"
+    )
+
+
+def run_streaming_token_hist(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    checkpoint: str,
+    watermark: str = "10 minutes",
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """availableNow drain of the streamed token histogram into a parquet
+    sink (exactly-once via the file-sink transaction log)."""
+    stream = read_sequence_stream(spark, in_dir, max_files_per_trigger)
+    hist = streaming_token_hist_1m(stream, watermark)
+    q = (
+        hist.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
