@@ -118,3 +118,39 @@ def test_dd_incremental_semantics(spark):
     assert out[352] == ("unique", 352)
     assert out[353] == ("dup_in_batch", 352)
     assert len(out) == 4  # existing docs never re-emitted
+
+
+def test_dd_incremental_neardup_semantics(spark):
+    """Planted near-dups across the existing/new split: a new doc that
+    lightly edits an existing doc -> near_dup_of_existing; two similar
+    new docs -> the later one near_dup_in_batch; fresh text -> unique."""
+    import tempfile
+
+    import pandas as pd
+
+    from tsrollup.driver_queries import SPARK
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon")
+    docs = []
+    for i in range(20):
+        docs.append((str(i), f"{base} marker{i}", 1, "s0"))
+    docs.append(("350", f"{base} marker3 extra", 1, "s0"))   # ~near existing 3
+    docs.append(("351", "totally different words entirely fresh content "
+                        "nothing shared here at all whatsoever", 1, "s0"))
+    docs.append(("352", f"{base} brandnew", 1, "s0"))        # near base family
+    docs.append(("353", f"{base} brandnew tail", 1, "s0"))   # near 352
+    pdf = pd.DataFrame(docs, columns=["doc_id", "text", "n_chars", "source"])
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+            f"{td}/documents.parquet"
+        )
+        out = {r["doc_id"]: (r["verdict"], r["partner_doc_id"])
+               for r in SPARK["dd_incremental_neardup"](spark, td).collect()}
+    assert len(out) == 4
+    assert out[351][0] == "unique" and out[351][1] is None
+    assert out[350][0] == "near_dup_of_existing"
+    assert out[350][1] < 350
+    # 353 is nearest to 352 (within batch); 352's best partner is existing
+    assert out[353][0] == "near_dup_in_batch" and out[353][1] == 352
+    assert out[352][0] == "near_dup_of_existing"

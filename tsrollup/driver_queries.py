@@ -618,6 +618,135 @@ def dd_incremental(spark, sf_dir):
 
 
 @q(
+    "dd_incremental_neardup",
+    """
+    WITH sets AS (
+      SELECT CAST(doc_id AS BIGINT) AS did,
+             list_distinct(
+               [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                for i in generate_series(1, len(ws) - 2)]) AS shingles
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents)
+      WHERE len(ws) >= 3
+    ),
+    sigs AS (
+      SELECT did, b,
+             min(md5('0:' || CAST(b AS VARCHAR) || ':' || w))
+               || min(md5('1:' || CAST(b AS VARCHAR) || ':' || w)) AS sig
+      FROM (SELECT did, unnest(shingles) AS w FROM sets)
+      CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b)
+      GROUP BY did, b
+    ),
+    cand AS (
+      SELECT DISTINCT n.did AS did, p.did AS partner
+      FROM sigs n JOIN sigs p ON n.b = p.b AND n.sig = p.sig
+      WHERE n.did >= 350 AND (p.did < 350 OR p.did < n.did)
+    ),
+    ver AS (
+      SELECT c.did, c.partner,
+             round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+               / (len(sa.shingles) + len(sb.shingles)
+                  - len(list_intersect(sa.shingles, sb.shingles))), 6) AS jacc_r
+      FROM cand c
+      JOIN sets sa ON sa.did = c.did
+      JOIN sets sb ON sb.did = c.partner
+    ),
+    best AS (
+      SELECT did, partner, jacc_r FROM (
+        SELECT did, partner, jacc_r,
+               row_number() OVER (PARTITION BY did
+                                  ORDER BY jacc_r DESC, partner) AS rn
+        FROM ver WHERE jacc_r >= 0.7) WHERE rn = 1
+    )
+    SELECT s.did AS doc_id,
+           CASE WHEN b.partner IS NULL THEN 'unique'
+                WHEN b.partner < 350 THEN 'near_dup_of_existing'
+                ELSE 'near_dup_in_batch' END AS verdict,
+           b.partner AS partner_doc_id,
+           b.jacc_r AS jaccard_r
+    FROM sets s LEFT JOIN best b USING (did)
+    WHERE s.did >= 350
+    """,
+)
+def dd_incremental_neardup(spark, sf_dir):
+    """INCREMENTAL near-dup — the ingestion sibling of dd_incremental:
+    a new batch (doc_id >= 350) generates MinHash band signatures and
+    probes the EXISTING corpus's signature table (doc_id < 350 — in
+    production the PERSISTED side table dd_minhash_lsh's storage note
+    describes; here re-derived so the oracle can too) plus earlier
+    batch members; band-matching candidates verify by exact shingle
+    Jaccard at 0.7 and each new doc gets a deterministic verdict:
+    near_dup_of_existing / near_dup_in_batch (best partner by rounded
+    Jaccard, tie -> smaller id) / unique.
+
+    Scale shape: O(batch) signature work + a banded equi-join against
+    the signature index — never a corpus rescan; the verify join reads
+    only candidate docs' shingle sets (semi-join-pruned in the side-
+    table layout)."""
+    d = t(spark, sf_dir, "documents")
+    shingles = F.expr(
+        "transform(sequence(0, size(ws) - 3), "
+        "i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"
+    )
+    sets = (
+        d.select(F.col("doc_id").cast("long").alias("did"),
+                 F.split(F.lower("text"), " ").alias("ws"))
+        .where(F.size("ws") >= 3)
+        .select("did", F.array_distinct(shingles).alias("shingles"))
+        .localCheckpoint()  # three consumers: sigs + both verify sides
+    )
+    words = sets.select("did", F.explode("shingles").alias("w"))
+    bands = F.explode(F.array(*[F.lit(b) for b in range(4)])).alias("b")
+
+    def row_sig(r: int):
+        return F.min(
+            F.md5(F.concat(F.lit(f"{r}:"), F.col("b").cast("string"),
+                           F.lit(":"), F.col("w")))
+        )
+
+    sigs = (
+        words.select("did", "w", bands)
+        .groupBy("did", "b")
+        .agg(F.concat(row_sig(0), row_sig(1)).alias("sig"))
+    )
+    n_ = sigs.alias("n")
+    p_ = sigs.alias("p")
+    cand = (
+        n_.join(p_, (F.col("n.b") == F.col("p.b")) & (F.col("n.sig") == F.col("p.sig")))
+        .where((F.col("n.did") >= 350)
+               & ((F.col("p.did") < 350) | (F.col("p.did") < F.col("n.did"))))
+        .select(F.col("n.did").alias("did"), F.col("p.did").alias("partner"))
+        .distinct()
+    )
+    sa = sets.select(F.col("did"), F.col("shingles").alias("sh_a"))
+    sb = sets.select(F.col("did").alias("partner"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size("sh_a") + F.size("sh_b") - F.size(F.array_intersect("sh_a", "sh_b"))
+    ver = (
+        cand.join(sa, "did").join(sb, "partner")
+        .select("did", "partner", F.round(inter / union, 6).alias("jacc_r"))
+        .where(F.col("jacc_r") >= 0.7)
+    )
+    w = Window.partitionBy("did").orderBy(F.desc("jacc_r"), "partner")
+    best = ver.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    verdict = (
+        F.when(F.col("partner").isNull(), F.lit("unique"))
+        .when(F.col("partner") < 350, F.lit("near_dup_of_existing"))
+        .otherwise(F.lit("near_dup_in_batch"))
+    )
+    return (
+        sets.where(F.col("did") >= 350)
+        .join(best.select("did", "partner", "jacc_r"), "did", "left")
+        .select(
+            F.col("did").alias("doc_id"),
+            verdict.alias("verdict"),
+            F.col("partner").alias("partner_doc_id"),
+            "jacc_r",
+        )
+        .withColumnRenamed("jacc_r", "jaccard_r")
+    )
+
+
+@q(
     "dd_dup_groups",
     """
     SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n
