@@ -345,6 +345,28 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark.read.parquet(out).drop("gap_filled"), window=12
         )
 
+    def engine_spectral_residual(spark, sf_dir):
+        """Spectral Residual saliency detector (Ren et al. KDD 2019;
+        tsops.spectral_residual_scores) over the gap-filled 1h tier —
+        the frequency-domain member of the detector family (windowless
+        in the time domain; complementary to the forecast-residual
+        detectors). ROWS-ONLY: an FFT has no ANSI-SQL expression; the
+        kernel is pinned against an independent O(n^2) explicit-DFT
+        reference plus planted-spike behavior in tests/test_tsops.py."""
+        from tsrollup.tsops import spectral_residual_scores
+
+        cfg = RollupConfig()
+        seq = sequences_from_documents(spark, sf_dir)
+        filled = gapfill(build_all_tiers(seq, cfg)["1h"], "1h", cfg)
+        out = spectral_residual_scores(
+            filled, ["source"], "bucket_start", "n_tok_mean"
+        )
+        return out.select(
+            "source", F.unix_timestamp("bucket_start").alias("bucket_s"),
+            "x", F.round("saliency", 6).alias("saliency_r"),
+            F.round("score", 6).alias("score_r"), "is_anomaly",
+        )
+
     def engine_streaming_token_hist(spark, sf_dir):
         """Tokens x streaming composition: exact per-(1m bucket, token)
         counts ON THE STREAM (streaming.streaming_token_hist_1m) —
@@ -822,6 +844,7 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_zscore_1h": engine_zscore_1h,
         "engine_streaming_scores": engine_streaming_scores,
         "engine_streaming_token_hist": engine_streaming_token_hist,
+        "engine_spectral_residual": engine_spectral_residual,
         "engine_residual_stats": engine_residual_stats,
         "engine_codec_blocks": engine_codec_blocks,
         "ann_lsh": ann_lsh,

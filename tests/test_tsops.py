@@ -649,3 +649,85 @@ class TestPctlNaming:
         assert _pctl_name(0.9995) == "p9995"
         with pytest.raises(ValueError):
             _pctl_name(1.5)
+
+
+class TestSpectralResidual:
+    def _dft_reference(self, x, q=3, z=21, eps=1e-8):
+        """Independent O(n^2) explicit-DFT implementation (no np.fft):
+        different algorithm path, same math."""
+        x = np.asarray(x, float)
+        n = len(x)
+        k = np.arange(n)
+        W = np.exp(-2j * np.pi * np.outer(k, k) / n)
+        f = W @ x.astype(complex)
+        amp = np.abs(f)
+        phase = f / np.maximum(amp, eps)
+
+        def avg(v, w):
+            w = max(1, min(w, len(v)))
+            pad = np.pad(v, (w // 2, w - 1 - w // 2), mode="edge")
+            return np.convolve(pad, np.full(w, 1.0 / w), mode="valid")
+
+        resid = np.log(amp + eps) - avg(np.log(amp + eps), q)
+        Winv = np.exp(2j * np.pi * np.outer(k, k) / n) / n
+        sal = np.abs(Winv @ (np.exp(resid) * phase))
+        m = avg(sal, z)
+        return sal, (sal - m) / np.maximum(m, eps)
+
+    def test_kernel_matches_independent_dft(self):
+        from tsrollup.kernels import spectral_residual
+
+        rng = np.random.default_rng(8)
+        for n in (16, 100, 257):
+            x = np.cumsum(rng.normal(0, 1, n)) + 50
+            sal, score = spectral_residual(x)
+            rsal, rscore = self._dft_reference(x)
+            np.testing.assert_allclose(sal, rsal, rtol=1e-8, atol=1e-10)
+            np.testing.assert_allclose(score, rscore, rtol=1e-7, atol=1e-8)
+
+    def test_planted_spike_is_most_salient(self):
+        from tsrollup.kernels import spectral_residual
+
+        rng = np.random.default_rng(4)
+        x = 100 + rng.normal(0, 1, 500)
+        x[333] += 60.0
+        sal, score = spectral_residual(x)
+        assert int(np.argmax(score)) == 333
+        assert score[333] > 3.0
+        # no warmup region: every point scored (finite)
+        assert np.isfinite(score).all() and len(score) == 500
+
+    def test_empty_and_single(self):
+        from tsrollup.kernels import spectral_residual
+
+        sal, score = spectral_residual(np.empty(0))
+        assert sal.size == 0 and score.size == 0
+        sal1, score1 = spectral_residual(np.array([5.0]))
+        assert sal1.shape == (1,) and np.isfinite(score1).all()
+
+    def test_spark_wrapper_matches_kernel(self, spark):
+        from tsrollup.kernels import spectral_residual
+        from tsrollup.tsops import spectral_residual_scores
+
+        rng = np.random.default_rng(12)
+        frames = []
+        for src in ("a", "b"):
+            n = 300
+            x = 100 + rng.normal(0, 2, n)
+            x[97] += 40
+            frames.append(pd.DataFrame({
+                "key": src,
+                "ts": pd.Timestamp("2024-01-01") + pd.to_timedelta(np.arange(n), unit="m"),
+                "val": x, "eid": np.arange(n),
+            }))
+        pdf = pd.concat(frames, ignore_index=True)
+        got = spectral_residual_scores(
+            spark.createDataFrame(pdf), ["key"], "ts", "val", tiebreak="eid"
+        ).toPandas()
+        assert len(got) == len(pdf)
+        for src, g in pdf.groupby("key"):
+            sal, score = spectral_residual(g["val"].to_numpy())
+            sub = got[got["key"] == src].sort_values("ts")
+            np.testing.assert_array_equal(sub["saliency"].to_numpy(), sal)
+            np.testing.assert_array_equal(sub["score"].to_numpy(), score)
+            assert bool(sub.iloc[97]["is_anomaly"])

@@ -314,3 +314,51 @@ def locf_fill(values: np.ndarray, observed: np.ndarray) -> np.ndarray:
     this twin exists for the oracle."""
     s = pd.Series(np.where(observed, values, np.nan), dtype="float64")
     return s.ffill().to_numpy(dtype=np.float64)
+
+
+def spectral_residual(
+    x: np.ndarray,
+    q: int = 3,
+    z: int = 21,
+    eps: float = 1e-8,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Spectral Residual saliency detector (Ren et al., "Time-Series
+    Anomaly Detection Service at Microsoft", KDD 2019 §3.1 — public):
+
+    f  = FFT(x);  A = |f|;  P = f / max(A, eps)        (phase)
+    L  = log(A + eps)
+    AL = moving average of L over q (centered, edge-padded)
+    S  = |IFFT(exp(L - AL) * P)|                        (saliency map)
+    score_t = (S_t - M_t) / max(M_t, eps),  M = moving average of S
+              over z (centered, edge-padded)
+
+    Frequency-domain novelty: a spike or step contributes energy across
+    the spectrum, so its log-amplitude sticks out from the local
+    spectral average and the saliency map lights up AT the event —
+    windowless in the time domain (no warmup region) and complementary
+    to the forecasting detectors (z-score/EWMA/Holt) whose residuals
+    smear over the window after the event.
+
+    Returns (saliency, score) float64[n]. Parity: pinned against an
+    independent O(n^2) explicit-DFT reference in tests (different FFT
+    algorithm => agreement to ~1e-8 relative, asserted there)."""
+    x = np.asarray(x, dtype=np.float64)
+    n = x.shape[0]
+    if n == 0:
+        e = np.empty(0, dtype=np.float64)
+        return e, e.copy()
+
+    def _avg(v: np.ndarray, w: int) -> np.ndarray:
+        w = max(1, min(w, v.shape[0]))
+        pad = np.pad(v, (w // 2, w - 1 - w // 2), mode="edge")
+        return np.convolve(pad, np.full(w, 1.0 / w), mode="valid")
+
+    f = np.fft.fft(x)
+    amp = np.abs(f)
+    phase = f / np.maximum(amp, eps)
+    logamp = np.log(amp + eps)
+    resid = logamp - _avg(logamp, q)
+    sal = np.abs(np.fft.ifft(np.exp(resid) * phase))
+    m = _avg(sal, z)
+    score = (sal - m) / np.maximum(m, eps)
+    return sal, score

@@ -548,3 +548,55 @@ def point_in_interval_join(
         .where((F.col("t_us") >= F.col("start_us")) & (F.col("t_us") <= F.col("end_us")))
         .select("p_id", "iv_id", (F.col("t_us") - F.col("start_us")).alias("offset_us"))
     )
+
+
+def spectral_residual_scores(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    value_col: str,
+    q: int = 3,
+    z: int = 21,
+    tau: float = 3.0,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Spectral Residual saliency detector per series key
+    (kernels.spectral_residual — Ren et al. KDD 2019): one applyInPandas
+    per key over the time-ordered series; returns keys + ts + value +
+    saliency + score + is_anomaly (score >= tau; SR flags positive
+    saliency spikes). Windowless in the time domain — no warmup NaNs —
+    and complementary to the forecast-residual detectors."""
+    import numpy as np
+    import pandas as pd
+
+    from .kernels import spectral_residual
+
+    key_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.select(*keys).schema.fields
+    )
+    ts_type = df.schema[ts_col].dataType.simpleString()
+    out_schema = (
+        f"{key_schema}, {ts_col} {ts_type}, x double, saliency double, "
+        "score double, is_anomaly boolean"
+    )
+    sort_cols = [ts_col] + ([tiebreak] if tiebreak else [])
+    carry = [tiebreak] if tiebreak and tiebreak not in (ts_col, value_col) else []
+
+    def _sr(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(sort_cols, kind="mergesort")
+        x = pdf[value_col].to_numpy(dtype=np.float64)
+        sal, score = spectral_residual(x, q, z)
+        out = {k: pdf[k].to_numpy() for k in keys}
+        out[ts_col] = pdf[ts_col].to_numpy()
+        out.update(
+            x=x, saliency=sal, score=score,
+            is_anomaly=pd.array(score >= tau, dtype="boolean"),
+        )
+        return pd.DataFrame(out)
+
+    return (
+        df.select(*keys, ts_col, value_col, *carry)
+        .groupBy(*keys)
+        .applyInPandas(_sr, out_schema)
+    )
