@@ -189,6 +189,7 @@ def main() -> None:
         "j7_interval_overlap",
         "w8_anomaly_islands",
         "w9_xcorr_lag",
+        "w10_acf",
         "tx_vocab_growth",
         "j8_point_in_interval",
         "dd_containment",

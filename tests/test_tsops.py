@@ -731,3 +731,42 @@ class TestSpectralResidual:
             np.testing.assert_array_equal(sub["saliency"].to_numpy(), sal)
             np.testing.assert_array_equal(sub["score"].to_numpy(), score)
             assert bool(sub.iloc[97]["is_anomaly"])
+
+
+def test_acf_lags_vs_numpy(spark):
+    """Grouped ACF == numpy corrcoef over the per-key aligned lag pairs;
+    a planted period-6 series peaks at lag 6; key isolation holds (two
+    series never cross-correlate); constant series -> NULL r."""
+    from tsrollup.tsops import acf_lags
+
+    rng = np.random.default_rng(11)
+    # key "p": strong period-6 signal + small noise; key "w": white noise
+    rows = []
+    for i in range(60):
+        rows.append(("p", i, int(100 + 40 * (i % 6 == 0) + rng.integers(0, 5))))
+        rows.append(("w", i, int(rng.integers(0, 50))))
+    # a gap in "p" exercises inner-join pair semantics
+    rows = [r for r in rows if not (r[0] == "p" and r[1] == 23)]
+    df = spark.createDataFrame(rows, "k string, i long, c long")
+    got = {
+        (r["k"], r["lag"]): (r["n_pts"], r["r"])
+        for r in acf_lags(df, keys=["k"], lags=[1, 2, 3, 6]).collect()
+    }
+    series = {
+        k: {i: c for kk, i, c in rows if kk == k} for k in ("p", "w")
+    }
+    for k, d in series.items():
+        for lag in (1, 2, 3, 6):
+            pairs = [(v, d[i + lag]) for i, v in d.items() if (i + lag) in d]
+            n, r = got[(k, lag)]
+            assert n == len(pairs)
+            expected = np.corrcoef(
+                [p[0] for p in pairs], [p[1] for p in pairs]
+            )[0, 1]
+            assert abs(r - expected) < 1e-9
+    # the planted period: key "p" autocorrelates most strongly at lag 6
+    p_rs = {lag: got[("p", lag)][1] for lag in (1, 2, 3, 6)}
+    assert p_rs[6] == max(p_rs.values()) and p_rs[6] > 0.8
+
+    const = spark.createDataFrame([("c", i, 4) for i in range(10)], "k string, i long, c long")
+    assert acf_lags(const, keys=["k"], lags=[1]).collect()[0]["r"] is None

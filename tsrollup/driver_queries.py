@@ -2142,6 +2142,58 @@ def w9_xcorr_lag(spark, sf_dir):
     return r.select("lag", "n_pts", F.round("r", 6).alias("r_r"))
 
 
+# ------------------------------------- W10 autocorrelation profile (round 4)
+
+@q(
+    "w10_acf",
+    """
+    WITH hb AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS i,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    l AS (SELECT unnest([1, 2, 3, 6, 12, 24]) AS lag),
+    p AS (SELECT x.event_type, l.lag, x.c AS xv, y.c AS yv
+          FROM hb x CROSS JOIN l
+          JOIN hb y ON y.event_type = x.event_type AND x.i + l.lag = y.i),
+    s AS (
+      SELECT event_type, lag, CAST(count(*) AS BIGINT) AS n_pts,
+             count(*)::DOUBLE AS nd,
+             sum(xv)::DOUBLE AS sx, sum(yv)::DOUBLE AS sy,
+             sum(xv * yv)::DOUBLE AS sxy,
+             sum(xv * xv)::DOUBLE AS sxx, sum(yv * yv)::DOUBLE AS syy
+      FROM p GROUP BY 1, 2
+    )
+    SELECT event_type, lag, n_pts,
+           round(CASE WHEN nd * sxx - sx * sx > 0 AND nd * syy - sy * sy > 0
+                 THEN (nd * sxy - sx * sy)
+                      / (sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy))
+                 END, 6) AS r_r
+    FROM s
+    """,
+)
+def w10_acf(spark, sf_dir):
+    """Autocorrelation profile (tsops.acf_lags): Pearson r between each
+    event type's hourly count series and ITSELF shifted by 1/2/3/6/12/24
+    hours — the correlogram that makes daily seasonality visible as the
+    lag-24 peak and separates trending sources from white noise. One
+    lag-exploded self-equi-join on (event_type, i + lag) + one hash agg;
+    exact BIGINT sums -> identical closed-form double both engines
+    (rounded 1e-6 as the final-ulp belt, same as w6/w9)."""
+    from .tsops import acf_lags
+
+    hb = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000").alias("i"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    r = acf_lags(hb, keys=["event_type"], lags=[1, 2, 3, 6, 12, 24])
+    return r.select("event_type", "lag", "n_pts", F.round("r", 6).alias("r_r"))
+
+
 # ------------------------------------- W8 anomaly islands (round 3)
 
 @q(

@@ -510,6 +510,55 @@ def xcorr_lags(
     return exact_corr_pair(joined, group=["lag"], x_col="xv", y_col="yv")
 
 
+def acf_lags(
+    df: DataFrame,
+    keys: list[str],
+    lags: list[int],
+    idx_col: str = "i",
+    val_col: str = "c",
+) -> DataFrame:
+    """Autocorrelation profile per series key: for each positive lag L,
+    Pearson r over the pairs (x[i], x[i+L]) of the SAME bucketed count
+    series — the correlogram that surfaces periodicity (daily/weekly
+    seasonality shows as peaks at L = period) and distinguishes trending
+    from white-noise sources. This is the "Pearson on overlapping lagged
+    pairs" correlogram variant (each lag re-centers on its own pair
+    means), which stays exact on integer counts; the textbook
+    fixed-mean/biased-denominator ACF is a rescaling of the same six
+    sums.
+
+    Input is a (keys..., idx_col BIGINT bucket index, val_col integral
+    count) frame; output one row per (keys..., lag): (keys, lag, n_pts,
+    r) assembled from exact BIGINT sums (exact_corr_pair), so r is
+    summation-order-free and hash-twinnable.
+
+    Scale shape: identical to xcorr_lags — the lag set is a tiny literal
+    array exploded onto one side (|lags| copies, a constant factor) and
+    the shift is ONE equi-join on (keys, i + lag) that Catalyst
+    hash-partitions; per-(key, lag) reduction is one hash agg. No
+    window over the full series, no per-lag pass, and the join key
+    includes the series key so partitioning stays aligned with the
+    series layout.
+    """
+    xs = df.select(*keys, F.col(idx_col).alias("i"), F.col(val_col).alias("xv"))
+    # rename the y-side keys so the self-join condition binds each side
+    # unambiguously (a bare ex[k] == ys[k] on a shared-lineage frame is
+    # the classic trivially-true-predicate trap)
+    ys = df.select(
+        *[F.col(k).alias(f"__y_{k}") for k in keys],
+        F.col(idx_col).alias("j"),
+        F.col(val_col).alias("yv"),
+    )
+    ex = xs.select(
+        *keys, "i", "xv",
+        F.explode(F.array(*[F.lit(int(l)) for l in lags])).alias("lag"),
+    )
+    cond = [F.col(k) == F.col(f"__y_{k}") for k in keys]
+    cond.append(F.col("i") + F.col("lag") == F.col("j"))
+    joined = ex.join(ys, cond).select(*keys, "lag", "xv", "yv")
+    return exact_corr_pair(joined, group=[*keys, "lag"], x_col="xv", y_col="yv")
+
+
 def point_in_interval_join(
     points: DataFrame, intervals: DataFrame, bucket_us: int = 3_600_000_000
 ) -> DataFrame:
