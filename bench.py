@@ -190,6 +190,7 @@ def main() -> None:
         "w8_anomaly_islands",
         "w9_xcorr_lag",
         "w10_acf",
+        "tx_overlap_matrix",
         "tx_vocab_growth",
         "j8_point_in_interval",
         "dd_containment",

@@ -734,3 +734,51 @@ def test_semantic_dedup_recall_and_keeper(spark):
     for a, b in probed:
         assert got[a] or got[b], f"pair ({a},{b}) fully removed"
     assert sum(1 for k in got.values() if not k) > 0, "no removals — vacuous"
+
+
+def test_overlap_matrix_directional(spark):
+    """tx_overlap_matrix: a small source fully quoted inside a large one
+    shows small→large containment 10000 while the reverse stays well
+    below; disjoint sources emit no pair row; counts match a pure-python
+    brute force over distinct 5-gram sets."""
+    import os
+    import tempfile
+
+    from tsrollup.driver_queries import SPARK
+
+    small = "alpha beta gamma delta epsilon zeta"
+    big = small + " plus a much longer tail of entirely different prose " \
+        "that keeps going with many extra grams beyond the quoted part"
+    other = "zz qq ww unrelated content xx yy vv nothing shared here kk"
+    docs = [
+        (1, small, "en", "small", len(small)),
+        (2, big, "en", "big", len(big)),
+        (3, other, "en", "lone", len(other)),
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            docs, "doc_id long, text string, lang string, source string, n_chars long"
+        ).coalesce(1).write.parquet(os.path.join(td, "documents.parquet"))
+        rows = SPARK["tx_overlap_matrix"](spark, td).collect()
+    got = {(r["src_a"], r["src_b"]): (r["n_shared"], r["n_a"], r["contain_per10k"])
+           for r in rows}
+
+    def gset(text):
+        t = text.lower()
+        return {t[i:i + 5] for i in range(len(t) - 4)}
+
+    gs = {"small": gset(small), "big": gset(big), "lone": gset(other)}
+    for a in gs:
+        for b in gs:
+            if a == b:
+                continue
+            shared = len(gs[a] & gs[b])
+            if shared == 0:
+                assert (a, b) not in got
+            else:
+                n_shared, n_a, per10k = got[(a, b)]
+                assert n_shared == shared and n_a == len(gs[a])
+                assert per10k == (10000 * shared) // len(gs[a])
+    assert got[("small", "big")][2] == 10000          # fully contained
+    assert got[("big", "small")][2] < 5000            # reverse is partial
+    assert ("lone", "small") not in got               # disjoint: no row

@@ -1386,6 +1386,75 @@ def tx_novelty(spark, sf_dir):
     )
 
 
+# ------------------------------- cross-source overlap matrix (round 4)
+
+@q(
+    "tx_overlap_matrix",
+    """
+    WITH raw AS (
+      SELECT source, unnest(list_distinct([substring(t, i, 5)
+                                           for i in generate_series(1, length(t) - 4)]))
+               AS gram
+      FROM (SELECT source, lower(text) AS t FROM documents)
+      WHERE length(t) >= 5
+    ),
+    g AS (SELECT DISTINCT source, gram FROM raw),
+    tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n_a FROM g GROUP BY source),
+    pair AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(count(*) AS BIGINT) AS n_shared
+      FROM g a JOIN g b USING (gram)
+      WHERE a.source <> b.source
+      GROUP BY 1, 2
+    )
+    SELECT src_a, src_b, n_shared, tot.n_a,
+           CAST((10000 * n_shared) // tot.n_a AS BIGINT) AS contain_per10k
+    FROM pair JOIN tot ON tot.source = pair.src_a
+    """,
+)
+def tx_overlap_matrix(spark, sf_dir):
+    """Cross-source contamination matrix: for every ORDERED source pair
+    (a, b), the share of a's distinct char-5-grams that also occur in b —
+    the corpus-level lens that flags mirrored/scraped-from-each-other
+    sources before mixing weights are chosen (containment is directional:
+    a small source fully copied into a big one shows a→b ≈ 1 while
+    b→a stays small). Scale shape: ONE explode to distinct (source, gram)
+    pairs, a self-equi-join on gram whose per-gram fan-out is bounded by
+    #sources² — a CATALOG-scale constant, not a data-scale one — and a
+    tiny (sources²)-row agg; per-source totals broadcast back. All-integer
+    output (exact per-10k division), value-exact twin."""
+    d = (
+        t(spark, sf_dir, "documents")
+        .select("source", F.lower("text").alias("t"))
+        .where(F.length("t") >= 5)
+    )
+    grams = F.expr(
+        "array_distinct(transform(sequence(1, length(t) - 4), i -> substring(t, i, 5)))"
+    )
+    g = d.select("source", F.explode(grams).alias("gram")).distinct()
+    tot = g.groupBy("source").agg(F.count(F.lit(1)).alias("n_a"))
+    a = g.select(F.col("source").alias("src_a"), "gram")
+    b = g.select(F.col("source").alias("src_b"), "gram")
+    pair = (
+        a.join(b, "gram")
+        .where(F.col("src_a") != F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        pair.join(
+            F.broadcast(tot.withColumnRenamed("source", "src_a")), "src_a"
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared",
+            "n_a",
+            F.expr("(10000 * n_shared) div n_a").alias("contain_per10k"),
+        )
+    )
+
+
 # ----------------------------------------- containment dedup (DD)
 
 @q(
