@@ -367,6 +367,41 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("score", 6).alias("score_r"), "is_anomaly",
         )
 
+    def engine_matrix_profile(spark, sf_dir):
+        """Matrix profile discords (STOMP recurrence, Zhu et al. ICDM
+        2016; tsops.matrix_profile_scores) over the gap-filled 1h tier:
+        per source, the z-normalized distance from each 24h window to
+        its nearest non-trivial neighbor — the model-free anomaly lens
+        where high values are DISCORDS (subsequences unlike anything
+        else in the series). Emits each source's top-5 discord windows.
+        ROWS-ONLY: float sqrt/argmin chains have no hash-twinnable SQL
+        expression; the kernel is pinned against an explicit O(n^2 m)
+        z-normalizing reference (exact index agreement) and the
+        distributed blocked variant is parity-tested against it in
+        tests/test_tsops.py."""
+        from pyspark.sql import Window
+        from tsrollup.tsops import matrix_profile_scores
+
+        cfg = RollupConfig()
+        seq = sequences_from_documents(spark, sf_dir)
+        filled = gapfill(build_all_tiers(seq, cfg)["1h"], "1h", cfg)
+        mp = matrix_profile_scores(
+            filled, ["source"], "bucket_start", "n_tok_mean", m=24
+        )
+        w = Window.partitionBy("source").orderBy(
+            F.desc("mp"), F.asc("bucket_start")
+        )
+        return (
+            mp.where(F.col("mp").isNotNull() & ~F.isnan("mp"))
+            .withColumn("rk", F.row_number().over(w))
+            .where("rk <= 5")
+            .select(
+                "source", F.unix_timestamp("bucket_start").alias("bucket_s"),
+                F.round("x", 6).alias("x_r"), F.round("mp", 6).alias("mp_r"),
+                "mp_idx", "rk",
+            )
+        )
+
     def engine_streaming_token_hist(spark, sf_dir):
         """Tokens x streaming composition: exact per-(1m bucket, token)
         counts ON THE STREAM (streaming.streaming_token_hist_1m) —
@@ -845,6 +880,7 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_streaming_scores": engine_streaming_scores,
         "engine_streaming_token_hist": engine_streaming_token_hist,
         "engine_spectral_residual": engine_spectral_residual,
+        "engine_matrix_profile": engine_matrix_profile,
         "engine_residual_stats": engine_residual_stats,
         "engine_codec_blocks": engine_codec_blocks,
         "ann_lsh": ann_lsh,

@@ -770,3 +770,115 @@ def test_acf_lags_vs_numpy(spark):
 
     const = spark.createDataFrame([("c", i, 4) for i in range(10)], "k string, i long, c long")
     assert acf_lags(const, keys=["k"], lags=[1]).collect()[0]["r"] is None
+
+
+class TestMatrixProfile:
+    @staticmethod
+    def _naive(x, m, excl):
+        """Explicit O(n^2 m) z-normalizing reference (independent of the
+        STOMP recurrence: per-pair direct z-norm + euclidean)."""
+        n = len(x) - m + 1
+        zs = []
+        for i in range(n):
+            w = x[i:i + m]
+            s = w.std()
+            zs.append(None if s < 1e-13 else (w - w.mean()) / s)
+        mp = np.full(n, np.inf)
+        mpi = np.full(n, -1, dtype=np.int64)
+        for i in range(n):
+            for j in range(n):
+                if abs(i - j) <= excl:
+                    continue
+                if zs[i] is None and zs[j] is None:
+                    d = 0.0
+                elif zs[i] is None or zs[j] is None:
+                    d = np.sqrt(m)
+                else:
+                    d = np.sqrt(max(((zs[i] - zs[j]) ** 2).sum(), 0.0))
+                if d < mp[i]:
+                    mp[i], mpi[i] = d, j
+        return mp, mpi
+
+    def test_kernel_matches_naive(self):
+        from tsrollup.kernels import matrix_profile
+
+        rng = np.random.default_rng(3)
+        x = np.sin(np.arange(300) * 0.3) + rng.normal(0, 0.2, 300)
+        x[140:150] += 5.0
+        m = 16
+        mp, mpi = matrix_profile(x, m)
+        nmp, nmpi = self._naive(x, m, max(1, m // 4))
+        assert np.max(np.abs(mp - nmp)) < 1e-10
+        assert (mpi == nmpi).all()
+        # the planted level shift is the top discord: profile peaks at a
+        # window overlapping the [140, 150) edit
+        peak = int(np.argmax(mp))
+        assert 140 - m < peak < 150
+
+    def test_constant_window_conventions(self):
+        from tsrollup.kernels import matrix_profile
+
+        rng = np.random.default_rng(4)
+        y = np.concatenate(
+            [np.full(40, 2.0), rng.normal(0, 1, 60), np.full(40, 2.0)]
+        )
+        m = 8
+        mp, _ = matrix_profile(y, m)
+        nmp, _ = self._naive(y, m, max(1, m // 4))
+        assert np.max(np.abs(mp - nmp)) < 1e-10
+        # two flat runs: constant-vs-constant pairs exist -> exact 0s
+        assert (mp[:10] == 0).all()
+
+    def test_short_series(self):
+        from tsrollup.kernels import matrix_profile
+
+        mp, mpi = matrix_profile(np.arange(5, dtype=float), 8)
+        assert mp.shape == (0,) and mpi.shape == (0,)
+        # windows exist but every candidate is excluded
+        mp2, mpi2 = matrix_profile(np.arange(9, dtype=float), 8)
+        assert np.isinf(mp2).all() and (mpi2 == -1).all()
+
+    def test_spark_operator_and_blocked_parity(self, spark):
+        from tsrollup.kernels import matrix_profile
+        from tsrollup.tsops import matrix_profile_blocked, matrix_profile_scores
+
+        rng = np.random.default_rng(5)
+        rows = []
+        series = {}
+        for key, n in (("a", 300), ("b", 150)):
+            x = np.sin(np.arange(n) * 0.21) * 3 + rng.normal(0, 0.3, n)
+            if key == "a":
+                x[200:210] += 8
+            series[key] = x
+            for i, v in enumerate(x):
+                rows.append(
+                    (key, i, float(v),
+                     pd.Timestamp("2024-01-01") + pd.Timedelta(hours=i))
+                )
+        df = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["k", "i", "v", "ts"])
+        )
+        m = 16
+        sc = (
+            matrix_profile_scores(df, ["k"], "ts", "v", m=m)
+            .toPandas().sort_values(["k", "ts"])
+        )
+        # block far smaller than the series: forces multi-segment pairs
+        bl = (
+            matrix_profile_blocked(df, ["k"], "i", "v", m=m, block=64)
+            .toPandas().sort_values(["k", "w"])
+        )
+        for key, x in series.items():
+            mp, mpi = matrix_profile(x, m)
+            s = sc[sc.k == key]
+            assert len(s) == len(mp)
+            assert np.allclose(s["mp"].to_numpy(), mp, atol=1e-9)
+            assert (s["mp_idx"].to_numpy() == mpi).all()
+            b = bl[bl.k == key]
+            assert len(b) == len(mp)
+            assert np.allclose(b["mp"].to_numpy(), mp, atol=1e-8)
+            assert (b["mp_idx"].to_numpy() == mpi).all()
+        # discord lands on the planted edit for key "a"
+        sa = sc[sc.k == "a"].reset_index(drop=True)
+        peak = int(sa["mp"].idxmax())
+        assert 200 - m < peak < 210

@@ -2211,7 +2211,7 @@ def w9_xcorr_lag(spark, sf_dir):
     return r.select("lag", "n_pts", F.round("r", 6).alias("r_r"))
 
 
-# ------------------------------------- W10 autocorrelation profile (round 4)
+# ------------------------------------- W11 autocorrelation profile (round 4)
 
 @q(
     "w10_acf",

@@ -362,3 +362,104 @@ def spectral_residual(
     m = _avg(sal, z)
     score = (sal - m) / np.maximum(m, eps)
     return sal, score
+
+
+def _window_stats(x: np.ndarray, m: int) -> tuple[np.ndarray, np.ndarray]:
+    """Mean and population std of every length-m sliding window of x,
+    computed from the windows themselves (stable; no cumsum cancellation)."""
+    sw = np.lib.stride_tricks.sliding_window_view(x, m)
+    return sw.mean(axis=1), sw.std(axis=1)
+
+
+def cross_matrix_profile(
+    a: np.ndarray,
+    b: np.ndarray,
+    m: int,
+    ia: int = 0,
+    ib: int = 0,
+    excl: int = 0,
+    eps: float = 1e-13,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """AB-join matrix profile partial (STOMP recurrence — Zhu et al.
+    ICDM 2016, public): for every length-m window of `a`, the minimum
+    z-normalized Euclidean distance to any window of `b` (and the
+    symmetric b-vs-a side), excluding trivial matches whose GLOBAL
+    window indices (ia+i vs ib+j) are within `excl` of each other.
+
+    The self-join profile is the special case a is b, ia == ib,
+    excl = m//4 (the standard trivial-match exclusion zone).
+
+    Dot products walk the STOMP diagonal recurrence QT[i,j] =
+    QT[i-1,j-1] + a[i+m-1]·b[j+m-1] − a[i-1]·b[j-1], one O(nb) vector
+    row at a time (O(na·nb) time, O(nb) memory — no QT matrix), with
+    first row/column seeded by np.correlate. Distances come from the
+    closed form d² = 2m(1 − (QT − m·µa·µb)/(m·σa·σb)), clipped at 0.
+    Constant-window convention (stumpy's documented one): both windows
+    constant → d = 0; exactly one constant → d = √m.
+
+    Returns (mpa, mpia, mpb, mpib): per-a-window min distance and the
+    GLOBAL index of its nearest b-window, and vice versa. Windows with
+    every candidate excluded get d = +inf and idx = -1.
+    """
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    na, nb = a.shape[0] - m + 1, b.shape[0] - m + 1
+    if na <= 0 or nb <= 0:
+        e = np.empty(0, dtype=np.float64)
+        ei = np.empty(0, dtype=np.int64)
+        return (
+            (np.full(max(na, 0), np.inf), np.full(max(na, 0), -1, np.int64),
+             np.full(max(nb, 0), np.inf), np.full(max(nb, 0), -1, np.int64))
+            if (na > 0 or nb > 0) else (e, ei, e.copy(), ei.copy())
+        )
+    mua, sa = _window_stats(a, m)
+    mub, sb = _window_stats(b, m)
+    consta, constb = sa < eps, sb < eps
+
+    row = np.correlate(b, a[:m], mode="valid").astype(np.float64)  # QT[0, :]
+    col0 = np.correlate(a, b[:m], mode="valid").astype(np.float64)  # QT[:, 0]
+    jb = ib + np.arange(nb, dtype=np.int64)
+
+    mpa = np.full(na, np.inf)
+    mpia = np.full(na, -1, dtype=np.int64)
+    mpb = np.full(nb, np.inf)
+    mpib = np.full(nb, -1, dtype=np.int64)
+
+    fm = float(m)
+    sqm = np.sqrt(fm)
+    for i in range(na):
+        if i > 0:
+            row[1:] = row[:-1] + a[i + m - 1] * b[m:] - a[i - 1] * b[: nb - 1]
+            row[0] = col0[i]
+        if consta[i]:
+            d = np.where(constb, 0.0, sqm)
+        else:
+            with np.errstate(divide="ignore", invalid="ignore"):
+                corr = (row - fm * mua[i] * mub) / (fm * sa[i] * sb)
+            d = np.sqrt(np.clip(2.0 * fm * (1.0 - corr), 0.0, None))
+            d = np.where(constb, sqm, d)
+        if excl >= 0:
+            d = np.where(np.abs((ia + i) - jb) <= excl, np.inf, d)
+        j = int(np.argmin(d))
+        if d[j] < mpa[i]:
+            mpa[i], mpia[i] = d[j], jb[j]
+        upd = d < mpb
+        mpb[upd] = d[upd]
+        mpib[upd] = ia + i
+    return mpa, mpia, mpb, mpib
+
+
+def matrix_profile(
+    x: np.ndarray, m: int, excl: int | None = None
+) -> tuple[np.ndarray, np.ndarray]:
+    """Self-join matrix profile of x at window m: per window, the
+    z-normalized distance to its nearest NON-TRIVIAL neighbor and that
+    neighbor's index (exclusion zone `excl` defaults to max(1, m//4),
+    the STOMP-paper convention). High profile values are DISCORDS — the
+    subsequences least like anything else in the series — the anomaly
+    reading; low values are motifs. Returns (mp, mp_idx) of length
+    n-m+1 (inf/-1 when nothing admissible)."""
+    if excl is None:
+        excl = max(1, m // 4)
+    mpa, mpia, _, _ = cross_matrix_profile(x, x, m, 0, 0, excl)
+    return mpa, mpia

@@ -649,3 +649,192 @@ def spectral_residual_scores(
         .groupBy(*keys)
         .applyInPandas(_sr, out_schema)
     )
+
+
+def matrix_profile_scores(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    value_col: str,
+    m: int = 24,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Self-join matrix profile per series key (kernels.matrix_profile —
+    STOMP recurrence, Zhu et al. ICDM 2016): per length-m window, the
+    z-normalized distance to its nearest non-trivial neighbor. High
+    values are DISCORDS — subsequences unlike anything else in the
+    series — the anomaly lens that needs no model, threshold, or
+    training window. One applyInPandas per key over the time-ordered
+    series; emits one row per WINDOW START (n-m+1 rows per series):
+    keys + ts + x + mp + mp_idx (the neighbor's window index).
+
+    For a series too long for one task, see matrix_profile_blocked —
+    the segmented all-pairs form this kernel is the building block of.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from .kernels import matrix_profile
+
+    key_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.select(*keys).schema.fields
+    )
+    ts_type = df.schema[ts_col].dataType.simpleString()
+    out_schema = (
+        f"{key_schema}, {ts_col} {ts_type}, x double, mp double, mp_idx long"
+    )
+    sort_cols = [ts_col] + ([tiebreak] if tiebreak else [])
+    carry = [tiebreak] if tiebreak and tiebreak not in (ts_col, value_col) else []
+
+    def _mp(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(sort_cols, kind="mergesort")
+        x = pdf[value_col].to_numpy(dtype=np.float64)
+        n_out = max(len(x) - m + 1, 0)
+        mp, mpi = matrix_profile(x, m)
+        head = pdf.iloc[:n_out]
+        out = {k: head[k].to_numpy() for k in keys}
+        out[ts_col] = head[ts_col].to_numpy()
+        out.update(
+            x=x[:n_out],
+            mp=np.where(np.isfinite(mp), mp, np.nan),
+            mp_idx=mpi,
+        )
+        return pd.DataFrame(out)
+
+    return (
+        df.select(*keys, ts_col, value_col, *carry)
+        .groupBy(*keys)
+        .applyInPandas(_mp, out_schema)
+    )
+
+
+def matrix_profile_blocked(
+    df: DataFrame,
+    keys: list[str],
+    idx_col: str,
+    value_col: str,
+    m: int = 24,
+    block: int = 4096,
+) -> DataFrame:
+    """Distributed self-join matrix profile: the segmented all-pairs
+    form for series too long to profile in one task. The series is cut
+    into `block`-sized segments (each carrying the m-1 values that spill
+    into it from the left so every window is computable somewhere), the
+    segment table self-joins on the key into B(B+1)/2 ordered pairs, one
+    vectorized cross_matrix_profile kernel call per pair emits partial
+    (window, dist, neighbor) rows for BOTH sides, and a final min-reduce
+    per (key, window) — via min(struct(dist, neighbor)), deterministic
+    tie-break on neighbor index — assembles the exact profile.
+
+    This IS the scale shape: matrix profile is inherently O(n²) work;
+    the pair fan-out distributes that work across the cluster while
+    each task stays O(block²) with O(block) memory (STOMP row
+    recurrence, no QT matrix). Input is (keys..., idx_col = dense
+    0-based position BIGINT, value_col numeric); output (keys..., w =
+    window start index, mp, mp_idx). Exactly equal (same formula, same
+    conventions) to matrix_profile_scores on the same series up to
+    float associativity of the two recurrence paths (parity-tested).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from .kernels import cross_matrix_profile
+
+    excl = max(1, m // 4)
+    key_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.select(*keys).schema.fields
+    )
+
+    # each row feeds its own segment, plus the previous one when it sits
+    # in the first m-1 positions of its segment (left-spill duplication)
+    seg = F.col(idx_col).cast("long")
+    segs = df.select(
+        *keys,
+        F.col(idx_col).cast("long").alias("__i"),
+        F.col(value_col).cast("double").alias("__v"),
+        F.explode(
+            F.when(
+                (seg % block < m - 1) & (seg >= block),
+                F.array((seg / block).cast("long") - 1, (seg / block).cast("long")),
+            ).otherwise(F.array((seg / block).cast("long")))
+        ).alias("__seg"),
+    )
+
+    seg_schema = f"{key_schema}, __seg long, __start long, __vals array<double>"
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__i", kind="mergesort")
+        head = pdf.iloc[:1]
+        out = {k: head[k].to_numpy() for k in keys}
+        out["__seg"] = head["__seg"].to_numpy()
+        out["__start"] = [int(pdf["__i"].iloc[0])]
+        out["__vals"] = [pdf["__v"].to_numpy()]
+        return pd.DataFrame(out)
+
+    packed = segs.groupBy(*keys, "__seg").applyInPandas(_pack, seg_schema)
+
+    a = packed.select(
+        *keys,
+        F.col("__seg").alias("__sa"),
+        F.col("__start").alias("__starta"),
+        F.col("__vals").alias("__valsa"),
+    )
+    b = packed.select(
+        *[F.col(k).alias(f"__bk_{k}") for k in keys],
+        F.col("__seg").alias("__sb"),
+        F.col("__start").alias("__startb"),
+        F.col("__vals").alias("__valsb"),
+    )
+    cond = [F.col(k) == F.col(f"__bk_{k}") for k in keys]
+    cond.append(F.col("__sb") >= F.col("__sa"))
+    pairs = a.join(b, cond).select(
+        *keys, "__starta", "__valsa", "__sa", "__sb", "__startb", "__valsb"
+    )
+
+    part_schema = f"{key_schema}, w long, d double, nn long"
+
+    def _cross(it):
+        for pdf in it:
+            outs = []
+            for pos in range(len(pdf)):  # rows are segment PAIRS — few per batch
+                r = pdf.iloc[pos]
+                av = np.asarray(r["__valsa"], dtype=np.float64)
+                bv = np.asarray(r["__valsb"], dtype=np.float64)
+                ia, ib = int(r["__starta"]), int(r["__startb"])
+                self_pair = r["__sa"] == r["__sb"]
+                mpa, mpia, mpb, mpib = cross_matrix_profile(
+                    av, bv, m, ia, ib, excl
+                )
+                na, nb = len(mpa), len(mpb)
+                kd = {k: r[k] for k in keys}
+                if na:
+                    outs.append(pd.DataFrame({
+                        **{k: np.repeat(np.array([v]), na) for k, v in kd.items()},
+                        "w": ia + np.arange(na, dtype=np.int64),
+                        "d": mpa, "nn": mpia,
+                    }))
+                if nb and not self_pair:
+                    outs.append(pd.DataFrame({
+                        **{k: np.repeat(np.array([v]), nb) for k, v in kd.items()},
+                        "w": ib + np.arange(nb, dtype=np.int64),
+                        "d": mpb, "nn": mpib,
+                    }))
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    partials = pairs.mapInPandas(_cross, part_schema).where(
+        ~F.col("d").eqNullSafe(float("inf"))
+    )
+    best = (
+        partials.groupBy(*keys, "w")
+        .agg(F.min(F.struct("d", "nn")).alias("__best"))
+        .select(
+            *keys,
+            "w",
+            F.col("__best.d").alias("mp"),
+            F.col("__best.nn").alias("mp_idx"),
+        )
+    )
+    return best
