@@ -191,6 +191,7 @@ def main() -> None:
         "w9_xcorr_lag",
         "w10_acf",
         "tx_overlap_matrix",
+        "w13_stl_decomp",
         "tx_vocab_growth",
         "j8_point_in_interval",
         "dd_containment",

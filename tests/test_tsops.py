@@ -882,3 +882,39 @@ class TestMatrixProfile:
         sa = sc[sc.k == "a"].reset_index(drop=True)
         peak = int(sa["mp"].idxmax())
         assert 200 - m < peak < 210
+
+
+def test_seasonal_decompose_recovers_planted_shape(spark):
+    """seasonal_decompose on a clean planted series (linear trend +
+    period-24 square wave): the seasonal profile separates the high
+    phases from the low by the planted amplitude, residuals are small,
+    one wildly anomalous day does NOT pollute the median seasonal, and
+    the anomaly dominates the residual."""
+    from tsrollup.tsops import seasonal_decompose
+
+    n = 24 * 12
+    rows = []
+    for i in range(n):
+        base = 100 + i // 24              # slow upward trend (integral)
+        season = 50 if (i % 24) < 12 else 0
+        v = base + season
+        if 24 * 5 <= i < 24 * 5 + 3:      # one anomalous morning: +400
+            v += 400
+        rows.append(("s", i, v))
+    df = spark.createDataFrame(rows, "k string, i long, c long")
+    out = (
+        seasonal_decompose(df, ["k"], "i", "c", period=24, trend_window=24)
+        .toPandas().sort_values("i").reset_index(drop=True)
+    )
+    assert len(out) == n
+    # phase medians: high phases ~ +25ish vs low ~ -25ish (amplitude 50
+    # split around the daily mean) — the SEPARATION is what matters
+    prof = out.groupby(out["i"] % 24)["seasonal"].first()
+    sep = prof[range(1, 11)].mean() - prof[range(13, 23)].mean()
+    assert abs(sep - 50) < 2.0
+    # the planted anomaly rows carry the largest residuals
+    top3 = out.nlargest(3, "resid")["i"].tolist()
+    assert set(top3) <= set(range(24 * 5, 24 * 5 + 3))
+    # clean rows (away from the anomaly's trend-window halo and edges)
+    clean = out[(out.i >= 24 * 7) & (out.i < 24 * 11)]
+    assert clean["resid"].abs().max() < 5.0

@@ -2263,6 +2263,84 @@ def w10_acf(spark, sf_dir):
     return r.select("event_type", "lag", "n_pts", F.round("r", 6).alias("r_r"))
 
 
+# --------------------------- W13 seasonal-trend decomposition (round 4)
+
+@q(
+    "w13_stl_decomp",
+    """
+    WITH hb AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS i,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    ext AS (SELECT event_type, min(i) AS mn, max(i) AS mx FROM hb GROUP BY 1),
+    spine AS (SELECT event_type, unnest(generate_series(mn, mx)) AS i FROM ext),
+    dense AS (
+      SELECT s.event_type, s.i, coalesce(hb.c, 0) AS val
+      FROM spine s LEFT JOIN hb ON hb.event_type = s.event_type AND hb.i = s.i
+    ),
+    det AS (
+      SELECT event_type, i, val,
+             sum(val) OVER w::DOUBLE / count(*) OVER w::DOUBLE AS trend,
+             val::DOUBLE - (sum(val) OVER w::DOUBLE / count(*) OVER w::DOUBLE) AS d,
+             i % 24 AS phase
+      FROM dense
+      WINDOW w AS (PARTITION BY event_type ORDER BY i
+                   ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING)
+    ),
+    ph AS (SELECT event_type, phase, quantile_cont(d, 0.5) AS seasonal
+           FROM det GROUP BY 1, 2)
+    SELECT det.event_type, det.i, det.val,
+           round(det.trend, 6) AS trend_r,
+           round(ph.seasonal, 6) AS seasonal_r,
+           round(det.d - ph.seasonal, 6) AS resid_r
+    FROM det JOIN ph ON ph.event_type = det.event_type AND ph.phase = det.phase
+    """,
+)
+def w13_stl_decomp(spark, sf_dir):
+    """Classical additive seasonal-trend decomposition
+    (tsops.seasonal_decompose) of each event type's ZERO-FILLED hourly
+    count series: trend = 24h rows-centered moving mean (exact BIGINT
+    window sum / count), seasonal = per-hour-of-day MEDIAN of the
+    detrended series (robust to anomalous days), resid = what detectors
+    should score once the daily shape is explained away. Dense spine
+    built identically both engines; every double is an exact-integer
+    division or a percentile of such, so the twin is value-exact
+    (rounded 1e-6 as the final-ulp belt)."""
+    from .tsops import seasonal_decompose
+
+    hb = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000").alias("i"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ext = hb.groupBy("event_type").agg(
+        F.min("i").alias("mn"), F.max("i").alias("mx")
+    )
+    spine = ext.select(
+        "event_type", F.explode(F.expr("sequence(mn, mx)")).alias("i")
+    )
+    dense = (
+        spine.join(hb, ["event_type", "i"], "left")
+        .select("event_type", "i", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    out = seasonal_decompose(
+        dense, keys=["event_type"], idx_col="i", val_col="c",
+        period=24, trend_window=24,
+    )
+    return out.select(
+        "event_type",
+        "i",
+        "val",
+        F.round("trend", 6).alias("trend_r"),
+        F.round("seasonal", 6).alias("seasonal_r"),
+        F.round("resid", 6).alias("resid_r"),
+    )
+
+
 # ------------------------------------- W8 anomaly islands (round 3)
 
 @q(

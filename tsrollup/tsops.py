@@ -838,3 +838,65 @@ def matrix_profile_blocked(
         )
     )
     return best
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    keys: list[str],
+    idx_col: str,
+    val_col: str,
+    period: int = 24,
+    trend_window: int = 24,
+) -> DataFrame:
+    """Additive seasonal-trend decomposition (classical/STL-lite) of a
+    DENSE integral bucket series per key: value = trend + seasonal +
+    resid, where trend is a rows-centered moving mean over
+    `trend_window` buckets, seasonal is the per-phase (idx % period)
+    MEDIAN of the detrended series (median, not mean — robust to a few
+    anomalous days contaminating the profile), and resid is what
+    detectors should score once the daily shape is explained away.
+
+    Input must be gap-free per key (`idx_col` a dense BIGINT bucket
+    index — feed a zero-filled spine); `val_col` integral so every
+    derived double is an exact-integer division and the whole output is
+    deterministic / hash-twinnable. Edge buckets use the shrunken
+    window (same semantics as SQL ROWS frames).
+
+    Scale shape: ONE rows-frame window pass (partitioned by key) for
+    the trend, one hash agg to the tiny (keys × period) phase table,
+    one broadcast join back — the raw series shuffles once on key.
+    Returns keys + idx + val + trend + seasonal + resid.
+    """
+    half_lo = (trend_window - 1) // 2
+    half_hi = trend_window // 2
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(idx_col)
+        .rowsBetween(-half_lo, half_hi)
+    )
+    # explicit sum/count (NOT avg) so the oracle can pin the identical
+    # exact-BIGINT-sum-then-divide formula
+    trended = df.select(
+        *keys,
+        F.col(idx_col).alias("i"),
+        F.col(val_col).cast("long").alias("val"),
+        (
+            F.sum(F.col(val_col).cast("long")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w).cast("double")
+        ).alias("trend"),
+        (F.col(idx_col) % period).alias("__phase"),
+    ).withColumn("__det", F.col("val").cast("double") - F.col("trend"))
+    phase = trended.groupBy(*keys, "__phase").agg(
+        F.expr("percentile(__det, 0.5)").alias("seasonal")
+    )
+    return (
+        trended.join(F.broadcast(phase), [*keys, "__phase"])
+        .select(
+            *keys,
+            "i",
+            "val",
+            "trend",
+            "seasonal",
+            (F.col("__det") - F.col("seasonal")).alias("resid"),
+        )
+    )
