@@ -192,6 +192,7 @@ def main() -> None:
         "w10_acf",
         "tx_overlap_matrix",
         "w13_stl_decomp",
+        "w14_theil_sen",
         "tx_vocab_growth",
         "j8_point_in_interval",
         "dd_containment",

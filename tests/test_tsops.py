@@ -918,3 +918,34 @@ def test_seasonal_decompose_recovers_planted_shape(spark):
     # clean rows (away from the anomaly's trend-window halo and edges)
     clean = out[(out.i >= 24 * 7) & (out.i < 24 * 11)]
     assert clean["resid"].abs().max() < 5.0
+
+
+def test_theil_sen_robust_to_outliers(spark):
+    """theil_sen_slope recovers a planted slope exactly on clean data,
+    matches numpy's pairwise-median reference with outliers present,
+    and stays near the true slope where least squares is dragged."""
+    from tsrollup.tsops import theil_sen_slope
+
+    rng = np.random.default_rng(9)
+    rows = []
+    x = np.arange(24)
+    clean = 3 * x + 7
+    rows += [("clean", int(i), int(v)) for i, v in zip(x, clean)]
+    dirty = clean.copy()
+    dirty[[20, 21, 22]] += 800   # 3/24 wild outliers, high-leverage end
+    rows += [("dirty", int(i), int(v)) for i, v in zip(x, dirty)]
+    df = spark.createDataFrame(rows, "k string, i long, c long")
+    got = {r["k"]: (r["n_pairs"], r["slope"])
+           for r in theil_sen_slope(df, ["k"], "i", "c").collect()}
+
+    def ref(v):
+        s = [(v[j] - v[i]) / (j - i)
+             for i in range(24) for j in range(i + 1, 24)]
+        return float(np.quantile(np.array(s), 0.5))
+
+    assert got["clean"] == (276, 3.0)
+    assert got["dirty"][0] == 276
+    assert abs(got["dirty"][1] - ref(dirty)) < 1e-12
+    assert abs(got["dirty"][1] - 3.0) < 1.0   # robust: barely moved
+    lsq = np.polyfit(x, dirty, 1)[0]
+    assert abs(lsq - 3.0) > 5.0               # least squares is dragged

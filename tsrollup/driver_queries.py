@@ -2341,6 +2341,52 @@ def w13_stl_decomp(spark, sf_dir):
     )
 
 
+# ------------------------------------- W14 Theil-Sen slope (round 4)
+
+@q(
+    "w14_theil_sen",
+    """
+    WITH hb AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             epoch_us(ts) // 3600000000 AS i,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2, 3
+    ),
+    p AS (
+      SELECT a.event_type, a.day,
+             (b.c - a.c)::DOUBLE / (b.i - a.i)::DOUBLE AS slope
+      FROM hb a JOIN hb b
+        ON b.event_type = a.event_type AND b.day = a.day AND b.i > a.i
+    )
+    SELECT event_type, day, CAST(count(*) AS BIGINT) AS n_pairs,
+           round(quantile_cont(slope, 0.5), 6) AS slope_r
+    FROM p GROUP BY 1, 2
+    """,
+)
+def w14_theil_sen(spark, sf_dir):
+    """Theil–Sen robust slope (tsops.theil_sen_slope) of each event
+    type's hourly count series WITHIN each day: the median of all ≤276
+    pairwise slopes — the trend detector one anomalous hour cannot drag
+    (breakdown point ~29%, vs 0% for least squares). Bounded-group
+    pairwise equi-join (O(n) total with a 276 constant), integer-ratio
+    slopes, exact percentile median — value-exact twin (rounded 1e-6)."""
+    from .tsops import theil_sen_slope
+
+    hb = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000").alias("i"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    out = theil_sen_slope(hb, keys=["event_type", "day"], idx_col="i", val_col="c")
+    return out.select(
+        "event_type", "day", "n_pairs", F.round("slope", 6).alias("slope_r")
+    )
+
+
 # ------------------------------------- W8 anomaly islands (round 3)
 
 @q(

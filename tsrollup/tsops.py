@@ -900,3 +900,45 @@ def seasonal_decompose(
             (F.col("__det") - F.col("seasonal")).alias("resid"),
         )
     )
+
+
+def theil_sen_slope(
+    df: DataFrame,
+    keys: list[str],
+    idx_col: str,
+    val_col: str,
+) -> DataFrame:
+    """Theil–Sen robust trend estimate per key group: the MEDIAN of all
+    pairwise slopes (v_j − v_i)/(x_j − x_i), j > i — the classic
+    breakdown-point-29% slope that one wild outlier (or several) cannot
+    drag the way least squares is dragged. Input (keys..., idx_col
+    BIGINT, val_col integral); returns keys + n_pairs + slope.
+
+    Contract: the GROUP is the bounded unit (e.g. hours within one day
+    — ≤276 pairs), so the pairwise self-join is O(group²)·n_groups =
+    O(n) total with a catalog-bounded constant, an EQUI-join on the
+    keys that hash-partitions. (Unbounded-window Theil–Sen is inherently
+    quadratic; bucket first.) Slopes are integer-ratio doubles, median
+    is the exact (n−1)·p percentile — deterministic both engines.
+    """
+    a = df.select(
+        *keys, F.col(idx_col).alias("__xi"), F.col(val_col).alias("__vi")
+    )
+    b = df.select(
+        *[F.col(k).alias(f"__b_{k}") for k in keys],
+        F.col(idx_col).alias("__xj"),
+        F.col(val_col).alias("__vj"),
+    )
+    cond = [F.col(k) == F.col(f"__b_{k}") for k in keys]
+    cond.append(F.col("__xj") > F.col("__xi"))
+    pairs = a.join(b, cond).select(
+        *keys,
+        (
+            (F.col("__vj") - F.col("__vi")).cast("double")
+            / (F.col("__xj") - F.col("__xi")).cast("double")
+        ).alias("__slope"),
+    )
+    return pairs.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.expr("percentile(__slope, 0.5)").alias("slope"),
+    )
