@@ -193,6 +193,7 @@ def main() -> None:
         "tx_overlap_matrix",
         "w13_stl_decomp",
         "w14_theil_sen",
+        "w15_gesd",
         "tx_vocab_growth",
         "j8_point_in_interval",
         "dd_containment",

@@ -949,3 +949,61 @@ def test_theil_sen_robust_to_outliers(spark):
     assert abs(got["dirty"][1] - 3.0) < 1.0   # robust: barely moved
     lsq = np.polyfit(x, dirty, 1)[0]
     assert abs(lsq - 3.0) > 5.0               # least squares is dragged
+
+
+def test_gesd_outliers_vs_reference(spark):
+    """gesd_outliers matches a pure-python Rosner implementation on
+    random groups; two planted extremes in one group are BOTH flagged
+    (the masking failure GESD exists to avoid); a clean group flags
+    none; stats.student_t_ppf is pinned against public t-tables inside
+    tsrollup.stats' own doctest-style anchors (see test body)."""
+    from tsrollup.stats import gesd_lambdas, student_t_ppf
+    from tsrollup.tsops import gesd_outliers
+
+    # public-table anchors for the scipy-free t quantile
+    assert abs(student_t_ppf(0.975, 10) - 2.2281388520) < 1e-8
+    assert abs(student_t_ppf(0.995, 2) - 9.9248432009) < 1e-8
+
+    rng = np.random.default_rng(13)
+    groups = {}
+    rows = []
+    for g in range(6):
+        v = rng.integers(40, 60, 20).astype(np.int64)
+        if g == 0:
+            v[3], v[11] = 500, 480        # two extremes: GESD must catch both
+        groups[f"g{g}"] = v
+        rows += [(f"g{g}", int(i), int(c)) for i, c in enumerate(v)]
+    df = spark.createDataFrame(rows, "k string, i long, c long")
+    got = gesd_outliers(df, ["k"], "i", "c", max_k=3, alpha=0.05, min_n=10)
+    gp = {(r["k"], r["rnd"]): r for r in got.collect()}
+
+    def ref(v, max_k, alpha):
+        """Rosner 1983, straight from the published definition."""
+        x = list(enumerate(v.astype(float)))
+        out = []
+        for rnd in range(1, max_k + 1):
+            vals = np.array([t[1] for t in x])
+            mean, sd = vals.mean(), vals.std(ddof=1)
+            devs = np.abs(vals - mean)
+            j = int(np.lexsort((np.array([t[0] for t in x]), -devs))[0])
+            out.append((x[j][0], devs[j] / sd))
+            x.pop(j)
+        lams = gesd_lambdas(len(v), max_k, alpha)
+        kstar = max((i + 1 for i, (_, r) in enumerate(out) if r > lams[i]),
+                    default=0)
+        return out, lams, kstar
+
+    for g, v in groups.items():
+        out, lams, kstar = ref(v, 3, 0.05)
+        for rnd in (1, 2, 3):
+            row = gp[(g, rnd)]
+            assert row["i"] == out[rnd - 1][0]
+            assert abs(row["r_stat"] - out[rnd - 1][1]) < 1e-9
+            assert abs(row["lam"] - lams[rnd - 1]) < 1e-12
+            assert row["is_outlier"] == (rnd <= kstar)
+    # the planted group catches both extremes; clean groups flag none
+    flagged = {g: sum(1 for r in (1, 2, 3) if gp[(g, r)]["is_outlier"])
+               for g in groups}
+    assert flagged["g0"] >= 2
+    assert all(flagged[g] == 0 for g in groups if g != "g0") or \
+        sum(flagged[g] for g in groups if g != "g0") <= 1  # rare false positive

@@ -2387,6 +2387,122 @@ def w14_theil_sen(spark, sf_dir):
     )
 
 
+# ------------------------------------- W15 Generalized ESD (round 4)
+
+def _gesd_lambda_values() -> str:
+    """Inline λ literals for every possible hours-per-day group size
+    (min_n=10 .. 24), rounds 1..3 — the SAME floats (full repr) the
+    Spark operator builds from tsrollup.stats.gesd_lambdas, so the
+    R > λ comparisons are bit-identical in both engines."""
+    from .stats import gesd_lambdas
+
+    rows = []
+    for n in range(10, 25):
+        lams = gesd_lambdas(n, 3, 0.05)
+        for rnd, lam in enumerate(lams, start=1):
+            rows.append(f"({n}, {rnd}, {lam!r})")
+    return ", ".join(rows)
+
+
+@q(
+    "w15_gesd",
+    f"""
+    WITH hb AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             epoch_us(ts) // 3600000000 AS i,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2, 3
+    ),
+    base AS (
+      SELECT * FROM (
+        SELECT hb.*, count(*) OVER (PARTITION BY event_type, day) AS n0
+        FROM hb
+      ) WHERE n0 >= 10
+    ),
+    s1 AS (SELECT event_type, day, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(c) AS BIGINT) AS s, CAST(sum(c * c) AS BIGINT) AS q
+           FROM base GROUP BY 1, 2),
+    c1 AS (SELECT *, row_number() OVER (PARTITION BY event_type, day
+                                        ORDER BY dev DESC, i ASC) AS rk
+           FROM (SELECT b.*,
+                        abs(b.c::DOUBLE - s.s::DOUBLE / s.n::DOUBLE) AS dev,
+                        abs(b.c::DOUBLE - s.s::DOUBLE / s.n::DOUBLE)
+                          / sqrt((s.n::DOUBLE * s.q::DOUBLE - s.s::DOUBLE * s.s::DOUBLE)
+                                 / (s.n::DOUBLE * (s.n::DOUBLE - 1.0))) AS r
+                 FROM base b JOIN s1 s USING (event_type, day))),
+    out1 AS (SELECT event_type, day, i, c, n0, 1 AS rnd, r FROM c1 WHERE rk = 1),
+    rem2 AS (SELECT event_type, day, i, c, n0 FROM c1 WHERE rk > 1),
+    s2 AS (SELECT event_type, day, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(c) AS BIGINT) AS s, CAST(sum(c * c) AS BIGINT) AS q
+           FROM rem2 GROUP BY 1, 2),
+    c2 AS (SELECT *, row_number() OVER (PARTITION BY event_type, day
+                                        ORDER BY dev DESC, i ASC) AS rk
+           FROM (SELECT b.*,
+                        abs(b.c::DOUBLE - s.s::DOUBLE / s.n::DOUBLE) AS dev,
+                        abs(b.c::DOUBLE - s.s::DOUBLE / s.n::DOUBLE)
+                          / sqrt((s.n::DOUBLE * s.q::DOUBLE - s.s::DOUBLE * s.s::DOUBLE)
+                                 / (s.n::DOUBLE * (s.n::DOUBLE - 1.0))) AS r
+                 FROM rem2 b JOIN s2 s USING (event_type, day))),
+    out2 AS (SELECT event_type, day, i, c, n0, 2 AS rnd, r FROM c2 WHERE rk = 1),
+    rem3 AS (SELECT event_type, day, i, c, n0 FROM c2 WHERE rk > 1),
+    s3 AS (SELECT event_type, day, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(c) AS BIGINT) AS s, CAST(sum(c * c) AS BIGINT) AS q
+           FROM rem3 GROUP BY 1, 2),
+    c3 AS (SELECT *, row_number() OVER (PARTITION BY event_type, day
+                                        ORDER BY dev DESC, i ASC) AS rk
+           FROM (SELECT b.*,
+                        abs(b.c::DOUBLE - s.s::DOUBLE / s.n::DOUBLE) AS dev,
+                        abs(b.c::DOUBLE - s.s::DOUBLE / s.n::DOUBLE)
+                          / sqrt((s.n::DOUBLE * s.q::DOUBLE - s.s::DOUBLE * s.s::DOUBLE)
+                                 / (s.n::DOUBLE * (s.n::DOUBLE - 1.0))) AS r
+                 FROM rem3 b JOIN s3 s USING (event_type, day))),
+    out3 AS (SELECT event_type, day, i, c, n0, 3 AS rnd, r FROM c3 WHERE rk = 1),
+    allout AS (SELECT * FROM out1 UNION ALL SELECT * FROM out2
+               UNION ALL SELECT * FROM out3),
+    lam AS (SELECT * FROM (VALUES {{values}}) t(n0, rnd, lam)),
+    j AS (SELECT a.*, l.lam FROM allout a
+          JOIN lam l ON l.n0 = a.n0 AND l.rnd = a.rnd),
+    k AS (SELECT *, max(CASE WHEN r > lam THEN rnd END)
+                      OVER (PARTITION BY event_type, day) AS kstar FROM j)
+    SELECT event_type, day, i, c, rnd,
+           round(r, 6) AS r_r, round(lam, 6) AS lam_r,
+           rnd <= coalesce(kstar, 0) AS is_outlier
+    FROM k
+    """.replace("{values}", _gesd_lambda_values()),
+)
+def w15_gesd(spark, sf_dir):
+    """Generalized ESD outlier test (tsops.gesd_outliers — Rosner 1983)
+    on each (event_type, day)'s hourly counts: 3 rounds of
+    remove-the-most-extreme with exact-BIGINT-sum statistics, verdicts
+    against t-based critical values computed WITHOUT scipy
+    (tsrollup.stats: incomplete-beta continued fraction + bisection,
+    pinned vs public t-tables) and inlined as identical literals into
+    both engines. The value-exact twin unrolls the identical 3 rounds
+    in SQL — same pinned variance formula, same (dev DESC, i ASC)
+    argmax, same λ floats."""
+    from .tsops import gesd_outliers
+
+    hb = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000").alias("i"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    out = gesd_outliers(
+        hb, keys=["event_type", "day"], idx_col="i", val_col="c",
+        max_k=3, alpha=0.05, min_n=10,
+    )
+    return out.select(
+        "event_type", "day", "i", "c", "rnd",
+        F.round("r_stat", 6).alias("r_r"),
+        F.round("lam", 6).alias("lam_r"),
+        "is_outlier",
+    )
+
+
 # ------------------------------------- W8 anomaly islands (round 3)
 
 @q(

@@ -942,3 +942,121 @@ def theil_sen_slope(
         F.count(F.lit(1)).alias("n_pairs"),
         F.expr("percentile(__slope, 0.5)").alias("slope"),
     )
+
+
+def gesd_outliers(
+    df: DataFrame,
+    keys: list[str],
+    idx_col: str,
+    val_col: str,
+    max_k: int = 3,
+    alpha: float = 0.05,
+    min_n: int = 10,
+) -> DataFrame:
+    """Generalized ESD outlier test (Rosner, Technometrics 1983) per key
+    group, fully DECLARATIVE: the classic "how many outliers, without
+    fixing the count in advance" test. max_k rounds each remove the
+    point with the largest |x − mean| (tie: lowest index), recording
+    R_i = max|x − mean| / s; the verdict flags the first k* removed
+    points where k* = max{i : R_i > λ_i} with Rosner's t-based critical
+    values λ_i (tsrollup.stats.gesd_lambdas — pure-python t quantiles,
+    no scipy).
+
+    Twinnability: every statistic is assembled from exact BIGINT sums
+    (mean = s/n, s² = (n·Σx² − s²)/(n(n−1)) — ONE pinned formula, not
+    stddev_samp) so both engines see identical doubles, the argmax
+    selection is on those identical doubles, and the λ are inlined
+    deterministic literals. The K rounds unroll as K tiny
+    groupBy+join+window passes over a shrinking per-group set — no
+    kernel, no Python on the data path; the only collect is the
+    DISTINCT GROUP SIZES (O(#sizes), bounded by the bucketing — e.g.
+    ≤24 for hours-per-day groups) used to build the λ lookup that
+    broadcasts back.
+
+    Groups smaller than min_n are dropped (min_n must be ≥ max_k + 3 so
+    a sample std survives the last round). Returns one row per REMOVED
+    candidate: keys + idx + val + rnd + r_stat + lam + is_outlier.
+    """
+    if min_n < max_k + 3:
+        raise ValueError(f"min_n={min_n} must be >= max_k + 3 = {max_k + 3}")
+    from .stats import gesd_lambdas
+
+    w0 = Window.partitionBy(*keys)
+    base = (
+        df.select(
+            *keys,
+            F.col(idx_col).alias("__i"),
+            F.col(val_col).cast("long").alias("__c"),
+        )
+        .withColumn("__n0", F.count(F.lit(1)).over(w0))
+        .where(F.col("__n0") >= min_n)
+    )
+
+    remaining = base
+    removed = []
+    for rnd in range(1, max_k + 1):
+        stats = remaining.groupBy(*keys).agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum("__c").alias("__s"),
+            F.sum(F.col("__c") * F.col("__c")).alias("__q"),
+        )
+        nd = F.col("__n").cast("double")
+        sd = F.col("__s").cast("double")
+        qd = F.col("__q").cast("double")
+        cand = (
+            remaining.join(stats, keys)
+            .withColumn("__dev", F.abs(F.col("__c").cast("double") - sd / nd))
+            .withColumn(
+                "__r",
+                F.col("__dev")
+                / F.sqrt((nd * qd - sd * sd) / (nd * (nd - 1.0))),
+            )
+            .withColumn(
+                "__rk",
+                F.row_number().over(
+                    Window.partitionBy(*keys).orderBy(
+                        F.desc("__dev"), F.asc("__i")
+                    )
+                ),
+            )
+        )
+        removed.append(
+            cand.where(F.col("__rk") == 1).select(
+                *keys, "__i", "__c", "__n0",
+                F.lit(rnd).alias("rnd"), F.col("__r").alias("r_stat"),
+            )
+        )
+        remaining = cand.where(F.col("__rk") > 1).select(
+            *keys, "__i", "__c", "__n0"
+        )
+
+    allout = removed[0]
+    for d in removed[1:]:
+        allout = allout.unionByName(d)
+
+    sizes = sorted(
+        r["__n0"] for r in base.select("__n0").distinct().collect()
+    )
+    spark = df.sparkSession
+    lam_rows = [
+        (int(n), rnd, gesd_lambdas(int(n), max_k, alpha)[rnd - 1])
+        for n in sizes
+        for rnd in range(1, max_k + 1)
+    ]
+    lam = spark.createDataFrame(lam_rows, "__n0 long, rnd int, lam double")
+
+    flagged = allout.join(F.broadcast(lam), ["__n0", "rnd"]).withColumn(
+        "__kstar",
+        F.max(F.when(F.col("r_stat") > F.col("lam"), F.col("rnd"))).over(
+            Window.partitionBy(*keys)
+        ),
+    )
+    return flagged.select(
+        *keys,
+        F.col("__i").alias(idx_col),
+        F.col("__c").alias(val_col),
+        "rnd",
+        "r_stat",
+        "lam",
+        (F.col("rnd") <= F.coalesce("__kstar", F.lit(0))).alias("is_outlier"),
+    )
