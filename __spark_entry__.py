@@ -759,6 +759,25 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.xxhash64("tokens").alias("tok_hash"),
         )
 
+    def engine_seq_chunk(spark, sf_dir):
+        """Context-window chunking with overlap
+        (packing.chunk_sequences): per-document 32-token windows every
+        24 tokens (8-token halo) — the document-local batching
+        transform (packing crosses doc boundaries; this never does).
+        Embarrassingly parallel: one bounded sequence-explode + JVM
+        slice, NO shuffle, no Python. The entry publishes each chunk's
+        xxhash64 int-fold, so the twin proves every chunk's token
+        window is BIT-identical to the oracle's list slice."""
+        from tsrollup.packing import chunk_sequences
+
+        out = chunk_sequences(
+            sequences_from_documents(spark, sf_dir), max_len=32, stride=24
+        )
+        return out.select(
+            "doc_id", "chunk_id", "start", "chunk_len",
+            F.xxhash64("chunk").alias("tok_hash"),
+        )
+
     def engine_token_heavy(spark, sf_dir):
         """Distributed heavy hitters over the token payload
         (sketches.heavy_hitters): per-partition Misra-Gries summaries
@@ -873,6 +892,7 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mx_reservoir": mx_reservoir,
         "engine_seq_dedup": engine_seq_dedup,
         "engine_seq_pack": engine_seq_pack,
+        "engine_seq_chunk": engine_seq_chunk,
         "engine_token_heavy": engine_token_heavy,
         "engine_token_hist": engine_token_hist,
         "engine_token_profile": engine_token_profile,
@@ -1257,6 +1277,22 @@ def _engine_oracles() -> dict[str, str]:
     FROM seq GROUP BY 1
     """)
 
+    seq_chunk = engine_oracle("""
+    , ck AS (
+      SELECT doc_id, n_tok, tokens,
+             unnest(range(CASE WHEN n_tok <= 32 THEN 1
+                          ELSE (n_tok - 32 + 23) // 24 + 1 END)) AS chunk_id
+      FROM seq
+    )
+    SELECT doc_id, chunk_id::INTEGER AS chunk_id,
+           (chunk_id * 24)::INTEGER AS start,
+           len(tokens[chunk_id * 24 + 1 : chunk_id * 24 + 32])::INTEGER
+             AS chunk_len,
+           xxh64_intlist(tokens[chunk_id * 24 + 1 : chunk_id * 24 + 32])
+             AS tok_hash
+    FROM ck
+    """)
+
     seq_pack = engine_oracle("""
     , ord AS (
       SELECT source, tokens, n_tok,
@@ -1456,6 +1492,7 @@ def _engine_oracles() -> dict[str, str]:
         "mx_reservoir": mx_reservoir_o,
         "engine_seq_dedup": seq_dedup,
         "engine_seq_pack": seq_pack,
+        "engine_seq_chunk": seq_chunk,
         "engine_token_heavy": token_heavy,
         "engine_token_hist": token_hist,
         "engine_token_profile": token_profile,

@@ -100,3 +100,61 @@ class TestPackSequences:
             "doc_id string, tokens array<int>, source string, event_ts timestamp",
         )
         assert pack_sequences(empt, 32).count() == 0
+
+
+class TestChunkSequences:
+    def _ref(self, toks, max_len, stride):
+        n = len(toks)
+        if n <= max_len:
+            ks = [0]
+        else:
+            ks = list(range((n - max_len + stride - 1) // stride + 1))
+        return [(k, k * stride, toks[k * stride: k * stride + max_len])
+                for k in ks]
+
+    def test_matches_reference_and_covers_everything(self, spark):
+        import numpy as np
+
+        from tsrollup.packing import chunk_sequences
+
+        rng = np.random.default_rng(21)
+        docs = []
+        for i, n in enumerate([1, 31, 32, 33, 57, 96, 97, 200, 0]):
+            docs.append((f"d{i}", [int(x) for x in rng.integers(0, 50_000, n)]))
+        df = spark.createDataFrame(docs, "doc_id string, tokens array<int>")
+        got = chunk_sequences(df, max_len=32, stride=24).collect()
+        by_doc = {}
+        for r in got:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        toks = dict(docs)
+        for d, rows in by_doc.items():
+            rows.sort(key=lambda r: r["chunk_id"])
+            ref = self._ref(toks[d], 32, 24)
+            assert len(rows) == len(ref)
+            for r, (k, start, chunk) in zip(rows, ref):
+                assert (r["chunk_id"], r["start"]) == (k, start)
+                assert r["chunk"] == chunk          # bit-identical tokens
+                assert r["chunk_len"] == len(chunk)
+            # coverage: every token index inside some chunk; last chunk
+            # reaches the end
+            if toks[d]:
+                covered = set()
+                for _, start, chunk in ref:
+                    covered.update(range(start, start + len(chunk)))
+                assert covered == set(range(len(toks[d])))
+        # the 200-token doc overlaps: consecutive chunks share 8 tokens
+        rows = by_doc["d7"]
+        for a, b in zip(rows, rows[1:]):
+            if b["chunk_len"] >= 8:
+                assert a["chunk"][-8:] == b["chunk"][:8]
+
+    def test_stride_validation(self, spark):
+        from tsrollup.packing import chunk_sequences
+
+        df = spark.createDataFrame([("d", [1, 2, 3])],
+                                   "doc_id string, tokens array<int>")
+        import pytest as _pt
+        with _pt.raises(ValueError, match="stride"):
+            chunk_sequences(df, max_len=32, stride=0)
+        with _pt.raises(ValueError, match="stride"):
+            chunk_sequences(df, max_len=32, stride=40)

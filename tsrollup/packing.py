@@ -113,3 +113,58 @@ def pack_sequences(
         .groupBy(*keys)
         .applyInPandas(_pack_group, out_schema)
     )
+
+
+def chunk_sequences(
+    df: DataFrame,
+    max_len: int = 128,
+    stride: int | None = None,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Per-document context-window chunking with overlap — the OTHER
+    standard batching transform (pack_sequences crosses document
+    boundaries; this one never does, the shape used when examples must
+    stay document-local, e.g. long-context eval or span-sensitive
+    curation). Each document's tokens split into windows of `max_len`
+    starting every `stride` tokens (stride < max_len → overlapping
+    halo); the final window is the remainder (shorter), and a document
+    shorter than max_len yields exactly one chunk.
+
+    Chunk k covers tokens[k·stride : k·stride + max_len], with
+    K = 1 if n ≤ max_len else ceil((n − max_len)/stride) + 1 —
+    every token is covered and the last window always reaches the end.
+
+    Scale shape: embarrassingly parallel — one projection with a
+    bounded `sequence` explode and a JVM-side `slice`; NO shuffle, NO
+    Python, and the token arrays never leave the executor row they
+    arrived in. Returns id + chunk_id + start + chunk (array<int>) +
+    chunk_len.
+    """
+    if stride is None:
+        stride = max_len
+    if not 0 < stride <= max_len:
+        raise ValueError(f"stride={stride} must be in (0, max_len={max_len}]")
+    n = f"size({tokens_col})"
+    k = (
+        f"CASE WHEN {n} <= {max_len} THEN 0 "
+        f"ELSE ({n} - {max_len} + {stride} - 1) div {stride} END"
+    )
+    from pyspark.sql import functions as F
+
+    return (
+        df.select(
+            id_col,
+            tokens_col,
+            F.explode(F.expr(f"sequence(0, {k})")).alias("chunk_id"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            (F.col("chunk_id") * stride).alias("start"),
+            F.expr(
+                f"slice({tokens_col}, chunk_id * {stride} + 1, {max_len})"
+            ).alias("chunk"),
+        )
+        .withColumn("chunk_len", F.size("chunk"))
+    )
