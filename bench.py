@@ -194,6 +194,7 @@ def main() -> None:
         "w13_stl_decomp",
         "w14_theil_sen",
         "w15_gesd",
+        "w16_backtest",
         "tx_vocab_growth",
         "j8_point_in_interval",
         "dd_containment",

@@ -1007,3 +1007,44 @@ def test_gesd_outliers_vs_reference(spark):
     assert flagged["g0"] >= 2
     assert all(flagged[g] == 0 for g in groups if g != "g0") or \
         sum(flagged[g] for g in groups if g != "g0") <= 1  # rare false positive
+
+
+def test_backtest_semantics(spark):
+    """w16_backtest (driver query): a perfectly 24h-periodic series
+    scores zero error; a day with one +k spike scores abs_err == k;
+    first day scores nothing (no history); WAPE is the exact integer
+    10000·Σ|err| div Σactual."""
+    import os
+    import tempfile
+
+    from tsrollup.driver_queries import SPARK
+
+    rows = []
+    for d in range(4):
+        for h in range(24):
+            c = 10 + (h % 12)
+            if d == 2 and h == 5:
+                c += 37                      # one planted spike
+            for _ in range(c):
+                rows.append((f"2024-02-0{d+1:d} {h:02d}:30:00", "etype"))
+    import pandas as pd
+    pdf = pd.DataFrame(rows, columns=["ts", "event_type"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    pdf["event_id"] = range(len(pdf))
+    pdf["user_id"] = 1
+    pdf["value"] = 0.0
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(pdf).coalesce(1).write.parquet(
+            os.path.join(td, "events.parquet"))
+        got = {(r["event_type"], r["day_idx"]): r
+               for r in SPARK["w16_backtest"](spark, td).collect()}
+    days = sorted(d for (_, d) in got)
+    assert len(days) == 3                    # first day unscored
+    d0, d1, d2 = days
+    assert got[("etype", d0)]["abs_err"] == 0
+    # spike day: forecast from clean day -> err 37; next day forecasts
+    # FROM the spike day -> err 37 again
+    assert got[("etype", d1)]["abs_err"] == 37
+    assert got[("etype", d2)]["abs_err"] == 37
+    r = got[("etype", d1)]
+    assert r["wape_per10k"] == (10000 * 37) // (24 * 10 + sum(h % 12 for h in range(24)) + 37)

@@ -2503,6 +2503,79 @@ def w15_gesd(spark, sf_dir):
     )
 
 
+# ---------------------------- W16 forecast backtesting (round 4)
+
+@q(
+    "w16_backtest",
+    """
+    WITH hb AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS i,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT a.event_type, a.i, a.c AS actual, f.c AS forecast
+      FROM hb a JOIN hb f
+        ON f.event_type = a.event_type AND f.i = a.i - 24
+    )
+    SELECT event_type,
+           CAST(i // 24 AS BIGINT) AS day_idx,
+           CAST(count(*) AS BIGINT) AS n_scored,
+           CAST(sum(abs(actual - forecast)) AS BIGINT) AS abs_err,
+           round(sum(abs(actual - forecast))::DOUBLE / count(*)::DOUBLE, 6)
+             AS mae_r,
+           CAST((10000 * sum(abs(actual - forecast))) // sum(actual)
+                AS BIGINT) AS wape_per10k
+    FROM j GROUP BY 1, 2
+    """,
+)
+def w16_backtest(spark, sf_dir):
+    """Rolling-origin backtest of the seasonal-naive forecaster (the
+    baseline every fancier model must beat): forecast for hour i is the
+    count at i−24h, scored per (event_type, day) as exact-integer
+    absolute error plus MAE and WAPE (weighted absolute percentage
+    error as an exact per-10k integer — MAPE's per-bucket division
+    blows up on near-zero hours; WAPE is the production-safe form).
+    One time-arithmetic self-equi-join (gap-safe: missing history rows
+    score nothing rather than comparing against the wrong hour) + one
+    hash agg — value-exact twin."""
+    hb = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000").alias("i"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    f = hb.select(
+        F.col("event_type").alias("__fe"),
+        (F.col("i") + 24).alias("__fi"),
+        F.col("c").alias("forecast"),
+    )
+    j = hb.join(
+        f, (F.col("event_type") == F.col("__fe")) & (F.col("i") == F.col("__fi"))
+    ).select("event_type", "i", F.col("c").alias("actual"), "forecast")
+    err = F.abs(F.col("actual") - F.col("forecast"))
+    return (
+        j.groupBy("event_type", F.expr("i div 24").alias("day_idx"))
+        .agg(
+            F.count(F.lit(1)).alias("n_scored"),
+            F.sum(err).alias("abs_err"),
+            F.sum(F.col("actual")).alias("__sa"),
+        )
+        .select(
+            "event_type",
+            "day_idx",
+            "n_scored",
+            "abs_err",
+            F.round(
+                F.col("abs_err").cast("double") / F.col("n_scored").cast("double"), 6
+            ).alias("mae_r"),
+            F.expr("(10000 * abs_err) div __sa").alias("wape_per10k"),
+        )
+    )
+
+
 # ------------------------------------- W8 anomaly islands (round 3)
 
 @q(
