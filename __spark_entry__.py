@@ -436,6 +436,29 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return video_frame_features(spark, sf_dir, stride=2, n_frames=6)
 
+    def engine_streaming_silence(spark, sf_dir):
+        """T9: dead-man silence detection ON THE STREAM
+        (streaming.streaming_silence): one row per FINALIZED 1m bucket in
+        which a previously-active source produced no events. Event-time
+        timeouts make absence observable — the watermark advances on other
+        sources' traffic and re-arms each group one bucket ahead, so a
+        source going dark still emits rows. Emitted rows are final and
+        equal the batch spine-anti-join below the same cut
+        (bucket + 1m <= date_trunc(minute, max event_ts) - 10min), which
+        is exactly what the oracle computes."""
+        from tsrollup.streaming import run_streaming_silence
+
+        base = _scratch("streaming_silence")
+        in_dir = _seq_files(spark, sf_dir, base)
+        out = os.path.join(base, "silence")
+        run_streaming_silence(
+            spark, in_dir, out, os.path.join(base, "ckpt"),
+            tier="1m", max_files_per_trigger=1,
+        )
+        return spark.read.parquet(out).select(
+            "source", F.unix_timestamp("bucket_start").alias("bucket_s")
+        )
+
     def engine_streaming_join(spark, sf_dir):
         """T6: stream-static BROADCAST join (sequence stream enriched with
         a deterministic source->region dim) feeding a watermarked 1m
@@ -908,6 +931,7 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_features2": mm_features2,
         "mm_video_frames": mm_video_frames,
         "engine_streaming_rollup": engine_streaming_rollup,
+        "engine_streaming_silence": engine_streaming_silence,
         "engine_streaming_join": engine_streaming_join,
         "engine_streaming_welford": engine_streaming_welford,
         "engine_resume_ledger": engine_resume_ledger,
@@ -947,6 +971,29 @@ def _engine_oracles() -> dict[str, str]:
     SELECT source, epoch(bucket_start)::BIGINT AS bucket_s,
            cnt, n_tok_sum, n_tok_min, n_tok_max, tok_sum, tok_cnt
     FROM agg, wm WHERE bucket_start + INTERVAL 1 MINUTE <= wm.w
+    """)
+
+    # T7 silence: per source, every finalized 1m bucket AFTER the source's
+    # first observed bucket with no events. The watermark is attached to
+    # the floored bucket column, so the cut the stream applies is
+    # bucket + 1m <= date_trunc(minute, max event_ts) - 10min.
+    streaming_silence = engine_oracle(""",
+    wm AS (SELECT date_trunc('minute', max(event_ts)) - INTERVAL 10 MINUTE
+                  AS w FROM seq),
+    obs AS (SELECT DISTINCT source, date_trunc('minute', event_ts) AS bucket
+            FROM seq),
+    org AS (SELECT source, min(bucket) AS first_b FROM obs GROUP BY 1),
+    bounds AS (SELECT min(first_b) AS lo FROM org),
+    mins AS (SELECT unnest(generate_series(
+                 (SELECT lo FROM bounds),
+                 (SELECT w - INTERVAL 1 MINUTE FROM wm),
+                 INTERVAL 1 MINUTE)) AS bucket),
+    spine AS (SELECT org.source, m.bucket
+              FROM org JOIN mins m ON m.bucket > org.first_b)
+    SELECT s.source, epoch(s.bucket)::BIGINT AS bucket_s
+    FROM spine s
+    WHERE NOT EXISTS (SELECT 1 FROM obs o
+                      WHERE o.source = s.source AND o.bucket = s.bucket)
     """)
 
     streaming_join = engine_oracle(""",
@@ -1497,6 +1544,7 @@ def _engine_oracles() -> dict[str, str]:
         "engine_token_hist": token_hist,
         "engine_token_profile": token_profile,
         "engine_streaming_rollup": streaming_rollup,
+        "engine_streaming_silence": streaming_silence,
         "engine_streaming_join": streaming_join,
         "engine_read_range": read_range,
         "engine_streamed_ingest": streamed_ingest,

@@ -402,3 +402,70 @@ def test_streaming_token_hist_matches_batch(spark, stream_input):
     assert len(g) == len(w)
     assert (g["token_id"].to_numpy() == w["token_id"].to_numpy()).all()
     assert (g["cnt"].to_numpy() == w["cnt"].to_numpy()).all()
+
+
+def test_streaming_silence_matches_batch_spine(spark):
+    """T9 — the silence detector must emit EXACTLY the per-source finalized
+    buckets with no events after the source's first observed bucket:
+    interior gaps, trailing (open-ended) silence, and a late-starting
+    source, all cut at wm = floor(1m, max event_ts) - delay."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tsrollup.streaming import run_streaming_silence
+
+    t0 = np.datetime64("2024-03-01T00:00:00", "us")
+    minute = np.timedelta64(60_000_000, "us")
+
+    def rows(source, minutes):
+        return [(f"{source}-{m}", [1, 2], source, 2, t0 + m * minute)
+                for m in minutes]
+
+    # src_a carries the watermark (every minute 0..120); src_b has an
+    # interior gap 21..30 and goes dark after 60; src_c starts at 40,
+    # dark after 50.
+    data = (rows("src_a", range(0, 121))
+            + rows("src_b", list(range(0, 21)) + list(range(31, 61)))
+            + rows("src_c", range(40, 51)))
+    data.sort(key=lambda r: (r[4], r[0]))
+    schema = pa.schema([
+        ("doc_id", pa.string()), ("tokens", pa.list_(pa.int32())),
+        ("source", pa.string()), ("n_tok", pa.int32()),
+        ("event_ts", pa.timestamp("us")),
+    ])
+    tbl = pa.Table.from_pylist(
+        [dict(zip([f.name for f in schema], r)) for r in data], schema=schema)
+    in_dir = os.path.join(BASE, "silence_in")
+    shutil.rmtree(in_dir, ignore_errors=True)
+    os.makedirs(in_dir)
+    import time as _time
+    now = int(_time.time())
+    step = (tbl.num_rows + 2) // 3
+    for i in range(3):
+        f = os.path.join(in_dir, f"part-{i}.parquet")
+        pq.write_table(tbl.slice(i * step, step), f)
+        os.utime(f, (now + i, now + i))  # mtime order == event-time order
+
+    out = os.path.join(BASE, "silence_out")
+    ckpt = os.path.join(BASE, "silence_ckpt")
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    run_streaming_silence(spark, in_dir, out, ckpt, tier="1m",
+                          watermark="10 minutes", max_files_per_trigger=1)
+    got = spark.read.parquet(out).toPandas()
+    got_set = set(zip(got["source"],
+                      normalize_ts(got, ("bucket_start",))["bucket_start"]))
+    assert len(got) == len(got_set), "duplicate silence rows emitted"
+
+    # batch twin: wm = floor(minute, max ts) - 10m; final iff b + 1m <= wm
+    cut_last = 120 - 10 - 1  # last final minute index
+    expect = set()
+    obs = {"src_a": set(range(0, 121)),
+           "src_b": set(range(0, 21)) | set(range(31, 61)),
+           "src_c": set(range(40, 51))}
+    for src, seen in obs.items():
+        for m in range(min(seen) + 1, cut_last + 1):
+            if m not in seen:
+                expect.add((src, pd.Timestamp((t0 + m * minute).item())))
+    assert expect, "fixture must plant silence"
+    assert got_set == expect

@@ -602,3 +602,128 @@ def run_streaming_token_hist(
         .start()
     )
     q.awaitTermination()
+
+
+# ---------------------------------------------------------------- T9
+# Streaming silence detection (dead-man switch): emit a row for every
+# FINALIZED bucket in which a previously-active source produced no
+# events — the monitoring primitive that catches a source going dark,
+# which no per-arriving-row operator can see (absence has no rows).
+# Event-time timeouts make the detector fire while the source stays
+# silent: the watermark (attached to the FLOORED bucket column, same
+# contract as streaming_token_hist_1m) keeps advancing on other
+# sources' traffic, and each group's timeout re-arms one bucket ahead.
+# Finality rule (the twin's cut): bucket + step <= wm where
+# wm = floor(step, max event_ts) - delay; emitted rows are final and
+# exactly equal the batch spine-gap computation below that cut.
+
+SILENCE_STATE_SCHEMA = "first_idx long, emitted_until long, obs binary"
+SILENCE_OUT_SCHEMA = "source string, bucket_start timestamp"
+
+
+def _silence_update(step_us: int):
+    import numpy as np
+
+    step_ms = step_us // 1000
+
+    def upd(key, pdf_iter, state: GroupState):
+        chunks = [p for p in pdf_iter]
+        wm_ms = state.getCurrentWatermarkMs()
+        cut = int(wm_ms // step_ms)  # bucket idx < cut is FINAL
+        new_idx: set[int] = set()
+        for pdf in chunks:
+            if len(pdf):
+                b = (
+                    pdf["bucket"].to_numpy().astype("datetime64[us]")
+                    .view(np.int64)
+                )
+                new_idx.update((b // step_us).tolist())
+        if state.exists:
+            first, emitted_until, obs_b = state.get
+            obs = (
+                set(np.frombuffer(obs_b, dtype=np.int64).tolist())
+                if obs_b else set()
+            )
+        else:
+            if not new_idx:  # timeout for a group we never saw: impossible
+                return
+            first = min(new_idx)
+            emitted_until = first
+            obs = set()
+        obs |= new_idx
+        if new_idx and min(new_idx) < first:
+            # earlier-than-first data still inside the watermark window:
+            # silence below it was never resolved (cut <= bucket), so the
+            # origin simply moves back
+            first = min(new_idx)
+            emitted_until = min(emitted_until, first)
+        start = emitted_until + 1
+        silent = [i for i in range(start, cut) if i not in obs]
+        if cut - 1 > emitted_until:
+            emitted_until = cut - 1
+        obs = {i for i in obs if i > emitted_until}
+        state.update((
+            int(first), int(emitted_until),
+            np.array(sorted(obs), dtype=np.int64).tobytes(),
+        ))
+        # fire again when the watermark finalizes the next bucket
+        state.setTimeoutTimestamp((cut + 1) * step_ms)
+        if silent:
+            yield pd.DataFrame({
+                "source": [key[0]] * len(silent),
+                "bucket_start": pd.Series(
+                    np.array(silent, dtype=np.int64) * step_us
+                ).astype("datetime64[us]"),
+            })
+
+    return upd
+
+
+def streaming_silence(
+    stream: DataFrame, tier: str = "1h", watermark: str = "10 minutes"
+) -> DataFrame:
+    """T9 — per-source silence rows over the event stream: one output
+    row per finalized `tier` bucket with NO events from a source that
+    had produced events before (origin = the source's first observed
+    bucket; interior gaps and open-ended trailing silence both emit).
+    Append-mode, final rows only — twinnable against the batch
+    spine-anti-join below the same watermark cut."""
+    from .config import TIER_US
+
+    unit = {"1m": "minute", "1h": "hour", "1d": "day"}[tier]
+    step_us = TIER_US[tier]
+    bucketed = stream.select(
+        "source", F.date_trunc(unit, "event_ts").alias("bucket")
+    ).withWatermark("bucket", watermark)
+    return bucketed.groupBy("source").applyInPandasWithState(
+        _silence_update(step_us),
+        outputStructType=SILENCE_OUT_SCHEMA,
+        stateStructType=SILENCE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def run_streaming_silence(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    checkpoint: str,
+    tier: str = "1h",
+    watermark: str = "10 minutes",
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """availableNow drain of the silence detector into a parquet sink
+    (the final flush applies the fully-advanced watermark, so trailing
+    silence up to the cut is emitted before the query stops)."""
+    stream = read_sequence_stream(spark, in_dir, max_files_per_trigger)
+    sil = streaming_silence(stream, tier, watermark)
+    q = (
+        sil.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
