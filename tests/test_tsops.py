@@ -1048,3 +1048,151 @@ def test_backtest_semantics(spark):
     assert got[("etype", d2)]["abs_err"] == 37
     r = got[("etype", d1)]
     assert r["wape_per10k"] == (10000 * 37) // (24 * 10 + sum(h % 12 for h in range(24)) + 37)
+
+
+# ------------------------- dominant period / hysteresis / SAX (round 4)
+
+
+def _hourly(spark, rows):
+    """rows: (key, i, c) bucketed hourly counts."""
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["key", "i", "c"])
+    )
+
+
+def test_dominant_period_finds_planted_cycle(spark):
+    from tsrollup.tsops import dominant_period
+
+    # period-7 comb on a noisy base, 20 cycles: lag 7 must dominate 2..10
+    rng = np.random.default_rng(11)
+    n = 140
+    c = 20 + rng.integers(0, 3, n) + 15 * (np.arange(n) % 7 == 0)
+    rows = [("a", int(i), int(v)) for i, v in enumerate(c)]
+    out = dominant_period(
+        _hourly(spark, rows), keys=["key"], lags=list(range(2, 11)),
+        min_pairs=32, r_threshold=0.3,
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["period"] == 7
+    assert out[0]["is_seasonal"]
+
+    # numpy cross-check of the winning r on the same definition
+    def pearson_lag(x, lag):
+        a, b = x[:-lag].astype(float), x[lag:].astype(float)
+        return np.corrcoef(a, b)[0, 1]
+    rs = {lag: round(pearson_lag(c, lag), 6) for lag in range(2, 11)}
+    best = max(rs, key=lambda l: (rs[l], -l))
+    assert best == 7 and abs(out[0]["r_r"] - rs[7]) < 1e-9
+
+
+def test_dominant_period_degenerate_series_emit_nothing(spark):
+    from tsrollup.tsops import dominant_period
+
+    rows = (
+        # constant: every lag's r is NULL
+        [("const", i, 5) for i in range(80)]
+        # too short for min_pairs at every candidate lag
+        + [("short", i, i % 3) for i in range(10)]
+    )
+    out = dominant_period(
+        _hourly(spark, rows), keys=["key"], lags=[2, 3, 4], min_pairs=32
+    ).collect()
+    assert out == []
+
+
+def _hysteresis_ref(c, window=24, hi=2.0, lo=1.0):
+    """Independent loop reference of the hysteresis definition."""
+    c = np.asarray(c, dtype=np.int64)
+    n = len(c)
+    state, naive_prev, st_prev = 0, 0, 0
+    alert = episodes = naive_episodes = 0
+    for t in range(n):
+        if t >= window - 1:
+            w = c[t - window + 1: t + 1]
+            sx, sxx = int(w.sum()), int((w * w).sum())
+            var_n2 = window * sxx - sx * sx
+            z = (
+                round((window * int(c[t]) - sx) / np.sqrt(var_n2), 6)
+                if var_n2 > 0 else None
+            )
+        else:
+            z = None
+        if z is not None and z >= hi:
+            state = 1
+        elif z is not None and z < lo:
+            state = 0
+        naive = 1 if (z is not None and z >= hi) else 0
+        alert += state
+        if state == 1 and st_prev == 0:
+            episodes += 1
+        if naive == 1 and naive_prev == 0:
+            naive_episodes += 1
+        st_prev, naive_prev = state, naive
+    return {"n_buckets": n, "alert_buckets": alert,
+            "episodes": episodes, "naive_episodes": naive_episodes}
+
+
+def test_hysteresis_matches_reference_and_suppresses_flaps(spark):
+    from tsrollup.tsops import hysteresis_alerts
+
+    rng = np.random.default_rng(5)
+    base = rng.poisson(50, 200)
+    # planted incident that flaps around the enter threshold: spikes with
+    # dips that stay in the dead band [lo, hi) as the trailing-window
+    # stats rise — naive re-alerts on every spike, hysteresis holds
+    incident = base.copy()
+    incident[100:110] = [95, 69, 95, 73, 95, 77, 95, 81, 95, 85]
+    rows = [("flappy", int(i), int(v)) for i, v in enumerate(incident)]
+    rows += [("calm", int(i), int(v)) for i, v in enumerate(base)]
+    out = {
+        r["key"]: r.asDict()
+        for r in hysteresis_alerts(
+            _hourly(spark, rows), keys=["key"], window=24, hi=2.0, lo=1.0
+        ).collect()
+    }
+    for key, series in (("flappy", incident), ("calm", base)):
+        ref = _hysteresis_ref(series)
+        got = {k: out[key][k] for k in ref}
+        assert got == ref, f"{key}: {got} != {ref}"
+    assert out["flappy"]["episodes"] >= 1
+    assert out["flappy"]["naive_episodes"] > out["flappy"]["episodes"], (
+        "planted flaps must show naive re-alerting that hysteresis merges"
+    )
+
+
+def test_sax_words_hand_computed(spark):
+    from tsrollup.tsops import sax_words
+
+    # two identical-shape days + one constant day; day boundaries at
+    # i % 24 == 0. Segment sums (4h x 6): day shape below has segment
+    # sums [4, 12, 28, 28, 12, 4]: mn=4, mx=28, width 25 ->
+    # sym = (s-4)*4 // 25 = [0, 1, 3, 3, 1, 0]
+    shape = [1, 1, 1, 1, 3, 3, 3, 3, 7, 7, 7, 7,
+             7, 7, 7, 7, 3, 3, 3, 3, 1, 1, 1, 1]
+    rows = []
+    for day in (0, 1):
+        rows += [("a", day * 24 + h, shape[h]) for h in range(24)]
+    rows += [("a", 2 * 24 + h, 5) for h in range(24)]        # constant day
+    rows += [("a", 3 * 24 + h, shape[h]) for h in range(12)]  # incomplete
+    out = {
+        (r["key"], r["word"]): r.asDict()
+        for r in sax_words(
+            _hourly(spark, rows), keys=["key"], period=24,
+            n_segments=6, alphabet=4,
+        ).collect()
+    }
+    assert set(out) == {("a", "013310"), ("a", "000000")}
+    motif = out[("a", "013310")]
+    assert motif["n_periods"] == 2
+    assert motif["first_period"] == 0 and motif["last_period"] == 1
+    assert out[("a", "000000")]["n_periods"] == 1
+
+
+def test_sax_words_validates_args(spark):
+    from tsrollup.tsops import sax_words
+
+    df = _hourly(spark, [("a", 0, 1)])
+    with pytest.raises(ValueError, match="divisible"):
+        sax_words(df, ["key"], period=24, n_segments=7)
+    with pytest.raises(ValueError, match="alphabet"):
+        sax_words(df, ["key"], period=24, n_segments=6, alphabet=26)

@@ -3272,3 +3272,223 @@ def tx_pii_scan(spark, sf_dir):
         cnt(r"\+?[0-9][0-9() .-]{7,}[0-9]").alias("n_phones"),
         cnt(r"https?://[^ ]+").alias("n_urls"),
     )
+
+
+# ------------------------------- W17 dominant period / seasonality (round 4)
+
+@q(
+    "w17_dominant_period",
+    """
+    WITH hb AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS i,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    l AS (SELECT unnest(generate_series(2, 36)) AS lag),
+    p AS (SELECT x.event_type, l.lag, x.c AS xv, y.c AS yv
+          FROM hb x CROSS JOIN l
+          JOIN hb y ON y.event_type = x.event_type AND x.i + l.lag = y.i),
+    s AS (
+      SELECT event_type, lag, CAST(count(*) AS BIGINT) AS n_pts,
+             count(*)::DOUBLE AS nd,
+             sum(xv)::DOUBLE AS sx, sum(yv)::DOUBLE AS sy,
+             sum(xv * yv)::DOUBLE AS sxy,
+             sum(xv * xv)::DOUBLE AS sxx, sum(yv * yv)::DOUBLE AS syy
+      FROM p GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT event_type, lag, n_pts,
+             round(CASE WHEN nd * sxx - sx * sx > 0 AND nd * syy - sy * sy > 0
+                   THEN (nd * sxy - sx * sy)
+                        / (sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy))
+                   END, 6) AS r_r
+      FROM s WHERE n_pts >= 32
+    ),
+    k AS (
+      SELECT event_type, lag, n_pts, r_r,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY r_r DESC, lag) AS rk
+      FROM r WHERE r_r IS NOT NULL
+    )
+    SELECT event_type, lag AS period, n_pts, r_r, r_r >= 0.3 AS is_seasonal
+    FROM k WHERE rk = 1
+    """,
+)
+def w17_dominant_period(spark, sf_dir):
+    """Seasonality detection (tsops.dominant_period): the dominant period
+    of each event type's hourly count series = the lag in [2, 36] with
+    the highest autocorrelation (tsops.acf_lags, exact BIGINT sums),
+    argmax ranked on the ROUNDED r with smaller-lag tiebreak so the
+    winner is hash-twinnable. Lags with < 32 overlapping pairs are
+    ineligible; is_seasonal flags a dominant r >= 0.3."""
+    from .tsops import dominant_period
+
+    hb = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000").alias("i"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return dominant_period(
+        hb, keys=["event_type"], lags=list(range(2, 37)),
+        min_pairs=32, r_threshold=0.3,
+    )
+
+
+# ------------------------------ W18 hysteresis alerting (round 4)
+
+@q(
+    "w18_hysteresis",
+    """
+    WITH hb AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS i,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    ext AS (SELECT event_type, min(i) AS mn, max(i) AS mx FROM hb GROUP BY 1),
+    spine AS (SELECT event_type, unnest(generate_series(mn, mx)) AS i FROM ext),
+    dense AS (
+      SELECT s.event_type, s.i, coalesce(hb.c, 0)::BIGINT AS c
+      FROM spine s LEFT JOIN hb ON hb.event_type = s.event_type AND hb.i = s.i
+    ),
+    w AS (
+      SELECT event_type, i, c,
+             count(*) OVER w24 AS n,
+             sum(c) OVER w24 AS sx,
+             sum(c * c) OVER w24 AS sxx
+      FROM dense
+      WINDOW w24 AS (PARTITION BY event_type ORDER BY i
+                     ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+    ),
+    z AS (
+      SELECT event_type, i,
+             CASE WHEN n = 24 AND n * sxx - sx * sx > 0
+                  THEN round((n * c - sx)::DOUBLE
+                             / sqrt((n * sxx - sx * sx)::DOUBLE), 6) END AS z
+      FROM w
+    ),
+    st AS (
+      SELECT event_type, i,
+             coalesce(last_value(
+               CASE WHEN z >= 2.0 THEN 1 WHEN z < 1.0 THEN 0 END IGNORE NULLS
+             ) OVER (PARTITION BY event_type ORDER BY i
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS s,
+             coalesce((z >= 2.0)::INT, 0) AS naive
+      FROM z
+    ),
+    tr AS (
+      SELECT event_type, s, naive,
+             CASE WHEN s = 1 AND coalesce(lag(s) OVER wo, 0) = 0
+                  THEN 1 ELSE 0 END AS ent,
+             CASE WHEN naive = 1 AND coalesce(lag(naive) OVER wo, 0) = 0
+                  THEN 1 ELSE 0 END AS nent
+      FROM st
+      WINDOW wo AS (PARTITION BY event_type ORDER BY i)
+    )
+    SELECT event_type, count(*)::BIGINT AS n_buckets,
+           sum(s)::BIGINT AS alert_buckets,
+           sum(ent)::BIGINT AS episodes,
+           sum(nent)::BIGINT AS naive_episodes
+    FROM tr GROUP BY 1
+    """,
+)
+def w18_hysteresis(spark, sf_dir):
+    """Alerting with hysteresis (tsops.hysteresis_alerts): trailing-24h
+    z-score enters alert at z >= 2 and exits only below 1, carried by a
+    last-non-null window (no iteration); naive single-threshold episode
+    counts come out alongside to expose the flap suppression. Series are
+    ZERO-FILLED hourly counts per event type (missing hours are real
+    zeros, exactly as w13's dense spine builds them)."""
+    from .tsops import hysteresis_alerts
+
+    hb = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000").alias("i"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ext = hb.groupBy("event_type").agg(
+        F.min("i").alias("mn"), F.max("i").alias("mx")
+    )
+    spine = ext.select(
+        "event_type", F.explode(F.expr("sequence(mn, mx)")).alias("i")
+    )
+    dense = spine.join(hb, ["event_type", "i"], "left").select(
+        "event_type", "i", F.coalesce("c", F.lit(0)).cast("long").alias("c")
+    )
+    return hysteresis_alerts(
+        dense, keys=["event_type"], window=24, hi=2.0, lo=1.0
+    )
+
+
+# --------------------------- W19 SAX words / motif candidates (round 4)
+
+@q(
+    "w19_sax_motifs",
+    """
+    WITH hb AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS i,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    ext AS (SELECT event_type, min(i) AS mn, max(i) AS mx FROM hb GROUP BY 1),
+    spine AS (SELECT event_type, unnest(generate_series(mn, mx)) AS i FROM ext),
+    dense AS (
+      SELECT s.event_type, s.i, coalesce(hb.c, 0)::BIGINT AS c
+      FROM spine s LEFT JOIN hb ON hb.event_type = s.event_type AND hb.i = s.i
+    ),
+    seg AS (
+      SELECT event_type, i // 24 AS p, (i % 24) * 6 // 24 AS seg,
+             sum(c)::BIGINT AS s, count(*)::BIGINT AS nb
+      FROM dense GROUP BY 1, 2, 3
+    ),
+    pm AS (SELECT event_type, p, min(s) AS mn, max(s) AS mx,
+                  sum(nb) AS nbt
+           FROM seg GROUP BY 1, 2),
+    sym AS (
+      SELECT seg.event_type, seg.p, seg.seg,
+             (seg.s - pm.mn) * 4 // (pm.mx - pm.mn + 1) AS y
+      FROM seg JOIN pm ON pm.event_type = seg.event_type AND pm.p = seg.p
+      WHERE pm.nbt = 24
+    ),
+    wd AS (SELECT event_type, p,
+                  string_agg(y::VARCHAR, '' ORDER BY seg) AS word
+           FROM sym GROUP BY 1, 2)
+    SELECT event_type, word, count(*)::BIGINT AS n_periods,
+           min(p) AS first_period, max(p) AS last_period
+    FROM wd GROUP BY 1, 2
+    """,
+)
+def w19_sax_motifs(spark, sf_dir):
+    """SAX-style symbolic day words + motif candidates (tsops.sax_words):
+    each complete zero-filled day of the hourly count series is PAA'd
+    into six 4h segment sums, quantized 0..3 by equal-width binning over
+    the day's own range (exact integer arithmetic — no z-breakpoint knife
+    edges), and concatenated into a word; days sharing a word are
+    recurring-shape motif candidates. One row per (event_type, word)."""
+    from .tsops import sax_words
+
+    hb = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000").alias("i"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ext = hb.groupBy("event_type").agg(
+        F.min("i").alias("mn"), F.max("i").alias("mx")
+    )
+    spine = ext.select(
+        "event_type", F.explode(F.expr("sequence(mn, mx)")).alias("i")
+    )
+    dense = spine.join(hb, ["event_type", "i"], "left").select(
+        "event_type", "i", F.coalesce("c", F.lit(0)).cast("long").alias("c")
+    )
+    return sax_words(
+        dense, keys=["event_type"], period=24, n_segments=6, alphabet=4
+    )

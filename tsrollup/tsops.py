@@ -1060,3 +1060,235 @@ def gesd_outliers(
         "lam",
         (F.col("rnd") <= F.coalesce("__kstar", F.lit(0))).alias("is_outlier"),
     )
+
+
+def dominant_period(
+    df: DataFrame,
+    keys: list[str],
+    lags: list[int],
+    idx_col: str = "i",
+    val_col: str = "c",
+    min_pairs: int = 32,
+    r_threshold: float = 0.3,
+) -> DataFrame:
+    """W17 — seasonality detection: the dominant period of each series is
+    the candidate lag whose autocorrelation (acf_lags — exact BIGINT
+    sums) is highest. One row per series key: (keys..., period, n_pts,
+    r_r, is_seasonal).
+
+    Determinism contract: the winner is ranked on the ROUNDED r (1e-6)
+    with the SMALLER lag as tiebreak — the same rank-on-rounded idiom as
+    tfidf/weighted sampling — so the argmax is hash-twinnable even though
+    r is a double. Lags with fewer than ``min_pairs`` overlapping pairs
+    are ineligible (short series produce spurious perfect correlations);
+    series where every candidate lag is ineligible or degenerate (NULL r:
+    a constant window) produce no row.
+
+    Scale shape: acf_lags is one lag-exploded self-equi-join (|lags| is a
+    small literal constant) + one hash agg; the argmax adds one
+    row_number window over |keys|x|lags| rows — tiny. Nothing here
+    touches the raw series a second time.
+    """
+    acf = acf_lags(df, keys, lags, idx_col, val_col)
+    scored = (
+        acf.where(F.col("n_pts") >= int(min_pairs))
+        .select(*keys, "lag", "n_pts", F.round("r", 6).alias("r_r"))
+        .where(F.col("r_r").isNotNull())
+    )
+    w = Window.partitionBy(*keys).orderBy(F.desc("r_r"), F.asc("lag"))
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") == 1)
+        .select(
+            *keys,
+            F.col("lag").cast("long").alias("period"),
+            "n_pts",
+            "r_r",
+            (F.col("r_r") >= F.lit(float(r_threshold))).alias("is_seasonal"),
+        )
+    )
+
+
+def hysteresis_alerts(
+    df: DataFrame,
+    keys: list[str],
+    idx_col: str = "i",
+    val_col: str = "c",
+    window: int = 24,
+    hi: float = 2.0,
+    lo: float = 1.0,
+) -> DataFrame:
+    """W18 — alert state machine with hysteresis (flap suppression): an
+    alert ENTERS when the trailing-window z-score reaches ``hi`` and only
+    EXITS once z falls below ``lo``; in the dead band [lo, hi) the
+    previous state holds. Per series key, one summary row:
+    (keys..., n_buckets, alert_buckets, episodes, naive_episodes) where
+    naive_episodes counts the flappy single-threshold (z >= hi) alert's
+    on-transitions — hysteresis can only merge or equal them, so
+    episodes <= naive_episodes row-by-row.
+
+    The state machine is declarative, not iterative: decisive buckets
+    (z >= hi -> 1, z < lo -> 0, dead band -> NULL) feed a
+    last-non-null carry (``F.last(ignorenulls=True)`` over an unbounded
+    preceding frame), which IS the hysteresis state — the same
+    gaps-and-islands discipline as w8's anomaly islands, one window pass,
+    no per-row Python.
+
+    Determinism contract: z is assembled from exact BIGINT window sums
+    (n*v - sx) / sqrt(n*sxx - sx*sx) and ROUNDED to 1e-6 before every
+    threshold comparison, so both engines compare identical doubles
+    (thresholds are exact literals). Windows shorter than ``window`` rows
+    or with zero variance are non-decisive (NULL z).
+
+    Scale shape: two window passes over the bucketed series (sums+carry),
+    one hash agg. The bucketed series is already tiny relative to raw
+    events, and both windows share the same (keys, idx) sort order, so
+    Catalyst plans ONE sort.
+    """
+    n = int(window)
+    wsum = (
+        Window.partitionBy(*keys).orderBy(idx_col).rowsBetween(-(n - 1), 0)
+    )
+    v = F.col(val_col).cast("long")
+    base = df.select(
+        *keys,
+        F.col(idx_col).alias("__i"),
+        v.alias("__v"),
+        F.count(F.lit(1)).over(wsum).alias("__n"),
+        F.sum(v).over(wsum).alias("__sx"),
+        F.sum(v * v).over(wsum).alias("__sxx"),
+    )
+    var_n2 = F.col("__n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    z_r = F.round(
+        (F.col("__n") * F.col("__v") - F.col("__sx")).cast("double")
+        / F.sqrt(var_n2.cast("double")),
+        6,
+    )
+    scored = base.select(
+        *keys,
+        "__i",
+        F.when((F.col("__n") == n) & (var_n2 > 0), z_r).alias("__z"),
+    )
+    decisive = (
+        F.when(F.col("__z") >= F.lit(float(hi)), F.lit(1))
+        .when(F.col("__z") < F.lit(float(lo)), F.lit(0))
+    )
+    wcarry = (
+        Window.partitionBy(*keys)
+        .orderBy("__i")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    st = scored.select(
+        *keys,
+        "__i",
+        F.coalesce(
+            F.last(decisive, ignorenulls=True).over(wcarry), F.lit(0)
+        ).alias("__st"),
+        F.coalesce((F.col("__z") >= F.lit(float(hi))).cast("int"), F.lit(0))
+        .alias("__naive"),
+    )
+    wlag = Window.partitionBy(*keys).orderBy("__i")
+    tr = st.select(
+        *keys,
+        "__st",
+        "__naive",
+        (
+            (F.col("__st") == 1)
+            & (F.coalesce(F.lag("__st").over(wlag), F.lit(0)) == 0)
+        ).cast("long").alias("__enter"),
+        (
+            (F.col("__naive") == 1)
+            & (F.coalesce(F.lag("__naive").over(wlag), F.lit(0)) == 0)
+        ).cast("long").alias("__nenter"),
+    )
+    return tr.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum("__st").cast("long").alias("alert_buckets"),
+        F.sum("__enter").alias("episodes"),
+        F.sum("__nenter").alias("naive_episodes"),
+    )
+
+
+def sax_words(
+    df: DataFrame,
+    keys: list[str],
+    idx_col: str = "i",
+    val_col: str = "c",
+    period: int = 24,
+    n_segments: int = 6,
+    alphabet: int = 4,
+) -> DataFrame:
+    """W19 — SAX-style symbolic day words + motif candidates: each series
+    period (default one 24-bucket day) is piecewise-aggregated into
+    ``n_segments`` segment sums (PAA with an integer sum instead of a
+    mean — same information, exact), quantized to ``alphabet`` symbols by
+    equal-width binning over the period's own [min, max] range, and
+    concatenated into a word. Periods of the same key sharing a word are
+    motif candidates (recurring daily shapes); output is one row per
+    (keys..., word): (keys..., word, n_periods, first_period,
+    last_period).
+
+    This is the SAX pipeline (Lin et al. 2003) with the Gaussian
+    z-breakpoints replaced by per-period equal-width integer quantization
+    sym = (s - mn) * alphabet / (mx - mn + 1): every comparison is exact
+    BIGINT arithmetic, so the words — and therefore the motif groups —
+    are hash-twinnable, where z-normalized breakpoints would put symbols
+    a last-ulp knife edge apart. A constant period (mx == mn) is all
+    symbol 0 by construction.
+
+    Only COMPLETE periods (all ``period`` buckets present after
+    zero-filling inside the period's span) participate; the input is
+    zero-filled per (key, period) from the bucket spine, so a missing
+    bucket means the KEY had no bucket anywhere that period-slot — which
+    can only happen at the series edges. Incomplete edge periods are
+    dropped rather than padded (a partial day's shape is not comparable).
+
+    Scale shape: one groupBy (keys, period, segment) hash agg over the
+    bucketed series, one (keys, period) agg to build words, one
+    (keys, word) agg for motif groups — three shrinking hash aggs, no
+    window over raw data, no explode beyond the tiny per-period pivot.
+    """
+    per = int(period)
+    nseg = int(n_segments)
+    if per % nseg:
+        raise ValueError(f"period={per} not divisible by n_segments={nseg}")
+    a = int(alphabet)
+    if not 2 <= a <= 10:
+        raise ValueError("alphabet must be in [2, 10] (single-digit symbols)")
+    # `div` is exact integer division in both engines (bucket indices are
+    # non-negative, so div == floor); a float `/` here could land a
+    # last-ulp below the true quotient and mis-bin a symbol.
+    seg = (
+        df.select(
+            *keys,
+            F.expr(f"`{idx_col}` div {per}").alias("__p"),
+            F.expr(f"(`{idx_col}` % {per}) * {nseg} div {per}").alias("__seg"),
+            F.col(val_col).cast("long").alias("__v"),
+        )
+        .groupBy(*keys, "__p", "__seg")
+        .agg(F.sum("__v").alias("__s"), F.count(F.lit(1)).alias("__nb"))
+    )
+    words = (
+        seg.groupBy(*keys, "__p")
+        .agg(
+            F.sum("__nb").alias("__nbt"),
+            F.min("__s").alias("__mn"),
+            F.max("__s").alias("__mx"),
+            F.sort_array(F.collect_list(F.struct("__seg", "__s"))).alias("__a"),
+        )
+        .where(F.col("__nbt") == per)
+        .select(
+            *keys,
+            "__p",
+            F.expr(
+                "array_join(transform(__a, s -> cast("
+                f"(s.__s - __mn) * {a} div (__mx - __mn + 1)"
+                " as string)), '')"
+            ).alias("word"),
+        )
+    )
+    return words.groupBy(*keys, "word").agg(
+        F.count(F.lit(1)).alias("n_periods"),
+        F.min("__p").alias("first_period"),
+        F.max("__p").alias("last_period"),
+    )
