@@ -904,9 +904,25 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.xxhash64("tokens_kept").alias("kept_hash"),
         )
 
+    def dd_cdc_chunks(spark, sf_dir):
+        """Content-defined chunking dedup estimate
+        (datapipe.cdc_chunk_stats): chunk boundaries where the rolling
+        4-token xxhash64 fingerprint is 0 mod 64 (offset-shift-immune,
+        unlike fixed blocks), chunk identity = xxhash64 of the chunk's
+        token slice — the same fold engine_seq_dedup pins bit-for-bit
+        against the xxh64_intlist macro, so the twin re-derives every
+        boundary AND every chunk hash exactly. One summary row per
+        source with the chunk-level storage-dedup ratio."""
+        from tsrollup.datapipe import cdc_chunk_stats
+
+        return cdc_chunk_stats(
+            sequences_from_documents(spark, sf_dir), window=4, mask=64
+        )
+
     return {
         "dd_substring": dd_substring,
         "dd_substring_removal": dd_substring_removal,
+        "dd_cdc_chunks": dd_cdc_chunks,
         "engine_token_drift": engine_token_drift,
         "mx_split": mx_split,
         "mx_sample": mx_sample,
@@ -1481,6 +1497,35 @@ def _engine_oracles() -> dict[str, str]:
     )
     """
 
+    # CDC: boundaries are mod-64 hits of the rolling 4-token xxh64 (ends
+    # forced); chunks re-hashed by content via the same intlist fold.
+    dd_cdc_o = engine_oracle(""",
+    p0 AS (SELECT doc_id, n_tok, tokens, unnest(generate_series(4, n_tok)) AS p
+           FROM seq WHERE n_tok >= 4),
+    bnd AS (SELECT doc_id, p FROM p0
+            WHERE xxpmod(xxh64_intlist(tokens[p - 3 : p]), 64) = 0),
+    allb AS (SELECT DISTINCT doc_id, p FROM (
+               SELECT doc_id, p FROM bnd
+               UNION ALL SELECT doc_id, n_tok AS p FROM seq WHERE n_tok >= 1)),
+    spans AS (SELECT doc_id,
+                     coalesce(lag(p) OVER (PARTITION BY doc_id ORDER BY p), 0)
+                       + 1 AS s,
+                     p AS e
+              FROM allb),
+    ch AS (SELECT seq.source, (spans.e - spans.s + 1)::BIGINT AS len,
+                  xxh64_intlist(seq.tokens[spans.s : spans.e]) AS h
+           FROM spans JOIN seq USING (doc_id)),
+    ph AS (SELECT source, h, count(*)::BIGINT AS occ, min(len) AS len1
+           FROM ch GROUP BY 1, 2)
+    SELECT source, sum(occ)::BIGINT AS n_chunks,
+           count(*)::BIGINT AS n_unique,
+           sum(occ * len1)::BIGINT AS total_tokens,
+           sum(len1)::BIGINT AS unique_tokens,
+           (10000 * (sum(occ * len1) - sum(len1))
+              // sum(occ * len1))::BIGINT AS dedup_per10k
+    FROM ph GROUP BY 1
+    """)
+
     dd_substring_o = engine_oracle(_SUB_WIN + """,
     dw AS (SELECT win.doc_id, win.pos FROM win JOIN dup USING (w)),
     cov AS (
@@ -1530,6 +1575,7 @@ def _engine_oracles() -> dict[str, str]:
 
     return {
         "dd_substring": dd_substring_o,
+        "dd_cdc_chunks": dd_cdc_o,
         "dd_substring_removal": dd_substring_removal_o,
         "engine_token_drift": token_drift,
         "mx_split": mx_split_o,

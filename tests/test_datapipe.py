@@ -782,3 +782,44 @@ def test_overlap_matrix_directional(spark):
     assert got[("small", "big")][2] == 10000          # fully contained
     assert got[("big", "small")][2] < 5000            # reverse is partial
     assert ("lone", "small") not in got               # disjoint: no row
+
+
+def test_cdc_chunking_properties(spark):
+    """CDC chunking: chunks must PARTITION each doc (token totals
+    conserved), identical docs must dedupe fully, and a copy shifted to
+    a different offset must still share most chunks (the shift-immunity
+    fixed-size blocking lacks)."""
+    from tsrollup.datapipe import cdc_chunk_stats
+
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, 50000, 400, dtype=np.int32).tolist()
+    rows = [
+        ("d1", a, len(a), "twin"),
+        ("d2", list(a), len(a), "twin"),              # identical copy
+        ("d3", a, len(a), "shift"),
+        ("d4", [49999, 7, 13] + a, len(a) + 3, "shift"),  # offset copy
+        ("d5", [12345], 1, "tiny"),                    # below window size
+    ]
+    seq = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string"
+    )
+    # small mask so short fixtures get interior boundaries
+    out = {
+        r["source"]: r.asDict()
+        for r in cdc_chunk_stats(seq, window=2, mask=4).collect()
+    }
+    # partition property: chunk tokens sum to the input token counts
+    assert out["twin"]["total_tokens"] == 2 * len(a)
+    assert out["shift"]["total_tokens"] == 2 * len(a) + 3
+    assert out["tiny"]["total_tokens"] == 1 and out["tiny"]["n_chunks"] == 1
+    # identical docs: every chunk occurs twice -> unique is exactly half
+    assert out["twin"]["unique_tokens"] * 2 == out["twin"]["total_tokens"]
+    assert out["twin"]["dedup_per10k"] == 5000
+    # offset copy: boundaries resync after the insertion, most chunks dedupe
+    assert out["shift"]["unique_tokens"] < out["shift"]["total_tokens"]
+    assert out["shift"]["dedup_per10k"] > 3000, (
+        "shifted copy must still dedupe most chunks (CDC shift immunity); "
+        f"got {out['shift']}"
+    )
+    with pytest.raises(ValueError, match="mask"):
+        cdc_chunk_stats(seq, window=2, mask=1)

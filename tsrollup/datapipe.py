@@ -1715,3 +1715,95 @@ def substring_span_removal(seq: DataFrame, k: int = 8) -> DataFrame:
         .withColumn("n_kept", F.size("tokens_kept").cast("long"))
         .select("doc_id", "n_tok", "n_kept", "tokens_kept")
     )
+
+
+def cdc_chunk_stats(
+    seq: DataFrame, window: int = 4, mask: int = 64
+) -> DataFrame:
+    """Content-defined chunking (CDC) dedup estimate over the token
+    payload — the storage-dedup primitive (rsync/LBFS lineage): a chunk
+    boundary falls after position p whenever the rolling fingerprint of
+    the ``window`` tokens ending at p satisfies
+    pmod(xxhash64(slice), mask) == 0 (expected chunk length = ``mask``
+    tokens), plus a forced boundary at the document end. Because
+    boundaries depend only on LOCAL content, an insertion early in a
+    document re-chunks O(1) chunks instead of shifting every fixed-size
+    block — which is why identical passages shared across documents
+    dedupe even at different offsets, where fixed-window dedup misses
+    them.
+
+    One summary row per source: (source, n_chunks, n_unique,
+    total_tokens, unique_tokens, dedup_per10k) where unique_* count
+    distinct chunk contents (by the same xxhash64 fold the seq-dedup
+    twin pins bit-for-bit against DuckDB) and dedup_per10k =
+    10000 * (total - unique) div total is the storage saving from
+    chunk-level dedup within the source.
+
+    Scale shape: the boundary scan explodes one row per token position
+    (the dd_substring shape — linear, no pair fan-out) and keeps only
+    (doc_id, p) for boundary hits (~1/mask of positions); chunk hashing
+    joins spans back to ONE copy of the tokens column and hashes slices
+    (arrays never shuffle — only 8-byte hashes and lengths reach the
+    aggs). Per-doc window functions partition on doc_id, the natural
+    key. Everything downstream of the scan is vocab-free and
+    O(n_tokens / mask).
+    """
+    w = int(window)
+    m = int(mask)
+    if w < 1 or m < 2:
+        raise ValueError(f"window={w} must be >= 1 and mask={m} >= 2")
+    pos = (
+        seq.where(F.col("n_tok") >= w)
+        .select(
+            "doc_id",
+            "tokens",
+            F.explode(F.sequence(F.lit(w), F.col("n_tok"))).alias("p"),
+        )
+    )
+    bnd = pos.where(
+        F.pmod(
+            F.xxhash64(F.slice("tokens", F.col("p") - (w - 1), w)), F.lit(m)
+        )
+        == 0
+    ).select("doc_id", "p")
+    ends = seq.where(F.col("n_tok") >= 1).select(
+        "doc_id", F.col("n_tok").alias("p")
+    )
+    allb = bnd.union(ends).distinct()
+    wl = Window.partitionBy("doc_id").orderBy("p")
+    spans = allb.select(
+        "doc_id",
+        (F.coalesce(F.lag("p").over(wl), F.lit(0)) + 1).alias("s"),
+        F.col("p").alias("e"),
+    )
+    ch = spans.join(
+        seq.select("doc_id", "source", "tokens"), "doc_id"
+    ).select(
+        "source",
+        (F.col("e") - F.col("s") + 1).cast("long").alias("len"),
+        F.xxhash64(
+            F.slice("tokens", F.col("s"), F.col("e") - F.col("s") + 1)
+        ).alias("h"),
+    )
+    per_hash = ch.groupBy("source", "h").agg(
+        F.count(F.lit(1)).alias("occ"), F.min("len").alias("len1")
+    )
+    return (
+        per_hash.groupBy("source")
+        .agg(
+            F.sum("occ").cast("long").alias("n_chunks"),
+            F.count(F.lit(1)).alias("n_unique"),
+            F.sum(F.col("occ") * F.col("len1")).cast("long").alias("total_tokens"),
+            F.sum("len1").cast("long").alias("unique_tokens"),
+        )
+        .select(
+            "source",
+            "n_chunks",
+            "n_unique",
+            "total_tokens",
+            "unique_tokens",
+            F.expr(
+                "10000 * (total_tokens - unique_tokens) div total_tokens"
+            ).alias("dedup_per10k"),
+        )
+    )

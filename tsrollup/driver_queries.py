@@ -3492,3 +3492,77 @@ def w19_sax_motifs(spark, sf_dir):
     return sax_words(
         dense, keys=["event_type"], period=24, n_segments=6, alphabet=4
     )
+
+
+# ---------------------------- TX coverage curve (vocab economics, round 4)
+
+@q(
+    "tx_coverage",
+    """
+    WITH tok AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT term, count(*)::BIGINT AS cnt FROM tok GROUP BY 1),
+    rk AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, term) AS rk
+           FROM tf),
+    ks AS (SELECT unnest([64, 256, 1024, 4096, 16384]) AS vocab_k)
+    SELECT ks.vocab_k::BIGINT AS vocab_k,
+           coalesce(sum(rk.cnt) FILTER (WHERE rk.rk <= ks.vocab_k), 0)::BIGINT
+             AS covered,
+           sum(rk.cnt)::BIGINT AS total,
+           round(coalesce(sum(rk.cnt) FILTER (WHERE rk.rk <= ks.vocab_k), 0)
+                 ::DOUBLE / sum(rk.cnt), 6) AS share_r
+    FROM rk CROSS JOIN ks
+    GROUP BY ks.vocab_k
+    """,
+)
+def tx_coverage(spark, sf_dir):
+    """Vocabulary coverage curve — the vocab-economics question every
+    tokenizer decision starts from: what fraction of all corpus token
+    occurrences do the top-k most frequent terms cover? Terms rank by
+    (count DESC, term) so the curve is deterministic; one row per
+    literal k. Scale shape: one explode + term hash agg (vocab-bounded
+    output), then ONE ordering window over |V| rows and a 5-way
+    conditional sum — the ranking never touches the corpus, only the
+    term-frequency table."""
+    d = t(spark, sf_dir, "documents")
+    tf = (
+        d.select(
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower("text"), F.lit(r"[a-z]+|[0-9]+"), 0
+                )
+            ).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # |V| rows only: the single-partition ordering window is vocab-bounded
+    rk = tf.select(
+        "cnt",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cnt"), F.asc("term")))
+        .alias("rk"),
+    )
+    ks = [64, 256, 1024, 4096, 16384]
+    row = rk.agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("rk") <= k, F.col("cnt"))), F.lit(0)
+            ).cast("long").alias(f"c{k}")
+            for k in ks
+        ],
+        F.sum("cnt").cast("long").alias("total"),
+    )
+    stack = ", ".join(f"{k}L, c{k}" for k in ks)
+    return row.select(
+        F.expr(f"stack({len(ks)}, {stack}) AS (vocab_k, covered)"), "total"
+    ).select(
+        "vocab_k",
+        "covered",
+        "total",
+        F.round(F.col("covered").cast("double") / F.col("total"), 6).alias(
+            "share_r"
+        ),
+    )

@@ -1006,10 +1006,16 @@ def gesd_outliers(
         cand = (
             remaining.join(stats, keys)
             .withColumn("__dev", F.abs(F.col("__c").cast("double") - sd / nd))
+            # a constant remaining group has s² = 0: DuckDB's x/0.0 is
+            # NULL, so the twin contract needs an explicit NULL here —
+            # Spark's ANSI mode would otherwise raise DIVIDE_BY_ZERO
             .withColumn(
                 "__r",
-                F.col("__dev")
-                / F.sqrt((nd * qd - sd * sd) / (nd * (nd - 1.0))),
+                F.when(
+                    nd * qd - sd * sd > 0,
+                    F.col("__dev")
+                    / F.sqrt((nd * qd - sd * sd) / (nd * (nd - 1.0))),
+                ),
             )
             .withColumn(
                 "__rk",
