@@ -1196,3 +1196,71 @@ def test_sax_words_validates_args(spark):
         sax_words(df, ["key"], period=24, n_segments=7)
     with pytest.raises(ValueError, match="alphabet"):
         sax_words(df, ["key"], period=24, n_segments=6, alphabet=26)
+
+
+# ----------------------------------- DTW daily shape (round 4)
+
+
+def _dtw_scalar_ref(x, y):
+    """Independent full-grid L1 DTW loop reference."""
+    n, m = len(x), len(y)
+    INF = float("inf")
+    D = [[INF] * (m + 1) for _ in range(n + 1)]
+    D[0][0] = 0
+    for i in range(1, n + 1):
+        for j in range(1, m + 1):
+            D[i][j] = abs(x[i - 1] - y[j - 1]) + min(
+                D[i - 1][j], D[i][j - 1], D[i - 1][j - 1]
+            )
+    return D[n][m]
+
+
+def test_dtw_kernel_matches_scalar_reference():
+    from tsrollup.kernels import dtw_l1_batch
+
+    rng = np.random.default_rng(7)
+    X = rng.integers(0, 1000, (40, 24))
+    Y = rng.integers(0, 1000, (40, 24))
+    got = dtw_l1_batch(X, Y)
+    want = np.array(
+        [_dtw_scalar_ref(X[k].tolist(), Y[k].tolist()) for k in range(40)]
+    )
+    assert (got == want).all()
+    assert (dtw_l1_batch(X, X) == 0).all()
+    # dtw <= aligned L1 (alignment is one warping path)
+    l1 = np.abs(X - Y).sum(axis=1)
+    assert (got <= l1).all()
+    with pytest.raises(ValueError, match="batch shapes"):
+        dtw_l1_batch(X, Y[:5])
+
+
+def test_dtw_daily_shape_warping_absorbs_time_shift(spark):
+    """A spike that moves by two hours: rigid L1 pays twice the spike,
+    DTW warps over it — warp_gain captures the shift. Identical days
+    give dtw == l1 == 0."""
+    from tsrollup.tsops import dtw_daily_shape
+
+    base = [10] * 24
+    d0 = list(base)
+    d0[5] = 200                       # spike at hour 5
+    d1 = list(base)
+    d1[7] = 200                       # same spike, two hours later
+    rows = [("a", 0 * 24 + h, d0[h]) for h in range(24)]
+    rows += [("a", 1 * 24 + h, d1[h]) for h in range(24)]
+    rows += [("b", 0 * 24 + h, base[h]) for h in range(24)]
+    rows += [("b", 1 * 24 + h, base[h]) for h in range(24)]
+    rows += [("c", 0 * 24 + h, base[h]) for h in range(12)]  # incomplete
+    rows += [("c", 1 * 24 + h, base[h]) for h in range(24)]
+    out = {
+        r["key"]: r.asDict()
+        for r in dtw_daily_shape(
+            _hourly(spark, rows), keys=["key"], period=24
+        ).collect()
+    }
+    assert set(out) == {"a", "b"}, "incomplete-day pair must be dropped"
+    assert out["b"]["dtw"] == 0 and out["b"]["l1"] == 0
+    a = out["a"]
+    assert a["l1"] == 2 * 190       # rigid alignment pays the spike twice
+    assert a["dtw"] < a["l1"]       # warping walks over the shift
+    assert a["warp_gain"] == a["l1"] - a["dtw"]
+    assert a["dtw"] == _dtw_scalar_ref(d1, d0)

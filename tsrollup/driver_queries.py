@@ -3566,3 +3566,87 @@ def tx_coverage(spark, sf_dir):
             "share_r"
         ),
     )
+
+
+# ------------------------ W20 DTW daily shape deviation (round 4)
+
+@q(
+    "w20_dtw",
+    """
+    WITH RECURSIVE hb AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS i,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    ext AS (SELECT event_type, min(i) AS mn, max(i) AS mx FROM hb GROUP BY 1),
+    spine AS (SELECT event_type, unnest(generate_series(mn, mx)) AS i FROM ext),
+    dense AS (
+      SELECT s.event_type, s.i, coalesce(hb.c, 0)::BIGINT AS c
+      FROM spine s LEFT JOIN hb ON hb.event_type = s.event_type AND hb.i = s.i
+    ),
+    byday AS (SELECT event_type, i // 24 AS p, i % 24 AS h, c FROM dense),
+    arrs AS (SELECT event_type, p, list(c ORDER BY h) AS a,
+                    count(*)::BIGINT AS nb
+             FROM byday GROUP BY 1, 2),
+    pairs AS (
+      SELECT cur.event_type, cur.p, cur.a AS x, prv.a AS y
+      FROM arrs cur JOIN arrs prv
+        ON prv.event_type = cur.event_type AND prv.p = cur.p - 1
+      WHERE cur.nb = 24 AND prv.nb = 24
+    ),
+    -- exact-integer DTW DP over anti-diagonals d = i+j: cur[i] is the
+    -- cost of cell (i, d-i) (NULL off-grid), prev is diagonal d-1;
+    -- invalid neighbors are NULL so list min sees only legal paths
+    dp AS (
+      SELECT event_type, p, x, y, 2 AS d,
+             list_transform(range(1, 25), i ->
+               CASE WHEN i = 1 THEN abs(x[1] - y[1])::BIGINT END) AS cur,
+             list_transform(range(1, 25), i -> NULL::BIGINT) AS prev
+      FROM pairs
+      UNION ALL
+      SELECT event_type, p, x, y, d + 1,
+             list_transform(range(1, 25), i ->
+               CASE WHEN d + 1 - i BETWEEN 1 AND 24 THEN
+                 abs(x[i] - y[d + 1 - i])
+                 + list_aggregate([cur[i], cur[i - 1], prev[i - 1]], 'min')
+               END),
+             cur
+      FROM dp WHERE d < 48
+    )
+    SELECT event_type, p AS day_idx, cur[24] AS dtw,
+           list_aggregate(list_transform(range(1, 25),
+               i -> abs(x[i] - y[i])), 'sum')::BIGINT AS l1,
+           (list_aggregate(list_transform(range(1, 25),
+               i -> abs(x[i] - y[i])), 'sum') - cur[24])::BIGINT AS warp_gain
+    FROM dp WHERE d = 48
+    """,
+)
+def w20_dtw(spark, sf_dir):
+    """DTW shape deviation between consecutive days
+    (tsops.dtw_daily_shape): exact-integer L1 dynamic-time-warping
+    distance of each complete zero-filled 24h profile to the previous
+    day's, with the rigid aligned L1 alongside — warp_gain = l1 - dtw
+    quantifies how much of the day-over-day difference is pure
+    time-shift. The Spark side runs the DP batch-vectorized in a pandas
+    UDF (kernels.dtw_l1_batch); the oracle runs the SAME DP as a
+    recursive CTE over anti-diagonals. All-BIGINT, hash-twinnable."""
+    from .tsops import dtw_daily_shape
+
+    hb = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000").alias("i"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ext = hb.groupBy("event_type").agg(
+        F.min("i").alias("mn"), F.max("i").alias("mx")
+    )
+    spine = ext.select(
+        "event_type", F.explode(F.expr("sequence(mn, mx)")).alias("i")
+    )
+    dense = spine.join(hb, ["event_type", "i"], "left").select(
+        "event_type", "i", F.coalesce("c", F.lit(0)).cast("long").alias("c")
+    )
+    return dtw_daily_shape(dense, keys=["event_type"], period=24)

@@ -463,3 +463,39 @@ def matrix_profile(
         excl = max(1, m // 4)
     mpa, mpia, _, _ = cross_matrix_profile(x, x, m, 0, 0, excl)
     return mpa, mpia
+
+
+def dtw_l1_batch(X: np.ndarray, Y: np.ndarray) -> np.ndarray:
+    """Exact-integer DTW (L1 cell cost, full grid, no band) over a BATCH
+    of series pairs: X (P, n) vs Y (P, m) int64 -> (P,) int64 distances.
+
+    The DP runs n*m sequential steps, each VECTORIZED across the whole
+    batch — Arrow hands a pandas UDF thousands of pairs at once, so the
+    per-pair Python overhead is n*m/P, not n*m (the same SIMT batching
+    discipline as the codec kernels). Costs are integers throughout, so
+    the result is bit-twinnable against the recursive-CTE DP the oracle
+    runs (driver_queries.w20_dtw).
+
+    INF is a barrier only: every interior cell is reachable on the full
+    grid, so INF never flows into a sum past the first row/column and
+    values stay far below int64 range for realistic counts.
+    """
+    X = np.asarray(X, dtype=np.int64)
+    Y = np.asarray(Y, dtype=np.int64)
+    if X.ndim != 2 or Y.ndim != 2 or X.shape[0] != Y.shape[0]:
+        raise ValueError(f"batch shapes {X.shape} vs {Y.shape}")
+    P, n = X.shape
+    m = Y.shape[1]
+    INF = np.int64(1) << 60
+    D = np.full((P, m + 1), INF, dtype=np.int64)
+    D[:, 0] = 0  # D[0][0]; row 0 cells j>0 stay INF
+    for i in range(1, n + 1):
+        base = np.abs(X[:, i - 1][:, None] - Y)  # (P, m) cell costs
+        new = np.empty((P, m + 1), dtype=np.int64)
+        new[:, 0] = INF
+        for j in range(1, m + 1):
+            new[:, j] = base[:, j - 1] + np.minimum(
+                np.minimum(D[:, j], D[:, j - 1]), new[:, j - 1]
+            )
+        D = new
+    return D[:, m]

@@ -55,6 +55,7 @@ entirely in built-in expressions (no Python on the scan path):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1298,3 +1299,83 @@ def sax_words(
         F.min("__p").alias("first_period"),
         F.max("__p").alias("last_period"),
     )
+
+
+def dtw_daily_shape(
+    df: DataFrame,
+    keys: list[str],
+    idx_col: str = "i",
+    val_col: str = "c",
+    period: int = 24,
+) -> DataFrame:
+    """W20 — DTW shape deviation between consecutive periods: for every
+    complete ``period``-bucket day, the exact-integer L1 dynamic-time-
+    warping distance to the PREVIOUS day's profile, alongside the rigid
+    aligned L1 distance. dtw <= l1 always (alignment is one warping
+    path); warp_gain = l1 - dtw is how much of the difference is mere
+    time-shift (load arriving an hour late) rather than shape change —
+    the classic reason DTW beats pointwise deviation for "did today look
+    like yesterday".
+
+    Output: (keys..., day_idx, dtw, l1, warp_gain) — all BIGINT, so the
+    whole operator is hash-twinnable against a recursive-CTE DP
+    (driver_queries.w20_dtw runs the same DP over anti-diagonals in
+    DuckDB).
+
+    Scale shape: one hash agg builds the per-period profile arrays
+    (|period| elements each), one self-equi-join pairs consecutive
+    periods (partitioned by the series keys), l1 is a JVM zip_with fold,
+    and DTW runs in an Arrow-batched pandas UDF whose n*m DP steps are
+    VECTORIZED across the batch (kernels.dtw_l1_batch) — per-pair Python
+    overhead is O(period^2 / batch). Raw data is touched once.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    from . import kernels
+
+    per = int(period)
+    day = df.select(
+        *keys,
+        F.expr(f"`{idx_col}` div {per}").alias("__p"),
+        F.expr(f"`{idx_col}` % {per}").alias("__h"),
+        F.col(val_col).cast("long").alias("__v"),
+    )
+    arrs = (
+        day.groupBy(*keys, "__p")
+        .agg(
+            F.count(F.lit(1)).alias("__nb"),
+            F.expr(
+                "transform(array_sort(collect_list(struct(__h, __v))),"
+                " s -> s.__v)"
+            ).alias("__a"),
+        )
+        .where(F.col("__nb") == per)
+    )
+    prev = arrs.select(
+        *[F.col(k).alias(f"__y_{k}") for k in keys],
+        (F.col("__p") + 1).alias("__p2"),
+        F.col("__a").alias("__b"),
+    )
+    cond = [F.col(k) == F.col(f"__y_{k}") for k in keys]
+    cond.append(F.col("__p") == F.col("__p2"))
+    pairs = arrs.join(prev, cond).select(*keys, "__p", "__a", "__b")
+
+    @pandas_udf("long")
+    def _dtw(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        if not len(xs):
+            return pd.Series([], dtype="int64")
+        X = np.stack(xs.to_numpy()).astype(np.int64)
+        Y = np.stack(ys.to_numpy()).astype(np.int64)
+        return pd.Series(kernels.dtw_l1_batch(X, Y))
+
+    l1 = F.expr(
+        "aggregate(zip_with(__a, __b, (u, v) -> abs(u - v)),"
+        " 0L, (acc, e) -> acc + e)"
+    )
+    return pairs.select(
+        *keys,
+        F.col("__p").alias("day_idx"),
+        _dtw("__a", "__b").alias("dtw"),
+        l1.alias("l1"),
+    ).withColumn("warp_gain", F.col("l1") - F.col("dtw"))
