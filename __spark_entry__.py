@@ -459,6 +459,25 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "source", F.unix_timestamp("bucket_start").alias("bucket_s")
         )
 
+    def engine_streaming_dedup(spark, sf_dir):
+        """T10: exact payload dedup ON THE STREAM
+        (streaming.streaming_dedup): dropDuplicates keyed on
+        xxhash64(tokens) — one 8-byte state key per distinct payload,
+        arrays never enter the state store. Exactly-once emission across
+        micro-batches means the emitted set EQUALS batch DISTINCT, which
+        is what the oracle computes (via the bit-exact xxh64_intlist
+        macro)."""
+        from tsrollup.streaming import run_streaming_dedup
+
+        base = _scratch("streaming_dedup")
+        in_dir = _seq_files(spark, sf_dir, base)
+        out = os.path.join(base, "dedup")
+        run_streaming_dedup(
+            spark, in_dir, out, os.path.join(base, "ckpt"),
+            max_files_per_trigger=1,
+        )
+        return spark.read.parquet(out).select("h", "n_tok")
+
     def engine_streaming_join(spark, sf_dir):
         """T6: stream-static BROADCAST join (sequence stream enriched with
         a deterministic source->region dim) feeding a watermarked 1m
@@ -948,6 +967,7 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_video_frames": mm_video_frames,
         "engine_streaming_rollup": engine_streaming_rollup,
         "engine_streaming_silence": engine_streaming_silence,
+        "engine_streaming_dedup": engine_streaming_dedup,
         "engine_streaming_join": engine_streaming_join,
         "engine_streaming_welford": engine_streaming_welford,
         "engine_resume_ledger": engine_resume_ledger,
@@ -1010,6 +1030,11 @@ def _engine_oracles() -> dict[str, str]:
     FROM spine s
     WHERE NOT EXISTS (SELECT 1 FROM obs o
                       WHERE o.source = s.source AND o.bucket = s.bucket)
+    """)
+
+    streaming_dedup_o = engine_oracle(""",
+    d AS (SELECT DISTINCT xxh64_intlist(tokens) AS h, n_tok FROM seq)
+    SELECT h, n_tok::INTEGER AS n_tok FROM d
     """)
 
     streaming_join = engine_oracle(""",
@@ -1591,6 +1616,7 @@ def _engine_oracles() -> dict[str, str]:
         "engine_token_profile": token_profile,
         "engine_streaming_rollup": streaming_rollup,
         "engine_streaming_silence": streaming_silence,
+        "engine_streaming_dedup": streaming_dedup_o,
         "engine_streaming_join": streaming_join,
         "engine_read_range": read_range,
         "engine_streamed_ingest": streamed_ingest,

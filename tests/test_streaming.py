@@ -12,6 +12,8 @@ import pandas as pd
 import pyarrow.parquet as pq
 import pytest
 
+from pyspark.sql import functions as F
+
 from tsrollup import kernels
 from tsrollup.rollup import rollup_from_raw
 from tsrollup.storage import read_sequences
@@ -469,3 +471,57 @@ def test_streaming_silence_matches_batch_spine(spark):
                 expect.add((src, pd.Timestamp((t0 + m * minute).item())))
     assert expect, "fixture must plant silence"
     assert got_set == expect
+
+
+def test_streaming_dedup_exactly_once_across_batches(spark):
+    """T10 — a payload duplicated across micro-batches (and within one)
+    must emit exactly once; the emitted set equals batch DISTINCT."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tsrollup.streaming import run_streaming_dedup
+
+    t0 = np.datetime64("2024-04-01T00:00:00", "us")
+    minute = np.timedelta64(60_000_000, "us")
+    pay_a, pay_b, pay_c = [1, 2, 3], [4, 5], [6, 7, 8, 9]
+    # a appears in files 0,1,2; b twice in file 0; c once in file 2
+    files = [
+        [("d0", pay_a, "s", 3, t0), ("d1", pay_b, "s", 2, t0 + minute),
+         ("d2", pay_b, "s", 2, t0 + 2 * minute)],
+        [("d3", pay_a, "s", 3, t0 + 10 * minute)],
+        [("d4", pay_a, "s", 3, t0 + 20 * minute),
+         ("d5", pay_c, "s", 4, t0 + 21 * minute)],
+    ]
+    schema = pa.schema([
+        ("doc_id", pa.string()), ("tokens", pa.list_(pa.int32())),
+        ("source", pa.string()), ("n_tok", pa.int32()),
+        ("event_ts", pa.timestamp("us")),
+    ])
+    in_dir = os.path.join(BASE, "dedup_in")
+    shutil.rmtree(in_dir, ignore_errors=True)
+    os.makedirs(in_dir)
+    import time as _time
+    now = int(_time.time())
+    for i, rows in enumerate(files):
+        f = os.path.join(in_dir, f"part-{i}.parquet")
+        pq.write_table(pa.Table.from_pylist(
+            [dict(zip([x.name for x in schema], r)) for r in rows],
+            schema=schema), f)
+        os.utime(f, (now + i, now + i))
+
+    out = os.path.join(BASE, "dedup_out")
+    ckpt = os.path.join(BASE, "dedup_ckpt")
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    run_streaming_dedup(spark, in_dir, out, ckpt, max_files_per_trigger=1)
+    got = spark.read.parquet(out).toPandas()
+    assert len(got) == 3, f"expected 3 distinct payloads, got\n{got}"
+    batch = (
+        read_sequences(spark, in_dir)
+        .select(F.xxhash64("tokens").alias("h"), "n_tok")
+        .distinct()
+        .toPandas()
+    )
+    g = got.sort_values("h").reset_index(drop=True)
+    b = batch.sort_values("h").reset_index(drop=True)
+    assert (g["h"] == b["h"]).all() and (g["n_tok"] == b["n_tok"]).all()

@@ -1264,3 +1264,88 @@ def test_dtw_daily_shape_warping_absorbs_time_shift(spark):
     assert a["dtw"] < a["l1"]       # warping walks over the shift
     assert a["warp_gain"] == a["l1"] - a["dtw"]
     assert a["dtw"] == _dtw_scalar_ref(d1, d0)
+
+
+def test_binseg_finds_planted_level_shift(spark):
+    from tsrollup.tsops import binseg_split
+
+    rng = np.random.default_rng(9)
+    n = 200
+    c = rng.poisson(20, n)
+    c[120:] += 15                     # level shift at index 120
+    rows = [("a", int(i), int(v)) for i, v in enumerate(c)]
+    rows += [("flat", int(i), 7) for i in range(60)]   # constant: gain 0
+    rows += [("short", int(i), int(v)) for i, v in enumerate(c[:20])]
+    out = {
+        r["key"]: r.asDict()
+        for r in binseg_split(
+            _hourly(spark, rows), keys=["key"], min_seg=12
+        ).collect()
+    }
+    assert "short" not in out, "series shorter than 2*min_seg must emit nothing"
+    a = out["a"]
+    assert abs(a["split_i"] - 119) <= 2, f"split at {a['split_i']}, planted 119"
+    assert a["mean_right_r"] > a["mean_left_r"] + 10
+
+    # numpy argmax cross-check on the same definition
+    def gain(k):
+        s, q = c[:k].sum(), (c[:k] ** 2).sum()
+        S, Q = c.sum(), (c ** 2).sum()
+        sse = lambda qq, ss, nn: qq - ss * ss / nn
+        return round(sse(Q, S, n) - sse(q, s, k) - sse(Q - q, S - s, n - k), 6)
+    ks = range(12, n - 12 + 1)
+    best = max(ks, key=lambda k: (gain(k), -k))
+    assert a["split_i"] == best - 1   # split_i is the last LEFT index (0-based i)
+    assert out["flat"]["gain_r"] == 0.0
+
+    with pytest.raises(ValueError, match="min_seg"):
+        binseg_split(_hourly(spark, rows), ["key"], min_seg=1)
+
+
+class TestKalmanLevel:
+    def test_kernel_matches_independent_reference(self):
+        """Pure-python scalar reference, same model, independent code."""
+        from tsrollup.kernels import kalman_level
+
+        rng = np.random.default_rng(13)
+        x = rng.normal(50, 3, 300)
+        q, r = 2.0, 10.0
+        est, innov, score = kalman_level(x, q, r)
+        xh, p = x[0], r
+        for t in range(1, 300):
+            pp = p + q
+            k = pp / (pp + r)
+            nu = x[t] - xh
+            xh = xh + k * nu
+            p = (1 - k) * pp
+            assert est[t] == xh and innov[t] == nu
+            assert score[t] == nu / np.sqrt(pp + r)
+        assert est[0] == x[0] and score[0] == 0.0
+        # steady state: the gain converges -> late estimates smooth toward
+        # the running level; a constant series is tracked exactly
+        e2, _, s2 = kalman_level(np.full(50, 7.0), q, r)
+        assert (e2 == 7.0).all() and (s2 == 0.0).all()
+
+    def test_spark_operator_flags_planted_spike(self, spark):
+        from tsrollup.tsops import kalman_level_scores
+
+        rng = np.random.default_rng(21)
+        # noise scale matched to the default R=10 measurement variance
+        c = np.rint(rng.normal(40, 2.5, 240)).astype(int)
+        c[180] = 400                      # planted spike
+        rows = [("a", int(i), int(v)) for i, v in enumerate(c)]
+        out = (
+            kalman_level_scores(_hourly(spark, rows), keys=["key"])
+            .toPandas()
+            .sort_values("i")
+            .reset_index(drop=True)
+        )
+        assert len(out) == 240
+        assert bool(out.loc[180, "is_anomaly"]), "spike must flag"
+        # the spike's recovery innovations (level pulled up, then snaps
+        # back) legitimately flag right after it; outside that
+        # neighborhood the series must stay quiet
+        outside = out[(out["i"] < 178) | (out["i"] > 184)]
+        assert outside["is_anomaly"].sum() <= 3, "quiet series must stay quiet"
+        # level recovers: shortly after the spike the estimate is near base
+        assert abs(out.loc[190, "level_r"] - 40) < 10

@@ -3650,3 +3650,162 @@ def w20_dtw(spark, sf_dir):
         "event_type", "i", F.coalesce("c", F.lit(0)).cast("long").alias("c")
     )
     return dtw_daily_shape(dense, keys=["event_type"], period=24)
+
+
+# -------------------- W21 binary-segmentation changepoint (round 4)
+
+@q(
+    "w21_binseg",
+    """
+    WITH hb AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS i,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    ext AS (SELECT event_type, min(i) AS mn, max(i) AS mx FROM hb GROUP BY 1),
+    spine AS (SELECT event_type, unnest(generate_series(mn, mx)) AS i FROM ext),
+    dense AS (
+      SELECT s.event_type, s.i, coalesce(hb.c, 0)::BIGINT AS c
+      FROM spine s LEFT JOIN hb ON hb.event_type = s.event_type AND hb.i = s.i
+    ),
+    pre AS (
+      SELECT event_type, i,
+             row_number() OVER w AS k,
+             sum(c) OVER (PARTITION BY event_type ORDER BY i
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS ps,
+             sum(c * c) OVER (PARTITION BY event_type ORDER BY i
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS pq
+      FROM dense
+      WINDOW w AS (PARTITION BY event_type ORDER BY i)
+    ),
+    tot AS (SELECT event_type, count(*)::BIGINT AS n, sum(c)::BIGINT AS s,
+                   sum(c * c)::BIGINT AS q
+            FROM dense GROUP BY 1),
+    scored AS (
+      SELECT p.event_type, p.i, p.k, t.n,
+             round((t.q::DOUBLE - t.s::DOUBLE * t.s::DOUBLE / t.n::DOUBLE)
+                   - (p.pq::DOUBLE - p.ps::DOUBLE * p.ps::DOUBLE / p.k::DOUBLE)
+                   - ((t.q - p.pq)::DOUBLE
+                      - (t.s - p.ps)::DOUBLE * (t.s - p.ps)::DOUBLE
+                        / (t.n - p.k)::DOUBLE), 6) AS gain_r,
+             round(p.ps::DOUBLE / p.k::DOUBLE, 6) AS mean_left_r,
+             round((t.s - p.ps)::DOUBLE / (t.n - p.k)::DOUBLE, 6)
+               AS mean_right_r
+      FROM pre p JOIN tot t USING (event_type)
+      WHERE p.k >= 12 AND t.n - p.k >= 12
+    ),
+    best AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                                          ORDER BY gain_r DESC, i) AS rk
+             FROM scored)
+    SELECT event_type, i AS split_i, k::BIGINT AS n_left,
+           (n - k)::BIGINT AS n_right, gain_r, mean_left_r, mean_right_r
+    FROM best WHERE rk = 1
+    """,
+)
+def w21_binseg(spark, sf_dir):
+    """Binary-segmentation changepoint (tsops.binseg_split): the split of
+    each event type's zero-filled hourly count series that maximizes the
+    SSE reduction, from exact BIGINT prefix sums, argmax on the ROUNDED
+    gain with smaller-index tiebreak. CUSUM (c6) answers WHEN a drift
+    starts online; this is the offline 'where is the single best break'
+    primitive that recursive segmentation builds on."""
+    from .tsops import binseg_split
+
+    hb = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000").alias("i"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ext = hb.groupBy("event_type").agg(
+        F.min("i").alias("mn"), F.max("i").alias("mx")
+    )
+    spine = ext.select(
+        "event_type", F.explode(F.expr("sequence(mn, mx)")).alias("i")
+    )
+    dense = spine.join(hb, ["event_type", "i"], "left").select(
+        "event_type", "i", F.coalesce("c", F.lit(0)).cast("long").alias("c")
+    )
+    return binseg_split(dense, keys=["event_type"], min_seg=12)
+
+
+# ------------------------ W22 Kalman local-level detector (round 4)
+
+_KAL_Q, _KAL_R, _KAL_TAU = 2.0, 10.0, 3.0
+
+@q(
+    "w22_kalman",
+    f"""
+    WITH RECURSIVE hb AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS i,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    ext AS (SELECT event_type, min(i) AS mn, max(i) AS mx FROM hb GROUP BY 1),
+    spine AS (SELECT event_type, unnest(generate_series(mn, mx)) AS i FROM ext),
+    dense AS (
+      SELECT s.event_type, s.i, coalesce(hb.c, 0)::BIGINT AS c
+      FROM spine s LEFT JOIN hb ON hb.event_type = s.event_type AND hb.i = s.i
+    ),
+    f AS (
+      SELECT event_type, i, c::DOUBLE AS x,
+             row_number() OVER (PARTITION BY event_type ORDER BY i) - 1 AS t
+      FROM dense
+    ),
+    kal AS (
+      SELECT event_type, i, t, x,
+             x AS xh, {_KAL_R!r}::DOUBLE AS p,
+             0.0::DOUBLE AS score
+      FROM f WHERE t = 0
+      UNION ALL
+      SELECT f.event_type, f.i, f.t, f.x,
+             kal.xh + ((kal.p + {_KAL_Q!r})
+                       / ((kal.p + {_KAL_Q!r}) + {_KAL_R!r}))
+                      * (f.x - kal.xh),
+             (1.0 - (kal.p + {_KAL_Q!r})
+                    / ((kal.p + {_KAL_Q!r}) + {_KAL_R!r}))
+               * (kal.p + {_KAL_Q!r}),
+             (f.x - kal.xh) / sqrt((kal.p + {_KAL_Q!r}) + {_KAL_R!r})
+      FROM kal JOIN f ON f.event_type = kal.event_type AND f.t = kal.t + 1
+    )
+    SELECT event_type, i, x,
+           round(xh, 6) AS level_r, round(score, 6) AS score_r,
+           abs(round(score, 6)) >= {_KAL_TAU!r} AS is_anomaly
+    FROM kal
+    """,
+)
+def w22_kalman(spark, sf_dir):
+    """Local-level Kalman filter detector (tsops.kalman_level_scores):
+    per-bucket level estimate and standardized-innovation score over
+    each event type's zero-filled hourly counts, with the gain schedule
+    converging from fast-tracking to the steady-state Riccati gain (the
+    principled warm-up EWMA's fixed alpha approximates). The pinned
+    float64 kernel loop (kernels.kalman_level) and the recursive-CTE
+    twin evaluate IDENTICAL expressions with identical literals, rounded
+    1e-6 — the same discipline as the EWMA/Holt-Winters twins."""
+    from .tsops import kalman_level_scores
+
+    hb = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000").alias("i"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ext = hb.groupBy("event_type").agg(
+        F.min("i").alias("mn"), F.max("i").alias("mx")
+    )
+    spine = ext.select(
+        "event_type", F.explode(F.expr("sequence(mn, mx)")).alias("i")
+    )
+    dense = spine.join(hb, ["event_type", "i"], "left").select(
+        "event_type", "i", F.coalesce("c", F.lit(0)).cast("long").alias("c")
+    )
+    return kalman_level_scores(
+        dense, keys=["event_type"], q=_KAL_Q, r=_KAL_R, tau=_KAL_TAU
+    )

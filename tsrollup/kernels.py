@@ -499,3 +499,46 @@ def dtw_l1_batch(X: np.ndarray, Y: np.ndarray) -> np.ndarray:
             )
         D = new
     return D[:, m]
+
+
+def kalman_level(
+    x: np.ndarray, q: float, r: float
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Local-level (random-walk + noise) Kalman filter, PINNED loop.
+
+    Recurrences (scalar float64, this exact op order — the recursive-CTE
+    oracle twin evaluates the identical expressions):
+
+        x̂_1 = x_1 ; P_1 = r
+        P⁻  = P + q
+        K   = P⁻ / (P⁻ + r)
+        ν   = x_t − x̂          (innovation)
+        x̂  = x̂ + K · ν
+        P   = (1 − K) · P⁻
+        score_t = ν / sqrt(P⁻ + r)   (standardized innovation; 0 at t=1)
+
+    Unlike EWMA's fixed α, the gain K_t starts high (uncertain level,
+    track fast) and converges to the steady-state Riccati gain — the
+    principled warm-up the ad-hoc detectors approximate. Returns
+    (estimate, innovation, score) arrays.
+    """
+    x = np.asarray(x, dtype=np.float64)
+    n = len(x)
+    est = np.empty(n)
+    innov = np.zeros(n)
+    score = np.zeros(n)
+    if n == 0:
+        return est, innov, score
+    xh = float(x[0])
+    p = float(r)
+    est[0] = xh
+    for t in range(1, n):
+        p_pred = p + q
+        k = p_pred / (p_pred + r)
+        nu = float(x[t]) - xh
+        xh = xh + k * nu
+        p = (1.0 - k) * p_pred
+        est[t] = xh
+        innov[t] = nu
+        score[t] = nu / np.sqrt(p_pred + r)
+    return est, innov, score

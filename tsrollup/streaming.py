@@ -727,3 +727,53 @@ def run_streaming_silence(
         .start()
     )
     q.awaitTermination()
+
+
+# ---------------------------------------------------------------- T10
+# Streaming exact payload dedup: emit each distinct tokens payload ONCE
+# across all micro-batches — the ingestion-time guard that keeps exact
+# duplicates from ever entering the store. Keyed on xxhash64(tokens)
+# (the same Catalyst array fold the batch keeper table and the DuckDB
+# xxh64_intlist macro pin bit-for-bit), so arrays never enter the state
+# store — only 8-byte hashes.
+
+
+def streaming_dedup(stream: DataFrame) -> DataFrame:
+    """T10 — first-occurrence pass-through on the stream via
+    dropDuplicates on the payload hash. State is one 8-byte key per
+    DISTINCT payload and the guarantee is GLOBAL exact dedup (a
+    duplicate arriving hours later is still suppressed) — the right
+    trade for corpus ingestion, where hash cardinality is bounded by the
+    corpus itself. For unbounded streams where state must stay finite,
+    `dropDuplicatesWithinWatermark` is the bounded-state variant (dups
+    beyond the horizon re-emit and are reconciled by the batch dedup,
+    the same late-data division of labor as T3).
+
+    Emitted rows are (h, n_tok): the SET emitted is exactly the distinct
+    payload set, deterministic even when two copies land in one
+    micro-batch (whichever row wins carries identical h and n_tok), so
+    the operator is twinnable against batch DISTINCT."""
+    return (
+        stream.select(F.xxhash64("tokens").alias("h"), "n_tok")
+        .dropDuplicates(["h"])
+    )
+
+
+def run_streaming_dedup(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    checkpoint: str,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    stream = read_sequence_stream(spark, in_dir, max_files_per_trigger)
+    q = (
+        streaming_dedup(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

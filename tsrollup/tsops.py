@@ -1379,3 +1379,159 @@ def dtw_daily_shape(
         _dtw("__a", "__b").alias("dtw"),
         l1.alias("l1"),
     ).withColumn("warp_gain", F.col("l1") - F.col("dtw"))
+
+
+def binseg_split(
+    df: DataFrame,
+    keys: list[str],
+    idx_col: str = "i",
+    val_col: str = "c",
+    min_seg: int = 12,
+) -> DataFrame:
+    """W21 — binary-segmentation changepoint (the primitive CART/ruptures
+    recursion step): per series key, the split index that maximizes the
+    SSE reduction gain = SSE_total − (SSE_left + SSE_right), where each
+    SSE is assembled from exact BIGINT prefix sums
+    (SSE = Σx² − (Σx)²/n). One row per key: (keys..., split_i, n_left,
+    n_right, gain_r, mean_left_r, mean_right_r) — the split is the LAST
+    index of the left segment; both segments must have at least
+    ``min_seg`` points (series shorter than 2*min_seg emit nothing).
+
+    Determinism contract: the argmax ranks on the ROUNDED gain (1e-6)
+    with the smaller split index as tiebreak — the rank-on-rounded idiom
+    — and every double is a fixed closed form of exact integer sums, so
+    the winner is hash-twinnable. CUSUM (c6) detects WHEN a drift starts
+    online; binseg is the offline "where is the single best break"
+    answer that seeds recursive segmentation.
+
+    Scale shape: one cumulative-sum window pass over the bucketed series
+    + one per-key total join + one argmax window — all on the (already
+    tiny) bucketed frame, nothing touches raw data twice.
+    """
+    ms = int(min_seg)
+    if ms < 2:
+        raise ValueError(f"min_seg={ms} must be >= 2 (sample SSE needs it)")
+    v = F.col(val_col).cast("long")
+    wcum = (
+        Window.partitionBy(*keys)
+        .orderBy(idx_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pre = df.select(
+        *keys,
+        F.col(idx_col).alias("__i"),
+        F.row_number()
+        .over(Window.partitionBy(*keys).orderBy(idx_col))
+        .alias("__k"),
+        F.sum(v).over(wcum).alias("__ps"),
+        F.sum(v * v).over(wcum).alias("__pq"),
+    )
+    # totals from a direct agg (NOT max of the prefix sums — that would
+    # silently require non-negative values)
+    tot = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(v).alias("__s"),
+        F.sum(v * v).alias("__q"),
+    )
+    j = pre.join(tot, keys).where(
+        (F.col("__k") >= ms) & (F.col("__n") - F.col("__k") >= ms)
+    )
+    kd = F.col("__k").cast("double")
+    nd = F.col("__n").cast("double")
+    psd = F.col("__ps").cast("double")
+    pqd = F.col("__pq").cast("double")
+    sd = F.col("__s").cast("double")
+    qd = F.col("__q").cast("double")
+    sse_tot = qd - sd * sd / nd
+    sse_l = pqd - psd * psd / kd
+    sse_r = (qd - pqd) - (sd - psd) * (sd - psd) / (nd - kd)
+    scored = j.select(
+        *keys,
+        "__i",
+        "__k",
+        "__n",
+        F.round(sse_tot - sse_l - sse_r, 6).alias("gain_r"),
+        F.round(psd / kd, 6).alias("mean_left_r"),
+        F.round((sd - psd) / (nd - kd), 6).alias("mean_right_r"),
+    )
+    wbest = Window.partitionBy(*keys).orderBy(F.desc("gain_r"), F.asc("__i"))
+    return (
+        scored.withColumn("__rk", F.row_number().over(wbest))
+        .where(F.col("__rk") == 1)
+        .select(
+            *keys,
+            F.col("__i").alias("split_i"),
+            F.col("__k").cast("long").alias("n_left"),
+            (F.col("__n") - F.col("__k")).cast("long").alias("n_right"),
+            "gain_r",
+            "mean_left_r",
+            "mean_right_r",
+        )
+    )
+
+
+def kalman_level_scores(
+    df: DataFrame,
+    keys: list[str],
+    idx_col: str = "i",
+    val_col: str = "c",
+    q: float = 2.0,
+    r: float = 10.0,
+    tau: float = 3.0,
+) -> DataFrame:
+    """W22 — local-level Kalman filter detector per series key
+    (kernels.kalman_level, pinned loop): level estimate, innovation, and
+    standardized-innovation score per bucket, with is_anomaly at |score|
+    >= tau. The gain schedule starts high and converges to the
+    steady-state Riccati gain — the principled version of detector
+    warm-up, where EWMA's fixed alpha over- or under-reacts early.
+
+    Determinism contract: the kernel's float64 op order is pinned and
+    identical to the recursive-CTE expressions the oracle evaluates
+    (q, r enter as repr'd literals on both sides); outputs are rounded
+    1e-6 before comparison/thresholding, the same belt as the EWMA twin.
+
+    Scale shape: one applyInPandas over the series keys (the bucketed
+    frame, tiny vs raw); the filter is inherently sequential per series
+    but series are independent — the same partition-parallel discipline
+    as score_tier.
+    """
+    import numpy as np
+
+    from .kernels import kalman_level
+
+    key_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.select(*keys).schema.fields
+    )
+    out_schema = (
+        f"{key_schema}, {idx_col} long, x double, level double, "
+        "score double"
+    )
+    qf, rf, tf = float(q), float(r), float(tau)
+
+    def _kal(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(idx_col, kind="mergesort")
+        x = pdf[val_col].to_numpy(dtype=np.float64)
+        est, _, score = kalman_level(x, qf, rf)
+        out = {k: pdf[k].to_numpy() for k in keys}
+        out[idx_col] = pdf[idx_col].to_numpy()
+        out.update(x=x, level=est, score=score)
+        return pd.DataFrame(out)
+
+    raw = (
+        df.select(*keys, idx_col, val_col)
+        .groupBy(*keys)
+        .applyInPandas(_kal, out_schema)
+    )
+    # round JVM-side: SQL round() is half-away-from-zero in BOTH engines,
+    # np.round is half-to-even — rounding inside the kernel would put the
+    # twin a coin-flip apart on exact .5e-6 boundaries
+    return raw.select(
+        *keys,
+        idx_col,
+        "x",
+        F.round("level", 6).alias("level_r"),
+        F.round("score", 6).alias("score_r"),
+        (F.abs(F.round("score", 6)) >= F.lit(tf)).alias("is_anomaly"),
+    )
