@@ -31,6 +31,17 @@ def entry(spark: SparkSession) -> DataFrame:
     return flagship_scores(spark, "/root/testdata/sf0.001", tier="1h")
 
 
+def _pow2_case(col: str) -> str:
+    """Smallest power of two >= col as a literal integer CASE ladder —
+    identical text runs in Spark SQL and DuckDB, with none of the
+    last-ulp knife edges a float pow(2, ceil(log2(n))) would have."""
+    arms = " ".join(
+        f"WHEN {col} <= {1 << k} THEN CAST({1 << k} AS BIGINT)"
+        for k in range(0, 21)
+    )
+    return f"CASE {arms} ELSE CAST({1 << 21} AS BIGINT) END"
+
+
 def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Rows-only entries: operators whose semantics aren't ANSI-SQL
     expressible (sequential recurrences, bit-level codecs, NumPy LSH)."""
@@ -459,6 +470,66 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "source", F.unix_timestamp("bucket_start").alias("bucket_s")
         )
 
+    def engine_token_movers(spark, sf_dir):
+        """Token top-movers: per source, the 5 token ids whose counts
+        changed most between the corpus's first and second time halves
+        (split at the midpoint of the GLOBAL event-time range — a
+        deterministic cut both engines re-derive). The curation signal
+        behind 'what vocabulary is this source drifting toward':
+        complements engine_token_drift's KL scalar with the WHICH.
+        Rank on (|delta| DESC, token_id) — exact integers throughout."""
+        from pyspark.sql import Window as W
+
+        seq = sequences_from_documents(spark, sf_dir)
+        # midpoint compare with NO division: 2*ts >= min+max is exact
+        # integer arithmetic (a /2 would truncate in Spark's cast but
+        # round in DuckDB's — a knife edge on odd sums)
+        mid = seq.agg(
+            (F.unix_micros(F.min("event_ts"))
+             + F.unix_micros(F.max("event_ts"))).alias("m2")
+        )
+        tok = (
+            seq.crossJoin(F.broadcast(mid))
+            .select(
+                "source",
+                (F.unix_micros("event_ts") * 2 >= F.col("m2")).alias("h2"),
+                F.explode("tokens").alias("token_id"),
+            )
+            .groupBy("source", "token_id")
+            .agg(
+                F.sum(F.when(~F.col("h2"), 1).otherwise(0)).alias("c1"),
+                F.sum(F.when(F.col("h2"), 1).otherwise(0)).alias("c2"),
+            )
+        )
+        d = tok.select(
+            "source", "token_id", "c1", "c2",
+            (F.col("c2") - F.col("c1")).alias("delta"),
+        )
+        wr = W.partitionBy("source").orderBy(
+            F.abs(F.col("delta")).desc(), F.col("token_id").asc()
+        )
+        return (
+            d.withColumn("rnk", F.row_number().over(wr))
+            .where(F.col("rnk") <= 5)
+            .select("source", "rnk", "token_id", "c1", "c2", "delta")
+        )
+
+    def engine_len_hist(spark, sf_dir):
+        """Sequence-length histogram in power-of-two buckets per source —
+        the padding/packing-efficiency profile (how much of each batch
+        would be pad at a given max_len). Bucket = 2^ceil(log2(n_tok)),
+        computed with integer bit arithmetic (no float log knife edges)."""
+        seq = sequences_from_documents(spark, sf_dir)
+        b = F.expr(_pow2_case("n_tok"))
+        return (
+            seq.select("source", b.alias("len_bucket"), "n_tok")
+            .groupBy("source", "len_bucket")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_tok").cast("long").alias("tok_sum"),
+            )
+        )
+
     def engine_streaming_dedup(spark, sf_dir):
         """T10: exact payload dedup ON THE STREAM
         (streaming.streaming_dedup): dropDuplicates keyed on
@@ -477,6 +548,31 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             max_files_per_trigger=1,
         )
         return spark.read.parquet(out).select("h", "n_tok")
+
+    def engine_streaming_sessions(spark, sf_dir):
+        """T11: session windows ON THE STREAM
+        (streaming.streaming_sessions): per-source activity sessions
+        (1h inactivity gap) merged across micro-batches in the state
+        store — the moving-window-end stateful shape tumbling windows
+        can't express. Boundary semantics pinned by test: touching
+        windows coalesce, so the oracle's new-session predicate is
+        ts - prev > gap; emitted sessions are those with
+        end (= last event + gap) <= final watermark."""
+        from tsrollup.streaming import run_streaming_sessions
+
+        base = _scratch("streaming_sessions")
+        in_dir = _seq_files(spark, sf_dir, base)
+        out = os.path.join(base, "sessions")
+        run_streaming_sessions(
+            spark, in_dir, out, os.path.join(base, "ckpt"),
+            gap="1 hour", max_files_per_trigger=1,
+        )
+        return spark.read.parquet(out).select(
+            "source",
+            F.unix_timestamp("session_start").alias("start_s"),
+            F.unix_timestamp("session_end").alias("end_s"),
+            "n_events", "n_tok_sum",
+        )
 
     def engine_streaming_join(spark, sf_dir):
         """T6: stream-static BROADCAST join (sequence stream enriched with
@@ -967,7 +1063,10 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_video_frames": mm_video_frames,
         "engine_streaming_rollup": engine_streaming_rollup,
         "engine_streaming_silence": engine_streaming_silence,
+        "engine_token_movers": engine_token_movers,
+        "engine_len_hist": engine_len_hist,
         "engine_streaming_dedup": engine_streaming_dedup,
+        "engine_streaming_sessions": engine_streaming_sessions,
         "engine_streaming_join": engine_streaming_join,
         "engine_streaming_welford": engine_streaming_welford,
         "engine_resume_ledger": engine_resume_ledger,
@@ -980,6 +1079,7 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def _engine_oracles() -> dict[str, str]:
+    _pow2_case_sql = _pow2_case("n_tok")
     """DuckDB twins for the engine entries whose rows derive from the
     `documents` table through Spark's xxhash64 (event-time spread + token
     ids): tsrollup.duck_oracle re-expresses XXH64 as pure SQL macros, so
@@ -1032,9 +1132,63 @@ def _engine_oracles() -> dict[str, str]:
                       WHERE o.source = s.source AND o.bucket = s.bucket)
     """)
 
+    token_movers_o = engine_oracle(""",
+    mid AS (SELECT (epoch_us(min(event_ts)) + epoch_us(max(event_ts)))::BIGINT
+                   AS m2 FROM seq),
+    tok AS (SELECT source,
+                   (epoch_us(event_ts) * 2 >= mid.m2) AS h2,
+                   unnest(tokens) AS token_id
+            FROM seq, mid),
+    cnt AS (SELECT source, token_id,
+                   sum(CASE WHEN NOT h2 THEN 1 ELSE 0 END)::BIGINT AS c1,
+                   sum(CASE WHEN h2 THEN 1 ELSE 0 END)::BIGINT AS c2
+            FROM tok GROUP BY 1, 2),
+    d AS (SELECT source, token_id, c1, c2, c2 - c1 AS delta FROM cnt),
+    r AS (SELECT *, row_number() OVER (PARTITION BY source
+                                       ORDER BY abs(delta) DESC, token_id)
+                      AS rnk
+          FROM d)
+    SELECT source, rnk::INTEGER AS rnk, token_id, c1, c2, delta
+    FROM r WHERE rnk <= 5
+    """)
+
+    len_hist_o = engine_oracle(f""",
+    b AS (SELECT source, {_pow2_case_sql} AS len_bucket, n_tok FROM seq)
+    SELECT source, len_bucket, count(*)::BIGINT AS n_docs,
+           sum(n_tok)::BIGINT AS tok_sum
+    FROM b GROUP BY 1, 2
+    """)
+
     streaming_dedup_o = engine_oracle(""",
     d AS (SELECT DISTINCT xxh64_intlist(tokens) AS h, n_tok FROM seq)
     SELECT h, n_tok::INTEGER AS n_tok FROM d
+    """)
+
+    # T11 sessions: lag/cumsum sessionization with the pinned touching-
+    # windows-coalesce convention (new session iff ts - prev > gap);
+    # finalized = session end (last event + gap) <= max(event_ts) - 10min
+    streaming_sessions_o = engine_oracle(""",
+    wm AS (SELECT max(event_ts) - INTERVAL 10 MINUTE AS w FROM seq),
+    l AS (SELECT source, event_ts, n_tok,
+                 lag(event_ts) OVER (PARTITION BY source
+                                     ORDER BY event_ts, doc_id) AS prev_ts
+          FROM seq),
+    s AS (SELECT source, event_ts, n_tok,
+                 sum(CASE WHEN prev_ts IS NULL
+                               OR event_ts - prev_ts > INTERVAL 1 HOUR
+                          THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY source ORDER BY event_ts, prev_ts)
+                   AS sid
+          FROM l),
+    sess AS (SELECT source, sid,
+                    min(event_ts) AS st,
+                    max(event_ts) + INTERVAL 1 HOUR AS en,
+                    count(*)::BIGINT AS n_events,
+                    sum(n_tok)::BIGINT AS n_tok_sum
+             FROM s GROUP BY 1, 2)
+    SELECT source, epoch(st)::BIGINT AS start_s, epoch(en)::BIGINT AS end_s,
+           n_events, n_tok_sum
+    FROM sess, wm WHERE en <= wm.w
     """)
 
     streaming_join = engine_oracle(""",
@@ -1616,7 +1770,10 @@ def _engine_oracles() -> dict[str, str]:
         "engine_token_profile": token_profile,
         "engine_streaming_rollup": streaming_rollup,
         "engine_streaming_silence": streaming_silence,
+        "engine_token_movers": token_movers_o,
+        "engine_len_hist": len_hist_o,
         "engine_streaming_dedup": streaming_dedup_o,
+        "engine_streaming_sessions": streaming_sessions_o,
         "engine_streaming_join": streaming_join,
         "engine_read_range": read_range,
         "engine_streamed_ingest": streamed_ingest,

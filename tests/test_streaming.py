@@ -525,3 +525,68 @@ def test_streaming_dedup_exactly_once_across_batches(spark):
     g = got.sort_values("h").reset_index(drop=True)
     b = batch.sort_values("h").reset_index(drop=True)
     assert (g["h"] == b["h"]).all() and (g["n_tok"] == b["n_tok"]).all()
+
+
+def test_streaming_sessions_merge_across_batches(spark):
+    """T11 — session semantics pinned: events of ONE session arriving in
+    different micro-batches merge in state before emission; an event
+    exactly gap after the previous one starts a NEW session; emitted
+    set = sessions with end <= final watermark."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tsrollup.streaming import run_streaming_sessions
+
+    t0 = np.datetime64("2024-05-01T00:00:00", "us")
+    mn = np.timedelta64(60_000_000, "us")
+
+    def row(doc, src, t):
+        return (doc, [1], src, 1, t)
+
+    # session A: events at 0, 3, 6 min (split across files 0 and 1)
+    # boundary pin: the event at exactly +5min after 6 -> 11 min MERGES
+    # (touching windows coalesce — same convention as batch t2)
+    # session C: singleton at 40min. Carrier events at 120..180 push wm.
+    files = [
+        [row("a0", "s", t0), row("a1", "s", t0 + 3 * mn)],
+        [row("a2", "s", t0 + 6 * mn), row("b0", "s", t0 + 11 * mn)],
+        [row("c0", "s", t0 + 40 * mn),
+         row("w0", "carrier", t0 + 120 * mn),
+         row("w1", "carrier", t0 + 180 * mn)],
+    ]
+    schema = pa.schema([
+        ("doc_id", pa.string()), ("tokens", pa.list_(pa.int32())),
+        ("source", pa.string()), ("n_tok", pa.int32()),
+        ("event_ts", pa.timestamp("us")),
+    ])
+    in_dir = os.path.join(BASE, "sess_in")
+    shutil.rmtree(in_dir, ignore_errors=True)
+    os.makedirs(in_dir)
+    import time as _time
+    now = int(_time.time())
+    for i, rows in enumerate(files):
+        f = os.path.join(in_dir, f"part-{i}.parquet")
+        pq.write_table(pa.Table.from_pylist(
+            [dict(zip([x.name for x in schema], r)) for r in rows],
+            schema=schema), f)
+        os.utime(f, (now + i, now + i))
+
+    out = os.path.join(BASE, "sess_out")
+    ckpt = os.path.join(BASE, "sess_ckpt")
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    run_streaming_sessions(spark, in_dir, out, ckpt, gap="5 minutes",
+                           watermark="10 minutes", max_files_per_trigger=1)
+    got = spark.read.parquet(out).toPandas()
+    got = normalize_ts(got, ("session_start", "session_end"))
+    got = got.sort_values(["source", "session_start"]).reset_index(drop=True)
+    ts = lambda m: pd.Timestamp((t0 + m * mn).item())
+    # final wm = max_ts - 10min = t0+170min; finalized: end <= wm
+    rows = list(zip(got["source"], got["session_start"], got["session_end"],
+                    got["n_events"]))
+    assert ("s", ts(0), ts(16), 4) in rows, (
+        f"cross-batch merge (incl. the exactly-gap event) broken:\n{got}"
+    )
+    assert ("s", ts(40), ts(45), 1) in rows
+    assert ("carrier", ts(120), ts(125), 1) in rows
+    assert len(rows) == 3, f"unexpected extra/missing sessions:\n{got}"

@@ -777,3 +777,62 @@ def run_streaming_dedup(
         .start()
     )
     q.awaitTermination()
+
+
+# ---------------------------------------------------------------- T11
+# Streaming session windows: per-source activity sessions (gap-based)
+# merged ACROSS micro-batches in the state store — the stateful shape
+# tumbling windows can't express (a session's events may arrive in many
+# batches; the window end moves as events arrive). Append mode: a
+# session emits once the watermark passes its end (last event + gap),
+# so emitted rows are FINAL and equal the batch lag/cumsum
+# sessionization below the same cut.
+
+
+def streaming_sessions(
+    stream: DataFrame, gap: str = "1 hour", watermark: str = "10 minutes"
+) -> DataFrame:
+    """T11 — F.session_window aggregation on the event stream. Boundary
+    semantics (pinned by test): an event exactly ``gap`` after the
+    previous one still MERGES (touching windows coalesce), so the batch
+    twin's new-session predicate is ts - prev_ts > gap — the same
+    convention as the batch t2 sessionization. Emitted rows: (source,
+    session_start, session_end, n_events, n_tok_sum); session_end =
+    last event + gap."""
+    wm = stream.withWatermark("event_ts", watermark)
+    agg = (
+        wm.groupBy(F.session_window("event_ts", gap), F.col("source"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("n_tok").cast("long").alias("n_tok_sum"),
+        )
+    )
+    return agg.select(
+        "source",
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        "n_events",
+        "n_tok_sum",
+    )
+
+
+def run_streaming_sessions(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    checkpoint: str,
+    gap: str = "1 hour",
+    watermark: str = "10 minutes",
+    max_files_per_trigger: int | None = None,
+) -> None:
+    stream = read_sequence_stream(spark, in_dir, max_files_per_trigger)
+    q = (
+        streaming_sessions(stream, gap, watermark)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
