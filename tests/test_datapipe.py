@@ -823,3 +823,38 @@ def test_cdc_chunking_properties(spark):
     )
     with pytest.raises(ValueError, match="mask"):
         cdc_chunk_stats(seq, window=2, mask=1)
+
+
+def test_snm_finds_adjacent_neardups_and_documents_its_miss(spark, tmp_path):
+    """Sorted-neighborhood dedup: edited copies sharing a prefix sort
+    adjacent and are found; a near-dup pair whose sort keys land far
+    apart is the family's documented miss (banded LSH covers it)."""
+    import pandas as pd
+
+    from tsrollup.driver_queries import SPARK
+
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    docs = [
+        # shared prefix, one edit -> adjacent in sort order
+        (1, "alpha " + base + "tail one", "en", "s0"),
+        (2, "alpha " + base + "tail two", "en", "s0"),
+        # same content but WILDLY different prefix: far apart in sort order
+        (3, "zzz " + base, "en", "s0"),
+        (4, "aaa " + base, "en", "s0"),
+    ] + [
+        (10 + i, f"filler document number {i} with its own words {i*7}", "en", "s0")
+        for i in range(30)
+    ]
+    pdf = pd.DataFrame(docs, columns=["doc_id", "text", "lang", "source"])
+    pdf["n_chars"] = pdf["text"].str.len()
+    sf = str(tmp_path)
+    pdf.to_parquet(f"{sf}/documents.parquet", index=False)
+
+    out = SPARK["dd_snm"](spark, sf).toPandas()
+    pairs = set(zip(out["doc_a"], out["doc_b"]))
+    assert (1, 2) in pairs or (2, 1) in pairs, f"adjacent near-dup missed: {out}"
+    assert not ((3, 4) in pairs or (4, 3) in pairs), (
+        "docs 3/4 sort far apart — SNM by design cannot pair them "
+        "(if this starts passing the window grew; update the docstring)"
+    )
+    assert (out["jacc"] >= 0.4).all() and (out["rank_dist"].between(1, 4)).all()

@@ -3809,3 +3809,90 @@ def w22_kalman(spark, sf_dir):
     return kalman_level_scores(
         dense, keys=["event_type"], q=_KAL_Q, r=_KAL_R, tau=_KAL_TAU
     )
+
+
+# ---------------------- DD sorted-neighborhood dedup (SNM, round 4)
+
+@q(
+    "dd_snm",
+    """
+    WITH d AS (
+      SELECT doc_id, lower(text) AS t FROM documents
+      WHERE length(lower(text)) >= 5
+    ),
+    keyed AS (
+      SELECT doc_id, t,
+             row_number() OVER (ORDER BY substring(t, 1, 32),
+                                length(t), doc_id) AS r,
+             list_distinct([substring(t, i, 5)
+                            for i in generate_series(1, length(t) - 4)])
+               AS grams
+      FROM d
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             (b.r - a.r)::BIGINT AS rank_dist,
+             round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                   / (len(a.grams) + len(b.grams)
+                      - len(list_intersect(a.grams, b.grams))), 6) AS jacc
+      FROM keyed a JOIN keyed b
+        ON b.r > a.r AND b.r <= a.r + 4
+    )
+    SELECT doc_a, doc_b, rank_dist, jacc FROM pairs WHERE jacc >= 0.4
+    """,
+)
+def dd_snm(spark, sf_dir):
+    """Sorted-neighborhood (SNM) near-dup — the third candidate-
+    generation family alongside banded LSH and inverted-index
+    containment: sort the corpus by a similarity-preserving key
+    (32-char prefix, then length), compare each doc only against its
+    next 4 neighbors in that order, verify by exact char-5-gram Jaccard
+    >= 0.4. Candidates are O(corpus x window), never quadratic.
+
+    Scale note: the global row_number here is the small-scale form; at
+    corpus scale the rank comes from a range-partitioned sort + prefix
+    offsets (the mixing.py shuffle-rank discipline) and the neighbor
+    join stays within/adjacent partitions — SNM's defining property is
+    that the heavy comparison is LOCAL in sort order."""
+    d = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.lower("text").alias("t"))
+        .where(F.length("t") >= 5)
+    )
+    grams = F.expr(
+        "array_distinct(transform(sequence(1, length(t) - 4),"
+        " i -> substring(t, i, 5)))"
+    )
+    keyed = d.select(
+        "doc_id",
+        F.row_number()
+        .over(
+            Window.orderBy(
+                F.substring("t", 1, 32), F.length("t"), F.col("doc_id")
+            )
+        )
+        .alias("r"),
+        grams.alias("grams"),
+    )
+    a = keyed.select(
+        F.col("doc_id").alias("doc_a"), F.col("r").alias("ra"),
+        F.col("grams").alias("ga"),
+    )
+    b = keyed.select(
+        F.col("doc_id").alias("doc_b"), F.col("r").alias("rb"),
+        F.col("grams").alias("gb"),
+    )
+    ni = F.size(F.array_intersect("ga", "gb"))
+    return (
+        a.join(b, (F.col("rb") > F.col("ra")) & (F.col("rb") <= F.col("ra") + 4))
+        .withColumn(
+            "jacc",
+            F.round(ni.cast("double") / (F.size("ga") + F.size("gb") - ni), 6),
+        )
+        .where(F.col("jacc") >= 0.4)
+        .select(
+            "doc_a", "doc_b",
+            (F.col("rb") - F.col("ra")).cast("long").alias("rank_dist"),
+            "jacc",
+        )
+    )
