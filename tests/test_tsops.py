@@ -1349,3 +1349,40 @@ class TestKalmanLevel:
         assert outside["is_anomaly"].sum() <= 3, "quiet series must stay quiet"
         # level recovers: shortly after the spike the estimate is near base
         assert abs(out.loc[190, "level_r"] - 40) < 10
+
+
+def test_burst_intervals_vs_reference_and_planted(spark):
+    """Integer two-state burst DP: Spark kernel path == independent loop
+    reference on noisy data; a planted sustained elevation is one
+    interval; isolated one-bucket spikes pay the transition penalty and
+    stay quiet at these rates."""
+    from tsrollup.kernels import burst_states
+    from tsrollup.tsops import burst_intervals
+
+    rng = np.random.default_rng(17)
+    c = rng.poisson(12, 200)
+    c[80:100] = rng.poisson(30, 20)   # sustained burst
+    quiet = rng.poisson(12, 200)
+    quiet[50] = 40                     # isolated spike
+    rows = [("a", int(i), int(v)) for i, v in enumerate(c)]
+    rows += [("q", int(i), int(v)) for i, v in enumerate(quiet)]
+    out = burst_intervals(_hourly(spark, rows), keys=["key"]).toPandas()
+
+    # independent membership reference via the kernel on each series
+    for key, series in (("a", c), ("q", quiet)):
+        med = np.percentile(series, 50, method="linear")
+        l0 = int(4 * med)
+        st, _, _, _ = burst_states(series, l0, 3 * l0 // 2, l0 // 2)
+        got = np.zeros(len(series), dtype=bool)
+        for r in out[out["key"] == key].itertuples():
+            got[r.start_i: r.end_i + 1] = True
+        assert (got == st.astype(bool)).all(), key
+
+    a = out[out["key"] == "a"]
+    assert len(a) >= 1
+    main = a.loc[a["n_buckets"].idxmax()]
+    assert 75 <= main["start_i"] <= 85 and 95 <= main["end_i"] <= 104, (
+        f"planted burst not localized: {a}"
+    )
+    q = out[out["key"] == "q"]
+    assert not ((q["start_i"] <= 50) & (q["end_i"] >= 50)).any() or len(q) == 0

@@ -3896,3 +3896,93 @@ def dd_snm(spark, sf_dir):
             "jacc",
         )
     )
+
+
+# ----------------------- W23 burst intervals (integer Kleinberg, round 4)
+
+@q(
+    "w23_bursts",
+    """
+    WITH RECURSIVE hb AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS i,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    ext AS (SELECT event_type, min(i) AS mn, max(i) AS mx FROM hb GROUP BY 1),
+    spine AS (SELECT event_type, unnest(generate_series(mn, mx)) AS i FROM ext),
+    dense AS (
+      SELECT s.event_type, s.i, coalesce(hb.c, 0)::BIGINT AS c
+      FROM spine s LEFT JOIN hb ON hb.event_type = s.event_type AND hb.i = s.i
+    ),
+    lam AS (SELECT event_type, (quantile_cont(c, 0.5) * 4)::BIGINT AS l0
+            FROM dense GROUP BY 1),
+    f AS (
+      SELECT d.event_type, d.i, d.c,
+             row_number() OVER (PARTITION BY d.event_type ORDER BY d.i) AS t,
+             count(*) OVER (PARTITION BY d.event_type) AS n,
+             abs(4 * d.c - lam.l0) AS e0,
+             abs(4 * d.c - (3 * lam.l0) // 2) AS e1,
+             lam.l0 // 2 AS g
+      FROM dense d JOIN lam ON lam.event_type = d.event_type
+    ),
+    fwd AS (
+      SELECT event_type, t, e0 AS f0, e1 + g AS f1 FROM f WHERE t = 1
+      UNION ALL
+      SELECT f.event_type, f.t,
+             f.e0 + least(fwd.f0, fwd.f1 + f.g),
+             f.e1 + least(fwd.f1, fwd.f0 + f.g)
+      FROM fwd JOIN f ON f.event_type = fwd.event_type AND f.t = fwd.t + 1
+    ),
+    bwd AS (
+      SELECT event_type, t, e0 AS b0, e1 AS b1 FROM f WHERE t = n
+      UNION ALL
+      SELECT f.event_type, f.t,
+             f.e0 + least(bwd.b0, bwd.b1 + f.g),
+             f.e1 + least(bwd.b1, bwd.b0 + f.g)
+      FROM bwd JOIN f ON f.event_type = bwd.event_type AND f.t = bwd.t - 1
+    ),
+    st AS (
+      SELECT f.event_type, f.i, f.c,
+             (fwd.f1 + bwd.b1 - f.e1 < fwd.f0 + bwd.b0 - f.e0) AS burst
+      FROM f JOIN fwd ON fwd.event_type = f.event_type AND fwd.t = f.t
+             JOIN bwd ON bwd.event_type = f.event_type AND bwd.t = f.t
+    ),
+    isl AS (
+      SELECT event_type, i, c,
+             i - row_number() OVER (PARTITION BY event_type ORDER BY i) AS grp
+      FROM st WHERE burst
+    )
+    SELECT event_type, min(i) AS start_i, max(i) AS end_i,
+           count(*)::BIGINT AS n_buckets, max(c) AS max_c,
+           sum(c)::BIGINT AS sum_c
+    FROM isl GROUP BY event_type, grp
+    """,
+)
+def w23_bursts(spark, sf_dir):
+    """Burst intervals (tsops.burst_intervals): Kleinberg's two-state
+    burst automaton with L1 emission costs — an EXACT-INTEGER min-cost
+    path (base rate = series median, burst rate 1.5x, transition
+    penalty 0.5x median, all in quadrupled units), burst membership by the
+    forward+backward optimal-path test, contiguous buckets collapsed to
+    intervals. The oracle replays the identical integer DP as two
+    recursive CTEs, so interval rows are hash-twinnable."""
+    from .tsops import burst_intervals
+
+    hb = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000").alias("i"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ext = hb.groupBy("event_type").agg(
+        F.min("i").alias("mn"), F.max("i").alias("mx")
+    )
+    spine = ext.select(
+        "event_type", F.explode(F.expr("sequence(mn, mx)")).alias("i")
+    )
+    dense = spine.join(hb, ["event_type", "i"], "left").select(
+        "event_type", "i", F.coalesce("c", F.lit(0)).cast("long").alias("c")
+    )
+    return burst_intervals(dense, keys=["event_type"])

@@ -542,3 +542,48 @@ def kalman_level(
         innov[t] = nu
         score[t] = nu / np.sqrt(p_pred + r)
     return est, innov, score
+
+
+def burst_states(
+    x: np.ndarray, lam0_u: int, lam1_u: int, gamma_u: int, scale: int = 4
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+    """Two-state burst detection as an EXACT-INTEGER min-cost path
+    (Kleinberg's 2-state automaton with L1 emission costs instead of
+    -log-likelihoods, so the whole DP is integer and hash-twinnable).
+
+    All rates are in SCALED units (default x4, so a median of integers
+    — possibly k+0.5 — and its 1.5x multiple both stay integral). Per
+    step t with count n_t:
+
+        emit_s(t) = |scale·n_t − λs_u|
+        fwd_s(t)  = emit_s(t) + min(fwd_s(t−1), fwd_{1−s}(t−1) + γ_u)
+        bwd symmetric (emission charged at the step itself)
+
+    A bucket is in the burst state iff
+    fwd₁+bwd₁−emit₁ < fwd₀+bwd₀−emit₀ at that index (the emission is
+    double-counted by fwd+bwd; ties resolve to the base state) — the
+    standard optimal-path membership test, deterministic because every
+    quantity is an integer. Returns (fwd0/fwd1 arrays unused externally)
+    -> (state array int8, fwd_total0, fwd_total1, total_min)."""
+    xs = int(scale) * np.asarray(x, dtype=np.int64)
+    n = len(xs)
+    e0 = np.abs(xs - lam0_u)
+    e1 = np.abs(xs - lam1_u)
+    f0 = np.empty(n, dtype=np.int64)
+    f1 = np.empty(n, dtype=np.int64)
+    b0 = np.empty(n, dtype=np.int64)
+    b1 = np.empty(n, dtype=np.int64)
+    if n == 0:
+        return np.empty(0, dtype=np.int8), f0, f1, 0
+    f0[0], f1[0] = e0[0], e1[0] + gamma_u  # paths start in state 0
+    for t in range(1, n):
+        f0[t] = e0[t] + min(f0[t - 1], f1[t - 1] + gamma_u)
+        f1[t] = e1[t] + min(f1[t - 1], f0[t - 1] + gamma_u)
+    b0[n - 1], b1[n - 1] = e0[n - 1], e1[n - 1]
+    for t in range(n - 2, -1, -1):
+        b0[t] = e0[t] + min(b0[t + 1], b1[t + 1] + gamma_u)
+        b1[t] = e1[t] + min(b1[t + 1], b0[t + 1] + gamma_u)
+    tot0 = f0 + b0 - e0
+    tot1 = f1 + b1 - e1
+    state = (tot1 < tot0).astype(np.int8)
+    return state, f0, f1, int(min(f0[n - 1], f1[n - 1]))

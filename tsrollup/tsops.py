@@ -1535,3 +1535,79 @@ def kalman_level_scores(
         F.round("score", 6).alias("score_r"),
         (F.abs(F.round("score", 6)) >= F.lit(tf)).alias("is_anomaly"),
     )
+
+
+def burst_intervals(
+    df: DataFrame,
+    keys: list[str],
+    idx_col: str = "i",
+    val_col: str = "c",
+) -> DataFrame:
+    """W23 — burst interval extraction via a two-state min-cost path
+    (Kleinberg's burst automaton with L1 emission costs instead of
+    −log-likelihoods, making the whole DP EXACT INTEGERS —
+    kernels.burst_states). Base rate λ0 = the series median, burst rate
+    λ1 = 1.5·λ0, transition penalty γ = 0.5·λ0 (all in quadrupled units
+    so the half-integer median AND its 1.5x multiple stay integral); a
+    bucket is bursting iff the best path through the burst state at
+    that bucket is strictly cheaper. Contiguous bursting buckets collapse to one interval row:
+    (keys..., start_i, end_i, n_buckets, max_c, sum_c) — the
+    idx − row_number islands discipline (w8).
+
+    Twin: the oracle replays the SAME integer DP as TWO recursive CTEs
+    (forward and backward passes) and the same membership test, so the
+    intervals are hash-twinnable. Scale shape: one exact-percentile agg
+    for λ0, one applyInPandas over series keys (sequential DP per
+    series, series independent), one window + agg for islands.
+    """
+    import numpy as np
+
+    from .kernels import burst_states
+
+    lam = df.groupBy(*keys).agg(
+        (F.expr(f"percentile(`{val_col}`, 0.5)") * 4)
+        .cast("long")
+        .alias("__lam0u")
+    )
+    key_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.select(*keys).schema.fields
+    )
+    out_schema = f"{key_schema}, {idx_col} long, x long, state int"
+
+    def _burst(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(idx_col, kind="mergesort")
+        lam0 = int(pdf["__lam0u"].iloc[0])  # 4x median, always even
+        st, _, _, _ = burst_states(
+            pdf[val_col].to_numpy(dtype=np.int64),
+            lam0, 3 * lam0 // 2, lam0 // 2,
+        )
+        out = {k: pdf[k].to_numpy() for k in keys}
+        out[idx_col] = pdf[idx_col].to_numpy()
+        out.update(x=pdf[val_col].to_numpy(dtype=np.int64),
+                   state=st.astype(np.int32))
+        return pd.DataFrame(out)
+
+    states = (
+        df.join(lam, keys)
+        .select(*keys, idx_col, val_col, "__lam0u")
+        .groupBy(*keys)
+        .applyInPandas(_burst, out_schema)
+    )
+    burst = states.where(F.col("state") == 1)
+    grp = (
+        F.col(idx_col)
+        - F.row_number().over(Window.partitionBy(*keys).orderBy(idx_col))
+    ).alias("__g")
+    return (
+        burst.select(*keys, idx_col, "x", grp)
+        .groupBy(*keys, "__g")
+        .agg(
+            F.min(idx_col).alias("start_i"),
+            F.max(idx_col).alias("end_i"),
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.max("x").alias("max_c"),
+            F.sum("x").cast("long").alias("sum_c"),
+        )
+        .drop("__g")
+    )
