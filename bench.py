@@ -208,6 +208,15 @@ def main() -> None:
         "tx_entropy",
         "tx_novelty",
         "dd_semantic",
+        "w17_dominant_period",
+        "w18_hysteresis",
+        "w19_sax_motifs",
+        "w20_dtw",
+        "w21_binseg",
+        "w22_kalman",
+        "w23_bursts",
+        "dd_snm",
+        "tx_coverage",
     ):
         t0 = time.monotonic()
         SPARK[name](spark, sf_dir).count()
@@ -227,6 +236,13 @@ def main() -> None:
     t0 = time.monotonic()
     token_drift(sequences_from_documents(spark, sf_dir)).count()
     timings["q_token_drift"] = round(time.monotonic() - t0, 3)
+
+    # CDC chunk dedup runs over the token payload (engine query)
+    from tsrollup.datapipe import cdc_chunk_stats
+
+    t0 = time.monotonic()
+    cdc_chunk_stats(sequences_from_documents(spark, sf_dir)).count()
+    timings["q_dd_cdc_chunks"] = round(time.monotonic() - t0, 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -3874,17 +3874,31 @@ def dd_snm(spark, sf_dir):
         .alias("r"),
         grams.alias("grams"),
     )
-    a = keyed.select(
+    # EQUI-join on the neighbor rank (explode ra+1..ra+4), never the
+    # range predicate: Spark plans a non-equi rank join as a nested-loop
+    # cartesian — O(corpus²) gram intersections — where this shape is a
+    # hash join producing exactly corpus × window candidate rows. Gram
+    # arrays join on AFTER pairing so the rank table stays thin.
+    thin = keyed.select("doc_id", "r")
+    a = thin.select(
         F.col("doc_id").alias("doc_a"), F.col("r").alias("ra"),
-        F.col("grams").alias("ga"),
+        F.explode(F.expr("sequence(r + 1, r + 4)")).alias("rb"),
     )
-    b = keyed.select(
-        F.col("doc_id").alias("doc_b"), F.col("r").alias("rb"),
-        F.col("grams").alias("gb"),
-    )
+    b = thin.select(F.col("doc_id").alias("doc_b"), F.col("r").alias("rb"))
+    pairs = a.join(b, "rb")
+    ga = keyed.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("ga"))
+    gb = keyed.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("gb"))
     ni = F.size(F.array_intersect("ga", "gb"))
     return (
-        a.join(b, (F.col("rb") > F.col("ra")) & (F.col("rb") <= F.col("ra") + 4))
+        pairs.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        # size-ratio prefilter: jacc <= min(|ga|,|gb|)/max(|ga|,|gb|), so
+        # pairs failing 0.4 on sizes alone never pay the intersection
+        .where(
+            F.least(F.size("ga"), F.size("gb")).cast("double")
+            / F.greatest(F.size("ga"), F.size("gb"))
+            >= 0.4
+        )
         .withColumn(
             "jacc",
             F.round(ni.cast("double") / (F.size("ga") + F.size("gb") - ni), 6),
