@@ -110,3 +110,54 @@ def test_asof_tolerance_matches_pandas(spark, tol_us):
         _canon(ref, ["k", "ts", "lv", "rv"]),
         check_dtype=False,
     )
+
+
+def test_interpolated_read_semantics(spark):
+    """Lerp between bracketing observations; exact-coincident sample
+    wins (factor 0); edges clamp; no-obs key yields NULL."""
+    import pandas as pd
+
+    from tsrollup.asof import interpolated_read
+
+    obs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "key": ["a"] * 3 + ["b"],
+                "ts": pd.to_datetime(
+                    ["2024-01-01 00:00:00", "2024-01-01 01:00:00",
+                     "2024-01-01 02:00:00", "2024-01-01 00:30:00"]
+                ),
+                "value": [10.0, 20.0, 40.0, 7.0],
+                "event_id": [1, 2, 3, 4],
+            }
+        )
+    )
+    qs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "key": ["a"] * 5 + ["c"],
+                "qid": [1, 2, 3, 4, 5, 6],
+                "ts": pd.to_datetime(
+                    ["2024-01-01 00:15:00",  # lerp 10->20 at 1/4: 12.5
+                     "2024-01-01 01:00:00",  # coincident: exactly 20
+                     "2024-01-01 01:45:00",  # lerp 20->40 at 3/4: 35
+                     "2023-12-31 23:00:00",  # before first: clamp 10
+                     "2024-01-01 03:00:00",  # after last: clamp 40
+                     "2024-01-01 00:15:00"]  # key with no obs: NULL
+                ),
+            }
+        )
+    )
+    out = {
+        r["qid"]: r.asDict()
+        for r in interpolated_read(
+            qs, obs, on=["key"], tiebreak="event_id"
+        ).collect()
+    }
+    assert out[1]["value_interp_r"] == 12.5
+    assert out[2]["value_interp_r"] == 20.0
+    assert out[2]["us_since_prev"] == 0
+    assert out[3]["value_interp_r"] == 35.0
+    assert out[4]["value_interp_r"] == 10.0 and out[4]["us_since_prev"] is None
+    assert out[5]["value_interp_r"] == 40.0 and out[5]["us_to_next"] is None
+    assert out[6]["value_interp_r"] is None

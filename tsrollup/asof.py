@@ -87,3 +87,106 @@ def asof_join(
         F.col("__asof_carry")[c + suffix].alias(c + suffix) for c in rcols
     )
     return carried.select(*out_cols)
+
+
+def interpolated_read(
+    queries: DataFrame,
+    obs: DataFrame,
+    on: list[str],
+    query_ts: str = "ts",
+    obs_ts: str = "ts",
+    value_col: str = "value",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """J10 — linearly interpolated point-in-time read: for every query
+    instant, the value lerped between the LAST observation at-or-before
+    and the FIRST observation after (per key). The as-of join (J6)
+    answers "last known value"; this answers "best estimate at t" for
+    continuously-varying metrics — the standard read primitive for
+    irregular samples.
+
+    One UNION of queries into the observation stream + TWO window passes
+    sharing a single (keys, ts) sort: prev = last non-null observation
+    over the preceding frame (observations sort before queries at equal
+    ts, so an exactly-coincident sample wins and the lerp factor is 0 —
+    exact), next = first non-null over the strictly-following frame.
+    Edge rows clamp (only-prev -> prev, only-next -> next, neither ->
+    NULL). Timestamps subtract as exact microsecond BIGINTs; the lerp is
+    one closed-form double rounded 1e-6, hash-twinnable.
+
+    ``tiebreak`` pins the order of equal-timestamp observations (same
+    contract as counter_increase); pass it whenever obs timestamps can
+    collide within a key.
+
+    Scale shape: ONE shuffle on the series keys covers both windows
+    (same partitioning + sort order — Catalyst plans a single Exchange
+    and sort); no join at all.
+    """
+    tb_obs = (
+        [F.col(tiebreak)] if tiebreak and tiebreak in obs.columns else []
+    )
+    o = obs.select(
+        *on,
+        F.unix_micros(F.col(obs_ts).cast("timestamp")).alias("__us"),
+        F.lit(0).alias("__tag"),
+        F.col(value_col).cast("double").alias("__v"),
+        *( [F.col(tiebreak).alias("__tb")] if tb_obs else [F.lit(0).alias("__tb")] ),
+    )
+    qcols = [c for c in queries.columns]
+    qn = queries.select(
+        *qcols,
+        F.unix_micros(F.col(query_ts).cast("timestamp")).alias("__us"),
+        F.lit(1).alias("__tag"),
+        F.lit(None).cast("double").alias("__v"),
+        F.lit(0).alias("__tb"),
+    )
+    # align schemas: carry query payload columns as NULL on the obs side
+    extra = [c for c in qcols if c not in on and c != query_ts]
+    o_full = o.select(
+        *on,
+        *[F.lit(None).cast(queries.schema[c].dataType).alias(c) for c in extra],
+        F.lit(None).cast(queries.schema[query_ts].dataType).alias(query_ts)
+        if query_ts not in on else F.col(query_ts),
+        "__us", "__tag", "__v", "__tb",
+    )
+    q_full = qn.select(
+        *on, *extra, query_ts, "__us", "__tag", "__v", "__tb"
+    )
+    u = o_full.unionByName(q_full)
+    order = [F.col("__us"), F.col("__tag"), F.col("__tb")]
+    wprev = (
+        Window.partitionBy(*on).orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wnext = (
+        Window.partitionBy(*on).orderBy(*order)
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    pt = F.struct("__us", "__v")
+    marked = u.select(
+        *on, *extra, query_ts, "__us", "__tag",
+        F.last(F.when(F.col("__tag") == 0, pt), ignorenulls=True)
+        .over(wprev).alias("__prev"),
+        F.first(F.when(F.col("__tag") == 0, pt), ignorenulls=True)
+        .over(wnext).alias("__next"),
+    ).where(F.col("__tag") == 1)
+    p_us, p_v = F.col("__prev.__us"), F.col("__prev.__v")
+    n_us, n_v = F.col("__next.__us"), F.col("__next.__v")
+    interp = (
+        F.when(F.col("__prev").isNull() & F.col("__next").isNull(), F.lit(None))
+        .when(F.col("__prev").isNull(), n_v)
+        .when(F.col("__next").isNull(), p_v)
+        .when(n_us == p_us, p_v)
+        .otherwise(
+            p_v
+            + (n_v - p_v)
+            * ((F.col("__us") - p_us).cast("double")
+               / (n_us - p_us).cast("double"))
+        )
+    )
+    return marked.select(
+        *on, *extra, query_ts,
+        F.round(interp, 6).alias("value_interp_r"),
+        (F.col("__us") - p_us).alias("us_since_prev"),
+        (n_us - F.col("__us")).alias("us_to_next"),
+    )

@@ -4000,3 +4000,67 @@ def w23_bursts(spark, sf_dir):
         "event_type", "i", F.coalesce("c", F.lit(0)).cast("long").alias("c")
     )
     return burst_intervals(dense, keys=["event_type"])
+
+
+# ------------------- J10 interpolated point-in-time read (round 4)
+
+@q(
+    "j10_interp",
+    """
+    WITH o AS (SELECT user_id, CAST(NULL AS BIGINT) AS q_eid,
+                      epoch_us(ts) AS us, 0 AS tag, value::DOUBLE AS v,
+                      event_id AS tb
+               FROM events WHERE event_type = 'purchase'),
+    q AS (SELECT user_id, event_id AS q_eid, epoch_us(ts) AS us, 1 AS tag,
+                 CAST(NULL AS DOUBLE) AS v, 0 AS tb
+          FROM events WHERE event_type = 'view'),
+    u AS (SELECT * FROM o UNION ALL SELECT * FROM q),
+    m AS (
+      SELECT user_id, q_eid, us, tag,
+        last_value(CASE WHEN tag = 0 THEN {'us': us, 'v': v} END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY us, tag, tb
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev,
+        first_value(CASE WHEN tag = 0 THEN {'us': us, 'v': v} END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY us, tag, tb
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nxt
+      FROM u
+    )
+    SELECT user_id, q_eid AS event_id, us AS ts_us,
+           round(CASE WHEN prev IS NULL AND nxt IS NULL THEN NULL
+                      WHEN prev IS NULL THEN nxt.v
+                      WHEN nxt IS NULL THEN prev.v
+                      WHEN nxt.us = prev.us THEN prev.v
+                      ELSE prev.v + (nxt.v - prev.v)
+                           * ((us - prev.us)::DOUBLE
+                              / (nxt.us - prev.us)::DOUBLE)
+                 END, 6) AS value_interp_r,
+           us - prev.us AS us_since_prev,
+           nxt.us - us AS us_to_next
+    FROM m WHERE tag = 1
+    """,
+)
+def j10_interp(spark, sf_dir):
+    """Interpolated point-in-time read (asof.interpolated_read): each
+    'view' event's best estimate of the user's continuously-varying
+    purchase value — lerped between the last purchase at-or-before and
+    the first after. ONE union + TWO windows sharing a single
+    (user_id, ts) sort: no join at all; exact microsecond deltas, one
+    closed-form double rounded 1e-6."""
+    from .asof import interpolated_read
+
+    e = t(spark, sf_dir, "events")
+    obs = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value", "event_id"
+    )
+    qs = e.where(F.col("event_type") == "view").select(
+        "user_id", "event_id", "ts"
+    )
+    out = interpolated_read(
+        qs, obs, on=["user_id"], query_ts="ts", obs_ts="ts",
+        value_col="value", tiebreak="event_id",
+    )
+    return out.select(
+        "user_id", "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "value_interp_r", "us_since_prev", "us_to_next",
+    )
