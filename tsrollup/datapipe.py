@@ -1742,10 +1742,11 @@ def cdc_chunk_stats(
     Scale shape: the boundary scan explodes one row per token position
     (the dd_substring shape — linear, no pair fan-out) and keeps only
     (doc_id, p) for boundary hits (~1/mask of positions); chunk hashing
-    joins spans back to ONE copy of the tokens column and hashes slices
-    (arrays never shuffle — only 8-byte hashes and lengths reach the
-    aggs). Per-doc window functions partition on doc_id, the natural
-    key. Everything downstream of the scan is vocab-free and
+    joins spans back to ONE copy of the tokens column, so each token
+    array moves at most once (the doc_id equi-join) and is hashed
+    slice-wise in the same stage — only 8-byte hashes and lengths reach
+    the aggregations. Per-doc window functions partition on doc_id, the
+    natural key. Everything downstream of the scan is vocab-free and
     O(n_tokens / mask).
     """
     w = int(window)
