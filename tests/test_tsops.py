@@ -1386,3 +1386,30 @@ def test_burst_intervals_vs_reference_and_planted(spark):
     )
     q = out[out["key"] == "q"]
     assert not ((q["start_i"] <= 50) & (q["end_i"] >= 50)).any() or len(q) == 0
+
+
+def test_merge_intervals_semantics(spark):
+    """Overlap merges, touching (adjacency=1) merges, gap of 2 splits;
+    payload rows keep their span_id for caller-side aggregation."""
+    from tsrollup.tsops import merge_intervals
+
+    rows = [
+        ("a", 0, 5), ("b", 3, 8),       # overlap -> span 1
+        ("c", 9, 12),                    # touches 8 (gap 1) -> span 1
+        ("d", 15, 20), ("e", 16, 17),    # contained -> span 2
+        ("f", 23, 23),                   # gap 2 -> span 3
+    ]
+    df = spark.createDataFrame(rows, "name string, start_idx long, end_idx long")
+    out = merge_intervals(df, adjacency=1).toPandas()
+    spans = out.groupby("span_id").agg(
+        start=("start_idx", "min"), end=("end_idx", "max"),
+        names=("name", lambda s: set(s)),
+    )
+    assert len(spans) == 3
+    assert spans.loc[1, "start"] == 0 and spans.loc[1, "end"] == 12
+    assert spans.loc[1, "names"] == {"a", "b", "c"}
+    assert spans.loc[2, "start"] == 15 and spans.loc[2, "end"] == 20
+    assert spans.loc[3, "names"] == {"f"}
+    # strict adjacency=0: touching no longer merges
+    out0 = merge_intervals(df, adjacency=0).toPandas()
+    assert out0["span_id"].nunique() == 4

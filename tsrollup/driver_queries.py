@@ -4064,3 +4064,99 @@ def j10_interp(spark, sf_dir):
         F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
         "value_interp_r", "us_since_prev", "us_to_next",
     )
+
+
+# ---------------- W24 cross-source incident grouping (round 4)
+
+@q(
+    "w24_incidents",
+    """
+    WITH hb AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS hour_idx,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    flagged AS (SELECT * FROM hb WHERE cnt >= 5),
+    runs AS (
+      SELECT event_type, hour_idx, cnt,
+             hour_idx - row_number() OVER (
+               PARTITION BY event_type ORDER BY hour_idx) AS grp
+      FROM flagged
+    ),
+    isl AS (
+      SELECT event_type,
+             min(hour_idx) AS start_idx, max(hour_idx) AS end_idx,
+             CAST(count(*) AS BIGINT) AS n_buckets,
+             CAST(sum(cnt) AS BIGINT) AS total, max(cnt) AS peak
+      FROM runs GROUP BY event_type, grp
+    ),
+    sw AS (
+      SELECT *,
+             CASE WHEN max(end_idx) OVER wp IS NULL
+                       OR start_idx > max(end_idx) OVER wp + 1
+                  THEN 1 ELSE 0 END AS nw
+      FROM isl
+      WINDOW wp AS (ORDER BY start_idx, end_idx
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    sp AS (
+      SELECT *, sum(nw) OVER (ORDER BY start_idx, end_idx
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW)::BIGINT AS span_id
+      FROM sw
+    )
+    SELECT span_id AS incident_id,
+           min(start_idx) AS start_idx, max(end_idx) AS end_idx,
+           count(*)::BIGINT AS n_islands,
+           count(DISTINCT event_type)::BIGINT AS n_types,
+           max(peak) AS peak, sum(total)::BIGINT AS total
+    FROM sp GROUP BY 1
+    """,
+)
+def w24_incidents(spark, sf_dir):
+    """Cross-source incident grouping (tsops.merge_intervals): per-type
+    anomaly islands (the w8 intervals) whose spans overlap or touch
+    across event types merge into one INCIDENT — the alert-correlation
+    step that turns per-series pages into one page per outage. The
+    interval-union sweep runs over the tiny derived island set, never
+    raw data; every output is an exact integer."""
+    from .tsops import merge_intervals
+
+    hb = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000").alias(
+                "hour_idx"
+            ),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    flagged = hb.where(F.col("cnt") >= 5)
+    grp = (
+        F.col("hour_idx")
+        - F.row_number().over(
+            Window.partitionBy("event_type").orderBy("hour_idx")
+        )
+    ).alias("grp")
+    isl = (
+        flagged.select("event_type", "hour_idx", "cnt", grp)
+        .groupBy("event_type", "grp")
+        .agg(
+            F.min("hour_idx").alias("start_idx"),
+            F.max("hour_idx").alias("end_idx"),
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum("cnt").cast("long").alias("total"),
+            F.max("cnt").alias("peak"),
+        )
+        .drop("grp")
+    )
+    spans = merge_intervals(isl, "start_idx", "end_idx", adjacency=1)
+    return spans.groupBy(F.col("span_id").alias("incident_id")).agg(
+        F.min("start_idx").alias("start_idx"),
+        F.max("end_idx").alias("end_idx"),
+        F.count(F.lit(1)).alias("n_islands"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.max("peak").alias("peak"),
+        F.sum("total").cast("long").alias("total"),
+    )

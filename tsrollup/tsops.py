@@ -1611,3 +1611,55 @@ def burst_intervals(
         )
         .drop("__g")
     )
+
+
+def merge_intervals(
+    df: DataFrame,
+    start_col: str = "start_idx",
+    end_col: str = "end_idx",
+    adjacency: int = 1,
+) -> DataFrame:
+    """W24 — coalesce overlapping/adjacent intervals into maximal merged
+    spans (interval union): intervals whose start is within ``adjacency``
+    of the running maximum end so far join the current span; otherwise a
+    new span opens. The classic sweep, expressed as two windows sharing
+    one global (start, end) sort: running-max-of-previous-ends + a
+    cumulative sum over the new-span flags = the span id. All exact
+    integers.
+
+    Input: one row per interval with integer ``start_col``/``end_col``
+    (inclusive) plus any payload columns; output one row per merged
+    span: (span_id, start_idx, end_idx, n_intervals) with the input
+    payload aggregatable by the caller via span_id (returned frame keeps
+    every input column).
+
+    Scale note: the sweep is a global ordering over INTERVALS — already
+    a tiny derived set (islands of flagged buckets), not raw data; at
+    extreme interval counts, partition by coarse time ranges with a
+    one-interval halo and merge the seams in a second tiny pass.
+    """
+    order = [F.col(start_col), F.col(end_col)]
+    wprev = (
+        Window.orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wcum = Window.orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    flagged = df.withColumn(
+        "__new",
+        F.when(
+            F.col(start_col)
+            > F.coalesce(
+                F.max(end_col).over(wprev),
+                F.lit(None).cast("long"),
+            )
+            + adjacency,
+            F.lit(1),
+        )
+        .when(F.max(end_col).over(wprev).isNull(), F.lit(1))
+        .otherwise(F.lit(0)),
+    )
+    return flagged.withColumn(
+        "span_id", F.sum("__new").over(wcum).cast("long")
+    ).drop("__new")
