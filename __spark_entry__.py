@@ -1079,7 +1079,6 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def _engine_oracles() -> dict[str, str]:
-    _pow2_case_sql = _pow2_case("n_tok")
     """DuckDB twins for the engine entries whose rows derive from the
     `documents` table through Spark's xxhash64 (event-time spread + token
     ids): tsrollup.duck_oracle re-expresses XXH64 as pure SQL macros, so
@@ -1088,6 +1087,8 @@ def _engine_oracles() -> dict[str, str]:
     SQL-expressible because _seq_files writes time-ordered slices (zero
     watermark drops; finalized = bucket_end <= max(event_ts) - 10min)."""
     from tsrollup.duck_oracle import engine_oracle
+
+    _pow2_case_sql = _pow2_case("n_tok")
 
     agg_cols = """
          count(*)::BIGINT AS cnt,
@@ -1169,15 +1170,19 @@ def _engine_oracles() -> dict[str, str]:
     # finalized = session end (last event + gap) <= max(event_ts) - 10min
     streaming_sessions_o = engine_oracle(""",
     wm AS (SELECT max(event_ts) - INTERVAL 10 MINUTE AS w FROM seq),
-    l AS (SELECT source, event_ts, n_tok,
+    l AS (SELECT source, doc_id, event_ts, n_tok,
                  lag(event_ts) OVER (PARTITION BY source
                                      ORDER BY event_ts, doc_id) AS prev_ts
           FROM seq),
+    -- the cumsum MUST use the same (event_ts, doc_id) total order the
+    -- lag assigned flags under: ordering by prev_ts would sort the
+    -- NULL-prev (flag-1) row AFTER its same-timestamp twin and split
+    -- one session in two
     s AS (SELECT source, event_ts, n_tok,
                  sum(CASE WHEN prev_ts IS NULL
                                OR event_ts - prev_ts > INTERVAL 1 HOUR
                           THEN 1 ELSE 0 END)
-                   OVER (PARTITION BY source ORDER BY event_ts, prev_ts)
+                   OVER (PARTITION BY source ORDER BY event_ts, doc_id)
                    AS sid
           FROM l),
     sess AS (SELECT source, sid,

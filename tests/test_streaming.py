@@ -590,3 +590,71 @@ def test_streaming_sessions_merge_across_batches(spark):
     assert ("s", ts(40), ts(45), 1) in rows
     assert ("carrier", ts(120), ts(125), 1) in rows
     assert len(rows) == 3, f"unexpected extra/missing sessions:\n{got}"
+
+
+def test_streaming_silence_out_of_order_origin_moveback(spark):
+    """Regression: a source whose first-seen buckets sit far ABOVE the
+    watermark, followed by an out-of-order (but above-watermark) earlier
+    event, must NOT re-report its originally-observed buckets as silent
+    (the obs set must be pruned on the CUT, not emitted_until)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tsrollup.streaming import run_streaming_silence
+
+    t0 = np.datetime64("2024-06-01T00:00:00", "us")
+    mn = np.timedelta64(60_000_000, "us")
+
+    def row(doc, src, m):
+        return (doc, [1], src, 1, t0 + m * mn)
+
+    files = [
+        # carrier fills 0..59; 'late' first appears at 100 and 102 —
+        # way ahead of the watermark (wm after this batch: 102-10=92)
+        [row(f"c{m}", "carrier", m) for m in range(0, 60)]
+        + [row("l100", "late", 100), row("l102", "late", 102)],
+        # out-of-order for 'late' at 95 (>= wm 92: accepted) — origin
+        # moves back below the already-initialized emitted_until
+        [row("l95", "late", 95), row("c60", "carrier", 60)],
+        # push the final watermark to 110 so trailing silence finalizes
+        [row("c120", "carrier", 120)],
+    ]
+    schema = pa.schema([
+        ("doc_id", pa.string()), ("tokens", pa.list_(pa.int32())),
+        ("source", pa.string()), ("n_tok", pa.int32()),
+        ("event_ts", pa.timestamp("us")),
+    ])
+    in_dir = os.path.join(BASE, "sil_ooo_in")
+    shutil.rmtree(in_dir, ignore_errors=True)
+    os.makedirs(in_dir)
+    import time as _time
+    now = int(_time.time())
+    for i, rows in enumerate(files):
+        f = os.path.join(in_dir, f"part-{i}.parquet")
+        pq.write_table(pa.Table.from_pylist(
+            [dict(zip([x.name for x in schema], r)) for r in rows],
+            schema=schema), f)
+        os.utime(f, (now + i, now + i))
+
+    out = os.path.join(BASE, "sil_ooo_out")
+    ckpt = os.path.join(BASE, "sil_ooo_ckpt")
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    run_streaming_silence(spark, in_dir, out, ckpt, tier="1m",
+                          watermark="10 minutes", max_files_per_trigger=1)
+    got = spark.read.parquet(out).toPandas()
+    got_set = set(zip(got["source"],
+                      normalize_ts(got, ("bucket_start",))["bucket_start"]))
+    assert len(got) == len(got_set), "duplicate silence rows"
+    # batch twin: cut = 120 - 10 = 110; silence = (first_obs, 110) \ obs
+    obs = {"carrier": set(range(0, 61)) | {120},
+           "late": {95, 100, 102}}
+    expect = set()
+    for src, seen in obs.items():
+        for m in range(min(seen) + 1, 110):
+            if m not in seen:
+                expect.add((src, pd.Timestamp((t0 + m * mn).item())))
+    assert got_set == expect, (
+        f"missing: {sorted(expect - got_set)[:5]} "
+        f"extra: {sorted(got_set - expect)[:5]}"
+    )

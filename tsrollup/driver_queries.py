@@ -43,6 +43,30 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _dense_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-filled hourly count series per event type — the shared input
+    frame of the spine-based detectors (w13, w18-w23): (event_type,
+    i BIGINT epoch-hour index, c BIGINT count, 0 where no events). The
+    DuckDB twins rebuild the identical spine with generate_series."""
+    hb = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000").alias("i"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ext = hb.groupBy("event_type").agg(
+        F.min("i").alias("mn"), F.max("i").alias("mx")
+    )
+    spine = ext.select(
+        "event_type", F.explode(F.expr("sequence(mn, mx)")).alias("i")
+    )
+    return spine.join(hb, ["event_type", "i"], "left").select(
+        "event_type", "i", F.coalesce("c", F.lit(0)).cast("long").alias("c")
+    )
+
+
 # ---------------------------------------------------------------- A1 / F1
 
 @q(
@@ -2309,24 +2333,7 @@ def w13_stl_decomp(spark, sf_dir):
     (rounded 1e-6 as the final-ulp belt)."""
     from .tsops import seasonal_decompose
 
-    hb = (
-        t(spark, sf_dir, "events")
-        .groupBy(
-            "event_type",
-            F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000").alias("i"),
-        )
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    ext = hb.groupBy("event_type").agg(
-        F.min("i").alias("mn"), F.max("i").alias("mx")
-    )
-    spine = ext.select(
-        "event_type", F.explode(F.expr("sequence(mn, mx)")).alias("i")
-    )
-    dense = (
-        spine.join(hb, ["event_type", "i"], "left")
-        .select("event_type", "i", F.coalesce("c", F.lit(0)).alias("c"))
-    )
+    dense = _dense_hourly(spark, sf_dir)
     out = seasonal_decompose(
         dense, keys=["event_type"], idx_col="i", val_col="c",
         period=24, trend_window=24,
@@ -3403,23 +3410,7 @@ def w18_hysteresis(spark, sf_dir):
     zeros, exactly as w13's dense spine builds them)."""
     from .tsops import hysteresis_alerts
 
-    hb = (
-        t(spark, sf_dir, "events")
-        .groupBy(
-            "event_type",
-            F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000").alias("i"),
-        )
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    ext = hb.groupBy("event_type").agg(
-        F.min("i").alias("mn"), F.max("i").alias("mx")
-    )
-    spine = ext.select(
-        "event_type", F.explode(F.expr("sequence(mn, mx)")).alias("i")
-    )
-    dense = spine.join(hb, ["event_type", "i"], "left").select(
-        "event_type", "i", F.coalesce("c", F.lit(0)).cast("long").alias("c")
-    )
+    dense = _dense_hourly(spark, sf_dir)
     return hysteresis_alerts(
         dense, keys=["event_type"], window=24, hi=2.0, lo=1.0
     )
@@ -3472,23 +3463,7 @@ def w19_sax_motifs(spark, sf_dir):
     recurring-shape motif candidates. One row per (event_type, word)."""
     from .tsops import sax_words
 
-    hb = (
-        t(spark, sf_dir, "events")
-        .groupBy(
-            "event_type",
-            F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000").alias("i"),
-        )
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    ext = hb.groupBy("event_type").agg(
-        F.min("i").alias("mn"), F.max("i").alias("mx")
-    )
-    spine = ext.select(
-        "event_type", F.explode(F.expr("sequence(mn, mx)")).alias("i")
-    )
-    dense = spine.join(hb, ["event_type", "i"], "left").select(
-        "event_type", "i", F.coalesce("c", F.lit(0)).cast("long").alias("c")
-    )
+    dense = _dense_hourly(spark, sf_dir)
     return sax_words(
         dense, keys=["event_type"], period=24, n_segments=6, alphabet=4
     )
@@ -3632,23 +3607,7 @@ def w20_dtw(spark, sf_dir):
     recursive CTE over anti-diagonals. All-BIGINT, hash-twinnable."""
     from .tsops import dtw_daily_shape
 
-    hb = (
-        t(spark, sf_dir, "events")
-        .groupBy(
-            "event_type",
-            F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000").alias("i"),
-        )
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    ext = hb.groupBy("event_type").agg(
-        F.min("i").alias("mn"), F.max("i").alias("mx")
-    )
-    spine = ext.select(
-        "event_type", F.explode(F.expr("sequence(mn, mx)")).alias("i")
-    )
-    dense = spine.join(hb, ["event_type", "i"], "left").select(
-        "event_type", "i", F.coalesce("c", F.lit(0)).cast("long").alias("c")
-    )
+    dense = _dense_hourly(spark, sf_dir)
     return dtw_daily_shape(dense, keys=["event_type"], period=24)
 
 
@@ -3713,23 +3672,7 @@ def w21_binseg(spark, sf_dir):
     primitive that recursive segmentation builds on."""
     from .tsops import binseg_split
 
-    hb = (
-        t(spark, sf_dir, "events")
-        .groupBy(
-            "event_type",
-            F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000").alias("i"),
-        )
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    ext = hb.groupBy("event_type").agg(
-        F.min("i").alias("mn"), F.max("i").alias("mx")
-    )
-    spine = ext.select(
-        "event_type", F.explode(F.expr("sequence(mn, mx)")).alias("i")
-    )
-    dense = spine.join(hb, ["event_type", "i"], "left").select(
-        "event_type", "i", F.coalesce("c", F.lit(0)).cast("long").alias("c")
-    )
+    dense = _dense_hourly(spark, sf_dir)
     return binseg_split(dense, keys=["event_type"], min_seg=12)
 
 
@@ -3789,23 +3732,7 @@ def w22_kalman(spark, sf_dir):
     1e-6 — the same discipline as the EWMA/Holt-Winters twins."""
     from .tsops import kalman_level_scores
 
-    hb = (
-        t(spark, sf_dir, "events")
-        .groupBy(
-            "event_type",
-            F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000").alias("i"),
-        )
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    ext = hb.groupBy("event_type").agg(
-        F.min("i").alias("mn"), F.max("i").alias("mx")
-    )
-    spine = ext.select(
-        "event_type", F.explode(F.expr("sequence(mn, mx)")).alias("i")
-    )
-    dense = spine.join(hb, ["event_type", "i"], "left").select(
-        "event_type", "i", F.coalesce("c", F.lit(0)).cast("long").alias("c")
-    )
+    dense = _dense_hourly(spark, sf_dir)
     return kalman_level_scores(
         dense, keys=["event_type"], q=_KAL_Q, r=_KAL_R, tau=_KAL_TAU
     )
@@ -3874,6 +3801,11 @@ def dd_snm(spark, sf_dir):
         .alias("r"),
         grams.alias("grams"),
     )
+    # three consumers (thin/ga/gb) re-evaluate this subtree — measured
+    # A/B at sf0.1: an eager localCheckpoint of `keyed` does NOT win
+    # (the materialized gram arrays cost as much to write+read as the
+    # re-run), consistent with the repo's caching discipline of
+    # checkpointing only subtrees smaller than their build cost
     # EQUI-join on the neighbor rank (explode ra+1..ra+4), never the
     # range predicate: Spark plans a non-equi rank join as a nested-loop
     # cartesian — O(corpus²) gram intersections — where this shape is a
@@ -3894,10 +3826,14 @@ def dd_snm(spark, sf_dir):
         .join(gb, "doc_b")
         # size-ratio prefilter: jacc <= min(|ga|,|gb|)/max(|ga|,|gb|), so
         # pairs failing 0.4 on sizes alone never pay the intersection
+        # slightly relaxed bound (0.3999, not 0.4): the final predicate
+        # compares the ROUNDED jacc, so a pair sitting a last-ulp under
+        # 0.4 on raw sizes could still round to 0.4 — never let the
+        # prefilter decide a knife edge the twin resolves by rounding
         .where(
             F.least(F.size("ga"), F.size("gb")).cast("double")
             / F.greatest(F.size("ga"), F.size("gb"))
-            >= 0.4
+            >= 0.3999
         )
         .withColumn(
             "jacc",
@@ -3982,23 +3918,7 @@ def w23_bursts(spark, sf_dir):
     recursive CTEs, so interval rows are hash-twinnable."""
     from .tsops import burst_intervals
 
-    hb = (
-        t(spark, sf_dir, "events")
-        .groupBy(
-            "event_type",
-            F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000").alias("i"),
-        )
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    ext = hb.groupBy("event_type").agg(
-        F.min("i").alias("mn"), F.max("i").alias("mx")
-    )
-    spine = ext.select(
-        "event_type", F.explode(F.expr("sequence(mn, mx)")).alias("i")
-    )
-    dense = spine.join(hb, ["event_type", "i"], "left").select(
-        "event_type", "i", F.coalesce("c", F.lit(0)).cast("long").alias("c")
-    )
+    dense = _dense_hourly(spark, sf_dir)
     return burst_intervals(dense, keys=["event_type"])
 
 

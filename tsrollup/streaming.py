@@ -661,7 +661,15 @@ def _silence_update(step_us: int):
         silent = [i for i in range(start, cut) if i not in obs]
         if cut - 1 > emitted_until:
             emitted_until = cut - 1
-        obs = {i for i in obs if i > emitted_until}
+        # prune on the WATERMARK cut, not emitted_until: at group init
+        # emitted_until = first can sit far ABOVE the cut (source ahead
+        # of the watermark), and a later above-watermark event can move
+        # the origin back below it — a bucket pruned at `> emitted_until`
+        # would then be falsely re-reported silent. Buckets below the cut
+        # are final and can never be re-scanned (every future scan range
+        # starts above some past cut), so `>= cut` is both safe and the
+        # tight bound.
+        obs = {i for i in obs if i >= cut}
         state.update((
             int(first), int(emitted_until),
             np.array(sorted(obs), dtype=np.int64).tobytes(),

@@ -1646,18 +1646,11 @@ def merge_intervals(
     wcum = Window.orderBy(*order).rowsBetween(
         Window.unboundedPreceding, 0
     )
+    run_max_prev = F.max(end_col).over(wprev)
     flagged = df.withColumn(
         "__new",
-        F.when(
-            F.col(start_col)
-            > F.coalesce(
-                F.max(end_col).over(wprev),
-                F.lit(None).cast("long"),
-            )
-            + adjacency,
-            F.lit(1),
-        )
-        .when(F.max(end_col).over(wprev).isNull(), F.lit(1))
+        F.when(F.col(start_col) > run_max_prev + adjacency, F.lit(1))
+        .when(run_max_prev.isNull(), F.lit(1))
         .otherwise(F.lit(0)),
     )
     return flagged.withColumn(
