@@ -1034,7 +1034,57 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             sequences_from_documents(spark, sf_dir), window=4, mask=64
         )
 
+    def tx_bloom_decontam(spark, sf_dir):
+        """Broadcast-Bloom decontamination (datapipe.bloom_decontaminate)
+        — the scale path of tx_decontam: the benchmark side folds into a
+        65536-bit Bloom filter (k=3, Kirsch-Mitzenmacher double hashing
+        over ONE xxhash64), shipped as an array<bigint> literal; corpus
+        3-grams are membership-tested JVM-side in the scan stage and
+        only Bloom-positive grams reach the exact verify join. The twin
+        rebuilds the identical filter as a bit-position SET from
+        xxh64u(gram), so candidates — false positives INCLUDED — and the
+        exactly-verified hit counts both match bit-for-bit."""
+        from tsrollup.datapipe import bloom_decontaminate
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return bloom_decontaminate(
+            docs.where(F.col("doc_id") % 37 != 0),
+            docs.where(F.col("doc_id") % 37 == 0),
+            "doc_id", "text", n=3, m_bits=65536, k=3, min_candidates=1,
+        )
+
+    def sk_cms_heavy(spark, sf_dir):
+        """Count-Min sketch over the token payload (sketches.
+        cms_from_counts/cms_estimate): a 3x512 BIGINT cell table built
+        from the explode-free exact histogram, point-queried for the
+        exact top-30 tokens. Publishes (token_id, cnt_exact, cnt_cms) so
+        the twin checks BOTH the sketch upper-bound estimates (cell
+        hashing included — DuckDB re-derives every cell via
+        xxh64_intlist([token, r])) and the exact counts they bound.
+        512 cells vs ~vocab-size distinct tokens forces real collisions,
+        so cnt_cms > cnt_exact rows prove the min-over-rows actually
+        selects across depth. The histogram is localCheckpointed: cms
+        build + probe list share one bincount scan."""
+        from tsrollup.sketches import cms_estimate, cms_from_counts
+        from tsrollup.tokenstats import token_histogram
+
+        seq = sequences_from_documents(spark, sf_dir)
+        hist = token_histogram(seq).localCheckpoint()
+        cms = cms_from_counts(hist, "token_id", "cnt", width=512, depth=3)
+        probes = hist.orderBy(F.desc("cnt"), "token_id").limit(30)
+        est = cms_estimate(cms, probes, "token_id", width=512, depth=3)
+        return (
+            probes.select(
+                F.col("token_id").cast("int").alias("token_id"),
+                F.col("cnt").alias("cnt_exact"),
+            )
+            .join(est.withColumnRenamed("item", "token_id"), "token_id")
+            .select("token_id", "cnt_exact", "cnt_cms")
+        )
+
     return {
+        "tx_bloom_decontam": tx_bloom_decontam,
+        "sk_cms_heavy": sk_cms_heavy,
         "dd_substring": dd_substring,
         "dd_substring_removal": dd_substring_removal,
         "dd_cdc_chunks": dd_cdc_chunks,
@@ -1757,7 +1807,71 @@ def _engine_oracles() -> dict[str, str]:
     FROM kept
     """)
 
+    # Bloom decontamination: rebuild the SAME 65536-bit filter the engine
+    # broadcasts, as a set of bit positions derived from xxh64u(gram) by
+    # the identical (h1 + i*h2) mod m double hashing — exact HUGEINT
+    # arithmetic, so candidates (FPs included) match the bitset test.
+    bloom_decontam_o = engine_oracle(""",
+    g AS (SELECT doc_id, string_split(lower(text), ' ') AS words
+          FROM documents),
+    ng AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(words) - 1, 1)),
+               i -> array_to_string(words[i:i+2], ' ')))) AS ngram
+      FROM g
+    ),
+    bg AS (SELECT DISTINCT ngram FROM ng WHERE doc_id % 37 = 0),
+    bh AS (SELECT ngram, xxh64u(ngram) AS u FROM bg),
+    bpos AS (
+      SELECT DISTINCT ((u // 4294967296) + i.i * (u % 4294967296)) % 65536
+               AS pos
+      FROM bh CROSS JOIN (SELECT unnest(range(3)) AS i) i
+    ),
+    cg AS (SELECT DISTINCT doc_id AS c_id, ngram FROM ng
+           WHERE doc_id % 37 <> 0),
+    ch AS (SELECT c_id, ngram, xxh64u(ngram) AS u FROM cg),
+    cand AS (
+      SELECT c_id, ngram FROM ch
+      WHERE (u // 4294967296) % 65536 IN (SELECT pos FROM bpos)
+        AND ((u // 4294967296) + (u % 4294967296)) % 65536
+              IN (SELECT pos FROM bpos)
+        AND ((u // 4294967296) + 2 * (u % 4294967296)) % 65536
+              IN (SELECT pos FROM bpos)
+    )
+    SELECT c_id AS doc_id,
+           count(DISTINCT cand.ngram)::BIGINT AS n_candidates,
+           count(DISTINCT b.ngram)::BIGINT AS n_hits
+    FROM cand LEFT JOIN bg b ON b.ngram = cand.ngram
+    GROUP BY 1
+    """)
+
+    # Count-Min sketch: DuckDB rebuilds the 3x512 cell table from the
+    # exact unnest histogram via the same xxhash64 fold over (token, r)
+    # INT pairs, then min-over-rows point queries for the top-30 probes.
+    cms_heavy_o = engine_oracle(""",
+    tok AS (SELECT unnest(tokens) AS token_id FROM seq),
+    hist AS (SELECT token_id, count(*)::BIGINT AS cnt FROM tok GROUP BY 1),
+    rr AS (SELECT unnest(range(3)) AS r),
+    cms AS (
+      SELECT r, xxpmod(xxh64_intlist([token_id::INTEGER, r::INTEGER]), 512)
+               AS cell,
+             sum(cnt)::BIGINT AS c
+      FROM hist CROSS JOIN rr GROUP BY 1, 2
+    ),
+    probes AS (SELECT token_id, cnt FROM hist
+               ORDER BY cnt DESC, token_id LIMIT 30)
+    SELECT p.token_id::INTEGER AS token_id, p.cnt AS cnt_exact,
+           min(m.c)::BIGINT AS cnt_cms
+    FROM probes p CROSS JOIN rr
+    JOIN cms m ON m.r = rr.r
+      AND m.cell = xxpmod(xxh64_intlist([p.token_id::INTEGER,
+                                         rr.r::INTEGER]), 512)
+    GROUP BY 1, 2
+    """)
+
     return {
+        "tx_bloom_decontam": bloom_decontam_o,
+        "sk_cms_heavy": cms_heavy_o,
         "dd_substring": dd_substring_o,
         "dd_cdc_chunks": dd_cdc_o,
         "dd_substring_removal": dd_substring_removal_o,

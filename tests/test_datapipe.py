@@ -346,6 +346,97 @@ def test_ngram_decontaminate_planted(spark):
     assert 1 in out and out[1][1] == 1  # one benchmark doc hit
 
 
+BLOOM_BENCH = [
+    (1000, "the quick brown fox jumps over the lazy dog tonight"),
+    (1001, "pack my box with five dozen liquor jugs"),
+]
+BLOOM_CORPUS = [
+    (1, "he said the quick brown fox jumps over the lazy cat"),
+    (2, "pack my box with five red apples and some pears"),
+    (3, "completely clean document with no overlap at all here"),
+    (4, "so short"),
+    # clean doc whose 3-grams ("gamma delta epsilon", "epsilon zeta eta")
+    # deterministically COLLIDE in the m=64/k=2 filter below — the pinned
+    # pure-false-positive row
+    (5, "alpha beta gamma delta epsilon zeta eta theta"),
+]
+
+
+def _grams(txt, n=3):
+    w = txt.lower().split(" ")
+    return {" ".join(w[i:i + n]) for i in range(len(w) - n + 1)} if len(w) >= n else set()
+
+
+def test_bloom_decontaminate_exact_hits(spark):
+    """Bloom prefilter + exact verify: no false NEGATIVES ever (every doc
+    sharing >= 1 gram with the benchmark is flagged with its full exact
+    overlap count), and n_candidates >= n_hits by construction."""
+    from tsrollup.datapipe import bloom_decontaminate
+
+    bench = spark.createDataFrame(BLOOM_BENCH, "doc_id long, text string")
+    corpus = spark.createDataFrame(BLOOM_CORPUS, "doc_id long, text string")
+    out = {r["doc_id"]: (r["n_candidates"], r["n_hits"])
+           for r in bloom_decontaminate(
+               corpus, bench, "doc_id", "text", n=3, m_bits=1 << 20, k=3
+           ).collect()}
+    bset = set().union(*(_grams(t) for _, t in BLOOM_BENCH))
+    for did, txt in BLOOM_CORPUS:
+        true_hits = len(_grams(txt) & bset)
+        if true_hits:
+            cand, hits = out[did]
+            assert hits == true_hits, f"doc {did}: {hits} != {true_hits}"
+            assert cand >= hits
+        else:
+            # a tiny corpus in a 2^20-bit filter: FP flags would mean the
+            # position plumbing is broken (deterministic, so stable)
+            assert did not in out
+
+
+def test_bloom_decontaminate_bitset_matches_positions(spark):
+    """The JVM-side bitset membership test agrees with a Python bitset
+    built from the SAME xxhash64 double-hashed positions — pinning
+    element_at/getbit word and bit indexing. A deliberately tiny filter
+    (m=64) forces false positives, which must appear as candidates with
+    n_hits = 0, never as verified hits."""
+    from pyspark.sql import functions as F
+    from tsrollup.datapipe import _bloom_positions, bloom_decontaminate, word_ngrams_expr
+
+    m, k = 64, 2
+    bench = spark.createDataFrame(BLOOM_BENCH, "doc_id long, text string")
+    corpus = spark.createDataFrame(BLOOM_CORPUS, "doc_id long, text string")
+
+    def positions(df):
+        g = df.select(F.explode(word_ngrams_expr(F.col("text"), 3)).alias("ngram"))
+        rows = g.distinct().select(
+            "ngram", F.array(*_bloom_positions(F.col("ngram"), m, k)).alias("pos")
+        ).collect()
+        return {r["ngram"]: list(r["pos"]) for r in rows}
+
+    bpos, cpos = positions(bench), positions(corpus)
+    bits = set(p for ps in bpos.values() for p in ps)
+    expect_cand = {}  # doc -> set of grams passing the python bitset
+    bset = set(bpos)
+    for did, txt in BLOOM_CORPUS:
+        passing = {g for g in _grams(txt) if all(p in bits for p in cpos[g])}
+        if passing:
+            expect_cand[did] = (len(passing), len(passing & bset))
+    out = {r["doc_id"]: (r["n_candidates"], r["n_hits"])
+           for r in bloom_decontaminate(
+               corpus, bench, "doc_id", "text", n=3, m_bits=m, k=k
+           ).collect()}
+    assert out == expect_cand
+    # the tiny filter must have produced at least one pure false positive
+    assert any(c > h for c, h in out.values())
+
+
+def test_bloom_decontaminate_rejects_bad_m():
+    import pytest
+    from tsrollup.datapipe import bloom_decontaminate
+
+    with pytest.raises(ValueError, match="multiple of 64"):
+        bloom_decontaminate(None, None, m_bits=100)
+
+
 def test_connected_components_vs_union_find(spark):
     """Label propagation == classic union-find on random graphs, and the
     chain/star/cycle/singleton shapes behave; non-convergence raises."""

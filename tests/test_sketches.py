@@ -182,3 +182,51 @@ def test_hll_union_equals_direct_sketch(spark, raw):
     )
     drift = ((unioned - direct).abs() / direct).max()
     assert drift <= 0.03, f"union vs direct sketch drift: {drift:.4f}"
+
+
+# ------------------------------------------------------------------ CMS
+
+def test_cms_upper_bound_and_merge(spark, raw):
+    """Count-Min invariants over the token payload: (1) est(x) >= true(x)
+    for EVERY token; (2) each depth row conserves the total token count;
+    (3) shard-built sketches merged cell-wise equal the whole-corpus
+    sketch (the 100-TB build shape); (4) 64 cells vs a larger vocab must
+    show at least one genuine overestimate (min-over-rows is doing work)."""
+    from tsrollup.tokenstats import token_histogram
+
+    W, D = 64, 3
+    hist = token_histogram(raw).localCheckpoint()
+    cms = sketches.cms_from_counts(hist, "token_id", "cnt", width=W, depth=D)
+    cms_pd = cms.toPandas()
+    total = hist.agg(F.sum("cnt")).collect()[0][0]
+    per_row = cms_pd.groupby("r")["cnt"].sum()
+    assert (per_row == total).all(), "each CMS row must conserve the corpus total"
+
+    est = sketches.cms_estimate(cms, hist, "token_id", width=W, depth=D).toPandas()
+    truth = hist.toPandas().set_index("token_id")["cnt"]
+    est = est.set_index("item")["cnt_cms"]
+    assert set(est.index) == set(truth.index)
+    diffs = est.reindex(truth.index) - truth
+    assert (diffs >= 0).all(), "CMS may never underestimate"
+    assert (diffs > 0).any(), "64 cells vs the vocab must collide somewhere"
+
+    # shard-and-merge == direct: split the histogram rows two ways, build a
+    # sketch per shard, add cell-wise
+    h_a = hist.where(F.col("token_id") % 2 == 0)
+    h_b = hist.where(F.col("token_id") % 2 == 1)
+    merged = (
+        sketches.cms_from_counts(h_a, "token_id", "cnt", width=W, depth=D)
+        .unionByName(sketches.cms_from_counts(h_b, "token_id", "cnt", width=W, depth=D))
+        .groupBy("r", "cell")
+        .agg(F.sum("cnt").alias("cnt"))
+        .toPandas()
+    )
+    key = ["r", "cell"]
+    a = merged.sort_values(key).reset_index(drop=True)
+    b = cms_pd.sort_values(key).reset_index(drop=True)
+    assert a.equals(b), "cell-wise shard merge must equal the direct sketch"
+
+
+def test_cms_rejects_bad_shape():
+    with pytest.raises(ValueError, match="positive"):
+        sketches.cms_from_counts(None, "t", "c", width=0, depth=3)

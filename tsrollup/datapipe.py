@@ -886,6 +886,99 @@ def ngram_decontaminate(
     )
 
 
+def _bloom_positions(gram_col, m_bits: int, k: int) -> list:
+    """The k Bloom bit positions of a gram, by Kirsch-Mitzenmacher
+    double hashing over ONE xxhash64 evaluation: with u the unsigned
+    64-bit hash, h1 = u >> 32 and h2 = u & 0xFFFFFFFF, position i is
+    (h1 + i*h2) mod m. Every step is exact BIGINT arithmetic (max value
+    h1 + (k-1)*h2 < k * 2^32, far from overflow), so a DuckDB oracle
+    re-derives the identical positions from xxh64u(gram)."""
+    h = F.xxhash64(gram_col)
+    h1 = F.shiftrightunsigned(h, 32)
+    h2 = h.bitwiseAND(F.lit(4294967295))
+    return [F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits)) for i in range(k)]
+
+
+def bloom_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    m_bits: int = 65536,
+    k: int = 3,
+    min_candidates: int = 1,
+) -> DataFrame:
+    """Decontamination via a broadcast Bloom filter — the 100-TB scale
+    path of `ngram_decontaminate`. There, every corpus n-gram flows into
+    the join with the benchmark gram set; here, the benchmark side is
+    folded into an m-bit Bloom bitset ONCE, shipped to every task as an
+    array<bigint> literal (m/8 bytes — independent of gram string
+    sizes), and each corpus gram is membership-tested JVM-side inside
+    the scan stage. Only the Bloom-positive grams (true overlaps + the
+    filter's bounded false-positive tail) ever reach the exact verify
+    join, so the shuffle volume drops from "all corpus grams" to
+    "candidates" — at a ~1% FP rate that is a ~100x cut on a clean
+    corpus.
+
+    Deterministic end-to-end: positions come from xxhash64 double
+    hashing (`_bloom_positions`), so the DuckDB oracle can rebuild the
+    same filter as a position SET and reproduce candidates exactly —
+    false positives included. Returns one row per corpus doc with at
+    least ``min_candidates`` Bloom-positive distinct grams:
+    ``n_candidates`` (passed the filter) and ``n_hits`` (exactly
+    verified against the benchmark gram set; <= n_candidates, the gap
+    being the audited false positives).
+
+    The O(m/64) driver collect is bounded by the FILTER size (chosen
+    from the eval-set gram budget: m ~ 10-20 bits/gram), never by the
+    corpus; a 2^30-bit filter for a 100M-gram eval suite is a 128 MiB
+    broadcast — routine."""
+    if m_bits % 64 != 0 or m_bits <= 0:
+        raise ValueError(f"m_bits must be a positive multiple of 64, got {m_bits}")
+    bench_grams = benchmark.select(
+        F.explode(word_ngrams_expr(F.col(text_col), n)).alias("ngram")
+    ).distinct()
+    pos_rows = (
+        bench_grams.select(
+            F.explode(F.array(*_bloom_positions(F.col("ngram"), m_bits, k))).alias("pos")
+        )
+        .distinct()
+        .collect()
+    )
+    words = [0] * (m_bits // 64)
+    for r in pos_rows:
+        p = r[0]
+        words[p >> 6] |= 1 << (p & 63)
+    # two's-complement view: BIGINT literals must be signed 64-bit
+    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    bitset = F.array(*[F.lit(w).cast("long") for w in words])
+
+    cg = corpus.select(
+        F.col(id_col).alias("c_id"),
+        F.explode(word_ngrams_expr(F.col(text_col), n)).alias("ngram"),
+    ).distinct()
+    passed = F.lit(True)
+    for pos in _bloom_positions(F.col("ngram"), m_bits, k):
+        word = F.element_at(bitset, (F.shiftright(pos, 6) + 1).cast("int"))
+        passed = passed & (F.getbit(word, pos.bitwiseAND(F.lit(63))) == 1)
+    cand = cg.where(passed)
+    verified = cand.join(
+        F.broadcast(bench_grams.withColumn("true_hit", F.lit(1))), "ngram", "left"
+    )
+    return (
+        verified.groupBy("c_id")
+        .agg(
+            F.count_distinct("ngram").alias("n_candidates"),
+            F.count_distinct(
+                F.when(F.col("true_hit") == 1, F.col("ngram"))
+            ).alias("n_hits"),
+        )
+        .where(F.col("n_candidates") >= min_candidates)
+        .select(F.col("c_id").alias(id_col), "n_candidates", "n_hits")
+    )
+
+
 # ------------------------------------------------------------------
 # Connected components (transitive near-dup clustering)
 # ------------------------------------------------------------------

@@ -302,3 +302,69 @@ def heavy_hitters(
     return counted.where(F.col("cnt") * (k + 1) > F.lit(n_total)).select(
         "item", "cnt"
     )
+
+
+# ------------------------------------------------- count-min sketch (CMS)
+
+def cms_from_counts(
+    counts: DataFrame,
+    item_col: str,
+    cnt_col: str,
+    width: int = 512,
+    depth: int = 3,
+) -> DataFrame:
+    """Count-Min sketch table from an exact (item, count) histogram:
+    depth x width BIGINT cells, cell(r, item) = pmod(xxhash64(int(item),
+    int(r)), width), cnt = sum of colliding items' counts.
+
+    The depth-r hash is Spark's xxhash64 fold over the two INT columns
+    (item, r) — the exact fold duck_oracle.xxh64_intlist replicates — so
+    a DuckDB oracle rebuilds the identical table and the sketch itself
+    is value-twinnable, not just its downstream estimates.
+
+    Built FROM the vocab-bounded histogram (tokenstats' explode-free
+    partials), not from raw occurrences: the input to this operator is
+    |V| rows, the output depth*width cells, and both are mergeable —
+    CMS tables from disjoint corpus shards ADD cell-wise (same groupBy),
+    which is what a 100-TB sharded build does. Estimates are upper
+    bounds: est(x) = min_r cell(r, x) >= true(x), within eN/width with
+    prob 1 - exp(-depth) (Cormode & Muthukrishnan '05)."""
+    if width <= 0 or depth <= 0:
+        raise ValueError(f"width/depth must be positive, got {width}/{depth}")
+    rows = counts.select(
+        F.col(item_col).cast("int").alias("item"),
+        F.col(cnt_col).cast("long").alias("cnt"),
+        F.explode(
+            F.array(*[F.lit(r).cast("int") for r in range(depth)])
+        ).alias("r"),
+    )
+    return (
+        rows.select(
+            "r",
+            F.pmod(F.xxhash64(F.col("item"), F.col("r")), F.lit(width)).alias("cell"),
+            "cnt",
+        )
+        .groupBy("r", "cell")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    cms: DataFrame, probes: DataFrame, item_col: str, width: int, depth: int
+) -> DataFrame:
+    """Point-query the CMS: est(item) = min over the depth rows of the
+    item's cell count. One broadcast join of the (small) probe list onto
+    the sketch — the original data is never touched, which is the whole
+    point of keeping a sketch."""
+    pr = probes.select(F.col(item_col).cast("int").alias("item")).distinct()
+    cells = pr.select(
+        "item",
+        F.explode(
+            F.array(*[F.lit(r).cast("int") for r in range(depth)])
+        ).alias("r"),
+    ).select(
+        "item", "r",
+        F.pmod(F.xxhash64(F.col("item"), F.col("r")), F.lit(width)).alias("cell"),
+    )
+    joined = F.broadcast(cells).join(cms, ["r", "cell"], "inner")
+    return joined.groupBy("item").agg(F.min("cnt").alias("cnt_cms"))
