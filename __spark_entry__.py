@@ -840,6 +840,57 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("entropy", 6).alias("entropy_r"),
         )
 
+    def tx_bigram_lift(spark, sf_dir):
+        """Token-bigram association mining: lift (pointwise mutual
+        information before the log) for every adjacent token pair with
+        cxy >= 5 — lift = P(x,y)/(P(x)P(y)) = cxy*Nu^2/(Nb*cx*cy), exact
+        BIGINT counts with ONE float expression both engines evaluate
+        identically (rounded 6dp; ordering ties break on x,y so the
+        top-50 selection is deterministic). Bigrams explode as JVM
+        struct pairs straight into a hash agg (no token-position window,
+        no self-join); unigram counts come from the explode-free
+        bincount histogram and broadcast into the bigram table; the two
+        corpus scalars ride a 1-row broadcast cross join. Collocation
+        extraction is the standard phrase/tokenizer-audit signal over a
+        pre-tokenized corpus."""
+        from tsrollup.tokenstats import token_histogram
+
+        seq = sequences_from_documents(spark, sf_dir)
+        uni = token_histogram(seq).localCheckpoint()
+        nu = uni.agg(F.sum("cnt").cast("long").alias("nu"))
+        pairs = (
+            seq.where(F.size("tokens") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(tokens)-1),"
+                        " i -> struct(tokens[i-1] AS x, tokens[i] AS y))"
+                    )
+                ).alias("p")
+            )
+            .select(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+        )
+        bc = pairs.groupBy("x", "y").agg(F.count(F.lit(1)).alias("cxy"))
+        nb = bc.agg(F.sum("cxy").cast("long").alias("nb"))
+        j = (
+            bc.where(F.col("cxy") >= 5)
+            .join(F.broadcast(uni.select(F.col("token_id").alias("x"),
+                                         F.col("cnt").alias("cx"))), "x")
+            .join(F.broadcast(uni.select(F.col("token_id").alias("y"),
+                                         F.col("cnt").alias("cy"))), "y")
+            .crossJoin(F.broadcast(nu))
+            .crossJoin(F.broadcast(nb))
+        )
+        lifted = j.select(
+            F.col("x").cast("int").alias("x"),
+            F.col("y").cast("int").alias("y"),
+            "cxy", "cx", "cy",
+            F.expr(
+                "round((CAST(cxy AS DOUBLE) * nu * nu) / (CAST(nb AS DOUBLE) * cx * cy), 6)"
+            ).alias("lift_r"),
+        )
+        return lifted.orderBy(F.desc("lift_r"), "x", "y").limit(50)
+
     def engine_token_drift(spark, sf_dir):
         """Per-(source, day) token-distribution drift vs the whole
         corpus that day (tokenstats.token_drift): exact KL divergence
@@ -1085,6 +1136,7 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tx_bloom_decontam": tx_bloom_decontam,
         "sk_cms_heavy": sk_cms_heavy,
+        "tx_bigram_lift": tx_bigram_lift,
         "dd_substring": dd_substring,
         "dd_substring_removal": dd_substring_removal,
         "dd_cdc_chunks": dd_cdc_chunks,
@@ -1869,9 +1921,36 @@ def _engine_oracles() -> dict[str, str]:
     GROUP BY 1, 2
     """)
 
+    # Bigram lift: same exact integer counts, same single float
+    # expression text — round(6) + (x, y) tiebreak pins the top-50.
+    bigram_lift_o = engine_oracle(""",
+    tok AS (SELECT unnest(tokens) AS t FROM seq),
+    uni AS (SELECT t, count(*)::BIGINT AS c FROM tok GROUP BY 1),
+    nu AS (SELECT sum(c)::BIGINT AS nu FROM uni),
+    bg AS (
+      SELECT unnest(list_transform(range(1, len(tokens)),
+               i -> struct_pack(x := tokens[i], y := tokens[i+1]))) AS p
+      FROM seq WHERE len(tokens) >= 2
+    ),
+    bc AS (SELECT p.x AS x, p.y AS y, count(*)::BIGINT AS cxy
+           FROM bg GROUP BY 1, 2),
+    nb AS (SELECT sum(cxy)::BIGINT AS nb FROM bc),
+    j AS (
+      SELECT x, y, cxy, ux.c AS cx, uy.c AS cy
+      FROM bc JOIN uni ux ON ux.t = bc.x JOIN uni uy ON uy.t = bc.y
+      WHERE cxy >= 5
+    )
+    SELECT x::INTEGER AS x, y::INTEGER AS y, cxy, cx, cy,
+           round((CAST(cxy AS DOUBLE) * nu.nu * nu.nu) / (CAST(nb.nb AS DOUBLE) * cx * cy), 6)
+             AS lift_r
+    FROM j, nu, nb
+    ORDER BY lift_r DESC, x, y LIMIT 50
+    """)
+
     return {
         "tx_bloom_decontam": bloom_decontam_o,
         "sk_cms_heavy": cms_heavy_o,
+        "tx_bigram_lift": bigram_lift_o,
         "dd_substring": dd_substring_o,
         "dd_cdc_chunks": dd_cdc_o,
         "dd_substring_removal": dd_substring_removal_o,

@@ -104,6 +104,9 @@ ENGINE_ORACLE_NAMES = [
     "engine_resume_ledger",
     "engine_read_decoded",
     "engine_codec_blocks",
+    "tx_bloom_decontam",
+    "sk_cms_heavy",
+    "tx_bigram_lift",
 ]
 
 

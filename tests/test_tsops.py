@@ -1413,3 +1413,52 @@ def test_merge_intervals_semantics(spark):
     # strict adjacency=0: touching no longer merges
     out0 = merge_intervals(df, adjacency=0).toPandas()
     assert out0["span_id"].nunique() == 4
+
+
+def test_pattern_reversals_planted(spark):
+    """Planted (UP){k,} DOWN shapes: exact peaks, run lengths, and drop
+    sizes vs a pure-python scan; plateaus break runs (strict rises);
+    series ends without a fall never match."""
+    from tsrollup.tsops import pattern_reversals
+
+    series = {
+        # rises 1..4 then falls: peak at idx 4, run 4, drop 3
+        "a": [0, 1, 2, 3, 10, 7, 7, 8, 9, 10, 11, 2],
+        # plateau inside the climb breaks the run: 0,1,2,2,3,4,5,1 ->
+        # run into the fall is only 3 (after the plateau)
+        "b": [0, 1, 2, 2, 3, 4, 5, 1],
+        # monotone rise, no fall -> no match
+        "c": [0, 1, 2, 3, 4, 5],
+        # too-short runs only
+        "d": [0, 1, 0, 1, 0, 1, 0],
+    }
+
+    def ref(vals, k):
+        out = []
+        run = 0
+        for t in range(1, len(vals)):
+            d = vals[t] - vals[t - 1]
+            if d > 0:
+                run += 1
+            else:
+                run = 0
+            if t + 1 < len(vals) and run >= k and vals[t + 1] < vals[t]:
+                out.append((t, vals[t], run, vals[t] - vals[t + 1]))
+        return out
+
+    rows = [(key, i, v) for key, vals in series.items() for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k string, i long, c long")
+    got = {
+        (r["k"], r["i"]): (r["c"], r["run_len"], r["drop_sz"])
+        for r in pattern_reversals(df, ["k"], "i", "c", k=3).collect()
+    }
+    want = {
+        (key, t): (v, run, drop)
+        for key, vals in series.items()
+        for t, v, run, drop in ref(vals, 3)
+    }
+    assert got == want
+    assert ("a", 4) in want and want[("a", 4)] == (10, 4, 3)
+    assert ("a", 10) in want  # second climb 7->8->9->10->11 then fall
+    assert not any(key == "c" for key, _ in want)
+    assert not any(key == "d" for key, _ in want)

@@ -4080,3 +4080,53 @@ def w24_incidents(spark, sf_dir):
         F.max("peak").alias("peak"),
         F.sum("total").cast("long").alias("total"),
     )
+
+
+@q(
+    "w25_pattern",
+    """
+    WITH hb AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS i,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    ext AS (SELECT event_type, min(i) AS mn, max(i) AS mx FROM hb GROUP BY 1),
+    spine AS (SELECT event_type, unnest(generate_series(mn, mx)) AS i
+              FROM ext),
+    dense AS (
+      SELECT s.event_type, s.i, coalesce(hb.c, 0)::BIGINT AS c
+      FROM spine s LEFT JOIN hb ON hb.event_type = s.event_type
+                               AND hb.i = s.i
+    ),
+    d AS (
+      SELECT event_type, i, c, c - lag(c) OVER wo AS delta
+      FROM dense WINDOW wo AS (PARTITION BY event_type ORDER BY i)
+    ),
+    a AS (
+      SELECT event_type, i, c, delta,
+             last_value(CASE WHEN delta > 0 THEN NULL ELSE i END
+                        IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY i
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS anchor,
+             lead(delta) OVER (PARTITION BY event_type ORDER BY i) AS nd
+      FROM d
+    )
+    SELECT event_type, i, c,
+           (i - anchor)::BIGINT AS run_len, (-nd)::BIGINT AS drop_sz
+    FROM a WHERE i - anchor >= 3 AND nd < 0
+    """,
+)
+def w25_pattern(spark, sf_dir):
+    """Row-pattern matching, (UP){3,} DOWN (tsops.pattern_reversals):
+    every local peak of the dense hourly count series that ends >= 3
+    consecutive strict rises and is followed by a strict fall — the
+    MATCH_RECOGNIZE shape Spark lacks a clause for, compiled to ONE
+    sort+window stage per event_type. The twin evaluates the identical
+    delta / last-non-rise-anchor / lead windows; counts are exact
+    BIGINTs so both engines agree bit-for-bit."""
+    from .tsops import pattern_reversals
+
+    return pattern_reversals(
+        _dense_hourly(spark, sf_dir), ["event_type"], "i", "c", k=3
+    )

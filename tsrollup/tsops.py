@@ -1656,3 +1656,58 @@ def merge_intervals(
     return flagged.withColumn(
         "span_id", F.sum("__new").over(wcum).cast("long")
     ).drop("__new")
+
+
+def pattern_reversals(
+    df: DataFrame,
+    keys: list[str],
+    ord_col: str,
+    value_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence pattern detection — the
+    (UP){k,} DOWN pattern of SQL row-pattern matching (Trino/Flink CEP),
+    which Spark has no clause for: flag every local peak ending a run of
+    >= k consecutive strict rises that is followed by a strict fall.
+
+    Expressed as windows over ONE partitioning (delta -> last-non-rise
+    anchor -> lead), so Catalyst evaluates the whole pattern in a single
+    sort+window stage per key: no explode, no self-join, exact integers
+    end-to-end. ``ord_col`` must be a CONTIGUOUS integer index per key
+    (a dense spine — gapfill first), since run length is computed as
+    index distance from the last non-rising row.
+
+    Returns (keys..., peak at ord_col, peak value, run_len = number of
+    consecutive rises into the peak, drop_sz = size of the fall after
+    it). At 100 TB the window partitioning is the rollup's own (source,
+    tier) layout; nothing here shuffles twice.
+    """
+    w = Window.partitionBy(*keys).orderBy(ord_col)
+    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+    d = df.withColumn("_delta", F.col(value_col) - F.lag(value_col).over(w))
+    # anchor: most recent index that did NOT strictly rise; the partition's
+    # first row (NULL delta) anchors itself — condition must treat NULL as
+    # non-rise, not propagate it
+    anchored = d.withColumn(
+        "_anchor",
+        F.last(
+            F.when(
+                F.col("_delta").isNull() | (F.col("_delta") <= 0),
+                F.col(ord_col),
+            ),
+            ignorenulls=True,
+        ).over(wcum),
+    ).withColumn("_next_delta", F.lead("_delta").over(w))
+    return (
+        anchored.withColumn(
+            "run_len", (F.col(ord_col) - F.col("_anchor")).cast("long")
+        )
+        .where((F.col("run_len") >= k) & (F.col("_next_delta") < 0))
+        .select(
+            *keys,
+            F.col(ord_col),
+            F.col(value_col),
+            "run_len",
+            (-F.col("_next_delta")).cast("long").alias("drop_sz"),
+        )
+    )
