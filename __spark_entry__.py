@@ -1104,6 +1104,20 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "text", n=3, m_bits=65536, k=3, min_candidates=1,
         )
 
+    def dd_phash(spark, sf_dir):
+        """Perceptual-hash image near-dup (datapipe.image_phash_neardup):
+        every doc's synthesized BMP decodes through the REAL parser
+        (bmp_pixels) into an exact-integer 64-bit aHash; 4x16-bit bands
+        generate candidates (pigeonhole-complete for hamming <= 3), full
+        Hamming verifies via bit_count(xor). The DuckDB twin re-derives
+        each hash FROM THE TEXT BYTES — legitimate because BMP
+        encode -> decode is a pixel identity (pinned by the round-trip
+        tests), so the twin cross-checks the entire synth + parse + hash
+        + band + verify chain bit-for-bit."""
+        from tsrollup.datapipe import image_phash_neardup
+
+        return image_phash_neardup(spark, sf_dir, ham=3)
+
     def sk_cms_heavy(spark, sf_dir):
         """Count-Min sketch over the token payload (sketches.
         cms_from_counts/cms_estimate): a 3x512 BIGINT cell table built
@@ -1136,6 +1150,7 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tx_bloom_decontam": tx_bloom_decontam,
         "sk_cms_heavy": sk_cms_heavy,
+        "dd_phash": dd_phash,
         "tx_bigram_lift": tx_bigram_lift,
         "dd_substring": dd_substring,
         "dd_substring_removal": dd_substring_removal,
@@ -1947,9 +1962,57 @@ def _engine_oracles() -> dict[str, str]:
     ORDER BY lift_r DESC, x, y LIMIT 50
     """)
 
+    # Perceptual-hash near-dup: the oracle recomputes each doc's exact-
+    # integer aHash straight from the utf-8 bytes (np.resize tiling ==
+    # cyclic byte indexing; BMP encode->decode is pixel identity), then
+    # replays the band join + Hamming verify.
+    phash_o = engine_oracle(""",
+    pre AS (
+      SELECT doc_id::BIGINT AS doc_id, xxbytes(text) AS bts,
+             len(xxbytes(text))::BIGINT AS n,
+             greatest(1, least(8, len(xxbytes(text)) // 48))::BIGINT AS hh
+      FROM documents WHERE len(xxbytes(text)) > 0
+    ),
+    smp AS (
+      SELECT doc_id,
+             list_transform(range(64), s ->
+                 bts[((((s // 8) * hh) // 8) * 48 + (s % 8) * 6 + 0) % n + 1]
+               + bts[((((s // 8) * hh) // 8) * 48 + (s % 8) * 6 + 1) % n + 1]
+               + bts[((((s // 8) * hh) // 8) * 48 + (s % 8) * 6 + 2) % n + 1]
+             ) AS sv
+      FROM pre
+    ),
+    ms AS (SELECT doc_id, sv, list_sum(sv) // 64 AS m FROM smp),
+    bnd AS (
+      SELECT doc_id,
+             list_transform(range(4), k ->
+               coalesce(list_sum(list_transform(range(16), t ->
+                 CASE WHEN sv[k * 16 + t + 1] > m
+                      THEN (1::BIGINT << t) ELSE 0 END)), 0)::BIGINT
+             ) AS bands
+      FROM ms
+    ),
+    bd AS (SELECT doc_id, bands, unnest(range(4)) AS k FROM bnd),
+    bd2 AS (SELECT doc_id, bands, k, bands[k + 1] AS v FROM bd),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+             x.bands AS ba, y.bands AS bb
+      FROM bd2 x JOIN bd2 y
+        ON x.k = y.k AND x.v = y.v AND x.doc_id < y.doc_id
+    )
+    SELECT doc_a, doc_b,
+           ( bit_count(xor(ba[1], bb[1])) + bit_count(xor(ba[2], bb[2]))
+           + bit_count(xor(ba[3], bb[3])) + bit_count(xor(ba[4], bb[4]))
+           )::BIGINT AS hamming
+    FROM cand
+    WHERE bit_count(xor(ba[1], bb[1])) + bit_count(xor(ba[2], bb[2]))
+        + bit_count(xor(ba[3], bb[3])) + bit_count(xor(ba[4], bb[4])) <= 3
+    """)
+
     return {
         "tx_bloom_decontam": bloom_decontam_o,
         "sk_cms_heavy": cms_heavy_o,
+        "dd_phash": phash_o,
         "tx_bigram_lift": bigram_lift_o,
         "dd_substring": dd_substring_o,
         "dd_cdc_chunks": dd_cdc_o,

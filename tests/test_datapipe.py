@@ -949,3 +949,73 @@ def test_snm_finds_adjacent_neardups_and_documents_its_miss(spark, tmp_path):
         "(if this starts passing the window grew; update the docstring)"
     )
     assert (out["jacc"] >= 0.4).all() and (out["rank_dist"].between(1, 4)).all()
+
+
+def test_image_phash_known_values():
+    """Hand-checkable aHash: a flat image has NO bits set (nothing exceeds
+    the mean); a half-bright image sets exactly the bright sample cells;
+    bit order is s = i*8 + j (row-major)."""
+    from tsrollup.datapipe import image_phash
+
+    flat = np.full((8, 8, 3), 7, dtype=np.uint8)
+    assert image_phash(flat) == 0
+
+    half = np.zeros((8, 8, 3), dtype=np.uint8)
+    half[:, 4:] = 255  # right half bright: columns 4..7 of every row
+    expect = 0
+    for i in range(8):
+        for j in range(4, 8):
+            expect |= 1 << (i * 8 + j)
+    expect = expect - (1 << 64) if expect >= (1 << 63) else expect
+    assert image_phash(half) == expect
+
+    # non-square input exercises the nearest-neighbor index mapping
+    tall = np.zeros((5, 16, 3), dtype=np.uint8)
+    tall[0, :] = 200  # only source row 0 is bright -> samples i with (i*5)//8 == 0
+    ph = image_phash(tall)
+    bright_rows = {i for i in range(8) if (i * 5) // 8 == 0}
+    for i in range(8):
+        for j in range(8):
+            assert bool((ph >> (i * 8 + j)) & 1) == (i in bright_rows)
+
+
+def test_image_phash_neardup_vs_bruteforce(spark):
+    """The banded pairs equal the BRUTE-FORCE all-pairs hamming<=3 set at
+    sf0.001 — the pigeonhole completeness argument checked end to end on
+    real data (and the hamming values match popcount exactly)."""
+    from tsrollup.datapipe import image_phash_neardup
+
+    pairs = image_phash_neardup(spark, SF, ham=3)
+    # recompute hashes locally through the same public pieces
+    from tsrollup.datapipe import bmp_pixels, image_phash, make_bmp
+
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+        .collect()
+    )
+    local = {}
+    for r in docs:
+        raw = r["text"].encode("utf-8")
+        if not raw:
+            continue
+        arr = np.frombuffer(raw, dtype=np.uint8)
+        hgt = max(1, min(8, arr.size // 48))
+        local[r["doc_id"]] = image_phash(bmp_pixels(make_bmp(np.resize(arr, (hgt, 16, 3)))))
+    ids = sorted(local)
+    want = {}
+    for ii, a in enumerate(ids):
+        for b in ids[ii + 1:]:
+            ham = bin((local[a] ^ local[b]) & ((1 << 64) - 1)).count("1")
+            if ham <= 3:
+                want[(a, b)] = ham
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in pairs.collect()}
+    assert got == want
+    assert len(want) > 0, "fixture must contain at least one near-dup image"
+
+
+def test_image_phash_neardup_ham_contract():
+    from tsrollup.datapipe import image_phash_neardup
+
+    with pytest.raises(ValueError, match="ham"):
+        image_phash_neardup(None, None, ham=4)

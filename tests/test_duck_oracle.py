@@ -107,6 +107,7 @@ ENGINE_ORACLE_NAMES = [
     "tx_bloom_decontam",
     "sk_cms_heavy",
     "tx_bigram_lift",
+    "dd_phash",
 ]
 
 

@@ -322,10 +322,10 @@ def make_bmp(pixels: np.ndarray) -> bytes:
     return header + dib + bytes(body)
 
 
-def _decode_bmp(payload: bytes, feat_dim: int):
-    """REAL decoder: parse the BMP headers, reassemble the pixel array
-    (bottom-up, row padding, BGR), return per-channel means/stds +
-    brightness/contrast features."""
+def bmp_pixels(payload: bytes) -> np.ndarray:
+    """Parse a 24-bit BMP back to its (h, w, 3) uint8 RGB pixel array
+    (bottom-up row order, 4-byte row padding, on-disk BGR) — the exact
+    inverse of make_bmp, pinned by the round-trip tests."""
     import struct
 
     if len(payload) < 54 or payload[:2] != b"BM":
@@ -346,11 +346,19 @@ def _decode_bmp(payload: bytes, feat_dim: int):
     rows = raw.reshape(h, stride)[:, :row].reshape(h, w, 3)
     if flipped:
         rows = rows[::-1]
-    bgr = rows.astype(np.float64)
-    gray = bgr.mean(axis=2)
+    return rows[..., ::-1]  # BGR -> RGB
+
+
+def _decode_bmp(payload: bytes, feat_dim: int):
+    """REAL decoder: parse the BMP headers, reassemble the pixel array
+    (bottom-up, row padding, BGR), return per-channel means/stds +
+    brightness/contrast features."""
+    rgb = bmp_pixels(payload).astype(np.float64)
+    h, w = rgb.shape[0], rgb.shape[1]
+    gray = rgb.mean(axis=2)
     feats = [
-        float(bgr[..., 2].mean()), float(bgr[..., 1].mean()), float(bgr[..., 0].mean()),
-        float(bgr[..., 2].std()), float(bgr[..., 1].std()), float(bgr[..., 0].std()),
+        float(rgb[..., 0].mean()), float(rgb[..., 1].mean()), float(rgb[..., 2].mean()),
+        float(rgb[..., 0].std()), float(rgb[..., 1].std()), float(rgb[..., 2].std()),
         float(gray.mean()), float(gray.std()),
     ]
     return w, h, _fit(feats, feat_dim)
@@ -496,6 +504,100 @@ def multimodal_features_mixed(
             )
 
     return payloads.mapInPandas(extract, schema=MM_FEATURE_SCHEMA)
+
+
+def image_phash(rgb: np.ndarray) -> int:
+    """64-bit average perceptual hash (aHash) of an (h, w, 3) uint8 RGB
+    array, exact-integer end to end so two engines can agree bit-for-bit:
+    gray = r+g+b (no float luma), 8x8 nearest-neighbor sample at
+    (i*h//8, j*w//8), mean = floor(sum/64), bit (i*8+j) set iff
+    sample > mean. Returned as SIGNED int64 (two's complement) to match
+    a BIGINT column."""
+    h, w = rgb.shape[0], rgb.shape[1]
+    gray = rgb[..., 0].astype(np.int64) + rgb[..., 1] + rgb[..., 2]
+    ri = (np.arange(8) * h) // 8
+    cj = (np.arange(8) * w) // 8
+    samples = gray[np.ix_(ri, cj)].ravel()  # row-major: s = i*8 + j
+    mean = int(samples.sum()) // 64
+    u = 0
+    for s, v in enumerate(samples.tolist()):
+        if v > mean:
+            u |= 1 << s
+    return u - (1 << 64) if u >= (1 << 63) else u
+
+
+def image_phash_neardup(
+    spark: SparkSession, sf_dir: str, ham: int = 3
+) -> DataFrame:
+    """Perceptual-hash image near-dup — the multimodal member of the
+    dedup family: every document's synthesized BMP payload (the
+    multimodal_features_mixed image adapter, applied to ALL docs) is
+    decoded by the REAL parser (bmp_pixels) and aHashed; the 64-bit
+    hashes split into 4x16-bit bands; docs sharing any band self-join
+    into candidates; candidates verify on full Hamming distance
+    (F.bit_count of the XOR) <= ham. Pigeonhole: any pair within
+    hamming <= 3 differs in <= 3 of 4 bands, so at least one band
+    matches — the banding is provably complete at the default
+    threshold, exactly like dd_simhash's text variant.
+
+    Scale shape: hashing is one Arrow-batched pass (decode + 64 integer
+    samples per image — no pixel data ever shuffles); the self-join is
+    banded, never all-pairs. Returns (doc_a, doc_b, hamming) with
+    doc_a < doc_b."""
+    if not 0 <= ham <= 3:
+        raise ValueError(f"banding is complete only for ham in [0,3], got {ham}")
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+
+    def hash_batch(batches):
+        for pdf in batches:
+            ids, hashes = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = text.encode("utf-8")
+                if not raw:
+                    continue
+                arr = np.frombuffer(raw, dtype=np.uint8)
+                hgt = max(1, min(8, arr.size // 48))
+                px = np.resize(arr, (hgt, 16, 3))
+                ids.append(doc_id)
+                hashes.append(image_phash(bmp_pixels(make_bmp(px))))
+            yield pd.DataFrame({"doc_id": ids, "phash": np.array(hashes, dtype=np.int64)})
+
+    hashed = d.mapInPandas(hash_batch, schema="doc_id long, phash long")
+    bands = hashed.select(
+        "doc_id", "phash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band_idx"),
+                    F.shiftrightunsigned("phash", 16 * b)
+                    .bitwiseAND(F.lit(65535)).alias("band_val"),
+                )
+                for b in range(4)
+            ])
+        ).alias("band"),
+    ).select("doc_id", "phash", "band.band_idx", "band.band_val")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.phash").bitwiseXOR(F.col("b.phash"))
+            ).cast("long").alias("hamming"),
+        )
+        .where(F.col("hamming") <= ham)
+        .distinct()
+    )
+    return pairs
 
 
 # ------------------------------------------------------------- SimHash
