@@ -1104,6 +1104,32 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "text", n=3, m_bits=65536, k=3, min_candidates=1,
         )
 
+    def engine_streaming_pair_join(spark, sf_dir):
+        """T7: watermarked STREAM-STREAM inner join (streaming.
+        streaming_pair_join) — co-occurrence pairs of two live halves of
+        the sequence stream (doc-hash parity split) within ±1 h on the
+        same source, drained availableNow through the exactly-once file
+        sink. The time-interval join condition is what lets Spark's
+        state store evict matched-out rows (a buffered row drops only
+        once the watermark passes row_ts + tolerance — state bounded,
+        never the whole stream); with in-order arrival no match can be
+        lost at ANY tolerance, so the drained output equals the batch
+        range-join the oracle runs."""
+        from pyspark.sql import functions as F
+
+        from tsrollup.streaming import run_streaming_pair_join
+
+        base = _scratch("streaming_pairjoin")
+        in_dir = _seq_files(spark, sf_dir, base)
+        out = os.path.join(base, "pairs")
+        run_streaming_pair_join(
+            spark, in_dir, out, os.path.join(base, "ckpt"),
+            tolerance_s=3600, max_files_per_trigger=2,
+        )
+        return spark.read.parquet(out).select(
+            "source", "doc_a", "doc_b", "gap_us"
+        )
+
     def dd_phash(spark, sf_dir):
         """Perceptual-hash image near-dup (datapipe.image_phash_neardup):
         every doc's synthesized BMP decodes through the REAL parser
@@ -1151,6 +1177,7 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_bloom_decontam": tx_bloom_decontam,
         "sk_cms_heavy": sk_cms_heavy,
         "dd_phash": dd_phash,
+        "engine_streaming_pair_join": engine_streaming_pair_join,
         "tx_bigram_lift": tx_bigram_lift,
         "dd_substring": dd_substring,
         "dd_substring_removal": dd_substring_removal,
@@ -2009,10 +2036,25 @@ def _engine_oracles() -> dict[str, str]:
         + bit_count(xor(ba[3], bb[3])) + bit_count(xor(ba[4], bb[4])) <= 3
     """)
 
+    # Stream-stream pair join: with in-order files + 10-min watermark no
+    # match is lost, so the drained output is the plain batch range-join.
+    streaming_pair_join_o = engine_oracle(""",
+    l AS (SELECT source, doc_id AS doc_a, event_ts AS lts FROM seq
+          WHERE xxpmod(xxh64(doc_id), 2) = 0),
+    r AS (SELECT source, doc_id AS doc_b, event_ts AS rts FROM seq
+          WHERE xxpmod(xxh64(doc_id), 2) = 1)
+    SELECT l.source, doc_a, doc_b,
+           (epoch_us(rts) - epoch_us(lts))::BIGINT AS gap_us
+    FROM l JOIN r ON r.source = l.source
+      AND rts BETWEEN lts - INTERVAL 3600 SECOND
+                  AND lts + INTERVAL 3600 SECOND
+    """)
+
     return {
         "tx_bloom_decontam": bloom_decontam_o,
         "sk_cms_heavy": cms_heavy_o,
         "dd_phash": phash_o,
+        "engine_streaming_pair_join": streaming_pair_join_o,
         "tx_bigram_lift": bigram_lift_o,
         "dd_substring": dd_substring_o,
         "dd_cdc_chunks": dd_cdc_o,

@@ -658,3 +658,48 @@ def test_streaming_silence_out_of_order_origin_moveback(spark):
         f"missing: {sorted(expect - got_set)[:5]} "
         f"extra: {sorted(got_set - expect)[:5]}"
     )
+
+
+def test_streaming_pair_join_matches_batch_range_join(spark, stream_input):
+    """T7 stream-stream: the drained inner interval join over the parity
+    halves equals the BATCH range join row-for-row (state eviction is
+    condition-derived, so in-order input loses no match), and every gap
+    honors the tolerance."""
+    from tsrollup.streaming import run_streaming_pair_join
+
+    out = os.path.join(BASE, "pairs_out")
+    ckpt = os.path.join(BASE, "pairs_ckpt")
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    tol = 120
+    run_streaming_pair_join(
+        spark, stream_input, out, ckpt, tolerance_s=tol,
+        max_files_per_trigger=1,
+    )
+    got = (
+        spark.read.parquet(out)
+        .toPandas()
+        .sort_values(["source", "doc_a", "doc_b"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    seq = read_sequences(spark, stream_input)
+    par = F.pmod(F.xxhash64("doc_id"), F.lit(2))
+    l = seq.where(par == 0).select(
+        "source", F.col("doc_id").alias("doc_a"),
+        F.unix_micros("event_ts").alias("lts"))
+    r = seq.where(par == 1).select(
+        F.col("source").alias("r_source"), F.col("doc_id").alias("doc_b"),
+        F.unix_micros("event_ts").alias("rts"))
+    want = (
+        l.join(r, (F.col("source") == F.col("r_source"))
+               & (F.col("rts") >= F.col("lts") - tol * 1_000_000)
+               & (F.col("rts") <= F.col("lts") + tol * 1_000_000))
+        .select("source", "doc_a", "doc_b",
+                (F.col("rts") - F.col("lts")).alias("gap_us"))
+        .toPandas()
+        .sort_values(["source", "doc_a", "doc_b"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) and len(want) > 0
+    assert got.equals(want)
+    assert (got["gap_us"].abs() <= tol * 1_000_000).all()

@@ -312,6 +312,85 @@ def run_streaming_enriched(
     q.awaitTermination()
 
 
+# ------------------------------------------------- stream-stream join (T7)
+
+def streaming_pair_join(
+    left: DataFrame,
+    right: DataFrame,
+    tolerance_s: int = 60,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """T7 — watermarked STREAM-STREAM inner join: co-occurrence pairs of
+    two live event streams within ±tolerance seconds on the same source
+    (the correlation primitive: "which A-events happened near which
+    B-events"). Both sides carry watermarks and the join condition is a
+    time-INTERVAL range — exactly the condition Spark's state store
+    needs to evict matched-out rows, so state stays bounded by
+    (watermark + tolerance) of stream history, never the whole stream.
+
+    Inner-join emission is match-driven (not watermark-gated), and the
+    state watermark is derived FROM the interval condition: a buffered
+    row is evicted only once the event-time watermark passes
+    row_ts + tolerance, i.e. once no future in-order partner can exist.
+    So for ANY tolerance, watermark-correct (in-order) input loses no
+    match — the drained output equals the batch range-join, which is
+    what makes the entry oracle-twinnable.
+    """
+    lw = left.withWatermark("event_ts", watermark).select(
+        F.col("source").alias("l_source"),
+        F.col("doc_id").alias("doc_a"),
+        F.col("event_ts").alias("l_ts"),
+    )
+    rw = right.withWatermark("event_ts", watermark).select(
+        F.col("source").alias("r_source"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("event_ts").alias("r_ts"),
+    )
+    cond = (
+        (F.col("l_source") == F.col("r_source"))
+        & (F.col("r_ts") >= F.col("l_ts") - F.expr(f"INTERVAL {tolerance_s} SECONDS"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {tolerance_s} SECONDS"))
+    )
+    return lw.join(rw, cond, "inner").select(
+        F.col("l_source").alias("source"),
+        "doc_a",
+        "doc_b",
+        (F.unix_micros("r_ts") - F.unix_micros("l_ts")).alias("gap_us"),
+    )
+
+
+def run_streaming_pair_join(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    checkpoint: str,
+    tolerance_s: int = 60,
+    watermark: str = "10 minutes",
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """availableNow drain of the stream-stream pair join into a parquet
+    sink (same exactly-once file-sink contract as run_streaming_rollup).
+    The two sides are disjoint halves of ONE source stream (doc-hash
+    parity), so a single file source feeds both join inputs."""
+    stream = read_sequence_stream(spark, in_dir, max_files_per_trigger)
+    par = F.pmod(F.xxhash64("doc_id"), F.lit(2))
+    joined = streaming_pair_join(
+        stream.where(par == 0),
+        stream.where(par == 1),
+        tolerance_s,
+        watermark,
+    )
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 # ------------------------------------------------------- streaming scores
 #
 # Per-bucket detector scores ON THE STREAM: the stage after the
