@@ -692,6 +692,52 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("tier", F.col("day").cast("string").alias("day_s"), "n_rows")
         )
 
+    def engine_compaction(spark, sf_dir):
+        """S4: small-file compaction (storage.compact_store) — build a
+        store, FRAGMENT the rollup sink (rewrite with a row-hash
+        repartition so every leaf gets many slivers, the shape a
+        long-append history leaves), compact back to 1 file per leaf
+        with verify-then-atomic-swap, assert every leaf is single-file,
+        and publish the per-(tier, day) inventory + event totals. A green
+        twin proves compaction changed the FILE layout and nothing
+        else."""
+        from pyspark.sql import functions as F
+
+        from tsrollup.config import RollupConfig
+        from tsrollup.pipeline import ROLLUP_DIR, rollup_build
+        from tsrollup.storage import compact_store
+
+        base = _scratch("compaction")
+        in_dir = _seq_files(spark, sf_dir, base)
+        out = os.path.join(base, "store")
+        rollup_build(spark, in_dir, out, RollupConfig(), derived=False)
+        rollup_path = os.path.join(out, ROLLUP_DIR)
+        frag_path = os.path.join(out, "rollup_frag")
+        rolled = spark.read.parquet(rollup_path)
+        (
+            rolled.repartition(8, F.xxhash64("source", "bucket_start"))
+            .write.mode("overwrite")
+            .partitionBy("tier", "day")
+            .parquet(frag_path)
+        )
+        done = compact_store(spark, out, "rollup_frag", target_files=1)
+        assert done, "fragmented store must have compactable leaves"
+        for root, _dirs, files in os.walk(frag_path):
+            pq = [f for f in files if f.endswith(".parquet")]
+            assert len(pq) <= 1, f"leaf {root} still fragmented"
+        return (
+            spark.read.parquet(frag_path)
+            .groupBy("tier", "day")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("cnt").cast("long").alias("ev_sum"),
+            )
+            .select(
+                "tier", F.col("day").cast("string").alias("day_s"),
+                "n_rows", "ev_sum",
+            )
+        )
+
     def engine_read_range(spark, sf_dir):
         """Read-side planner (query.py): build a store, then read one day
         back at 1h resolution through choose_tier + read_range (partition
@@ -1178,6 +1224,7 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sk_cms_heavy": sk_cms_heavy,
         "dd_phash": dd_phash,
         "engine_streaming_pair_join": engine_streaming_pair_join,
+        "engine_compaction": engine_compaction,
         "tx_bigram_lift": tx_bigram_lift,
         "dd_substring": dd_substring,
         "dd_substring_removal": dd_substring_removal,
@@ -2050,11 +2097,34 @@ def _engine_oracles() -> dict[str, str]:
                   AND lts + INTERVAL 3600 SECOND
     """)
 
+    # Compaction: the store's logical content must be untouched — the
+    # oracle recomputes the full per-(tier, day) inventory from scratch.
+    compaction_o = engine_oracle(""",
+    b AS (
+      SELECT source, date_trunc('minute', event_ts) AS b1m,
+             date_trunc('hour', event_ts) AS b1h,
+             date_trunc('day', event_ts) AS b1d
+      FROM seq
+    ),
+    rows_ AS (
+      SELECT '1m' AS tier, b1m::DATE AS day, source, b1m AS bucket FROM b
+      UNION ALL
+      SELECT '1h', b1h::DATE, source, b1h FROM b
+      UNION ALL
+      SELECT '1d', b1d::DATE, source, b1d FROM b
+    )
+    SELECT tier, day::VARCHAR AS day_s,
+           count(DISTINCT (source, bucket))::BIGINT AS n_rows,
+           count(*)::BIGINT AS ev_sum
+    FROM rows_ GROUP BY 1, 2
+    """)
+
     return {
         "tx_bloom_decontam": bloom_decontam_o,
         "sk_cms_heavy": cms_heavy_o,
         "dd_phash": phash_o,
         "engine_streaming_pair_join": streaming_pair_join_o,
+        "engine_compaction": compaction_o,
         "tx_bigram_lift": bigram_lift_o,
         "dd_substring": dd_substring_o,
         "dd_cdc_chunks": dd_cdc_o,

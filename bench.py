@@ -244,6 +244,23 @@ def main() -> None:
     cdc_chunk_stats(sequences_from_documents(spark, sf_dir)).count()
     timings["q_dd_cdc_chunks"] = round(time.monotonic() - t0, 3)
 
+    # round-4 session additions (engine-level entries): Bloom decontam,
+    # Count-Min sketch, bigram lift, perceptual-hash near-dup, pattern
+    # matching — timed through the same queries() surface the driver runs
+    import __spark_entry__ as _entry
+
+    eq = _entry.queries()
+    for name in (
+        "tx_bloom_decontam",
+        "sk_cms_heavy",
+        "tx_bigram_lift",
+        "dd_phash",
+        "w25_pattern",
+    ):
+        t0 = time.monotonic()
+        eq[name](spark, sf_dir).count()
+        timings[f"q_{name}"] = round(time.monotonic() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

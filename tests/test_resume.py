@@ -237,3 +237,62 @@ def test_retention_prunes_expired_partitions(spark, split_inputs):
     assert f"day={days[0]}" not in left
     # coarser tiers untouched
     assert os.path.isdir(os.path.join(rollup_path, "tier=1d"))
+
+
+def test_compact_store_preserves_content(spark, seq_fixture_small, tmp_path):
+    """Compaction changes the FILE layout and nothing else: frame
+    byte-equal before/after, every leaf ends single-file, a second pass
+    is a no-op, and crash leftovers (.__compact_* dirs) are skipped."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tsrollup.config import RollupConfig
+    from tsrollup.pipeline import ROLLUP_DIR, rollup_build
+    from tsrollup.storage import compact_store, read_sequences
+
+    out = str(tmp_path / "store")
+    rollup_build(spark, seq_fixture_small, out, RollupConfig(), derived=False)
+    rollup_path = os.path.join(out, ROLLUP_DIR)
+    frag = os.path.join(out, "frag")
+    rolled = spark.read.parquet(rollup_path)
+    (
+        rolled.repartition(6, F.xxhash64("source", "bucket_start"))
+        .write.mode("overwrite").partitionBy("tier", "day").parquet(frag)
+    )
+
+    def snapshot():
+        return (
+            spark.read.parquet(frag)
+            .toPandas()
+            .sort_values(["tier", "day", "source", "bucket_start"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+
+    def leaf_files():
+        counts = {}
+        for root, _dirs, files in os.walk(frag):
+            pq = [f for f in files if f.endswith(".parquet")]
+            if pq:
+                counts[root] = len(pq)
+        return counts
+
+    before = snapshot()
+    assert any(n > 1 for n in leaf_files().values()), "fixture must fragment"
+    done = compact_store(spark, out, "frag", target_files=1)
+    assert done
+    assert all(n == 1 for n in leaf_files().values())
+    after = snapshot()
+    assert before.equals(after), "compaction must not change content"
+    # idempotent: nothing left to compact
+    assert compact_store(spark, out, "frag", target_files=1) == []
+    # crash leftovers are skipped, not recursed into (hidden dot dirs:
+    # Spark's reader must also keep ignoring them)
+    some_leaf = next(iter(leaf_files()))
+    parent, leafname = os.path.split(some_leaf)
+    leftover = os.path.join(parent, f".{leafname}.__compact_old")
+    os.makedirs(leftover, exist_ok=True)
+    with open(os.path.join(leftover, "junk.parquet"), "wb") as f:
+        f.write(b"not parquet")
+    assert compact_store(spark, out, "frag", target_files=1) == []
+    assert snapshot().equals(after)

@@ -123,3 +123,68 @@ def retain_store(
             gone += drop_expired_partitions(base, tier, horizon, now_day)
         removed[sink] = gone
     return removed
+
+
+def compact_store(
+    spark: SparkSession,
+    out_base: str,
+    sink: str,
+    target_files: int = 1,
+) -> list[dict]:
+    """Small-file compaction — retention's operational sibling. Long-lived
+    stores accrete files per partition (every incremental append adds
+    one per touched unit); scan cost then tracks FILE count, not byte
+    count. For every leaf partition dir of ``<out_base>/<sink>`` holding
+    more parquet files than ``target_files``: read the leaf, coalesce,
+    write to a hidden sibling tmp dir (dot-prefixed — Spark's file
+    index ignores hidden paths, so concurrent readers never see scratch
+    dirs as partitions), VERIFY the row count, then atomically swap
+    directory names (rename leaf -> .old, tmp -> leaf, drop .old). A
+    crash between the renames leaves a recoverable hidden
+    ``.__compact_old`` (operator renames it back); leaves already compact are untouched, so
+    the pass is idempotent. Iceberg deploy: this job is
+    `rewrite_data_files` + `expire_snapshots`; the sandbox realization
+    keeps the same verify-then-swap contract on plain dirs.
+
+    Returns one summary dict per compacted leaf:
+    (path, files_before, files_after, rows)."""
+    base = os.path.join(out_base, sink)
+    results: list[dict] = []
+    for root, dirs, files in os.walk(base):
+        if "__compact" in root:
+            continue
+        pq = [f for f in files if f.endswith(".parquet")]
+        if not pq or len(pq) <= target_files:
+            continue
+        df = spark.read.parquet(root)
+        rows_before = df.count()
+        # dot-prefixed siblings: Spark's file index ignores hidden paths,
+        # so a concurrent (or crashed-over) reader of the parent never
+        # sees the scratch dirs as partitions
+        parent, leafname = os.path.split(root)
+        tmp = os.path.join(parent, f".{leafname}.__compact_tmp")
+        old = os.path.join(parent, f".{leafname}.__compact_old")
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
+        df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
+        rows_after = spark.read.parquet(tmp).count()
+        if rows_after != rows_before:
+            shutil.rmtree(tmp)
+            raise RuntimeError(
+                f"compaction row-count mismatch in {root}: "
+                f"{rows_before} -> {rows_after}; leaf left untouched"
+            )
+        os.rename(root, old)
+        os.rename(tmp, root)
+        shutil.rmtree(old)
+        results.append(
+            {
+                "path": root,
+                "files_before": len(pq),
+                "files_after": len(
+                    [f for f in os.listdir(root) if f.endswith(".parquet")]
+                ),
+                "rows": rows_before,
+            }
+        )
+    return results
