@@ -1151,7 +1151,7 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def engine_streaming_pair_join(spark, sf_dir):
-        """T7: watermarked STREAM-STREAM inner join (streaming.
+        """T12: watermarked STREAM-STREAM inner join (streaming.
         streaming_pair_join) — co-occurrence pairs of two live halves of
         the sequence stream (doc-hash parity split) within ±1 h on the
         same source, drained availableNow through the exactly-once file

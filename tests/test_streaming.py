@@ -661,7 +661,7 @@ def test_streaming_silence_out_of_order_origin_moveback(spark):
 
 
 def test_streaming_pair_join_matches_batch_range_join(spark, stream_input):
-    """T7 stream-stream: the drained inner interval join over the parity
+    """T12 stream-stream: the drained inner interval join over the parity
     halves equals the BATCH range join row-for-row (state eviction is
     condition-derived, so in-order input loses no match), and every gap
     honors the tolerance."""

@@ -312,7 +312,7 @@ def run_streaming_enriched(
     q.awaitTermination()
 
 
-# ------------------------------------------------- stream-stream join (T7)
+# ------------------------------------------------ stream-stream join (T12)
 
 def streaming_pair_join(
     left: DataFrame,
@@ -320,7 +320,7 @@ def streaming_pair_join(
     tolerance_s: int = 60,
     watermark: str = "10 minutes",
 ) -> DataFrame:
-    """T7 — watermarked STREAM-STREAM inner join: co-occurrence pairs of
+    """T12 — watermarked STREAM-STREAM inner join: co-occurrence pairs of
     two live event streams within ±tolerance seconds on the same source
     (the correlation primitive: "which A-events happened near which
     B-events"). Both sides carry watermarks and the join condition is a
