@@ -564,7 +564,12 @@ def image_phash_neardup(
                 hashes.append(image_phash(bmp_pixels(make_bmp(px))))
             yield pd.DataFrame({"doc_id": ids, "phash": np.array(hashes, dtype=np.int64)})
 
-    hashed = d.mapInPandas(hash_batch, schema="doc_id long, phash long")
+    # both self-join sides consume the hashed frame: localCheckpoint keeps
+    # the decode+hash pass to ONE execution (it is the expensive stage;
+    # the checkpointed frame is just (doc_id, phash) — 16 B/doc)
+    hashed = d.mapInPandas(
+        hash_batch, schema="doc_id long, phash long"
+    ).localCheckpoint()
     bands = hashed.select(
         "doc_id", "phash",
         F.explode(

@@ -4130,3 +4130,131 @@ def w25_pattern(spark, sf_dir):
     return pattern_reversals(
         _dense_hourly(spark, sf_dir), ["event_type"], "i", "c", k=3
     )
+
+
+@q(
+    "w26_ensemble",
+    """
+    WITH hb AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS i,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    ext AS (SELECT event_type, min(i) AS mn, max(i) AS mx FROM hb GROUP BY 1),
+    spine AS (SELECT event_type, unnest(generate_series(mn, mx)) AS i
+              FROM ext),
+    dense AS (
+      SELECT s.event_type, s.i, coalesce(hb.c, 0)::BIGINT AS c
+      FROM spine s LEFT JOIN hb ON hb.event_type = s.event_type
+                               AND hb.i = s.i
+    ),
+    w AS (
+      SELECT event_type, i, c,
+             count(*) OVER w24 AS n,
+             sum(c) OVER w24 AS sx,
+             sum(c * c) OVER w24 AS sxx,
+             quantile_cont(c, 0.5) OVER w24 AS med,
+             quantile_cont(c, 0.75) OVER w24 - quantile_cont(c, 0.25) OVER w24
+               AS iqr,
+             lag(c) OVER wo AS pv,
+             lead(c) OVER wo AS nx
+      FROM dense
+      WINDOW w24 AS (PARTITION BY event_type ORDER BY i
+                     ROWS BETWEEN 23 PRECEDING AND CURRENT ROW),
+             wo AS (PARTITION BY event_type ORDER BY i)
+    ),
+    s AS (
+      SELECT event_type, i, c,
+             CASE WHEN n = 24 AND n * sxx - sx * sx > 0
+                  THEN round((n * c - sx)::DOUBLE
+                             / sqrt((n * sxx - sx * sx)::DOUBLE), 6) END AS z,
+             CASE WHEN n = 24
+                  THEN round(CASE WHEN iqr > 0 THEN (c - med) / iqr
+                             ELSE 0.0 END, 6) END AS rz,
+             pv, nx
+      FROM w
+    ),
+    v AS (
+      SELECT event_type, i, c,
+             coalesce((z >= 2.0)::INT, 0) AS f_z,
+             coalesce((abs(rz) >= 3.0)::INT, 0) AS f_robust,
+             coalesce((pv IS NOT NULL AND nx IS NOT NULL AND c >= 5
+                       AND 2 * c > 3 * pv AND 2 * c > 3 * nx)::INT, 0)
+               AS f_spike
+      FROM s
+    )
+    SELECT event_type, i, c, f_z, f_robust, f_spike,
+           (f_z + f_robust + f_spike)::BIGINT AS votes
+    FROM v WHERE f_z + f_robust + f_spike >= 2
+    """,
+)
+def w26_ensemble(spark, sf_dir):
+    """Ensemble anomaly consensus — the alert-precision pattern: three
+    detectors with DIFFERENT failure modes (24h rolling z for level
+    breaks, median/IQR robust z for outliers the mean chases, and an
+    exact-integer local-spike test 2c > 3*neighbor) vote per dense
+    hourly bucket; only buckets where >= 2 agree surface. One window
+    stage computes every statistic over the SAME (event_type, i)
+    partitioning — adding detectors costs columns, not shuffles.
+    Warmup/edge NULLs coalesce to a 0 vote identically on both sides;
+    thresholds compare ROUNDED scores so no last-ulp knife edges."""
+    from pyspark.sql import Window as Wd
+
+    dense = _dense_hourly(spark, sf_dir)
+    w24 = Wd.partitionBy("event_type").orderBy("i").rowsBetween(-23, 0)
+    wo = Wd.partitionBy("event_type").orderBy("i")
+    w = dense.select(
+        "event_type", "i", "c",
+        F.count(F.lit(1)).over(w24).alias("n"),
+        F.sum("c").over(w24).alias("sx"),
+        F.sum(F.col("c") * F.col("c")).over(w24).alias("sxx"),
+        F.expr("percentile(c, 0.5)").over(w24).alias("med"),
+        (
+            F.expr("percentile(c, 0.75)").over(w24)
+            - F.expr("percentile(c, 0.25)").over(w24)
+        ).alias("iqr"),
+        F.lag("c").over(wo).alias("pv"),
+        F.lead("c").over(wo).alias("nx"),
+    )
+    s = w.select(
+        "event_type", "i", "c", "pv", "nx",
+        F.when(
+            (F.col("n") == 24)
+            & (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") > 0),
+            F.round(
+                (F.col("n") * F.col("c") - F.col("sx")).cast("double")
+                / F.sqrt(
+                    (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                    .cast("double")
+                ),
+                6,
+            ),
+        ).alias("z"),
+        F.when(
+            F.col("n") == 24,
+            F.round(
+                F.when(F.col("iqr") > 0, (F.col("c") - F.col("med")) / F.col("iqr"))
+                .otherwise(F.lit(0.0)),
+                6,
+            ),
+        ).alias("rz"),
+    )
+    v = s.select(
+        "event_type", "i", "c",
+        F.coalesce((F.col("z") >= 2.0).cast("int"), F.lit(0)).alias("f_z"),
+        F.coalesce((F.abs("rz") >= 3.0).cast("int"), F.lit(0)).alias("f_robust"),
+        F.coalesce(
+            (
+                F.col("pv").isNotNull() & F.col("nx").isNotNull()
+                & (F.col("c") >= 5)
+                & (2 * F.col("c") > 3 * F.col("pv"))
+                & (2 * F.col("c") > 3 * F.col("nx"))
+            ).cast("int"),
+            F.lit(0),
+        ).alias("f_spike"),
+    )
+    return v.select(
+        "event_type", "i", "c", "f_z", "f_robust", "f_spike",
+        (F.col("f_z") + F.col("f_robust") + F.col("f_spike"))
+        .cast("long").alias("votes"),
+    ).where(F.col("votes") >= 2)
