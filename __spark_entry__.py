@@ -1190,6 +1190,49 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return image_phash_neardup(spark, sf_dir, ham=3)
 
+    def dd_audio_fp(spark, sf_dir):
+        """Audio fingerprints (datapipe.audio_fingerprint via the
+        audio_fp_neardup adapter's hashing stage): every doc's
+        synthesized WAV parses through the REAL RIFF walker into an
+        exact-integer 64-bit energy-delta fingerprint. The DuckDB twin
+        re-derives every fingerprint FROM THE TEXT BYTES (pcm =
+        (byte-128)*256, frame energies as prefix-sum slices, band-wise
+        bit packing) — legitimate because WAV encode -> parse is a
+        sample identity pinned by the round-trip tests. The entry twins
+        the per-doc HASHES (one row per doc — the fixture's near-dup
+        texts sit beyond hamming 3 on this all-bytes fingerprint, so the
+        pair set would be empty here); the banded near-dup JOIN path is
+        exercised on a planted fixture in test_datapipe, symmetric with
+        dd_phash."""
+        from pyspark.sql import functions as F
+
+        from tsrollup.datapipe import audio_fingerprint, make_wav, wav_samples
+        import numpy as np
+        import pandas as pd
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.lower("text").alias("text"),
+        )
+
+        def fp_batch(batches):
+            for pdf in batches:
+                ids, fps = [], []
+                for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                    raw = text.encode("utf-8")
+                    if not raw:
+                        continue
+                    arr = np.frombuffer(raw, dtype=np.uint8)
+                    pcm = ((arr.astype(np.int32) - 128) * 256).astype(np.int16)
+                    got, _rate = wav_samples(make_wav(pcm))
+                    ids.append(doc_id)
+                    fps.append(audio_fingerprint(got))
+                yield pd.DataFrame(
+                    {"doc_id": ids, "fp": np.array(fps, dtype=np.int64)}
+                )
+
+        return d.mapInPandas(fp_batch, schema="doc_id long, fp long")
+
     def sk_cms_heavy(spark, sf_dir):
         """Count-Min sketch over the token payload (sketches.
         cms_from_counts/cms_estimate): a 3x512 BIGINT cell table built
@@ -1223,6 +1266,7 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_bloom_decontam": tx_bloom_decontam,
         "sk_cms_heavy": sk_cms_heavy,
         "dd_phash": dd_phash,
+        "dd_audio_fp": dd_audio_fp,
         "engine_streaming_pair_join": engine_streaming_pair_join,
         "engine_compaction": engine_compaction,
         "tx_bigram_lift": tx_bigram_lift,
@@ -2119,10 +2163,49 @@ def _engine_oracles() -> dict[str, str]:
     FROM rows_ GROUP BY 1, 2
     """)
 
+    # Audio fingerprint: frame energies from inclusive byte slices; empty
+    # frames (n < 65) coalesce to 0 exactly like an empty numpy sum.
+    audio_fp_o = engine_oracle(""",
+    pre AS (
+      SELECT doc_id::BIGINT AS doc_id, xxbytes(lower(text)) AS bts,
+             len(xxbytes(lower(text)))::BIGINT AS n
+      FROM documents WHERE len(xxbytes(lower(text))) > 0
+    ),
+    eng AS (
+      SELECT doc_id,
+             list_transform(range(65), s ->
+               256 * coalesce(list_sum(list_transform(
+                 bts[((s * n) // 65 + 1)::BIGINT : (((s + 1) * n) // 65)::BIGINT],
+                 x -> abs(x - 128))), 0)) AS e
+      FROM pre
+    ),
+    bnd AS (
+      SELECT doc_id,
+             list_transform(range(4), k ->
+               coalesce(list_sum(list_transform(range(16), t ->
+                 CASE WHEN e[k * 16 + t + 2] > e[k * 16 + t + 1]
+                      THEN (1::BIGINT << t) ELSE 0 END)), 0)::BIGINT
+             ) AS bands
+      FROM eng
+    ),
+    u AS (
+      SELECT doc_id,
+             (bands[1]::HUGEINT + bands[2]::HUGEINT * 65536
+              + bands[3]::HUGEINT * 4294967296
+              + bands[4]::HUGEINT * 281474976710656) AS uf
+      FROM bnd
+    )
+    SELECT doc_id,
+           (CASE WHEN uf >= 9223372036854775808
+                 THEN uf - 18446744073709551616 ELSE uf END)::BIGINT AS fp
+    FROM u
+    """)
+
     return {
         "tx_bloom_decontam": bloom_decontam_o,
         "sk_cms_heavy": cms_heavy_o,
         "dd_phash": phash_o,
+        "dd_audio_fp": audio_fp_o,
         "engine_streaming_pair_join": streaming_pair_join_o,
         "engine_compaction": compaction_o,
         "tx_bigram_lift": bigram_lift_o,

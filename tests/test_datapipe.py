@@ -1019,3 +1019,48 @@ def test_image_phash_neardup_ham_contract():
 
     with pytest.raises(ValueError, match="ham"):
         image_phash_neardup(None, None, ham=4)
+
+
+def test_audio_fingerprint_known_shapes():
+    """Hand-checkable energy-delta bits: constant amplitude -> no rises
+    -> 0; strictly growing frame energies -> all 64 bits set."""
+    from tsrollup.datapipe import audio_fingerprint
+
+    const = np.full(6500, 1000, dtype=np.int16)
+    assert audio_fingerprint(const) == 0
+    ramp = np.arange(6500, dtype=np.int16)  # |s| grows every frame
+    ph = audio_fingerprint(ramp)
+    assert ph == (((1 << 64) - 1) - (1 << 64))  # all 64 bits, signed -1
+    # encode -> parse identity feeds the same fingerprint
+    from tsrollup.datapipe import make_wav, wav_samples
+
+    got, rate = wav_samples(make_wav(ramp, 8000))
+    assert rate == 8000 and np.array_equal(got, ramp)
+    assert audio_fingerprint(got) == ph
+
+
+def test_audio_fp_neardup_planted(spark, tmp_path):
+    """A one-character edit late in a long text perturbs ONE frame's
+    energies -> at most 3 delta bits flip -> the banded join must surface
+    the pair with the exact brute-force hamming; unrelated docs don't
+    pair."""
+    from tsrollup.datapipe import audio_fp_neardup
+
+    import pandas as pd
+
+    base = "the quick brown fox jumps over the lazy dog " * 20
+    edited = base[:-10] + "cat" + base[-7:]
+    other = "completely different content with other words here " * 18
+    pdf = pd.DataFrame(
+        {"doc_id": [1, 2, 3], "text": [base, edited, other],
+         "source": ["s"] * 3, "n_chars": [len(base), len(edited), len(other)]}
+    )
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in audio_fp_neardup(spark, str(tmp_path), ham=3).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 3
+    assert not any(3 in p for p in pairs)

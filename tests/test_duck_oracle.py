@@ -108,6 +108,7 @@ ENGINE_ORACLE_NAMES = [
     "sk_cms_heavy",
     "tx_bigram_lift",
     "dd_phash",
+    "dd_audio_fp",
 ]
 
 

@@ -374,11 +374,10 @@ def make_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
     return hdr + fmt + struct.pack("<4sI", b"data", len(data)) + data
 
 
-def _decode_wav(payload: bytes, feat_dim: int):
-    """REAL decoder: walk the RIFF chunk list, validate the PCM fmt chunk,
-    parse the int16 samples, return rms / peak / zero-crossing-rate +
-    coarse 4-band spectrum. width = sample count, height = sample rate
-    (the 'dimensions' of an audio clip)."""
+def wav_samples(payload: bytes) -> tuple[np.ndarray, int]:
+    """Parse a mono 16-bit PCM RIFF/WAVE payload back to its (samples
+    int16 array, sample rate) — the exact inverse of make_wav, pinned by
+    the round-trip tests."""
     import struct
 
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
@@ -393,10 +392,20 @@ def _decode_wav(payload: bytes, feat_dim: int):
             if audio_fmt != 1 or channels != 1 or bits != 16:
                 raise NotImplementedError("only mono 16-bit PCM WAV")
         elif cid == b"data":
-            samples = np.frombuffer(body, dtype="<i2").astype(np.float64)
+            samples = np.frombuffer(body, dtype="<i2")
         pos += 8 + size + (size % 2)  # RIFF chunks are 2-byte aligned
     if rate is None or samples is None:
         raise ValueError("WAV missing fmt/data chunk")
+    return samples, int(rate)
+
+
+def _decode_wav(payload: bytes, feat_dim: int):
+    """REAL decoder: walk the RIFF chunk list, validate the PCM fmt chunk,
+    parse the int16 samples, return rms / peak / zero-crossing-rate +
+    coarse 4-band spectrum. width = sample count, height = sample rate
+    (the 'dimensions' of an audio clip)."""
+    raw, rate = wav_samples(payload)
+    samples = raw.astype(np.float64)
     n = samples.shape[0]
     if n == 0:
         return 0, int(rate), np.zeros(feat_dim, dtype=np.float64)
@@ -603,6 +612,93 @@ def image_phash_neardup(
         .distinct()
     )
     return pairs
+
+
+def audio_fingerprint(samples: np.ndarray, n_frames: int = 65) -> int:
+    """64-bit energy-delta audio fingerprint, exact-integer end to end:
+    split the int16 sample stream into ``n_frames`` equal frames
+    (integer boundaries i*n//n_frames), frame energy = sum of |sample|
+    (BIGINT-exact), bit s set iff energy rises frame s -> s+1 — the
+    classic delta-sign fingerprint shape (level-invariant: it encodes
+    the energy CONTOUR, not the gain). Returned as signed int64."""
+    n = samples.shape[0]
+    bounds = (np.arange(n_frames + 1) * n) // n_frames
+    a = np.abs(samples.astype(np.int64))
+    ps = np.concatenate(([0], np.cumsum(a)))
+    e = ps[bounds[1:]] - ps[bounds[:-1]]
+    u = 0
+    for s in range(n_frames - 1):
+        if e[s + 1] > e[s]:
+            u |= 1 << s
+    return u - (1 << 64) if u >= (1 << 63) else u
+
+
+def audio_fp_neardup(
+    spark: SparkSession, sf_dir: str, ham: int = 3
+) -> DataFrame:
+    """Audio-fingerprint near-dup — the AUDIO member of the dedup family,
+    symmetric with image_phash_neardup: every document's synthesized WAV
+    payload (the multimodal adapter's audio branch, applied to ALL docs)
+    parses through the REAL RIFF walker (wav_samples) into an
+    exact-integer 64-bit energy-delta fingerprint; 4x16-bit bands
+    generate candidates (pigeonhole-complete for hamming <= 3), full
+    Hamming verifies via bit_count(xor). Only (doc_id, fp) ever
+    shuffles. Returns (doc_a, doc_b, hamming), doc_a < doc_b."""
+    if not 0 <= ham <= 3:
+        raise ValueError(f"banding is complete only for ham in [0,3], got {ham}")
+    # normalize with the SAME lower() the tokenizer applies (JVM-side, so
+    # the cross-engine lower() equivalence is the one every tx_* twin
+    # already proves — not Python str.lower vs SQL lower)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.lower("text").alias("text"),
+    )
+
+    def fp_batch(batches):
+        for pdf in batches:
+            ids, fps = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = text.encode("utf-8")
+                if not raw:
+                    continue
+                arr = np.frombuffer(raw, dtype=np.uint8)
+                pcm = ((arr.astype(np.int32) - 128) * 256).astype(np.int16)
+                got, _rate = wav_samples(make_wav(pcm))
+                ids.append(doc_id)
+                fps.append(audio_fingerprint(got))
+            yield pd.DataFrame({"doc_id": ids, "fp": np.array(fps, dtype=np.int64)})
+
+    hashed = d.mapInPandas(fp_batch, schema="doc_id long, fp long").localCheckpoint()
+    bands = hashed.select(
+        "doc_id", "fp",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band_idx"),
+                    F.shiftrightunsigned("fp", 16 * b)
+                    .bitwiseAND(F.lit(65535)).alias("band_val"),
+                )
+                for b in range(4)
+            ])
+        ).alias("band"),
+    ).select("doc_id", "fp", "band.band_idx", "band.band_val")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp")))
+            .cast("long").alias("hamming"),
+        )
+        .where(F.col("hamming") <= ham)
+        .distinct()
+    )
 
 
 # ------------------------------------------------------------- SimHash
