@@ -256,6 +256,9 @@ def main() -> None:
         "tx_bigram_lift",
         "dd_phash",
         "w25_pattern",
+        "w24_incidents",
+        "w26_ensemble",
+        "dd_audio_fp",
     ):
         t0 = time.monotonic()
         eq[name](spark, sf_dir).count()
