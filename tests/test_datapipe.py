@@ -1064,3 +1064,29 @@ def test_audio_fp_neardup_planted(spark, tmp_path):
     }
     assert (1, 2) in pairs and pairs[(1, 2)] <= 3
     assert not any(3 in p for p in pairs)
+
+
+def test_dd_fuzzy_planted_typo_pair(spark, tmp_path):
+    """Blocked edit-distance dedup: a planted typo pair (same first token,
+    2 edits inside the 24-char key) is found with the exact distance;
+    docs whose first tokens differ are never candidates (blocking is the
+    declared semantics, not an approximation bug)."""
+    import pandas as pd
+    from tsrollup.driver_queries import SPARK
+
+    docs = [
+        (1, "alpha quick brown fox jumps", "en", "s0"),
+        (2, "alpha quikc brown fox jumps", "en", "s0"),   # transposition = 2 edits
+        (3, "beta quick brown fox jumps", "en", "s0"),    # other block
+        (4, "alpha totally different words here", "en", "s0"),  # same block, far
+    ]
+    pdf = pd.DataFrame(docs, columns=["doc_id", "text", "lang", "source"])
+    pdf["n_chars"] = pdf["text"].str.len()
+    sf = str(tmp_path)
+    pdf.to_parquet(f"{sf}/documents.parquet", index=False)
+
+    out = SPARK["dd_fuzzy"](spark, sf).toPandas()
+    got = {(r.doc_a, r.doc_b): r.dist for r in out.itertuples()}
+    assert got.get((1, 2)) == 2, out
+    assert all(3 not in p for p in got), "cross-block pair leaked"
+    assert (1, 4) not in got and (2, 4) not in got, "distance gate failed"

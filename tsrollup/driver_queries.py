@@ -4258,3 +4258,72 @@ def w26_ensemble(spark, sf_dir):
         (F.col("f_z") + F.col("f_robust") + F.col("f_spike"))
         .cast("long").alias("votes"),
     ).where(F.col("votes") >= 2)
+
+
+# ----------------- DD edit-distance fuzzy dedup (blocked, round 4)
+
+_FUZZY_KEY_LEN = 24   # comparison key: first chars of the lowercased text
+_FUZZY_MAX_DIST = 4   # Levenshtein threshold on the key
+_FUZZY_BLOCK_CAP = 1000  # hot-block guard: skip blocks larger than this
+
+@q(
+    "dd_fuzzy",
+    f"""
+    WITH k AS (
+      SELECT doc_id,
+             substring(lower(text), 1, {_FUZZY_KEY_LEN}) AS key,
+             split_part(lower(text), ' ', 1) AS blk
+      FROM documents
+    ),
+    ok AS (
+      SELECT blk FROM k GROUP BY blk HAVING count(*) <= {_FUZZY_BLOCK_CAP}
+    ),
+    kk AS (SELECT k.* FROM k JOIN ok USING (blk))
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.key, b.key) AS BIGINT) AS dist
+    FROM kk a JOIN kk b ON a.blk = b.blk AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.key, b.key) <= {_FUZZY_MAX_DIST}
+    """,
+)
+def dd_fuzzy(spark, sf_dir):
+    """Edit-distance fuzzy dedup — the character-level member of the
+    dedup family (alongside set-based MinHash/containment, bit-based
+    SimHash, order-based SNM, and span-based substring dedup): pairs
+    whose 24-char key prefixes are within Levenshtein distance 4,
+    candidate-generated by standard blocking on the first token.
+
+    Scale shape: the self-join is an EQUI-join on the block key, so
+    candidates are sum(block²) — bounded, never corpus² — and the
+    hot-block guard (skip blocks > 1000 docs, the same discipline as
+    containment's df<=50 stop-grams) caps the worst key's fan-out;
+    skipped blocks are exactly the ones where a first-token block
+    carries no signal anyway.  Levenshtein is evaluated only on
+    surviving candidate pairs, on fixed-24-char keys (O(24²) per pair,
+    JVM built-in on both engines — the true edit distance, so the twin
+    is exact integers end-to-end).  At corpus scale the block key
+    would widen (first token + length band) before the cap bites."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.substring(F.lower("text"), 1, _FUZZY_KEY_LEN).alias("key"),
+        F.substring_index(F.lower("text"), " ", 1).alias("blk"),
+    )
+    # hot-block guard: the block-cardinality table is O(vocab) — broadcast
+    big = (
+        d.groupBy("blk").count()
+        .where(F.col("count") > _FUZZY_BLOCK_CAP)
+        .select("blk")
+    )
+    dd = d.join(F.broadcast(big), "blk", "left_anti")
+    a = dd.select(
+        F.col("blk"), F.col("doc_id").alias("doc_a"), F.col("key").alias("ka")
+    )
+    b = dd.select(
+        F.col("blk"), F.col("doc_id").alias("doc_b"), F.col("key").alias("kb")
+    )
+    return (
+        a.join(b, "blk")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("dist", F.levenshtein("ka", "kb").cast("long"))
+        .where(F.col("dist") <= _FUZZY_MAX_DIST)
+        .select("doc_a", "doc_b", "dist")
+    )
