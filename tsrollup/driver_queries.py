@@ -4327,3 +4327,125 @@ def dd_fuzzy(spark, sf_dir):
         .where(F.col("dist") <= _FUZZY_MAX_DIST)
         .select("doc_a", "doc_b", "dist")
     )
+
+
+# --------------------- Q1 data-quality audit (round 4)
+
+@q(
+    "dq_checks",
+    """
+    WITH o AS (SELECT count(*) AS n,
+                      sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS bad_price,
+                      sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS bad_status,
+                      count(*) - count(DISTINCT o_orderkey) AS dup_pk
+               FROM orders),
+         l AS (SELECT count(*) AS n,
+                      sum(CASE WHEN l_quantity NOT BETWEEN 1 AND 50 THEN 1 ELSE 0 END) AS bad_qty,
+                      sum(CASE WHEN l_discount NOT BETWEEN 0 AND 0.1 THEN 1 ELSE 0 END) AS bad_disc,
+                      count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS dup_pk
+               FROM lineitem),
+         c AS (SELECT count(*) AS n,
+                      sum(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS neg_bal
+               FROM customer),
+         d AS (SELECT count(*) AS n,
+                      sum(CASE WHEN n_chars != length(text) THEN 1 ELSE 0 END) AS bad_len,
+                      sum(CASE WHEN lang NOT IN ('en','zh','fr','es','de') THEN 1 ELSE 0 END) AS bad_lang
+               FROM documents)
+    SELECT 'orders' AS tbl, 'positive_totalprice' AS "check",
+           CAST(bad_price AS BIGINT) AS violations, CAST(n AS BIGINT) AS checked FROM o
+    UNION ALL SELECT 'orders', 'domain_orderstatus', CAST(bad_status AS BIGINT), CAST(n AS BIGINT) FROM o
+    UNION ALL SELECT 'orders', 'pk_unique_orderkey', CAST(dup_pk AS BIGINT), CAST(n AS BIGINT) FROM o
+    UNION ALL SELECT 'lineitem', 'range_quantity', CAST(bad_qty AS BIGINT), CAST(n AS BIGINT) FROM l
+    UNION ALL SELECT 'lineitem', 'range_discount', CAST(bad_disc AS BIGINT), CAST(n AS BIGINT) FROM l
+    UNION ALL SELECT 'lineitem', 'pk_unique_orderkey_linenumber', CAST(dup_pk AS BIGINT), CAST(n AS BIGINT) FROM l
+    UNION ALL SELECT 'customer', 'nonneg_acctbal', CAST(neg_bal AS BIGINT), CAST(n AS BIGINT) FROM c
+    UNION ALL SELECT 'documents', 'nchars_matches_text', CAST(bad_len AS BIGINT), CAST(n AS BIGINT) FROM d
+    UNION ALL SELECT 'documents', 'known_lang', CAST(bad_lang AS BIGINT), CAST(n AS BIGINT) FROM d
+    UNION ALL SELECT 'orders', 'fk_custkey_in_customer',
+           (SELECT count(*) FROM orders o2 LEFT JOIN customer cu
+              ON o2.o_custkey = cu.c_custkey WHERE cu.c_custkey IS NULL)::BIGINT,
+           CAST(NULL AS BIGINT)
+    UNION ALL SELECT 'lineitem', 'fk_orderkey_in_orders',
+           (SELECT count(*) FROM lineitem l2 LEFT JOIN orders o3
+              ON l2.l_orderkey = o3.o_orderkey WHERE o3.o_orderkey IS NULL)::BIGINT,
+           CAST(NULL AS BIGINT)
+    """,
+)
+def dq_checks(spark, sf_dir):
+    """Declarative data-quality audit (tsrollup.dq): range / domain /
+    consistency rules, key-uniqueness, and referential integrity over
+    four landed tables, as a long-format violations ledger.
+
+    Scale shape: ALL column and uniqueness rules of a table fuse into
+    ONE hash-aggregate over ONE scan (k rules never cost k scans); the
+    two foreign-key rules are broadcast LEFT ANTI joins (the referenced
+    key sets are dim-sized); the output is one row per rule — an audit
+    ledger, not a data copy. The rules are plain SQL boolean
+    expressions, which is what lets DuckDB re-evaluate the identical
+    rule text as the twin."""
+    from .dq import ColumnRule, RefRule, TableSpec, UniqueRule, audit
+
+    orders = t(spark, sf_dir, "orders")
+    lineitem = t(spark, sf_dir, "lineitem")
+    customer = t(spark, sf_dir, "customer")
+    documents = t(spark, sf_dir, "documents")
+    return audit(
+        [
+            TableSpec(
+                "orders",
+                orders,
+                column_rules=(
+                    ColumnRule("positive_totalprice", "o_totalprice <= 0"),
+                    ColumnRule(
+                        "domain_orderstatus",
+                        "o_orderstatus NOT IN ('O','F','P')",
+                    ),
+                ),
+                unique_rules=(
+                    UniqueRule("pk_unique_orderkey", ("o_orderkey",)),
+                ),
+                ref_rules=(
+                    RefRule(
+                        "fk_custkey_in_customer",
+                        "o_custkey",
+                        customer,
+                        "c_custkey",
+                    ),
+                ),
+            ),
+            TableSpec(
+                "lineitem",
+                lineitem,
+                column_rules=(
+                    ColumnRule("range_quantity", "l_quantity NOT BETWEEN 1 AND 50"),
+                    ColumnRule("range_discount", "l_discount NOT BETWEEN 0 AND 0.1"),
+                ),
+                unique_rules=(
+                    UniqueRule(
+                        "pk_unique_orderkey_linenumber",
+                        ("l_orderkey", "l_linenumber"),
+                    ),
+                ),
+                ref_rules=(
+                    RefRule(
+                        "fk_orderkey_in_orders", "l_orderkey", orders, "o_orderkey"
+                    ),
+                ),
+            ),
+            TableSpec(
+                "customer",
+                customer,
+                column_rules=(ColumnRule("nonneg_acctbal", "c_acctbal < 0"),),
+            ),
+            TableSpec(
+                "documents",
+                documents,
+                column_rules=(
+                    ColumnRule("nchars_matches_text", "n_chars != length(text)"),
+                    ColumnRule(
+                        "known_lang", "lang NOT IN ('en','zh','fr','es','de')"
+                    ),
+                ),
+            ),
+        ]
+    )
