@@ -4449,3 +4449,71 @@ def dq_checks(spark, sf_dir):
             ),
         ]
     )
+
+
+# --------------------- Q2 snapshot diff (round 4)
+
+@q(
+    "q2_snapshot_diff",
+    """
+    WITH a AS (SELECT doc_id, lang, source, n_chars FROM documents),
+    b AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 17 = 0 THEN 'xx' ELSE lang END AS lang,
+             source, n_chars
+      FROM documents WHERE doc_id % 23 != 0
+      UNION ALL
+      SELECT doc_id + 1000000, lang, source, n_chars
+      FROM documents WHERE doc_id % 101 = 0
+    ),
+    j AS (
+      SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+             CASE WHEN a.doc_id IS NULL THEN 'added'
+                  WHEN b.doc_id IS NULL THEN 'removed'
+                  WHEN NOT (a.lang IS NOT DISTINCT FROM b.lang
+                            AND a.source IS NOT DISTINCT FROM b.source
+                            AND a.n_chars IS NOT DISTINCT FROM b.n_chars)
+                       THEN 'changed'
+             END AS change
+      FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+    )
+    SELECT doc_id, change FROM j WHERE change IS NOT NULL
+    """,
+)
+def q2_snapshot_diff(spark, sf_dir):
+    """Snapshot diff (tsrollup.tablediff.snapshot_diff): added / removed
+    / changed rows between two table versions — snapshot B is a
+    deterministic evolution of the documents fixture (every 23rd doc
+    deleted, every 17th relabeled, every 101st cloned under a new key),
+    so both engines derive the identical pair of snapshots and the diff
+    itself is what's under test.
+
+    This query runs the exact `mode="columns"` null-safe compare; the
+    `mode="fingerprint"` scale path (xxhash64 the compare columns BEFORE
+    the shuffle so wide rows move as 8 bytes) is pinned equal to this
+    mode on the same fixture by tests/test_tablediff.py."""
+    from .tablediff import snapshot_diff
+
+    a = t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    b = (
+        a.where(F.col("doc_id") % 23 != 0)
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % 17 == 0, F.lit("xx"))
+            .otherwise(F.col("lang"))
+            .alias("lang"),
+            "source",
+            "n_chars",
+        )
+        .unionByName(
+            a.where(F.col("doc_id") % 101 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                "lang", "source", "n_chars",
+            )
+        )
+    )
+    return snapshot_diff(
+        a, b, ["doc_id"], ["lang", "source", "n_chars"], mode="columns"
+    )
