@@ -154,3 +154,37 @@ def test_dd_incremental_neardup_semantics(spark):
     # 353 is nearest to 352 (within batch); 352's best partner is existing
     assert out[353][0] == "near_dup_in_batch" and out[353][1] == 352
     assert out[352][0] == "near_dup_of_existing"
+
+
+def test_b3_ohlc_tie_and_extremes(spark, tmp_path):
+    """Planted candle: open/close picked by (ts, event_id) order — the
+    equal-timestamp tie resolves by event_id — and high/low are the
+    extremes, not the endpoints."""
+    import pandas as pd
+
+    rows = pd.DataFrame(
+        {
+            "event_id": [2, 1, 3, 4],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00:05"] * 2 + ["2024-01-01 00:30:00",
+                                               "2024-01-01 00:59:59"]
+            ),
+            "user_id": [1, 1, 1, 1],
+            "event_type": ["click"] * 4,
+            "value": [5.0, 1.0, 99.0, 7.0],
+            "props": ["{}"] * 4,
+        }
+    )
+    sf = str(tmp_path)
+    rows.to_parquet(
+        f"{sf}/events.parquet", index=False, coerce_timestamps="us"
+    )
+    from tsrollup.driver_queries import SPARK
+
+    out = SPARK["b3_ohlc"](spark, sf).collect()
+    assert len(out) == 1
+    r = out[0]
+    # ts tie at 00:00:05: event_id 1 (value 1.0) wins the open
+    assert (r["open"], r["high"], r["low"], r["close"], r["n"]) == (
+        1.0, 99.0, 1.0, 7.0, 4
+    )

@@ -4517,3 +4517,50 @@ def q2_snapshot_diff(spark, sf_dir):
     return snapshot_diff(
         a, b, ["doc_id"], ["lang", "source", "n_chars"], mode="columns"
     )
+
+
+# --------------------- B3 OHLC candle aggregation (round 4)
+
+@q(
+    "b3_ohlc",
+    """
+    SELECT event_type,
+           epoch_us(ts) // 3600000000 AS hour_i,
+           first(value ORDER BY ts, event_id) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           last(value ORDER BY ts, event_id) AS close,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def b3_ohlc(spark, sf_dir):
+    """OHLC candle aggregation — the canonical irregular-samples →
+    bar-chart rollup: per (event_type, hour), the first/last observed
+    value in (ts, event_id) order plus the high/low extremes and the
+    sample count.
+
+    Scale shape: ONE hash aggregate over one scan — open/close are
+    `min_by`/`max_by` on a (ts, event_id) struct ordering (tuple
+    comparison inside the agg buffer; the tie on equal timestamps is
+    broken by the unique event id so both engines pick the same row),
+    never a window sort. Values are selected, not computed — no float
+    arithmetic to drift, the twin is exact. The DuckDB twin states the
+    same semantics as ordered-set first()/last()."""
+    ev = t(spark, sf_dir, "events")
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        ev.groupBy(
+            "event_type",
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000")
+            .alias("hour_i"),
+        )
+        .agg(
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
