@@ -188,3 +188,26 @@ def test_b3_ohlc_tie_and_extremes(spark, tmp_path):
     assert (r["open"], r["high"], r["low"], r["close"], r["n"]) == (
         1.0, 99.0, 1.0, 7.0, 4
     )
+
+
+def test_tx_bm25_ranking_semantics(spark, tmp_path):
+    """Hand-checkable BM25: a doc with more query-term hits outranks one
+    with fewer; among equal hit counts the SHORTER doc ranks higher
+    (length normalization); docs with no query terms never appear."""
+    import pandas as pd
+
+    docs = [
+        (1, "table table merge window pad pad", "en", "s0"),   # 4 hits, short
+        (2, "table merge pad pad pad pad", "en", "s0"),        # 2 hits
+        (3, "table merge pad pad pad pad pad pad pad pad pad pad", "en", "s0"),
+        (4, "pad pad pad pad pad pad", "en", "s0"),             # 0 hits
+    ]
+    pdf = pd.DataFrame(docs, columns=["doc_id", "text", "lang", "source"])
+    pdf["n_chars"] = pdf["text"].str.len()
+    sf = str(tmp_path)
+    pdf.to_parquet(f"{sf}/documents.parquet", index=False)
+    from tsrollup.driver_queries import SPARK
+
+    out = SPARK["tx_bm25"](spark, sf).toPandas().sort_values("rnk")
+    assert list(out["doc_id"]) == [1, 2, 3], out
+    assert (out["micro_score"] > 0).all()

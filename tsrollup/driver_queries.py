@@ -4564,3 +4564,96 @@ def b3_ohlc(spark, sf_dir):
             F.count(F.lit(1)).cast("long").alias("n"),
         )
     )
+
+
+# --------------------- TX BM25 ranked retrieval (round 4)
+
+_BM25_TERMS = ("table", "merge", "window")
+
+@q(
+    "tx_bm25",
+    f"""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM w GROUP BY doc_id),
+    c AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+      FROM w WHERE word IN {_BM25_TERMS!r}
+      GROUP BY doc_id, word
+    ),
+    df AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY word),
+    scored AS (
+      SELECT tf.doc_id,
+             CAST(round(
+               ln((CAST(c.n AS DOUBLE) - df.df + 0.5) / (df.df + 0.5) + 1.0)
+               * ((tf.tf * 2.2)
+                  / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / c.avgdl))))
+               * 1e6, 0) AS BIGINT) AS micro
+      FROM tf JOIN df USING (word) JOIN dl USING (doc_id) CROSS JOIN c
+    ),
+    ranked AS (
+      SELECT doc_id, CAST(sum(micro) AS BIGINT) AS micro_score,
+             row_number() OVER (ORDER BY sum(micro) DESC, doc_id) AS rnk
+      FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, micro_score, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 20
+    """,
+)
+def tx_bm25(spark, sf_dir):
+    """BM25 ranked retrieval (Okapi, Lucene's +1 idf so scores stay
+    positive): top-20 docs for a fixed 3-term query, k1=1.2, b=0.75.
+    The ranking-function sibling of tx_tfidf — what the corpus side of
+    a retrieval/decontamination pipeline scores with.
+
+    Determinism contract (the tx_bigram_lm discipline): each (doc,
+    term)'s float score is computed by the IDENTICAL expression text in
+    both engines, rounded to INTEGER micro-units immediately, and only
+    the BIGINT micro-sums are summed/ranked — so cross-engine float
+    drift has exactly one rounding boundary to flip, not a whole
+    aggregation tree. Scale shape: one explode feeds both the dl agg
+    and the query-term-filtered tf agg (the IN filter prunes the heavy
+    branch to |query| terms before any shuffle); df and the (n, avgdl)
+    scalar are broadcast-sized."""
+    d = t(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word")
+    )
+    dl = w.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    c = dl.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        w.where(F.col("word").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        (F.col("n").cast("double") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        + 1.0
+    )
+    norm = (F.col("tf") * 2.2) / (
+        F.col("tf") + 1.2 * (1.0 - 0.75 + 0.75 * (F.col("dl") / F.col("avgdl")))
+    )
+    scored = (
+        tf.join(F.broadcast(df), "word")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(c))
+        .select(
+            "doc_id",
+            F.round(idf * norm * 1e6, 0).cast("long").alias("micro"),
+        )
+    )
+    ranked = scored.groupBy("doc_id").agg(F.sum("micro").cast("long").alias("micro_score"))
+    rw = Window.orderBy(F.desc("micro_score"), F.asc("doc_id"))
+    return (
+        ranked.withColumn("rnk", F.row_number().over(rw).cast("long"))
+        .where(F.col("rnk") <= 20)
+        .select("doc_id", "micro_score", "rnk")
+    )
