@@ -1462,3 +1462,47 @@ def test_pattern_reversals_planted(spark):
     assert ("a", 10) in want  # second climb 7->8->9->10->11 then fall
     assert not any(key == "c" for key, _ in want)
     assert not any(key == "d" for key, _ in want)
+
+
+def test_shesd_robust_flags_planted_spike(spark):
+    """Hybrid (median/MAD) ESD: a planted extreme residual is flagged in
+    round 1; a second, masked-for-classic-GESD cluster of two spikes is
+    still caught because median/MAD don't get dragged by the outliers
+    themselves; a constant group (MAD=0) yields NULL r and no flags."""
+    import pandas as pd
+    from tsrollup.tsops import shesd_outliers
+
+    rows = []
+    # group A: gentle noise + two large spikes among 24 points
+    vals = [0.1, -0.2, 0.0, 0.3, -0.1, 0.2, -0.3, 0.1, 0.0, -0.1,
+            0.2, -0.2, 0.1, 0.0, -0.1, 0.3, -0.3, 0.2, 0.0, 0.1,
+            -0.2, 0.1, 50.0, 48.0]
+    rows += [("a", 0, i, v) for i, v in enumerate(vals)]
+    # group B: all-constant residual -> MAD 0 -> no flags, NULL r
+    rows += [("b", 0, i, 1.5) for i in range(24)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["k", "day", "i", "x"])
+    )
+    out = shesd_outliers(
+        df, keys=["k", "day"], idx_col="i", resid_col="x",
+        max_k=3, alpha=0.05, min_n=10,
+    ).toPandas()
+    a = out[out["k"] == "a"]
+    flagged = set(a[a["is_outlier"]]["i"])
+    assert {22, 23} <= flagged, a
+    # the third-round candidate (an ordinary point) must NOT be flagged
+    assert len(flagged) == 2, a
+    b = out[out["k"] == "b"]
+    assert not b["is_outlier"].any()
+    assert b["r_stat"].isna().all()
+
+
+def test_shesd_min_n_guard(spark):
+    import pytest
+    from tsrollup.tsops import shesd_outliers
+
+    with pytest.raises(ValueError):
+        shesd_outliers(
+            spark.range(1), keys=["id"], idx_col="id", resid_col="id",
+            max_k=3, min_n=4,
+        )

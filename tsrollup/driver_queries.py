@@ -4657,3 +4657,138 @@ def tx_bm25(spark, sf_dir):
         .where(F.col("rnk") <= 20)
         .select("doc_id", "micro_score", "rnk")
     )
+
+
+# ------------------- W27 Seasonal-Hybrid ESD (S-H-ESD, round 4)
+
+_SHESD_SQL = """
+    WITH hb AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS i,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    ext AS (SELECT event_type, min(i) AS mn, max(i) AS mx FROM hb GROUP BY 1),
+    spine AS (SELECT event_type, unnest(generate_series(mn, mx)) AS i FROM ext),
+    dense AS (
+      SELECT s.event_type, s.i, coalesce(hb.c, 0) AS val
+      FROM spine s LEFT JOIN hb ON hb.event_type = s.event_type AND hb.i = s.i
+    ),
+    det AS (
+      SELECT event_type, i, val,
+             val::DOUBLE - (sum(val) OVER w::DOUBLE / count(*) OVER w::DOUBLE) AS d,
+             i % 24 AS phase
+      FROM dense
+      WINDOW w AS (PARTITION BY event_type ORDER BY i
+                   ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING)
+    ),
+    ph AS (SELECT event_type, phase, quantile_cont(d, 0.5) AS seasonal
+           FROM det GROUP BY 1, 2),
+    sm AS (SELECT event_type, quantile_cont(val, 0.5) AS med FROM dense GROUP BY 1),
+    r0 AS (
+      SELECT det.event_type, det.i, det.i // 24 AS day_idx,
+             round(det.val - ph.seasonal - sm.med, 6) AS x
+      FROM det
+      JOIN ph ON ph.event_type = det.event_type AND ph.phase = det.phase
+      JOIN sm ON sm.event_type = det.event_type
+    ),
+    base AS (
+      SELECT * FROM (
+        SELECT r0.*, count(*) OVER (PARTITION BY event_type, day_idx) AS n0
+        FROM r0
+      ) WHERE n0 >= 10
+    ),
+    m1 AS (SELECT event_type, day_idx, quantile_cont(x, 0.5) AS med
+           FROM base GROUP BY 1, 2),
+    d1 AS (SELECT b.*, abs(b.x - m1.med) AS dev
+           FROM base b JOIN m1 USING (event_type, day_idx)),
+    a1 AS (SELECT event_type, day_idx, quantile_cont(dev, 0.5) AS mad
+           FROM d1 GROUP BY 1, 2),
+    c1 AS (SELECT *, row_number() OVER (PARTITION BY event_type, day_idx
+                                        ORDER BY dev DESC, i ASC) AS rk,
+                  CASE WHEN mad > 0 THEN dev / (1.4826 * mad) END AS r
+           FROM d1 JOIN a1 USING (event_type, day_idx)),
+    out1 AS (SELECT event_type, day_idx, i, x, n0, 1 AS rnd, r FROM c1 WHERE rk = 1),
+    rem2 AS (SELECT event_type, day_idx, i, x, n0 FROM c1 WHERE rk > 1),
+    m2 AS (SELECT event_type, day_idx, quantile_cont(x, 0.5) AS med
+           FROM rem2 GROUP BY 1, 2),
+    d2 AS (SELECT b.*, abs(b.x - m2.med) AS dev
+           FROM rem2 b JOIN m2 USING (event_type, day_idx)),
+    a2 AS (SELECT event_type, day_idx, quantile_cont(dev, 0.5) AS mad
+           FROM d2 GROUP BY 1, 2),
+    c2 AS (SELECT *, row_number() OVER (PARTITION BY event_type, day_idx
+                                        ORDER BY dev DESC, i ASC) AS rk,
+                  CASE WHEN mad > 0 THEN dev / (1.4826 * mad) END AS r
+           FROM d2 JOIN a2 USING (event_type, day_idx)),
+    out2 AS (SELECT event_type, day_idx, i, x, n0, 2 AS rnd, r FROM c2 WHERE rk = 1),
+    rem3 AS (SELECT event_type, day_idx, i, x, n0 FROM c2 WHERE rk > 1),
+    m3 AS (SELECT event_type, day_idx, quantile_cont(x, 0.5) AS med
+           FROM rem3 GROUP BY 1, 2),
+    d3 AS (SELECT b.*, abs(b.x - m3.med) AS dev
+           FROM rem3 b JOIN m3 USING (event_type, day_idx)),
+    a3 AS (SELECT event_type, day_idx, quantile_cont(dev, 0.5) AS mad
+           FROM d3 GROUP BY 1, 2),
+    c3 AS (SELECT *, row_number() OVER (PARTITION BY event_type, day_idx
+                                        ORDER BY dev DESC, i ASC) AS rk,
+                  CASE WHEN mad > 0 THEN dev / (1.4826 * mad) END AS r
+           FROM d3 JOIN a3 USING (event_type, day_idx)),
+    out3 AS (SELECT event_type, day_idx, i, x, n0, 3 AS rnd, r FROM c3 WHERE rk = 1),
+    allout AS (SELECT * FROM out1 UNION ALL SELECT * FROM out2
+               UNION ALL SELECT * FROM out3),
+    lam AS (SELECT * FROM (VALUES {values}) t(n0, rnd, lam)),
+    j AS (SELECT a.*, l.lam FROM allout a
+          JOIN lam l ON l.n0 = a.n0 AND l.rnd = a.rnd),
+    k AS (SELECT *, max(CASE WHEN r > lam THEN rnd END)
+                      OVER (PARTITION BY event_type, day_idx) AS kstar FROM j)
+    SELECT event_type, CAST(day_idx AS BIGINT) AS day_idx, i, x AS resid_r,
+           rnd, round(r, 6) AS r_r, round(lam, 6) AS lam_r,
+           rnd <= coalesce(kstar, 0) AS is_outlier
+    FROM k
+"""
+
+
+def _register_shesd():
+    @q("w27_shesd", _SHESD_SQL.replace("{values}", _gesd_lambda_values()))
+    def w27_shesd(spark, sf_dir):
+        """Seasonal-Hybrid ESD (Twitter's S-H-ESD, Vallis-Hochenbaum-
+        Kejariwal KDD'14) — the composition the pieces were built for:
+        STL-style seasonal component (w13's per-phase median of the
+        detrended series) is subtracted along with the per-series MEDIAN
+        (not trend — the 'hybrid' trick that keeps a drifting level from
+        masking outliers), and the robust median/MAD ESD test
+        (tsops.shesd_outliers) runs per (event_type, day) on the
+        residual. Residuals are rounded 1e-6 BEFORE the test — the one
+        cross-engine determinism boundary; the twin unrolls the same 3
+        robust rounds with the same inlined Rosner λ literals as
+        w15_gesd."""
+        from .tsops import seasonal_decompose, shesd_outliers
+
+        dense = _dense_hourly(spark, sf_dir)
+        sd = seasonal_decompose(
+            dense, keys=["event_type"], idx_col="i", val_col="c",
+            period=24, trend_window=24,
+        )
+        med = dense.groupBy("event_type").agg(
+            F.expr("percentile(c, 0.5)").alias("med")
+        )
+        r0 = sd.join(F.broadcast(med), "event_type").select(
+            "event_type",
+            "i",
+            F.expr("i div 24").cast("long").alias("day_idx"),
+            F.round(
+                F.col("val") - F.col("seasonal") - F.col("med"), 6
+            ).alias("x"),
+        )
+        out = shesd_outliers(
+            r0, keys=["event_type", "day_idx"], idx_col="i", resid_col="x",
+            max_k=3, alpha=0.05, min_n=10,
+        )
+        return out.select(
+            "event_type", "day_idx", "i",
+            F.col("x").alias("resid_r"), "rnd",
+            F.round("r_stat", 6).alias("r_r"),
+            F.round("lam", 6).alias("lam_r"),
+            "is_outlier",
+        )
+
+
+_register_shesd()

@@ -1711,3 +1711,117 @@ def pattern_reversals(
             (-F.col("_next_delta")).cast("long").alias("drop_sz"),
         )
     )
+
+
+def shesd_outliers(
+    df: DataFrame,
+    keys: list[str],
+    idx_col: str,
+    resid_col: str,
+    max_k: int = 3,
+    alpha: float = 0.05,
+    min_n: int = 10,
+) -> DataFrame:
+    """Seasonal-Hybrid ESD's robust test stage (Twitter/Vallis-Hochenbaum-
+    Kejariwal KDD'14 'hybrid' variant of Rosner's ESD): per key group,
+    max_k rounds each remove the point with the largest |x − median|
+    (tie: lowest index), with R_i = max|x − median| / (1.4826 · MAD) —
+    median and MAD replacing mean and stddev so that up to ~50% of a
+    window being anomalous cannot mask the test the way it breaks the
+    classic GESD. Verdicts use the SAME Rosner t-based λ critical values
+    (tsrollup.stats.gesd_lambdas) evaluated against the robust R.
+
+    The caller passes a residual column already ROUNDED to 1e-6 (the
+    cross-engine determinism boundary — see w13's discipline): from
+    identical rounded inputs, both engines' medians interpolate the same
+    doubles, devs/R evaluate the same expressions, and the argmax
+    orders by (dev DESC, idx ASC) identically. A zero-MAD (constant
+    majority) round yields NULL R — never flagged, never a divide error.
+
+    Same scale shape as gesd_outliers: K unrolled groupBy+join+window
+    passes over a shrinking per-group set (groups are bucket-bounded,
+    e.g. ≤24 hours/day); the only collect is the distinct group sizes
+    for the λ broadcast."""
+    if min_n < max_k + 3:
+        raise ValueError(f"min_n={min_n} must be >= max_k + 3 = {max_k + 3}")
+    from .stats import gesd_lambdas
+
+    w0 = Window.partitionBy(*keys)
+    base = (
+        df.select(
+            *keys,
+            F.col(idx_col).alias("__i"),
+            F.col(resid_col).cast("double").alias("__x"),
+        )
+        .withColumn("__n0", F.count(F.lit(1)).over(w0))
+        .where(F.col("__n0") >= min_n)
+    )
+
+    remaining = base
+    removed = []
+    for rnd in range(1, max_k + 1):
+        med = remaining.groupBy(*keys).agg(
+            F.expr("percentile(__x, 0.5)").alias("__med")
+        )
+        devd = remaining.join(med, keys).withColumn(
+            "__dev", F.abs(F.col("__x") - F.col("__med"))
+        )
+        mad = devd.groupBy(*keys).agg(
+            F.expr("percentile(__dev, 0.5)").alias("__mad")
+        )
+        cand = (
+            devd.join(mad, keys)
+            .withColumn(
+                "__r",
+                F.when(
+                    F.col("__mad") > 0,
+                    F.col("__dev") / (F.lit(1.4826) * F.col("__mad")),
+                ),
+            )
+            .withColumn(
+                "__rk",
+                F.row_number().over(
+                    Window.partitionBy(*keys).orderBy(
+                        F.desc("__dev"), F.asc("__i")
+                    )
+                ),
+            )
+        )
+        removed.append(
+            cand.where(F.col("__rk") == 1).select(
+                *keys, "__i", "__x", "__n0",
+                F.lit(rnd).alias("rnd"), F.col("__r").alias("r_stat"),
+            )
+        )
+        remaining = cand.where(F.col("__rk") > 1).select(
+            *keys, "__i", "__x", "__n0"
+        )
+
+    allout = removed[0]
+    for d in removed[1:]:
+        allout = allout.unionByName(d)
+
+    sizes = sorted(r["__n0"] for r in base.select("__n0").distinct().collect())
+    spark = df.sparkSession
+    lam_rows = [
+        (int(n), rnd, gesd_lambdas(int(n), max_k, alpha)[rnd - 1])
+        for n in sizes
+        for rnd in range(1, max_k + 1)
+    ]
+    lam = spark.createDataFrame(lam_rows, "__n0 long, rnd int, lam double")
+
+    flagged = allout.join(F.broadcast(lam), ["__n0", "rnd"]).withColumn(
+        "__kstar",
+        F.max(F.when(F.col("r_stat") > F.col("lam"), F.col("rnd"))).over(
+            Window.partitionBy(*keys)
+        ),
+    )
+    return flagged.select(
+        *keys,
+        F.col("__i").alias(idx_col),
+        F.col("__x").alias(resid_col),
+        "rnd",
+        "r_stat",
+        "lam",
+        (F.col("rnd") <= F.coalesce("__kstar", F.lit(0))).alias("is_outlier"),
+    )
