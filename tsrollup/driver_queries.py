@@ -4792,3 +4792,60 @@ def _register_shesd():
 
 
 _register_shesd()
+
+
+# -------------------- K4 Z-order layout + zone maps (round 4)
+
+@q(
+    "k4_zorder_map",
+    """
+    WITH e AS (SELECT user_id, epoch_us(ts) // 3600000000 AS h FROM events),
+    mm AS (SELECT min(user_id) AS xmin, max(user_id) AS xmax,
+                  min(h) AS hmin, max(h) AS hmax FROM e),
+    q AS (SELECT user_id, h,
+                 CASE WHEN xmax > xmin
+                      THEN (user_id - xmin) * 65535 // (xmax - xmin)
+                      ELSE 0 END AS x0,
+                 CASE WHEN hmax > hmin
+                      THEN (h - hmin) * 65535 // (hmax - hmin)
+                      ELSE 0 END AS y0
+          FROM e CROSS JOIN mm),
+    s1 AS (SELECT user_id, h, (x0 | (x0 << 8)) & 16711935 AS x1,
+                              (y0 | (y0 << 8)) & 16711935 AS y1 FROM q),
+    s2 AS (SELECT user_id, h, (x1 | (x1 << 4)) & 252645135 AS x2,
+                              (y1 | (y1 << 4)) & 252645135 AS y2 FROM s1),
+    s3 AS (SELECT user_id, h, (x2 | (x2 << 2)) & 858993459 AS x3,
+                              (y2 | (y2 << 2)) & 858993459 AS y3 FROM s2),
+    s4 AS (SELECT user_id, h, (x3 | (x3 << 1)) & 1431655765 AS x4,
+                              (y3 | (y3 << 1)) & 1431655765 AS y4 FROM s3),
+    z AS (SELECT user_id, h, (x4 | (y4 << 1)) // 4194304 AS z_bucket FROM s4)
+    SELECT z_bucket, CAST(count(*) AS BIGINT) AS n,
+           min(user_id) AS min_user_id, max(user_id) AS max_user_id,
+           min(h) AS min_h, max(h) AS max_h
+    FROM z GROUP BY z_bucket
+    """,
+)
+def k4_zorder_map(spark, sf_dir):
+    """Z-order layout + zone maps (tsrollup.zorder): events quantized on
+    (user_id, hour) to 16 bits each, Morton-interleaved via the
+    magic-number bit spread, bucketed on the top 10 z-bits (the file
+    surrogate a repartitionByRange("z") write realises), and the
+    per-bucket min/max bounding box — the data-skipping index that lets
+    a 2-D box query prune files in BOTH dimensions where a 1-D sort
+    layout prunes only one.
+
+    Exact integer arithmetic end-to-end (quantize floor-division bound
+    documented in zorder.quantize16), so the twin recomputes the
+    identical buckets and boxes. The 12 bitwise ops per row stay inside
+    whole-stage codegen; the only extra cost vs a 1-D sort is the tiny
+    min/max agg broadcast back for quantization."""
+    from .zorder import zone_map, zorder_frame
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000").alias("h"),
+    )
+    zf = zorder_frame(ev, "user_id", "h", bucket_bits=10)
+    return zone_map(zf, "z_bucket", ["user_id", "h"]).select(
+        "z_bucket", "n", "min_user_id", "max_user_id", "min_h", "max_h"
+    )
