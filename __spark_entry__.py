@@ -1262,7 +1262,63 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("token_id", "cnt_exact", "cnt_cms")
         )
 
+    def engine_bucketed_join(spark, sf_dir):
+        """K5: bucketed co-located join — the shuffle-elimination layout
+        for repeated big-big joins: both tables written ONCE with
+        `bucketBy(8, key).sortBy(key)` (external location, so the
+        managed-table warehouse never leaks outside scratch), after
+        which every join on the key is exchange-free — the 100-TB win
+        is paying the layout shuffle once instead of per-query. The
+        entry asserts the property it claims: broadcast is disabled for
+        the probe and the physical plan must contain NO Exchange.
+        Result (and the DuckDB twin) is the plain join + aggregate, so
+        the oracle proves the layout changed the PLAN and nothing
+        else."""
+        base = _scratch("bucketed_join")
+        spark.sql("DROP TABLE IF EXISTS bj_orders")
+        spark.sql("DROP TABLE IF EXISTS bj_lineitem")
+        (
+            spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+            .option("path", os.path.join(base, "orders"))
+            .mode("overwrite").saveAsTable("bj_orders")
+        )
+        (
+            spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+            .withColumnRenamed("l_orderkey", "o_orderkey")
+            .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+            .option("path", os.path.join(base, "lineitem"))
+            .mode("overwrite").saveAsTable("bj_lineitem")
+        )
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            pairs = spark.table("bj_orders").join(
+                spark.table("bj_lineitem"), "o_orderkey"
+            )
+            # the JOIN subtree must be exchange-free (the aggregate on a
+            # different key downstream legitimately shuffles once)
+            plan = pairs._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, (
+                "bucketed co-located join must plan no shuffle:\n" + plan
+            )
+            assert "Bucketed: true" in plan, plan
+            joined = pairs.groupBy("o_orderpriority").agg(
+                F.count(F.lit(1)).cast("long").alias("n_items"),
+                F.sum(F.col("l_quantity").cast("long"))
+                .cast("long")
+                .alias("qty_sum"),
+            )
+            # materialize while the conf override is still active
+            joined = spark.createDataFrame(
+                joined.collect(), joined.schema
+            )
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        return joined
+
     return {
+        "engine_bucketed_join": engine_bucketed_join,
         "tx_bloom_decontam": tx_bloom_decontam,
         "sk_cms_heavy": sk_cms_heavy,
         "dd_phash": dd_phash,
@@ -2201,7 +2257,15 @@ def _engine_oracles() -> dict[str, str]:
     FROM u
     """)
 
+    bucketed_join_o = """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """
+
     return {
+        "engine_bucketed_join": bucketed_join_o,
         "tx_bloom_decontam": bloom_decontam_o,
         "sk_cms_heavy": cms_heavy_o,
         "dd_phash": phash_o,

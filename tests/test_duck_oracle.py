@@ -31,7 +31,8 @@ SF_DIR = os.path.join(TESTDATA, "sf0.001")
 def duck():
     con = duckdb.connect()
     con.execute(XXH64_PRELUDE)
-    for name in ("documents", "embeddings"):
+    for name in ("region nation customer supplier part orders lineitem "
+                 "events documents embeddings").split():
         con.execute(
             f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{SF_DIR}/{name}.parquet')"
         )
@@ -109,6 +110,7 @@ ENGINE_ORACLE_NAMES = [
     "tx_bigram_lift",
     "dd_phash",
     "dd_audio_fp",
+    "engine_bucketed_join",
 ]
 
 
