@@ -1317,8 +1317,68 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         return joined
 
+    def x1_ab_test(spark, sf_dir):
+        """X1: A/B experiment readout — users deterministically split
+        into two arms by pmod(xxhash64("<user_id>#ab"), 2) (the mx_split
+        stateless-assignment discipline, so an experiment's arms are
+        reproducible and join-free), then per event_type a two-proportion
+        z-test on user-level conversion: z = (pA - pB) /
+        sqrt(p̂(1-p̂)(1/nA + 1/nB)). Counts are exact integers; the one
+        float z is computed by the identical expression text in both
+        engines and rounded 1e-6; the significance verdict compares the
+        ROUNDED z against 1.959964 so it is a pure function of the
+        twinned value."""
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        u = (
+            ev.select("user_id")
+            .distinct()
+            .withColumn(
+                "arm",
+                F.pmod(
+                    F.xxhash64(
+                        F.concat(F.col("user_id").cast("string"), F.lit("#ab"))
+                    ),
+                    F.lit(2),
+                ),
+            )
+        )
+        n = u.groupBy().agg(
+            F.sum((F.col("arm") == 0).cast("long")).alias("n_a"),
+            F.sum((F.col("arm") == 1).cast("long")).alias("n_b"),
+        )
+        ue = ev.select("event_type", "user_id").distinct().join(u, "user_id")
+        c = ue.groupBy("event_type").agg(
+            F.sum((F.col("arm") == 0).cast("long")).alias("c_a"),
+            F.sum((F.col("arm") == 1).cast("long")).alias("c_b"),
+        )
+        j = c.crossJoin(F.broadcast(n))
+        pa = F.col("c_a").cast("double") / F.col("n_a")
+        pb = F.col("c_b").cast("double") / F.col("n_b")
+        pp = (F.col("c_a") + F.col("c_b")).cast("double") / (
+            F.col("n_a") + F.col("n_b")
+        )
+        # degenerate pooled rates (0 or 1 — e.g. every user has a 'view')
+        # have zero variance: z is NULL, never a divide error
+        conv = F.col("c_a") + F.col("c_b")
+        tot = F.col("n_a") + F.col("n_b")
+        z = F.when(
+            (conv > 0) & (conv < tot),
+            (pa - pb)
+            / F.sqrt(
+                pp * (1.0 - pp) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+            ),
+        )
+        return j.select(
+            "event_type", "c_a", "c_b", "n_a", "n_b",
+            F.round(z, 6).alias("z_r"),
+            F.coalesce(
+                F.abs(F.round(z, 6)) >= 1.959964, F.lit(False)
+            ).alias("significant"),
+        )
+
     return {
         "engine_bucketed_join": engine_bucketed_join,
+        "x1_ab_test": x1_ab_test,
         "tx_bloom_decontam": tx_bloom_decontam,
         "sk_cms_heavy": sk_cms_heavy,
         "dd_phash": dd_phash,
@@ -2257,6 +2317,40 @@ def _engine_oracles() -> dict[str, str]:
     FROM u
     """)
 
+    ab_test_o = engine_oracle("""
+    , u AS (
+      SELECT DISTINCT user_id,
+             xxpmod(xxh64(user_id::VARCHAR || '#ab'), 2) AS arm
+      FROM events
+    ),
+    n AS (
+      SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      FROM u
+    ),
+    ue AS (SELECT DISTINCT e.event_type, e.user_id, u.arm
+           FROM events e JOIN u USING (user_id)),
+    c AS (
+      SELECT event_type,
+             CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+             CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_b
+      FROM ue GROUP BY event_type
+    )
+    , zz AS (
+      SELECT event_type, c_a, c_b, n_a, n_b,
+             CASE WHEN c_a + c_b > 0 AND c_a + c_b < n_a + n_b THEN
+               round((c_a::DOUBLE / n_a - c_b::DOUBLE / n_b)
+                     / sqrt(((c_a + c_b)::DOUBLE / (n_a + n_b))
+                            * (1.0 - (c_a + c_b)::DOUBLE / (n_a + n_b))
+                            * (1.0 / n_a + 1.0 / n_b)), 6)
+             END AS z_r
+      FROM c CROSS JOIN n
+    )
+    SELECT event_type, c_a, c_b, n_a, n_b, z_r,
+           coalesce(abs(z_r) >= 1.959964, FALSE) AS significant
+    FROM zz
+    """)
+
     bucketed_join_o = """
     SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
            CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum
@@ -2266,6 +2360,7 @@ def _engine_oracles() -> dict[str, str]:
 
     return {
         "engine_bucketed_join": bucketed_join_o,
+        "x1_ab_test": ab_test_o,
         "tx_bloom_decontam": bloom_decontam_o,
         "sk_cms_heavy": cms_heavy_o,
         "dd_phash": phash_o,

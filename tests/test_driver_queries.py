@@ -211,3 +211,71 @@ def test_tx_bm25_ranking_semantics(spark, tmp_path):
     out = SPARK["tx_bm25"](spark, sf).toPandas().sort_values("rnk")
     assert list(out["doc_id"]) == [1, 2, 3], out
     assert (out["micro_score"] > 0).all()
+
+
+def test_w28_slo_burn_planted_burst(spark, tmp_path):
+    """A planted hour at 50% errors (burn 2.0 on a 25% budget) must page
+    when the trailing day also runs hot, and a healthy hour must not."""
+    import pandas as pd
+
+    rows = []
+    eid = 0
+    # 24 healthy hours: 10 events, 1 error (burn 0.4)
+    for h in range(24):
+        for k in range(10):
+            rows.append(
+                (eid, pd.Timestamp("2024-01-01") + pd.Timedelta(hours=h, seconds=k),
+                 1, "error" if k == 0 else "view", 1.0, "{}")
+            )
+            eid += 1
+    # burst hour: 10 events, 5 errors -> burn_s 2.0; long window still
+    # carries the burst, so page requires the long-run gate too
+    for k in range(10):
+        rows.append(
+            (eid, pd.Timestamp("2024-01-02 00:00:00") + pd.Timedelta(seconds=k),
+             1, "error" if k < 5 else "view", 1.0, "{}")
+        )
+        eid += 1
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    sf = str(tmp_path)
+    pdf.to_parquet(f"{sf}/events.parquet", index=False, coerce_timestamps="us")
+    from tsrollup.driver_queries import SPARK
+
+    out = {r["i"]: r for r in SPARK["w28_slo_burn"](spark, sf).collect()}
+    burst_i = int(pd.Timestamp("2024-01-02").timestamp() // 3600)
+    healthy_i = burst_i - 1
+    assert out[burst_i]["ticket"] and not out[healthy_i]["ticket"]
+    # long window at the burst hour: 29 errors / 250 events = 0.116 <
+    # 0.225 -> page gated off by the long window despite the hot hour
+    assert not out[burst_i]["page"]
+    assert abs(out[burst_i]["burn_s_r"] - 2.0) < 1e-9
+
+
+def test_b4_sessionize_gap_split(spark, tmp_path):
+    """Two bursts 31 minutes apart are two sessions; 29 minutes apart is
+    one; durations are exact micros."""
+    import pandas as pd
+
+    t0 = pd.Timestamp("2024-01-01")
+    rows = [
+        # user 1: 2 events, 31-min gap -> 2 sessions of 1 event each
+        (1, t0, 1, "view", 1.0, "{}"),
+        (2, t0 + pd.Timedelta(minutes=31), 1, "view", 1.0, "{}"),
+        # user 2: 3 events inside 29 minutes -> 1 session
+        (3, t0, 2, "view", 1.0, "{}"),
+        (4, t0 + pd.Timedelta(minutes=15), 2, "view", 1.0, "{}"),
+        (5, t0 + pd.Timedelta(minutes=29), 2, "view", 1.0, "{}"),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    sf = str(tmp_path)
+    pdf.to_parquet(f"{sf}/events.parquet", index=False, coerce_timestamps="us")
+    from tsrollup.driver_queries import SPARK
+
+    out = {r["user_id"]: r for r in SPARK["b4_sessionize"](spark, sf).collect()}
+    assert out[1]["n_sessions"] == 2 and out[1]["total_dur_us"] == 0
+    assert out[2]["n_sessions"] == 1 and out[2]["max_events"] == 3
+    assert out[2]["total_dur_us"] == 29 * 60 * 1_000_000

@@ -111,6 +111,7 @@ ENGINE_ORACLE_NAMES = [
     "dd_phash",
     "dd_audio_fp",
     "engine_bucketed_join",
+    "x1_ab_test",
 ]
 
 

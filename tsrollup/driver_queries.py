@@ -4849,3 +4849,153 @@ def k4_zorder_map(spark, sf_dir):
     return zone_map(zf, "z_bucket", ["user_id", "h"]).select(
         "z_bucket", "n", "min_user_id", "max_user_id", "min_h", "max_h"
     )
+
+
+# ------------------ B4 batch sessionization (round 4)
+
+@q(
+    "b4_sessionize",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > 1800000000
+                    OR lag(epoch_us(ts))
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, us,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM e
+    ),
+    g AS (
+      SELECT user_id, sess_id,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(max(us) - min(us) AS BIGINT) AS dur_us
+      FROM s GROUP BY user_id, sess_id
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(n_events) AS BIGINT) AS n_events,
+           CAST(max(n_events) AS BIGINT) AS max_events,
+           CAST(sum(dur_us) AS BIGINT) AS total_dur_us
+    FROM g GROUP BY user_id
+    """,
+)
+def b4_sessionize(spark, sf_dir):
+    """Batch sessionization (gaps-and-islands): split each user's event
+    stream at >30 min inactivity gaps via lag + running sum of
+    session-start markers — the classic two-window idiom — then roll up
+    per-user session stats. The streaming sibling is t2_session_window;
+    this is the backfill/batch form over the full history.
+
+    Scale shape: both windows and both aggregates share ONE partitioning
+    by user_id, so the whole operator is a single shuffle + sort reused
+    across stages (Spark plans one Exchange). Durations are exact
+    epoch-micro BIGINTs; ties on ts break by event_id in both
+    engines."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.expr("unix_micros(CAST(ts AS TIMESTAMP))")
+    e = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        us.alias("us"),
+        F.when(
+            (us - F.lag(us).over(w) > 1_800_000_000)
+            | F.lag(us).over(w).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    # ties on us break by event_id so session assignment is a pure
+    # function of the data in BOTH engines, not of window row order
+    ws = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    s = e.select("user_id", "us", F.sum("new_sess").over(ws).alias("sess_id"))
+    g = s.groupBy("user_id", "sess_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("us") - F.min("us")).cast("long").alias("dur_us"),
+    )
+    return g.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.max("n_events").cast("long").alias("max_events"),
+        F.sum("dur_us").cast("long").alias("total_dur_us"),
+    )
+
+
+# ------------------ W28 SLO burn-rate alerts (round 4)
+
+@q(
+    "w28_slo_burn",
+    """
+    WITH h AS (
+      SELECT epoch_us(ts) // 3600000000 AS i,
+             CAST(count(*) AS BIGINT) AS t_s,
+             CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS e_s
+      FROM events GROUP BY 1
+    ),
+    w AS (
+      SELECT i, t_s, e_s,
+             CAST(sum(t_s) OVER win AS BIGINT) AS t_l,
+             CAST(sum(e_s) OVER win AS BIGINT) AS e_l
+      FROM h
+      WINDOW win AS (ORDER BY i RANGE BETWEEN 23 PRECEDING AND CURRENT ROW)
+    )
+    SELECT i, t_s, e_s, t_l, e_l,
+           round((e_s::DOUBLE / t_s) / 0.25, 6) AS burn_s_r,
+           round((e_l::DOUBLE / t_l) / 0.25, 6) AS burn_l_r,
+           (8 * e_s >= 3 * t_s AND 40 * e_l >= 9 * t_l) AS page,
+           (10 * e_s >= 3 * t_s) AS ticket
+    FROM w
+    """,
+)
+def w28_slo_burn(spark, sf_dir):
+    """Multi-window SLO burn-rate alerting (the SRE-workbook pattern):
+    with a 25% error budget, page when the 1h burn >= 1.5x AND the
+    trailing-24h burn >= 0.9x (fast burn confirmed by the long window —
+    a single bad hour with a healthy day only tickets); ticket on 1h
+    burn >= 1.2x.
+
+    The alert predicates are EXACT INTEGER inequalities (8e >= 3t is
+    burn >= 1.5 at a 0.25 budget), so verdicts can't drift across
+    engines; the reported burn ratios are display values rounded 1e-6.
+    Scale shape: one hourly hash agg, then ONE RANGE window (gap-correct
+    over missing hours, no spine materialized) ordered by the hour
+    index; per-source variants would just add the key to both."""
+    ev = t(spark, sf_dir, "events")
+    h = ev.groupBy(
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000").alias("i")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("t_s"),
+        F.sum((F.col("event_type") == "error").cast("long"))
+        .cast("long")
+        .alias("e_s"),
+    )
+    win = Window.orderBy("i").rangeBetween(-23, 0)
+    w = h.select(
+        "i", "t_s", "e_s",
+        F.sum("t_s").over(win).cast("long").alias("t_l"),
+        F.sum("e_s").over(win).cast("long").alias("e_l"),
+    )
+    return w.select(
+        "i", "t_s", "e_s", "t_l", "e_l",
+        F.round((F.col("e_s").cast("double") / F.col("t_s")) / 0.25, 6)
+        .alias("burn_s_r"),
+        F.round((F.col("e_l").cast("double") / F.col("t_l")) / 0.25, 6)
+        .alias("burn_l_r"),
+        (
+            (8 * F.col("e_s") >= 3 * F.col("t_s"))
+            & (40 * F.col("e_l") >= 9 * F.col("t_l"))
+        ).alias("page"),
+        (10 * F.col("e_s") >= 3 * F.col("t_s")).alias("ticket"),
+    )
