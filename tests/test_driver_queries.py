@@ -279,3 +279,24 @@ def test_b4_sessionize_gap_split(spark, tmp_path):
     assert out[1]["n_sessions"] == 2 and out[1]["total_dur_us"] == 0
     assert out[2]["n_sessions"] == 1 and out[2]["max_events"] == 3
     assert out[2]["total_dur_us"] == 29 * 60 * 1_000_000
+
+
+def test_tx_zipf_known_slope(spark, tmp_path):
+    """A corpus built to follow freq = 840 / rank exactly (840 = lcm 1..8,
+    so every frequency is an exact integer) must fit slope -1 in log-log
+    space; micro-unit rounding keeps it within 1e-3."""
+    import pandas as pd
+
+    words = []
+    for rank in range(1, 9):          # 8 tokens, freq 840/rank exactly
+        words += [f"w{rank:02d}"] * (840 // rank)
+    docs = [(0, " ".join(words), "en", "s0")]
+    pdf = pd.DataFrame(docs, columns=["doc_id", "text", "lang", "source"])
+    pdf["n_chars"] = pdf["text"].str.len()
+    sf = str(tmp_path)
+    pdf.to_parquet(f"{sf}/documents.parquet", index=False)
+    from tsrollup.driver_queries import SPARK
+
+    out = SPARK["tx_zipf"](spark, sf).collect()
+    assert len(out) == 1 and out[0]["n"] == 8
+    assert abs(out[0]["zipf_slope_r"] + 1.0) < 1e-3, out

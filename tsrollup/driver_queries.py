@@ -4999,3 +4999,91 @@ def w28_slo_burn(spark, sf_dir):
         ).alias("page"),
         (10 * F.col("e_s") >= 3 * F.col("t_s")).alias("ticket"),
     )
+
+
+# ------------------ TX Zipf slope (round 4)
+
+@q(
+    "tx_zipf",
+    """
+    WITH w AS (
+      SELECT source, unnest(string_split(lower(text), ' ')) AS word
+      FROM documents
+    ),
+    f AS (SELECT source, word, CAST(count(*) AS BIGINT) AS freq
+          FROM w GROUP BY source, word),
+    r AS (
+      SELECT source, freq,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY freq DESC, word ASC) AS rnk
+      FROM f
+    ),
+    m AS (
+      SELECT source,
+             CAST(round(ln(rnk::DOUBLE) * 1e6, 0) AS BIGINT) AS x,
+             CAST(round(ln(freq::DOUBLE) * 1e6, 0) AS BIGINT) AS y
+      FROM r WHERE rnk <= 100
+    ),
+    s AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM m GROUP BY source
+    )
+    SELECT source, n,
+           round((n * sxy - sx * sy)::DOUBLE
+                 / (n * sxx - sx * sx)::DOUBLE, 6) AS zipf_slope_r
+    FROM s
+    """,
+)
+def tx_zipf(spark, sf_dir):
+    """Zipf's-law exponent per source: OLS slope of log(freq) vs
+    log(rank) over each source's top-100 tokens (~-1 for natural text;
+    a strong deviation flags templated/boilerplate or synthetic
+    sources). The statistical-law sibling of tx_vocab_growth (Heaps'
+    law).
+
+    Determinism contract: each token's (ln rank, ln freq) pair is
+    rounded to INTEGER micro-units immediately — the per-term rounding
+    boundary of the bigram-LM discipline — and the OLS slope is
+    assembled from exact BIGINT sums (n·Σxy − ΣxΣy)/(n·Σxx − Σx²), so
+    summation ORDER can't drift the twin; the single final division is
+    one double. Products stay ≤ ~2e16, inside BIGINT. Scale shape: one
+    explode + (source, word) hash agg, a per-source top-100 window over
+    the (small) distinct-token set, then a 5-sum fused agg."""
+    d = t(spark, sf_dir, "documents")
+    w = d.select(
+        "source", F.explode(F.split(F.lower("text"), " ")).alias("word")
+    )
+    f = w.groupBy("source", "word").agg(F.count(F.lit(1)).alias("freq"))
+    rw = Window.partitionBy("source").orderBy(F.desc("freq"), F.asc("word"))
+    m = (
+        f.withColumn("rnk", F.row_number().over(rw))
+        .where(F.col("rnk") <= 100)
+        .select(
+            "source",
+            F.round(F.log(F.col("rnk").cast("double")) * 1e6, 0)
+            .cast("long")
+            .alias("x"),
+            F.round(F.log(F.col("freq").cast("double")) * 1e6, 0)
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    s = m.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    return s.select(
+        "source",
+        "n",
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"),
+            6,
+        ).alias("zipf_slope_r"),
+    )
