@@ -300,3 +300,38 @@ def test_tx_zipf_known_slope(spark, tmp_path):
     out = SPARK["tx_zipf"](spark, sf).collect()
     assert len(out) == 1 and out[0]["n"] == 8
     assert abs(out[0]["zipf_slope_r"] + 1.0) < 1e-3, out
+
+
+def test_w29_envelope_phase_specific_band(spark, tmp_path):
+    """A value normal-for-midnight but absurd-for-noon is flagged only at
+    noon: each hour is judged against its own phase's band."""
+    import pandas as pd
+
+    rows, eid = [], 0
+    t0 = pd.Timestamp("2024-01-01")
+    for day in range(10):
+        for hour in range(24):
+            # midnight hours run hot (20 events), others quiet (2)
+            n = 20 if hour == 0 else 2
+            # day 9 noon: a midnight-sized burst -> out of noon's band
+            if day == 9 and hour == 12:
+                n = 20
+            for k in range(n):
+                rows.append(
+                    (eid, t0 + pd.Timedelta(days=day, hours=hour, seconds=k),
+                     1, "click", 1.0, "{}")
+                )
+                eid += 1
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    sf = str(tmp_path)
+    pdf.to_parquet(f"{sf}/events.parquet", index=False, coerce_timestamps="us")
+    from tsrollup.driver_queries import SPARK
+
+    out = SPARK["w29_envelope"](spark, sf).toPandas()
+    base_i = int(t0.timestamp() // 3600)
+    noon9 = out[out["i"] == base_i + 9 * 24 + 12].iloc[0]
+    assert noon9["out_of_band"], noon9       # 20 >> noon's p90 (2)
+    mid9 = out[out["i"] == base_i + 9 * 24].iloc[0]
+    assert not mid9["out_of_band"], mid9     # 20 is normal at midnight

@@ -5087,3 +5087,66 @@ def tx_zipf(spark, sf_dir):
             6,
         ).alias("zipf_slope_r"),
     )
+
+
+# ------------------ W29 seasonal percentile envelope (round 4)
+
+@q(
+    "w29_envelope",
+    """
+    WITH hb AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS i,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    ext AS (SELECT event_type, min(i) AS mn, max(i) AS mx FROM hb GROUP BY 1),
+    spine AS (SELECT event_type, unnest(generate_series(mn, mx)) AS i FROM ext),
+    dense AS (
+      SELECT s.event_type, s.i, s.i % 24 AS phase, coalesce(hb.c, 0) AS c
+      FROM spine s LEFT JOIN hb ON hb.event_type = s.event_type AND hb.i = s.i
+    ),
+    band AS (
+      SELECT event_type, phase,
+             quantile_cont(c, 0.10) AS p10,
+             quantile_cont(c, 0.90) AS p90,
+             CAST(count(*) AS BIGINT) AS n_hist
+      FROM dense GROUP BY 1, 2
+    )
+    SELECT d.event_type, d.i, d.c,
+           round(b.p10, 6) AS p10_r, round(b.p90, 6) AS p90_r, b.n_hist,
+           (d.c < b.p10 OR d.c > b.p90) AS out_of_band
+    FROM dense d JOIN band b
+      ON b.event_type = d.event_type AND b.phase = d.phase
+    """,
+)
+def w29_envelope(spark, sf_dir):
+    """Seasonal percentile envelope — the monitoring-product 'baseline
+    band': for each (event_type, hour-of-day) the p10/p90 of the
+    zero-filled hourly counts over the whole history, and every hour
+    flagged against ITS OWN phase's band (3am is judged by 3am's
+    distribution, not the day's). Complements w5 (seasonal-naive point
+    deviation) and w7 (rolling robust z) with a distribution-band
+    verdict.
+
+    Exactness: counts are integers, the band edges are exact
+    interpolated percentiles of integers (identical in both engines),
+    and the verdict compares integer c against the UNROUNDED band — the
+    rounded columns are display values. Scale shape: one hourly agg,
+    the shared dense spine, one (event_type, phase) percentile agg
+    (48-row band table, broadcast back), one join."""
+    dense = _dense_hourly(spark, sf_dir).withColumn(
+        "phase", F.expr("i % 24")
+    )
+    band = dense.groupBy("event_type", "phase").agg(
+        F.expr("percentile(c, 0.10)").alias("p10"),
+        F.expr("percentile(c, 0.90)").alias("p90"),
+        F.count(F.lit(1)).cast("long").alias("n_hist"),
+    )
+    return dense.join(F.broadcast(band), ["event_type", "phase"]).select(
+        "event_type", "i", "c",
+        F.round("p10", 6).alias("p10_r"),
+        F.round("p90", 6).alias("p90_r"),
+        "n_hist",
+        ((F.col("c") < F.col("p10")) | (F.col("c") > F.col("p90")))
+        .alias("out_of_band"),
+    )
