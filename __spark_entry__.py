@@ -193,6 +193,23 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             feat_str.alias("feature_csv"),
         )
 
+    def mm_thumbnails(spark, sf_dir):
+        """Multimodal thumbnail pass (datapipe.multimodal_thumbnails):
+        decode BMP payloads -> exact nearest-neighbor resize to 4x8 ->
+        re-encode, binary in / binary out in ONE mapInPandas stage — the
+        'resize' member of decode/feature/resize/frame-sample. Thumb
+        bytes projected to hex for the rows-only hash (exact-integer
+        kernel, stable run to run; byte-pinned in tests)."""
+        from pyspark.sql import functions as F
+
+        from tsrollup.datapipe import multimodal_thumbnails
+
+        df = multimodal_thumbnails(spark, sf_dir)
+        return df.select(
+            "doc_id", "width", "height", "thumb_w", "thumb_h",
+            F.hex("thumb").alias("thumb_hex"),
+        )
+
     def mm_features(spark, sf_dir):
         # The driver canonicalizer sorts/hashes every column, and pandas
         # can't factorize list cells — project the feature array to a
@@ -1410,6 +1427,7 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_codec_blocks": engine_codec_blocks,
         "ann_lsh": ann_lsh,
         "mm_features": mm_features,
+        "mm_thumbnails": mm_thumbnails,
         "mm_features2": mm_features2,
         "mm_video_frames": mm_video_frames,
         "engine_streaming_rollup": engine_streaming_rollup,

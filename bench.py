@@ -217,6 +217,17 @@ def main() -> None:
         "w23_bursts",
         "dd_snm",
         "tx_coverage",
+        "dd_fuzzy",
+        "dq_checks",
+        "q2_snapshot_diff",
+        "b3_ohlc",
+        "tx_bm25",
+        "w27_shesd",
+        "k4_zorder_map",
+        "b4_sessionize",
+        "w28_slo_burn",
+        "w29_envelope",
+        "tx_zipf",
     ):
         t0 = time.monotonic()
         SPARK[name](spark, sf_dir).count()
@@ -259,6 +270,8 @@ def main() -> None:
         "w24_incidents",
         "w26_ensemble",
         "dd_audio_fp",
+        "x1_ab_test",
+        "engine_bucketed_join",
     ):
         t0 = time.monotonic()
         eq[name](spark, sf_dir).count()

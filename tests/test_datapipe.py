@@ -1090,3 +1090,73 @@ def test_dd_fuzzy_planted_typo_pair(spark, tmp_path):
     assert got.get((1, 2)) == 2, out
     assert all(3 not in p for p in got), "cross-block pair leaked"
     assert (1, 4) not in got and (2, 4) not in got, "distance gate failed"
+
+
+def test_image_resize_exact_and_guards():
+    """Nearest = pure index map (byte-exact vs a hand loop); box = exact
+    integer mean on divisible factors and a loud fence otherwise."""
+    import numpy as np
+    import pytest
+
+    from tsrollup.datapipe import image_resize
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (6, 10, 3), dtype=np.uint8)
+    out = image_resize(img, 3, 5, "nearest")
+    ref = np.array(
+        [[img[(i * 6) // 3, (j * 10) // 5] for j in range(5)] for i in range(3)]
+    )
+    assert (out == ref).all()
+
+    box = image_resize(img, 3, 5, "box")
+    ref_box = np.array(
+        [
+            [
+                img[2 * i : 2 * i + 2, 2 * j : 2 * j + 2]
+                .reshape(-1, 3)
+                .astype(np.int64)
+                .sum(0)
+                // 4
+                for j in range(5)
+            ]
+            for i in range(3)
+        ],
+        dtype=np.uint8,
+    )
+    assert (box == ref_box).all()
+
+    with pytest.raises(NotImplementedError):
+        image_resize(img, 4, 5, "box")
+    with pytest.raises(ValueError):
+        image_resize(img, 0, 5)
+    with pytest.raises(ValueError):
+        image_resize(img, 3, 5, "bicubic")
+
+
+def test_multimodal_thumbnails_roundtrip(spark):
+    """The thumbnail pass is a pure function of the fixture: thumbs decode
+    back to exactly the nearest-resized pixels of the source BMP."""
+    import numpy as np
+
+    from tsrollup.datapipe import (
+        bmp_pixels, image_resize, make_bmp, multimodal_thumbnails,
+    )
+    from .conftest import TESTDATA
+
+    sf = f"{TESTDATA}/sf0.001"
+    out = multimodal_thumbnails(spark, sf).collect()
+    assert len(out) > 0
+    docs = {
+        str(r["doc_id"]): r["text"]
+        for r in spark.read.parquet(f"{sf}/documents.parquet").collect()
+    }
+    for r in out[:10]:
+        raw = docs[r["doc_id"]].encode("utf-8")
+        arr = np.frombuffer(raw, dtype=np.uint8)
+        w = 16
+        h = max(1, min(8, arr.size // (w * 3)))
+        px = np.resize(arr, (h, w, 3))
+        expect = image_resize(bmp_pixels(make_bmp(px)), 4, 8)
+        got = bmp_pixels(bytes(r["thumb"]))
+        assert (got == expect).all()
+        assert (r["width"], r["height"]) == (w, h)

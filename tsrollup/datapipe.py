@@ -2104,3 +2104,88 @@ def cdc_chunk_stats(
             ).alias("dedup_per10k"),
         )
     )
+
+
+# ------------------------------------------------- image resize (round 4)
+
+def image_resize(
+    rgb: np.ndarray, out_h: int, out_w: int, method: str = "nearest"
+) -> np.ndarray:
+    """Exact image resize for the multimodal column pipeline — the
+    'resize' member of decode / feature-extract / resize / frame-sample.
+
+    - ``nearest``: index-map sampling, yi = floor(i*h/out_h) — any shape
+      to any shape, byte-exact and engine-reproducible (pure integer
+      index arithmetic, the same mapping image_phash uses for its 8x8
+      grid).
+    - ``box``: exact integer box-mean (floor of the BIGINT pixel sum /
+      box size) when the factors divide evenly; non-divisible factors
+      raise loudly (the repo's NotImplementedError fence discipline)
+      rather than silently introducing float filter kernels that no
+      oracle could reproduce.
+    """
+    h, w, c = rgb.shape
+    if out_h <= 0 or out_w <= 0:
+        raise ValueError(f"bad thumb shape ({out_h}, {out_w})")
+    if method == "nearest":
+        yi = (np.arange(out_h, dtype=np.int64) * h) // out_h
+        xi = (np.arange(out_w, dtype=np.int64) * w) // out_w
+        return rgb[yi][:, xi]
+    if method == "box":
+        if h % out_h or w % out_w:
+            raise NotImplementedError(
+                f"box resize needs divisible factors (got {h}x{w} -> "
+                f"{out_h}x{out_w}); use method='nearest'"
+            )
+        fy, fx = h // out_h, w // out_w
+        s = rgb.reshape(out_h, fy, out_w, fx, c).astype(np.int64)
+        return (s.sum(axis=(1, 3)) // (fy * fx)).astype(np.uint8)
+    raise ValueError(f"unknown resize method {method!r}")
+
+
+def multimodal_thumbnails(
+    spark: SparkSession, sf_dir: str, th: int = 4, tw: int = 8
+) -> DataFrame:
+    """Thumbnail pass over the multimodal image subset: synthesize the
+    SAME deterministic BMP payloads as multimodal_features_mixed
+    (doc_id % 4 == 1 docs), then one mapInPandas stage decodes each BMP,
+    nearest-resizes to (th, tw), and re-encodes — binary in, binary out,
+    the real shape of a thumbnailing pass over an image lake. Emits the
+    thumb payload plus both geometries; everything is exact-integer so
+    the output bytes are stable run to run (pinned by tests)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+
+    def run(batches):
+        for pdf in batches:
+            rows = {
+                "doc_id": [], "width": [], "height": [],
+                "thumb_w": [], "thumb_h": [], "thumb": [],
+            }
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = text.encode("utf-8")
+                arr = np.frombuffer(raw, dtype=np.uint8)
+                if int(doc_id) % 4 != 1 or arr.size == 0:
+                    continue
+                w = 16
+                h = max(1, min(8, arr.size // (w * 3)))
+                px = np.resize(arr, (h, w, 3))
+                payload = make_bmp(px)
+                decoded = bmp_pixels(payload)
+                thumb = image_resize(decoded, th, tw, method="nearest")
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["thumb_w"].append(tw)
+                rows["thumb_h"].append(th)
+                rows["thumb"].append(make_bmp(thumb))
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(
+        run,
+        schema=(
+            "doc_id string, width int, height int, "
+            "thumb_w int, thumb_h int, thumb binary"
+        ),
+    )
