@@ -322,6 +322,28 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "cnt", "n_tok_sum", "n_tok_min", "n_tok_max", "tok_sum", "tok_cnt",
         )
 
+    def engine_streaming_ohlc(spark, sf_dir):
+        """T13: streaming OHLC candles (streaming.streaming_ohlc_1m) —
+        min_by/max_by struct-ordered open/close as watermarked algebraic
+        partials, drained availableNow through the exactly-once file
+        sink; finalized candles only (append mode). The DuckDB twin
+        re-derives every candle with ordered-set first()/last() and the
+        same watermark cut as the rollup twin."""
+        from tsrollup.streaming import run_streaming_ohlc
+
+        base = _scratch("streaming_ohlc")
+        in_dir = _seq_files(spark, sf_dir, base)
+        out = os.path.join(base, "candles")
+        run_streaming_ohlc(
+            spark, in_dir, out, os.path.join(base, "ckpt"),
+            max_files_per_trigger=1,
+        )
+        return spark.read.parquet(out).select(
+            "source",
+            F.unix_timestamp("bucket_start").alias("bucket_s"),
+            "open", "high", "low", "close", "n",
+        )
+
     def engine_streaming_scores(spark, sf_dir):
         """Streamed per-bucket detectors (streaming.streaming_scores):
         the 1h tier is written as 3 time-ordered bucket-file slices and
@@ -1431,6 +1453,7 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_features2": mm_features2,
         "mm_video_frames": mm_video_frames,
         "engine_streaming_rollup": engine_streaming_rollup,
+        "engine_streaming_ohlc": engine_streaming_ohlc,
         "engine_streaming_silence": engine_streaming_silence,
         "engine_token_movers": engine_token_movers,
         "engine_len_hist": engine_len_hist,
@@ -1476,6 +1499,22 @@ def _engine_oracles() -> dict[str, str]:
     )
     SELECT source, epoch(bucket_start)::BIGINT AS bucket_s,
            cnt, n_tok_sum, n_tok_min, n_tok_max, tok_sum, tok_cnt
+    FROM agg, wm WHERE bucket_start + INTERVAL 1 MINUTE <= wm.w
+    """)
+
+    streaming_ohlc = engine_oracle(""",
+    wm AS (SELECT max(event_ts) - INTERVAL 10 MINUTE AS w FROM seq),
+    agg AS (
+      SELECT source, date_trunc('minute', event_ts) AS bucket_start,
+             first(n_tok ORDER BY event_ts, doc_id) AS open,
+             max(n_tok) AS high,
+             min(n_tok) AS low,
+             last(n_tok ORDER BY event_ts, doc_id) AS close,
+             CAST(count(*) AS BIGINT) AS n
+      FROM seq GROUP BY 1, 2
+    )
+    SELECT source, epoch(bucket_start)::BIGINT AS bucket_s,
+           open, high, low, close, n
     FROM agg, wm WHERE bucket_start + INTERVAL 1 MINUTE <= wm.w
     """)
 
@@ -2402,6 +2441,7 @@ def _engine_oracles() -> dict[str, str]:
         "engine_token_hist": token_hist,
         "engine_token_profile": token_profile,
         "engine_streaming_rollup": streaming_rollup,
+        "engine_streaming_ohlc": streaming_ohlc,
         "engine_streaming_silence": streaming_silence,
         "engine_token_movers": token_movers_o,
         "engine_len_hist": len_hist_o,

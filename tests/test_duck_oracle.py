@@ -112,6 +112,7 @@ ENGINE_ORACLE_NAMES = [
     "dd_audio_fp",
     "engine_bucketed_join",
     "x1_ab_test",
+    "engine_streaming_ohlc",
 ]
 
 

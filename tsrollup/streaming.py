@@ -923,3 +923,53 @@ def run_streaming_sessions(
         .start()
     )
     q.awaitTermination()
+
+
+# ------------------------------------------------------------------ T13
+
+def streaming_ohlc_1m(
+    stream: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """T13 — streaming OHLC candles: per (source, 1m window), the first/
+    last n_tok in (event_ts, doc_id) order plus the extremes and count —
+    the b3_ohlc semantics on the live stream. min_by/max_by on a struct
+    ordering are algebraic aggregates, so they run as ordinary
+    watermarked partials (append mode: emitted candles are FINAL and
+    byte-comparable to the batch candle for the same bucket)."""
+    wm = stream.withWatermark("event_ts", watermark)
+    key = F.struct(F.col("event_ts"), F.col("doc_id"))
+    agg = wm.groupBy(F.window("event_ts", "1 minute"), F.col("source")).agg(
+        F.min_by("n_tok", key).alias("open"),
+        F.max("n_tok").alias("high"),
+        F.min("n_tok").alias("low"),
+        F.max_by("n_tok", key).alias("close"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    return agg.select(
+        "source",
+        F.col("window.start").alias("bucket_start"),
+        "open", "high", "low", "close", "n",
+    )
+
+
+def run_streaming_ohlc(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    checkpoint: str,
+    watermark: str = "10 minutes",
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """availableNow drain of the candle stream into a parquet sink —
+    same exactly-once file-sink discipline as run_streaming_rollup."""
+    stream = read_sequence_stream(spark, in_dir, max_files_per_trigger)
+    q = (
+        streaming_ohlc_1m(stream, watermark)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
