@@ -335,3 +335,38 @@ def test_w29_envelope_phase_specific_band(spark, tmp_path):
     assert noon9["out_of_band"], noon9       # 20 >> noon's p90 (2)
     mid9 = out[out["i"] == base_i + 9 * 24].iloc[0]
     assert not mid9["out_of_band"], mid9     # 20 is normal at midnight
+
+
+def test_x2_survival_hand_computed(spark, tmp_path):
+    """Hand-checkable KM curve: 4 users churn at days 0/0/1/2, one user
+    censored at the horizon. S(0)=1-2/5=0.6, S(1)=0.6*(1-1/3)=0.4,
+    S(2)=0.4*(1-1/2)=0.2; the censored user never drops the curve to 0."""
+    import pandas as pd
+
+    t0 = pd.Timestamp("2024-01-01")
+    rows, eid = [], 0
+
+    def span(uid, days):
+        nonlocal eid
+        rows.append((eid, t0, uid, "view", 1.0, "{}")); eid += 1
+        rows.append((eid, t0 + pd.Timedelta(days=days), uid, "view", 1.0, "{}"))
+        eid += 1
+
+    span(1, 0)   # churn at day 0
+    span(2, 0)   # churn at day 0
+    span(3, 1)   # churn at day 1
+    span(4, 2)   # churn at day 2
+    span(5, 30)  # defines horizon; within 7d of it -> censored
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    sf = str(tmp_path)
+    pdf.to_parquet(f"{sf}/events.parquet", index=False, coerce_timestamps="us")
+    from tsrollup.driver_queries import SPARK
+
+    out = {r["dur_d"]: r for r in SPARK["x2_survival"](spark, sf).collect()}
+    assert out[0]["n_risk"] == 5 and out[0]["d_churn"] == 2
+    assert abs(out[0]["surv_r"] - 0.6) < 1e-3
+    assert abs(out[1]["surv_r"] - 0.4) < 1e-3
+    assert abs(out[2]["surv_r"] - 0.2) < 1e-3
+    assert out[30]["surv_r"] > 0.19  # censored tail never forces 0

@@ -5150,3 +5150,115 @@ def w29_envelope(spark, sf_dir):
         ((F.col("c") < F.col("p10")) | (F.col("c") > F.col("p90")))
         .alias("out_of_band"),
     )
+
+
+# ------------------ X2 Kaplan-Meier survival (round 4)
+
+@q(
+    "x2_survival",
+    """
+    WITH u AS (
+      SELECT user_id,
+             min(epoch_us(ts)) AS first_us,
+             max(epoch_us(ts)) AS last_us
+      FROM events GROUP BY user_id
+    ),
+    mx AS (SELECT max(last_us) AS horizon FROM u),
+    d AS (
+      SELECT (u.last_us - u.first_us) // 86400000000 AS dur_d,
+             CASE WHEN u.last_us <= mx.horizon - 7 * 86400000000
+                  THEN 1 ELSE 0 END AS churned
+      FROM u, mx
+    ),
+    g AS (
+      SELECT dur_d, CAST(count(*) AS BIGINT) AS n_total,
+             CAST(sum(churned) AS BIGINT) AS d_churn
+      FROM d GROUP BY dur_d
+    ),
+    r AS (
+      SELECT dur_d, n_total, d_churn,
+             CAST(sum(n_total) OVER (ORDER BY dur_d DESC
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_risk
+      FROM g
+    ),
+    t AS (
+      SELECT dur_d, n_total, d_churn, n_risk,
+             CASE WHEN d_churn < n_risk
+                  THEN CAST(round(ln(1.0 - d_churn::DOUBLE / n_risk) * 1e6, 0)
+                            AS BIGINT)
+             END AS micro
+      FROM r
+    )
+    SELECT dur_d, n_risk, d_churn,
+           CASE WHEN count(*) OVER w > count(micro) OVER w THEN 0.0
+                ELSE round(exp(CAST(sum(micro) OVER w AS DOUBLE) / 1e6), 4)
+           END AS surv_r
+    FROM t
+    WINDOW w AS (ORDER BY dur_d ASC ROWS UNBOUNDED PRECEDING)
+    """,
+)
+def x2_survival(spark, sf_dir):
+    """Kaplan-Meier survival curve of user lifetime (first->last event,
+    churn = last event >= 7 days before the observation horizon,
+    censored otherwise): S(t) = prod_{t_i <= t} (1 - d_i / n_i) with
+    n_i = users at risk (lifetime >= t_i). The survival-analysis member
+    of the analytics surface, next to cohorts (a8) and funnels (j9).
+
+    Determinism: each factor's ln(1 - d/n) is rounded to INTEGER
+    micro-nats immediately (same discipline as the bigram-LM bits), the
+    running product is exp of the exact BIGINT micro-nat prefix sum,
+    and a step where every remaining at-risk user churns (d == n) pins
+    S to exactly 0.0 from that step on. Scale shape: one per-user agg
+    (the only data-sized shuffle), a duration-bucket agg, and two
+    window passes over the TINY duration series."""
+    ev = t(spark, sf_dir, "events")
+    us = F.expr("unix_micros(CAST(ts AS TIMESTAMP))")
+    u = ev.groupBy("user_id").agg(
+        F.min(us).alias("first_us"), F.max(us).alias("last_us")
+    )
+    mx = u.agg(F.max("last_us").alias("horizon"))
+    day_us = 86_400_000_000
+    d = u.crossJoin(F.broadcast(mx)).select(
+        ((F.col("last_us") - F.col("first_us")) / day_us)
+        .cast("long")
+        .alias("dur_d"),
+        F.when(
+            F.col("last_us") <= F.col("horizon") - 7 * day_us, 1
+        )
+        .otherwise(0)
+        .alias("churned"),
+    )
+    g = d.groupBy("dur_d").agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum("churned").cast("long").alias("d_churn"),
+    )
+    wdesc = (
+        Window.orderBy(F.desc("dur_d"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    r = g.withColumn("n_risk", F.sum("n_total").over(wdesc).cast("long"))
+    micro = F.when(
+        F.col("d_churn") < F.col("n_risk"),
+        F.round(
+            F.log(1.0 - F.col("d_churn").cast("double") / F.col("n_risk"))
+            * 1e6,
+            0,
+        ).cast("long"),
+    )
+    tt = r.withColumn("micro", micro)
+    wasc = (
+        Window.orderBy(F.asc("dur_d"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # any NULL micro in the prefix means an S=0 step has occurred
+    return tt.select(
+        "dur_d", "n_risk", "d_churn",
+        F.when(
+            F.count(F.lit(1)).over(wasc) > F.count("micro").over(wasc),
+            F.lit(0.0),
+        )
+        .otherwise(
+            F.round(F.exp(F.sum("micro").over(wasc).cast("double") / 1e6), 4)
+        )
+        .alias("surv_r"),
+    )
