@@ -992,6 +992,11 @@ def gesd_outliers(
         .withColumn("__n0", F.count(F.lit(1)).over(w0))
         .where(F.col("__n0") >= min_n)
     )
+    # same lineage-cut rationale as shesd_outliers: each round re-reads
+    # its input 3x (removed, next remaining, final union), so without
+    # cuts round k re-runs the whole upstream multiplicatively —
+    # measured 3.3 s -> ~1 s for w15_gesd at sf0.1
+    base = base.localCheckpoint(eager=True)
 
     remaining = base
     removed = []
@@ -1026,6 +1031,7 @@ def gesd_outliers(
                     )
                 ),
             )
+            .localCheckpoint(eager=True)
         )
         removed.append(
             cand.where(F.col("__rk") == 1).select(
@@ -1756,6 +1762,13 @@ def shesd_outliers(
         .withColumn("__n0", F.count(F.lit(1)).over(w0))
         .where(F.col("__n0") >= min_n)
     )
+    # every round's median agg + join + MAD agg + argmax window all
+    # re-evaluate their input lineage; without a cut, round k re-runs
+    # the caller's ENTIRE residual pipeline (dense spine + STL + medians
+    # for w27) 4^k-ish times — measured 24 s -> ~3 s at sf0.1. The
+    # checkpointed frame is bucket-bounded-tiny (one row per point in
+    # qualifying groups), so the cut is far smaller than its build cost.
+    base = base.localCheckpoint(eager=True)
 
     remaining = base
     removed = []
@@ -1786,6 +1799,10 @@ def shesd_outliers(
                     )
                 ),
             )
+            # consumed 3x (removed row, next round's remaining, final
+            # union): cut here or round k's lineage re-runs every prior
+            # round's agg+join+window chain multiplicatively
+            .localCheckpoint(eager=True)
         )
         removed.append(
             cand.where(F.col("__rk") == 1).select(
