@@ -1356,6 +1356,25 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         return joined
 
+    def engine_bpe_train(spark, sf_dir):
+        """TK4: distributed BPE merge training (bpe.bpe_train) over the
+        documents-derived token sequences — tokenizer training as a
+        pipeline operator. 8 merge rounds, each = one vocab-bounded
+        mapInPandas pair-count + hash agg, a 1-row argmax collect, and
+        one rewrite pass (left-to-right non-overlap), checkpointed per
+        round. Rows-only: the sequential merge loop is not
+        SQL-expressible; tests/test_bpe.py pins the whole merge table
+        AND the rewritten corpus against a pure-python reference."""
+        from tsrollup.bpe import bpe_train
+        from tsrollup.flagship import sequences_from_documents
+
+        seq = sequences_from_documents(spark, sf_dir).select("doc_id", "tokens")
+        merges, _ = bpe_train(seq, "tokens", n_merges=8, new_id_base=1_000_000)
+        return spark.createDataFrame(
+            [(i,) + m for i, m in enumerate(merges)],
+            "rnd int, a long, b long, new_id long, cnt long",
+        )
+
     def x1_ab_test(spark, sf_dir):
         """X1: A/B experiment readout — users deterministically split
         into two arms by pmod(xxhash64("<user_id>#ab"), 2) (the mx_split
@@ -1418,6 +1437,7 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "engine_bucketed_join": engine_bucketed_join,
         "x1_ab_test": x1_ab_test,
+        "engine_bpe_train": engine_bpe_train,
         "tx_bloom_decontam": tx_bloom_decontam,
         "sk_cms_heavy": sk_cms_heavy,
         "dd_phash": dd_phash,

@@ -228,6 +228,7 @@ def main() -> None:
         "w28_slo_burn",
         "w29_envelope",
         "tx_zipf",
+        "x2_survival",
     ):
         t0 = time.monotonic()
         SPARK[name](spark, sf_dir).count()
