@@ -2189,3 +2189,207 @@ def multimodal_thumbnails(
             "thumb_w int, thumb_h int, thumb binary"
         ),
     )
+
+
+# ------------------------------------------------------------------
+# Product quantization (PQ) — Jégou et al., TPAMI 2011 (round 4)
+# ------------------------------------------------------------------
+
+PQ_M = 4   # subspaces (64 dims -> 16 dims each)
+PQ_K = 8   # centroids per subspace; seeds = vec_id < K per subspace
+PQ_SUBDIM = 16
+
+
+def _pq_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point embedding coordinates keyed by (vec_id, sub, d) —
+    the kmeans_fixed_point quantization with a subspace key: sub =
+    (d - 1) div PQ_SUBDIM. Checkpointed once; feeds both Lloyd rounds,
+    the codes pass, and the ADC distance table."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
+            "d0", "x"
+        ),
+    )
+    return e.select(
+        "vec_id",
+        (F.col("d0") + 1).alias("d"),
+        (F.col("d0") / PQ_SUBDIM).cast("long").alias("sub"),
+        F.round(F.col("x") * KM_SCALE, 0).cast("long").alias("xfp"),
+    ).localCheckpoint()
+
+
+def _pq_sub_dists(fp: DataFrame, cent: DataFrame) -> DataFrame:
+    t = fp.join(cent, ["sub", "d"])
+    return (
+        t.withColumn(
+            "sq", (F.col("xfp") - F.col("cfp")) * (F.col("xfp") - F.col("cfp"))
+        )
+        .groupBy("vec_id", "sub", "cell")
+        .agg(F.sum("sq").alias("dist"))
+    )
+
+
+def _pq_top1(dist: DataFrame) -> DataFrame:
+    w = Window.partitionBy("vec_id", "sub").orderBy("dist", "cell")
+    return (
+        dist.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "sub", "cell", "dist")
+    )
+
+
+def _pq_centroids(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(fp, round-1-updated centroids per subspace). Two Lloyd rounds —
+    the kmeans_fixed_point discipline with (sub) added to every key:
+    seeds are vec_id < PQ_K per subspace, updates are round(sum/count)
+    on exact integer sums."""
+    fp = _pq_fp(spark, sf_dir)
+    c0 = fp.where(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("cell"), "sub", "d", F.col("xfp").alias("cfp")
+    )
+    a1 = _pq_top1(_pq_sub_dists(fp, c0))
+    c1 = (
+        a1.select("vec_id", "sub", "cell")
+        .join(fp, ["vec_id", "sub"])
+        .groupBy("sub", "cell", "d")
+        .agg(
+            F.round(F.sum("xfp").cast("double") / F.count(F.lit(1)), 0)
+            .cast("long")
+            .alias("cfp")
+        )
+    )
+    return fp, c1
+
+
+def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encoding: each vector's M sub-codes after two fixed-point Lloyd
+    rounds per subspace — (vec_id, sub, code, dist), dist in squared
+    fixed-point units. A 64-dim float vector compresses to M=4 one-byte
+    codes (64x); every value is an exact integer, so the whole codebook
+    AND every assignment are value-twinnable. Declarative per-dim shape
+    = the semantics anchor; the 10^9-vector path is the ivf_assign
+    matmul kernel run per subspace (one BLAS call per Arrow batch)."""
+    fp, c1 = _pq_centroids(spark, sf_dir)
+    a2 = _pq_top1(_pq_sub_dists(fp, c1))
+    return a2.select("vec_id", "sub", F.col("cell").alias("code"), "dist")
+
+
+def pq_adc_topk(
+    spark: SparkSession, sf_dir: str, query_vec_id: int = 0, topk: int = 20
+) -> DataFrame:
+    """Asymmetric distance computation: the query's squared distance to
+    every (sub, centroid) is an M x K table (32 BIGINTs — broadcast);
+    each database vector's approximate distance is the SUM of M table
+    lookups through its codes — the scan never touches raw vectors.
+    Returns the top-k (vec_id, adc_dist, rnk), ranked (dist ASC, vec_id
+    ASC); the query vector itself is excluded."""
+    fp, c1 = _pq_centroids(spark, sf_dir)
+    a2 = _pq_top1(_pq_sub_dists(fp, c1))
+    q = fp.where(F.col("vec_id") == query_vec_id).select(
+        "sub", "d", F.col("xfp").alias("qfp")
+    )
+    table = (
+        c1.join(q, ["sub", "d"])
+        .withColumn(
+            "sq", (F.col("qfp") - F.col("cfp")) * (F.col("qfp") - F.col("cfp"))
+        )
+        .groupBy("sub", "cell")
+        .agg(F.sum("sq").alias("tdist"))
+    )
+    adc = (
+        a2.select("vec_id", "sub", F.col("cell").alias("code"))
+        .where(F.col("vec_id") != query_vec_id)
+        .join(
+            F.broadcast(table.withColumnRenamed("cell", "code")),
+            ["sub", "code"],
+        )
+        .groupBy("vec_id")
+        .agg(F.sum("tdist").cast("long").alias("adc_dist"))
+    )
+    w = Window.orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+    return (
+        adc.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= topk)
+        .select("vec_id", "adc_dist", "rnk")
+    )
+
+
+def _pq_ctes() -> str:
+    """Shared DuckDB CTE chain to the per-subspace round-2 distance table
+    `pd2` — the _kmeans_ctes pattern with `sub` added to every key."""
+    return f"""pfp AS (
+      SELECT vec_id, generate_subscripts(e, 1) AS d,
+             (generate_subscripts(e, 1) - 1) // {PQ_SUBDIM} AS sub,
+             CAST(round(unnest(e) * {KM_SCALE}, 0) AS BIGINT) AS xfp
+      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+    ),
+    pc0 AS (SELECT vec_id AS cell, sub, d, xfp AS cfp FROM pfp
+            WHERE vec_id < {PQ_K}),
+    pd1 AS (
+      SELECT pfp.vec_id, pfp.sub, pc0.cell,
+             sum((pfp.xfp - pc0.cfp) * (pfp.xfp - pc0.cfp)) AS dist
+      FROM pfp JOIN pc0 ON pc0.sub = pfp.sub AND pc0.d = pfp.d
+      GROUP BY 1, 2, 3
+    ),
+    pa1 AS (
+      SELECT vec_id, sub, cell FROM (
+        SELECT vec_id, sub, cell,
+               row_number() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY dist, cell) AS rn
+        FROM pd1) WHERE rn = 1
+    ),
+    pc1 AS (
+      SELECT pa1.sub, pa1.cell, pfp.d,
+             CAST(round(CAST(sum(pfp.xfp) AS DOUBLE) / count(*), 0) AS BIGINT)
+               AS cfp
+      FROM pa1 JOIN pfp ON pfp.vec_id = pa1.vec_id AND pfp.sub = pa1.sub
+      GROUP BY 1, 2, 3
+    ),
+    pd2 AS (
+      SELECT pfp.vec_id, pfp.sub, pc1.cell,
+             sum((pfp.xfp - pc1.cfp) * (pfp.xfp - pc1.cfp)) AS dist
+      FROM pfp JOIN pc1 ON pc1.sub = pfp.sub AND pc1.d = pfp.d
+      GROUP BY 1, 2, 3
+    )"""
+
+
+def pq_codes_sql() -> str:
+    return f"""
+    WITH {_pq_ctes()}
+    SELECT vec_id, sub, cell AS code, CAST(dist AS BIGINT) AS dist FROM (
+      SELECT vec_id, sub, cell, dist,
+             row_number() OVER (PARTITION BY vec_id, sub
+                                ORDER BY dist, cell) AS rn
+      FROM pd2) WHERE rn = 1
+    """
+
+
+def pq_adc_sql(query_vec_id: int = 0, topk: int = 20) -> str:
+    return f"""
+    WITH {_pq_ctes()},
+    codes AS (
+      SELECT vec_id, sub, cell AS code FROM (
+        SELECT vec_id, sub, cell,
+               row_number() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY dist, cell) AS rn
+        FROM pd2) WHERE rn = 1
+    ),
+    q AS (SELECT sub, d, xfp AS qfp FROM pfp WHERE vec_id = {query_vec_id}),
+    tbl AS (
+      SELECT pc1.sub, pc1.cell,
+             sum((q.qfp - pc1.cfp) * (q.qfp - pc1.cfp)) AS tdist
+      FROM pc1 JOIN q ON q.sub = pc1.sub AND q.d = pc1.d
+      GROUP BY 1, 2
+    ),
+    adc AS (
+      SELECT c.vec_id, CAST(sum(t.tdist) AS BIGINT) AS adc_dist
+      FROM codes c JOIN tbl t ON t.sub = c.sub AND t.cell = c.code
+      WHERE c.vec_id != {query_vec_id}
+      GROUP BY 1
+    )
+    SELECT vec_id, adc_dist, CAST(rnk AS BIGINT) AS rnk FROM (
+      SELECT vec_id, adc_dist,
+             row_number() OVER (ORDER BY adc_dist, vec_id) AS rnk
+      FROM adc) WHERE rnk <= {topk}
+    """

@@ -5262,3 +5262,31 @@ def x2_survival(spark, sf_dir):
         )
         .alias("surv_r"),
     )
+
+
+# ------------------ EMB product quantization (round 4)
+
+def _register_pq():
+    from . import datapipe as dp
+
+    @q("emb_pq_codes", dp.pq_codes_sql())
+    def emb_pq_codes(spark, sf_dir):
+        """Product quantization (Jégou et al. TPAMI'11) codebook +
+        encoding: 64-dim vectors -> M=4 one-byte codes (64x memory
+        compression for the ANN scan) via two fixed-point Lloyd rounds
+        PER SUBSPACE — kmeans_fixed_point's exact-integer discipline
+        with a subspace key on every aggregate, so codebooks and every
+        assignment are value-twinned, not just row-counted."""
+        return dp.pq_codes(spark, sf_dir)
+
+    @q("emb_pq_adc", dp.pq_adc_sql())
+    def emb_pq_adc(spark, sf_dir):
+        """PQ asymmetric-distance search: query-to-centroid table (M x K
+        = 32 BIGINTs, broadcast) + M table lookups per database vector —
+        the scan that never touches raw vectors. Top-20 for query
+        vec_id=0, exact-integer twin; recall vs the brute-force cosine
+        baseline is a measured property in tests/test_datapipe.py."""
+        return dp.pq_adc_topk(spark, sf_dir)
+
+
+_register_pq()
