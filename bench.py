@@ -229,6 +229,7 @@ def main() -> None:
         "w29_envelope",
         "tx_zipf",
         "x2_survival",
+        "emb_pq_adc",
     ):
         t0 = time.monotonic()
         SPARK[name](spark, sf_dir).count()
