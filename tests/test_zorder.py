@@ -79,3 +79,33 @@ def test_zorder_degenerate_dim_and_guard(spark):
     assert out.where(F.col("z") < 0).count() == 0
     with pytest.raises(ValueError):
         zorder_frame(df, "x", "y", bucket_bits=0)
+
+
+def test_pruned_read_skips_partitions_and_is_exact(spark, tmp_path):
+    """write_zordered + pruned_read: the box scan's executed plan lists
+    ONLY the surviving z_bucket directories (partition pruning at
+    planning time), and the result equals the brute full-scan filter."""
+    from tsrollup.zorder import pruned_read, write_zordered
+
+    grid = (
+        spark.range(100)
+        .select(F.col("id").alias("x"))
+        .crossJoin(spark.range(100).select(F.col("id").alias("y")))
+    )
+    path = str(tmp_path / "ztable")
+    write_zordered(grid, path, "x", "y", bucket_bits=6)
+
+    box = (40, 49, 40, 49)
+    got = pruned_read(spark, path, box, "x", "y")
+    rows = {(r["x"], r["y"]) for r in got.select("x", "y").collect()}
+    expect = {(x, y) for x in range(40, 50) for y in range(40, 50)}
+    assert rows == expect
+
+    # the executed scan's numFiles metric is the ground truth for
+    # partition pruning (inputFiles() ignores later filters)
+    n_full = len(spark.read.parquet(path).inputFiles())
+    assert n_full >= 32, n_full
+    leaves = got._jdf.queryExecution().executedPlan().collectLeaves()
+    assert leaves.size() == 1
+    n_read = leaves.apply(0).metrics().apply("numFiles").value()
+    assert n_read <= n_full // 4, (n_read, n_full)

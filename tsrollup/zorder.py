@@ -96,3 +96,56 @@ def zone_map(df: DataFrame, bucket_col: str, dims: list[str]) -> DataFrame:
     for d in dims:
         aggs += [F.min(d).alias(f"min_{d}"), F.max(d).alias(f"max_{d}")]
     return df.groupBy(bucket_col).agg(*aggs)
+
+
+def write_zordered(
+    df: DataFrame, path: str, xcol: str, ycol: str, bucket_bits: int = 6
+) -> None:
+    """Realize the layout: annotate with z/z_bucket, range-partition on z
+    (so each output task owns a contiguous z-range), and write
+    partitioned by z_bucket — one directory per z-curve leaf, the unit
+    the pruned read skips."""
+    zf = zorder_frame(df, xcol, ycol, bucket_bits)
+    (
+        zf.repartitionByRange(max(1, 2 ** (bucket_bits - 2)), "z")
+        .write.mode("overwrite")
+        .partitionBy("z_bucket")
+        .parquet(path)
+    )
+
+
+def pruned_read(
+    spark,
+    path: str,
+    box: tuple[int, int, int, int],
+    xcol: str,
+    ycol: str,
+) -> DataFrame:
+    """Data-skipping read of a write_zordered() table for the 2-D box
+    query (xmin, xmax, ymin, ymax): consult the store's own zone map
+    (one tiny aggregate over the z_bucket partition column + dims),
+    push the surviving bucket list into the partition filter — Spark
+    prunes the skipped z_bucket directories at PLANNING time, their
+    files are never listed into the scan — then apply the exact box
+    predicate to the surviving rows.
+
+    The zone-map aggregate reads only the pruned columns (column
+    pruning keeps it cheap); in a metastore deployment the map would be
+    a cached side table maintained at write time — same plan shape."""
+    xmin, xmax, ymin, ymax = box
+    t = spark.read.parquet(path)
+    zm = zone_map(t, "z_bucket", [xcol, ycol])
+    keep = [
+        r["z_bucket"]
+        for r in zm.where(
+            ~(
+                (F.col(f"max_{xcol}") < xmin)
+                | (F.col(f"min_{xcol}") > xmax)
+                | (F.col(f"max_{ycol}") < ymin)
+                | (F.col(f"min_{ycol}") > ymax)
+            )
+        ).collect()
+    ]
+    return t.where(F.col("z_bucket").isin(keep)).where(
+        F.col(xcol).between(xmin, xmax) & F.col(ycol).between(ymin, ymax)
+    )
