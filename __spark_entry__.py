@@ -731,6 +731,42 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("tier", F.col("day").cast("string").alias("day_s"), "n_rows")
         )
 
+    def engine_targeted_delete(spark, sf_dir):
+        """R2: targeted row deletion (storage.targeted_delete) — build a
+        store, purge two sources from the 1m rollup sink with the
+        verify-then-atomic-swap contract (rows_after == rows_before -
+        matched per leaf; only AFFECTED leaves rewritten), and return
+        the surviving 1m rows. The twin recomputes the whole 1m rollup
+        from the sequences EXCLUDING those sources — a green hash proves
+        the purge removed exactly the targeted rows and disturbed
+        nothing else."""
+        from pyspark.sql import functions as F
+
+        from tsrollup.config import RollupConfig
+        from tsrollup.pipeline import ROLLUP_DIR, rollup_build
+        from tsrollup.storage import targeted_delete
+
+        base = _scratch("targeted_delete")
+        in_dir = _seq_files(spark, sf_dir, base)
+        out = os.path.join(base, "store")
+        rollup_build(spark, in_dir, out, RollupConfig(), derived=False)
+        rollup_path = os.path.join(out, ROLLUP_DIR)
+        done = targeted_delete(
+            spark, out, ROLLUP_DIR, "source IN ('src0', 'src5')"
+        )
+        assert done, "the purge must touch at least one leaf"
+        assert all(d["rows_after"] == d["rows_before"] - d["deleted"]
+                   for d in done)
+        return (
+            spark.read.parquet(rollup_path)
+            .where(F.col("tier") == "1m")
+            .select(
+                "source",
+                F.unix_timestamp("bucket_start").alias("bucket_s"),
+                "cnt", "n_tok_sum", "tok_sum",
+            )
+        )
+
     def engine_compaction(spark, sf_dir):
         """S4: small-file compaction (storage.compact_store) — build a
         store, FRAGMENT the rollup sink (rewrite with a row-hash
@@ -1444,6 +1480,7 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_audio_fp": dd_audio_fp,
         "engine_streaming_pair_join": engine_streaming_pair_join,
         "engine_compaction": engine_compaction,
+        "engine_targeted_delete": engine_targeted_delete,
         "tx_bigram_lift": tx_bigram_lift,
         "dd_substring": dd_substring,
         "dd_substring_removal": dd_substring_removal,
@@ -2428,6 +2465,15 @@ def _engine_oracles() -> dict[str, str]:
     FROM zz
     """)
 
+    targeted_delete_o = engine_oracle("""
+    SELECT source, epoch(date_trunc('minute', event_ts))::BIGINT AS bucket_s,
+           count(*)::BIGINT AS cnt,
+           sum(n_tok)::BIGINT AS n_tok_sum,
+           sum(list_aggregate(tokens, 'sum'))::BIGINT AS tok_sum
+    FROM seq WHERE source NOT IN ('src0', 'src5')
+    GROUP BY 1, 2
+    """)
+
     bucketed_join_o = """
     SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
            CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum
@@ -2437,6 +2483,7 @@ def _engine_oracles() -> dict[str, str]:
 
     return {
         "engine_bucketed_join": bucketed_join_o,
+        "engine_targeted_delete": targeted_delete_o,
         "x1_ab_test": ab_test_o,
         "tx_bloom_decontam": bloom_decontam_o,
         "sk_cms_heavy": cms_heavy_o,

@@ -113,6 +113,7 @@ ENGINE_ORACLE_NAMES = [
     "engine_bucketed_join",
     "x1_ab_test",
     "engine_streaming_ohlc",
+    "engine_targeted_delete",
 ]
 
 

@@ -243,3 +243,47 @@ def test_cold_read_survives_columnar_retention(spark, store_derived, tmp_path):
         aware, before, ["source", "metric", "bucket_start"],
         msg="retention-aware cold read",
     )
+
+
+def test_targeted_delete_rewrites_only_affected_leaves(spark, tmp_path):
+    """Purge by predicate: matched rows gone, untouched partitions keep
+    their files byte-identical (never rewritten), a second pass is a
+    no-op, and counts verify per leaf."""
+    import os
+
+    import pandas as pd
+
+    from tsrollup.storage import targeted_delete
+
+    base = str(tmp_path)
+    sink = "tbl"
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": list(range(100)),
+                "grp": ["a"] * 50 + ["b"] * 50,
+            }
+        )
+    )
+    df.write.partitionBy("grp").parquet(os.path.join(base, sink))
+    b_leaf = os.path.join(base, sink, "grp=b")
+    b_files = {
+        f: os.path.getmtime(os.path.join(b_leaf, f))
+        for f in os.listdir(b_leaf)
+        if f.endswith(".parquet")
+    }
+
+    done = targeted_delete(spark, base, sink, "k % 10 = 3 AND k < 50")
+    assert len(done) == 1 and done[0]["deleted"] == 5
+    left = spark.read.parquet(os.path.join(base, sink))
+    assert left.count() == 95
+    assert left.where("k % 10 = 3 AND k < 50").count() == 0
+    # grp=b leaf untouched: same files, same mtimes
+    b_now = {
+        f: os.path.getmtime(os.path.join(b_leaf, f))
+        for f in os.listdir(b_leaf)
+        if f.endswith(".parquet")
+    }
+    assert b_now == b_files
+    # idempotent: second pass finds nothing
+    assert targeted_delete(spark, base, sink, "k % 10 = 3 AND k < 50") == []

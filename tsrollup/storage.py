@@ -188,3 +188,70 @@ def compact_store(
             }
         )
     return results
+
+
+def targeted_delete(
+    spark: SparkSession,
+    out_base: str,
+    sink: str,
+    predicate_sql: str,
+) -> list[dict]:
+    """Targeted row deletion across a partitioned store — the
+    right-to-be-forgotten / bad-source purge operation a production lake
+    must support. For every leaf partition dir of ``<out_base>/<sink>``
+    holding rows matching ``predicate_sql``: rewrite the leaf WITHOUT
+    them into a hidden sibling tmp dir, VERIFY the arithmetic
+    (rows_after == rows_before - matched), then atomically swap —
+    compact_store's verify-then-swap contract, applied to deletes.
+    Untouched leaves are never rewritten, so cost tracks the number of
+    AFFECTED partitions, not store size; when the delete key correlates
+    with the partition layout (e.g. source buckets) that is a tiny
+    fraction. Iceberg deploy: this job is a DELETE writing positional
+    delete files + rewrite_data_files; the sandbox realization keeps
+    the same verify contract on plain dirs.
+
+    Returns one dict per rewritten leaf: (path, rows_before, deleted,
+    rows_after)."""
+    base = os.path.join(out_base, sink)
+    results: list[dict] = []
+    for root, _dirs, files in os.walk(base):
+        if "__compact" in root or "__delete" in root:
+            continue
+        pq = [f for f in files if f.endswith(".parquet")]
+        if not pq:
+            continue
+        df = spark.read.parquet(root)
+        n_match = df.where(predicate_sql).count()
+        if n_match == 0:
+            continue
+        rows_before = df.count()
+        parent, leafname = os.path.split(root)
+        tmp = os.path.join(parent, f".{leafname}.__delete_tmp")
+        old = os.path.join(parent, f".{leafname}.__delete_old")
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
+        (
+            df.where(f"NOT ({predicate_sql})")
+            .coalesce(len(pq))
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        rows_after = spark.read.parquet(tmp).count()
+        if rows_after != rows_before - n_match:
+            shutil.rmtree(tmp)
+            raise RuntimeError(
+                f"targeted delete count mismatch in {root}: "
+                f"{rows_before} - {n_match} != {rows_after}; leaf untouched"
+            )
+        os.rename(root, old)
+        os.rename(tmp, root)
+        shutil.rmtree(old)
+        results.append(
+            {
+                "path": root,
+                "rows_before": rows_before,
+                "deleted": n_match,
+                "rows_after": rows_after,
+            }
+        )
+    return results
