@@ -230,6 +230,7 @@ def main() -> None:
         "tx_zipf",
         "x2_survival",
         "emb_pq_adc",
+        "x3_markov",
     ):
         t0 = time.monotonic()
         SPARK[name](spark, sf_dir).count()

@@ -370,3 +370,34 @@ def test_x2_survival_hand_computed(spark, tmp_path):
     assert abs(out[1]["surv_r"] - 0.4) < 1e-3
     assert abs(out[2]["surv_r"] - 0.2) < 1e-3
     assert out[30]["surv_r"] > 0.19  # censored tail never forces 0
+
+
+def test_x3_markov_rare_path_scores_higher(spark, tmp_path):
+    """A user walking a transition no one else makes scores more
+    surprise bits than users on the common path."""
+    import pandas as pd
+
+    rows, eid = [], 0
+    t0 = pd.Timestamp("2024-01-01")
+    # 10 users ping-pong view->click (common path)
+    for u in range(10):
+        for k in range(10):
+            rows.append((eid, t0 + pd.Timedelta(seconds=eid), u,
+                         "view" if k % 2 == 0 else "click", 1.0, "{}"))
+            eid += 1
+    # user 99 alternates error->purchase (rare transitions)
+    for k in range(10):
+        rows.append((eid, t0 + pd.Timedelta(seconds=eid), 99,
+                     "error" if k % 2 == 0 else "purchase", 1.0, "{}"))
+        eid += 1
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    sf = str(tmp_path)
+    pdf.to_parquet(f"{sf}/events.parquet", index=False, coerce_timestamps="us")
+    from tsrollup.driver_queries import SPARK
+
+    out = {r["user_id"]: r["surprise_bits"]
+           for r in SPARK["x3_markov"](spark, sf).collect()}
+    common = max(v for u, v in out.items() if u != 99)
+    assert out[99] > common, out

@@ -5290,3 +5290,89 @@ def _register_pq():
 
 
 _register_pq()
+
+
+# ------------------ X3 Markov transition surprise (round 4)
+
+@q(
+    "x3_markov",
+    """
+    WITH e AS (
+      SELECT user_id, event_type AS cur,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    p AS (SELECT user_id, cur, nxt FROM e WHERE nxt IS NOT NULL),
+    cp AS (SELECT cur, nxt, CAST(count(*) AS BIGINT) AS c_pair
+           FROM p GROUP BY 1, 2),
+    cc AS (SELECT cur, CAST(count(*) AS BIGINT) AS c_cur FROM p GROUP BY 1),
+    m AS (SELECT user_id, cur, nxt, CAST(count(*) AS BIGINT) AS m
+          FROM p GROUP BY 1, 2, 3),
+    terms AS (
+      SELECT m.user_id,
+             m.m,
+             CAST(round(m.m * log2((cp.c_pair + 1.0) / (cc.c_cur + 5.0))
+                        * 1e6, 0) AS BIGINT) AS microbits
+      FROM m JOIN cp ON cp.cur = m.cur AND cp.nxt = m.nxt
+             JOIN cc ON cc.cur = m.cur
+    )
+    SELECT user_id, CAST(sum(m) AS BIGINT) AS n_trans,
+           round(-CAST(sum(microbits) AS DOUBLE) / 1e6 / sum(m), 4)
+             AS surprise_bits
+    FROM terms GROUP BY user_id
+    HAVING sum(m) >= 5
+    """,
+)
+def x3_markov(spark, sf_dir):
+    """Markov transition surprise — behavioral anomaly scoring of each
+    user's event-type SEQUENCE (not its volume): a corpus-trained
+    first-order transition model (add-1 smoothing over the 5-type
+    vocabulary) scores every user's average bits-per-transition; users
+    walking rare paths (error->purchase->error...) surface with high
+    surprise while any common path scores low. The event-stream sibling
+    of tx_bigram_lm, sharing its determinism contract: per-(user, cur,
+    nxt) float terms round to INTEGER micro-bits immediately, the
+    per-user reduction is exact BIGINT sums — order-free, twin-exact.
+
+    Scale shape: one lead() window partitioned by user (one shuffle),
+    then hash aggs; the transition model is <= types² + types rows —
+    broadcast-sized by construction."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    )
+    p = e.where(F.col("nxt").isNotNull())
+    cp = p.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("c_pair"))
+    cc = p.groupBy("cur").agg(F.count(F.lit(1)).alias("c_cur"))
+    m = p.groupBy("user_id", "cur", "nxt").agg(F.count(F.lit(1)).alias("m"))
+    terms = (
+        m.join(F.broadcast(cp), ["cur", "nxt"])
+        .join(F.broadcast(cc), "cur")
+        .select(
+            "user_id",
+            "m",
+            F.round(
+                F.col("m")
+                * F.log2(
+                    (F.col("c_pair") + 1.0) / (F.col("c_cur") + 5.0)
+                )
+                * 1e6,
+                0,
+            )
+            .cast("long")
+            .alias("microbits"),
+        )
+    )
+    return (
+        terms.groupBy("user_id")
+        .agg(
+            F.sum("m").cast("long").alias("n_trans"),
+            F.round(
+                -F.sum("microbits").cast("double") / 1e6 / F.sum("m"), 4
+            ).alias("surprise_bits"),
+        )
+        .where(F.col("n_trans") >= 5)
+    )
