@@ -5376,3 +5376,45 @@ def x3_markov(spark, sf_dir):
         )
         .where(F.col("n_trans") >= 5)
     )
+
+
+# ------------------ K6 partition-skew report (round 4)
+
+@q(
+    "k6_skew_report",
+    """
+    WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS rows_
+               FROM documents GROUP BY source),
+    tot AS (SELECT CAST(sum(rows_) AS BIGINT) AS total,
+                   CAST(count(*) AS BIGINT) AS n_keys FROM s)
+    SELECT source, rows_ AS n_rows,
+           round(rows_ * 10000.0 / total, 1) AS pct_bp,
+           round(rows_ * CAST(n_keys AS DOUBLE) / total, 4) AS skew_ratio,
+           (rows_ * n_keys >= 2 * total) AS is_hot
+    FROM s, tot
+    """,
+)
+def k6_skew_report(spark, sf_dir):
+    """Partition-skew report — the diagnostic that DRIVES the K2 salting
+    decision: per join/agg key, its row share and skew ratio
+    (rows / mean-rows-per-key), with the hot-key verdict as an EXACT
+    INTEGER inequality (rows x n_keys >= 2 x total means >= 2x the mean —
+    no float knife edge). On a real cluster this runs on a sample or on
+    the sink's zone-map/ledger row counts; the operator itself is one
+    hash agg + a broadcast 1-row total."""
+    s = t(spark, sf_dir, "documents").groupBy("source").agg(
+        F.count(F.lit(1)).alias("rows_")
+    )
+    tot = s.agg(
+        F.sum("rows_").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+    )
+    return s.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.col("rows_").cast("long").alias("n_rows"),
+        F.round(F.col("rows_") * 10000.0 / F.col("total"), 1).alias("pct_bp"),
+        F.round(
+            F.col("rows_") * F.col("n_keys").cast("double") / F.col("total"), 4
+        ).alias("skew_ratio"),
+        (F.col("rows_") * F.col("n_keys") >= 2 * F.col("total")).alias("is_hot"),
+    )
