@@ -5418,3 +5418,186 @@ def k6_skew_report(spark, sf_dir):
         ).alias("skew_ratio"),
         (F.col("rows_") * F.col("n_keys") >= 2 * F.col("total")).alias("is_hot"),
     )
+
+
+# ------------------ TF-IDF cosine document similarity (round 4)
+
+@q(
+    "tx_doc_similarity",
+    """
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+           FROM w GROUP BY doc_id, word),
+    dfq AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY word),
+    nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    wt AS (
+      SELECT tf.doc_id, tf.word,
+             tf.tf * CAST(round(ln(CAST(nd.n_docs AS DOUBLE) / dfq.df) * 1e6, 0)
+                          AS BIGINT) AS wu
+      FROM tf JOIN dfq USING (word) CROSS JOIN nd
+      WHERE dfq.df BETWEEN 2 AND 50
+    ),
+    nrm AS (SELECT doc_id, CAST(sum(wu * wu) AS BIGINT) AS n2
+            FROM wt GROUP BY doc_id),
+    dt AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(sum(a.wu * b.wu) AS BIGINT) AS d2
+      FROM wt a JOIN wt b ON a.word = b.word AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, cosine FROM (
+      SELECT doc_a, doc_b,
+             round(CAST(d2 AS DOUBLE)
+                   / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)),
+                   6) AS cosine
+      FROM dt JOIN nrm na ON na.doc_id = dt.doc_a
+              JOIN nrm nb ON nb.doc_id = dt.doc_b
+    ) WHERE cosine >= 0.25
+    """,
+)
+def tx_doc_similarity(spark, sf_dir):
+    """Sparse TF-IDF cosine similarity between document PAIRS — the
+    sparse-vector sibling of the dense-embedding ANN family: near-dup
+    and topical-overlap detection driven by the text itself, no
+    embedding model required. Weight = tf x idf with idf QUANTIZED to
+    integer micro-units up front (wu = tf * round(ln(N/df)*1e6) — a
+    BIGINT), so norms (sum wu^2) and pair dots (sum wu_a*wu_b) are exact
+    integer sums, order-free across engines; the single float op is the
+    final correctly-rounded divide/sqrt of two exact integers, rounded
+    to 6 dp before the threshold so no knife edge survives.
+
+    Scale shape — inverted-index postings join, NOT blocked quadratic:
+    words with df > 50 are stop-listed on BOTH sides (they carry ~zero
+    idf weight anyway and cap per-word pair fan-out at df^2 — same
+    bound as dd_containment), df < 2 words can't match any pair and are
+    pruned too. One explode + three hash aggs + one postings self-join;
+    the corpus size N is a 1-row broadcast. Integer-overflow bound: the
+    BIGINT dot is safe while tf_a*tf_b*idf_u^2*shared_words < 2^63 —
+    with the df cap and micro-unit idf (<= ~28e6 at 10^12 docs) this
+    holds for any doc under ~10^5 repeated tokens; degenerate spam docs
+    should be length-capped upstream (tx_repetition flags them)."""
+    d = t(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word")
+    )
+    tf = w.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    dfq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    nd = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    wt = (
+        tf.join(dfq, "word")
+        .where(F.col("df").between(2, 50))
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "word",
+            (
+                F.col("tf")
+                * F.round(
+                    F.log(F.col("n_docs").cast("double") / F.col("df")) * 1e6, 0
+                ).cast("long")
+            ).alias("wu"),
+        )
+    )
+    # three consumers of the filtered postings (norms + both join sides):
+    # same eager-materialize rationale as dd_containment
+    wt = wt.localCheckpoint()
+    nrm = wt.groupBy("doc_id").agg(
+        F.sum(F.col("wu") * F.col("wu")).cast("long").alias("n2")
+    )
+    a = wt.select(F.col("doc_id").alias("doc_a"), "word", F.col("wu").alias("wa"))
+    b = wt.select(F.col("doc_id").alias("doc_b"), "word", F.col("wu").alias("wb"))
+    dt = (
+        a.join(b, "word")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).cast("long").alias("d2"))
+    )
+    return (
+        dt.join(nrm.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n2", "na2"), "doc_a")
+        .join(nrm.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n2", "nb2"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("d2").cast("double")
+                / F.sqrt(F.col("na2").cast("double") * F.col("nb2").cast("double")),
+                6,
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= 0.25)
+    )
+
+
+# ------------------ Q3 SCD type-2 history build (round 4)
+
+@q(
+    "q3_scd2",
+    """
+    WITH o AS (
+      SELECT user_id, event_type,
+             CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_id,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    chg AS (
+      SELECT user_id, event_type, ts_us,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts_us, event_id) AS version
+      FROM o WHERE prev IS NULL OR prev != event_type
+    )
+    SELECT user_id, event_type AS attr_value, version,
+           ts_us AS valid_from_us,
+           lead(ts_us) OVER (PARTITION BY user_id
+                             ORDER BY version) AS valid_to_us,
+           (lead(ts_us) OVER (PARTITION BY user_id
+                              ORDER BY version) IS NULL) AS is_current
+    FROM chg
+    """,
+)
+def q3_scd2(spark, sf_dir):
+    """Slowly-changing-dimension TYPE-2 history build — the warehouse
+    maintenance op that turns a change stream into versioned validity
+    intervals: per user, consecutive runs of the same attribute value
+    collapse to one row carrying [valid_from, valid_to) and an
+    is_current flag on the open tail. Composes with j8 (point-in-
+    interval) for as-of dimension lookups and with q2_snapshot_diff for
+    auditing two builds.
+
+    Exactness: no floats anywhere — timestamps flow as epoch-micro
+    BIGINTs, run starts come from lag() != current (NULL-safe via the
+    IS NULL arm), versions and valid_to from row_number()/lead() over
+    (ts, event_id)-tiebroken windows, so both engines agree bit-for-bit.
+
+    Scale shape: ONE shuffle on user_id serves all three windows (same
+    partition key; Spark reuses the exchange), then a filter — no joins,
+    no explode. At 10^12 rows this is the standard sessionize-shaped
+    plan; skewed users would hit the K2 salting path."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("ts_us"),
+        "event_id",
+        F.lag("event_type").over(w).alias("prev"),
+    )
+    wv = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    chg = o.where(
+        F.col("prev").isNull() | (F.col("prev") != F.col("event_type"))
+    ).select(
+        "user_id", "event_type", "ts_us", "event_id",
+        F.row_number().over(wv).cast("long").alias("version"),
+    )
+    wl = Window.partitionBy("user_id").orderBy("version")
+    nxt = F.lead("ts_us").over(wl)
+    return chg.select(
+        "user_id",
+        F.col("event_type").alias("attr_value"),
+        "version",
+        F.col("ts_us").alias("valid_from_us"),
+        nxt.alias("valid_to_us"),
+        nxt.isNull().alias("is_current"),
+    )
