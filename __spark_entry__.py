@@ -1162,6 +1162,20 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "source", "doc_id", "es_key", "rnk"
         )
 
+    def mx_quota(spark, sf_dir):
+        """EXACT-SIZE stratified sample (mixing.quota_sample): exactly
+        100 docs, allocated per source by largest-remainder rounding of
+        the proportional quota, drawn within each stratum by the
+        reservoir hash rank. Both layers — the integer allocation AND
+        every rank — are re-derived by the oracle, so the twin proves
+        the budget arithmetic, not just membership."""
+        from tsrollup.mixing import quota_sample
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return quota_sample(d, 100, "source", "doc_id", seed=9).select(
+            "source", "doc_id", "alloc", "rnk"
+        )
+
     def dd_substring(spark, sf_dir):
         """Substring-level exact dedup, the Lee-et-al-2022 duplicated-span
         family (datapipe.substring_duplication): every 8-token window of
@@ -1491,6 +1505,7 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mx_shuffle": mx_shuffle,
         "mx_weighted": mx_weighted,
         "mx_reservoir": mx_reservoir,
+        "mx_quota": mx_quota,
         "engine_seq_dedup": engine_seq_dedup,
         "engine_seq_pack": engine_seq_pack,
         "engine_seq_chunk": engine_seq_chunk,
@@ -2130,6 +2145,31 @@ def _engine_oracles() -> dict[str, str]:
       FROM keyed) WHERE rnk <= 5
     """)
 
+    mx_quota_o = engine_oracle("""
+    , s AS (SELECT source, count(*)::BIGINT AS c FROM documents
+            GROUP BY source),
+    tot AS (SELECT sum(c)::BIGINT AS t FROM s),
+    a0 AS (SELECT source, (100 * c) // t AS base, (100 * c) % t AS rem
+           FROM s, tot),
+    l AS (SELECT (100 - sum(base))::BIGINT AS leftover FROM a0),
+    alloc AS (
+      SELECT source,
+             (base + CASE WHEN row_number()
+                            OVER (ORDER BY rem DESC, source) <= leftover
+                     THEN 1 ELSE 0 END)::BIGINT AS alloc
+      FROM a0, l
+    ),
+    ranked AS (
+      SELECT d.source, d.doc_id,
+             row_number() OVER (PARTITION BY d.source
+               ORDER BY xxh64(d.doc_id::VARCHAR || '#9'), d.doc_id)::BIGINT
+               AS rnk
+      FROM documents d
+    )
+    SELECT r.source, r.doc_id, a.alloc, r.rnk
+    FROM ranked r JOIN alloc a USING (source) WHERE r.rnk <= a.alloc
+    """)
+
     # substring dedup twins: dup windows grouped by CONTENT (the literal
     # token slice), not by re-hashing — cross-checks the Spark side's
     # fingerprint equality against window equality itself.
@@ -2501,6 +2541,7 @@ def _engine_oracles() -> dict[str, str]:
         "mx_shuffle": mx_shuffle_o,
         "mx_weighted": mx_weighted_o,
         "mx_reservoir": mx_reservoir_o,
+        "mx_quota": mx_quota_o,
         "engine_seq_dedup": seq_dedup,
         "engine_seq_pack": seq_pack,
         "engine_seq_chunk": seq_chunk,

@@ -114,6 +114,7 @@ ENGINE_ORACLE_NAMES = [
     "x1_ab_test",
     "engine_streaming_ohlc",
     "engine_targeted_delete",
+    "mx_quota",
 ]
 
 

@@ -169,3 +169,51 @@ def test_reservoir_topk_uniform_deterministic(spark):
             counts[r["doc_id"]] = counts.get(r["doc_id"], 0) + 1
     # expectation 30 * 5/40 = 3.75 draws/member
     assert max(counts.values()) <= 12 and len(counts) >= 25
+
+
+def test_quota_sample_exact_total_and_allocation(spark):
+    from tsrollup.mixing import quota_sample
+
+    # deliberately skewed strata: 70 / 25 / 5 rows
+    rows = (
+        [(i, "big") for i in range(70)]
+        + [(100 + i, "mid") for i in range(25)]
+        + [(200 + i, "tiny") for i in range(5)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+
+    out = quota_sample(df, 17, "source", "doc_id", seed=2).collect()
+    assert len(out) == 17  # EXACT budget, no rate can promise this
+
+    # pure-python largest-remainder reference
+    counts = {"big": 70, "mid": 25, "tiny": 5}
+    T = sum(counts.values())
+    base = {s: 17 * c // T for s, c in counts.items()}
+    rem = {s: 17 * c % T for s, c in counts.items()}
+    left = 17 - sum(base.values())
+    for s in sorted(counts, key=lambda s: (-rem[s], s))[:left]:
+        base[s] += 1
+    got_alloc = {}
+    for r in out:
+        got_alloc[r["source"]] = r["alloc"]
+    assert got_alloc == {s: a for s, a in base.items() if a > 0}
+
+    # per-stratum pick count == allocation; ranks are 1..alloc
+    per = {}
+    for r in out:
+        per.setdefault(r["source"], []).append(r["rnk"])
+    assert {s: sorted(v) for s, v in per.items()} == {
+        s: list(range(1, base[s] + 1)) for s in base if base[s] > 0
+    }
+
+    # determinism + seed decorrelation
+    again = {(r["doc_id"]) for r in
+             quota_sample(df, 17, "source", "doc_id", seed=2).collect()}
+    assert again == {r["doc_id"] for r in out}
+    other = {r["doc_id"] for r in
+             quota_sample(df, 17, "source", "doc_id", seed=3).collect()}
+    assert other != again
+
+    # degenerate budgets
+    assert quota_sample(df, 0, "source", "doc_id").count() == 0
+    assert quota_sample(df, 100, "source", "doc_id").count() == 100

@@ -210,3 +210,62 @@ def reservoir_topk(
     return df.withColumn("rnk", F.row_number().over(w)).where(
         F.col("rnk") <= k
     )
+
+
+def quota_sample(
+    df: DataFrame,
+    n_total: int,
+    strat_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 9,
+) -> DataFrame:
+    """EXACT-SIZE stratified sample: exactly ``n_total`` rows overall,
+    allocated across strata proportionally to their row counts with
+    largest-remainder (Hamilton) rounding — the fixed-budget companion
+    to ``stratified_sample``'s per-10k rates (rates can't promise an
+    exact total; eval-set construction and annotation budgets need
+    one). Within each stratum the draw is the reservoir_topk uniform
+    rank: (xxhash64(id#seed), id) order, keep the stratum's allocation.
+
+    All-integer allocation arithmetic — base = (n_total*c) div T,
+    leftovers go to the largest remainders ((n_total*c) mod T,
+    stratum-name tiebreak) — so the allocation, not just the
+    membership, is oracle-twinnable. Floor-div/mod agree across engines
+    for the positive operands here while n_total*c < 2^52 (the repo's
+    standing floor-div bound).
+
+    Scale shape: one stratum hash agg (dim-sized), the allocation
+    window runs over that DIM-SIZED set only (n_strata rows through
+    one partition — never corpus rows), allocations broadcast back,
+    then one per-stratum rank window. Returns sampled rows with
+    ``alloc`` and ``rnk``."""
+    from pyspark.sql import Window
+
+    if n_total < 0:
+        raise ValueError(f"n_total must be >= 0: {n_total}")
+    s = df.groupBy(strat_col).agg(F.count(F.lit(1)).alias("__c"))
+    tot = s.agg(F.sum("__c").cast("long").alias("__t"))
+    a0 = s.crossJoin(F.broadcast(tot)).select(
+        strat_col,
+        F.expr(f"CAST({n_total} AS BIGINT) * __c div __t").alias("__base"),
+        F.expr(f"CAST({n_total} AS BIGINT) * __c % __t").alias("__rem"),
+    )
+    wall = Window.partitionBy()  # dim-sized by construction (see doc)
+    wrem = Window.orderBy(F.desc("__rem"), F.asc(strat_col))
+    alloc = a0.select(
+        strat_col,
+        (
+            F.col("__base")
+            + (
+                F.row_number().over(wrem)
+                <= F.lit(n_total) - F.sum("__base").over(wall)
+            ).cast("long")
+        ).alias("alloc"),
+    )
+    h = F.xxhash64(_seed_key(id_col, seed))
+    w = Window.partitionBy(strat_col).orderBy(h, F.col(id_col))
+    return (
+        df.join(F.broadcast(alloc), strat_col)
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= F.col("alloc"))
+    )
