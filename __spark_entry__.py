@@ -1425,6 +1425,29 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "rnd int, a long, b long, new_id long, cnt long",
         )
 
+    def engine_bpe_encode(spark, sf_dir):
+        """TK6: BPE encode + decode round trip (bpe.bpe_encode /
+        bpe_decode) — tokenize with a trained merge table (ONE corpus
+        scan applying all merges in-kernel, vs training's sequential
+        rounds), then expand back in reverse merge order. Twinned by
+        publishing the DECODED payload's xxhash64 + length per doc
+        against the oracle hashing the ORIGINAL tokens: the board proves
+        the encode is losslessly invertible row-by-row, bit-for-bit.
+        Encode-side parity (encode(train corpus) == train's merged
+        corpus; compression of the encoded lengths) is pytest-pinned in
+        tests/test_bpe.py."""
+        from tsrollup.bpe import bpe_decode, bpe_encode, bpe_train
+        from tsrollup.flagship import sequences_from_documents
+
+        seq = sequences_from_documents(spark, sf_dir).select("doc_id", "tokens")
+        merges, _ = bpe_train(seq, "tokens", n_merges=8, new_id_base=1_000_000)
+        dec = bpe_decode(bpe_encode(seq, merges), merges)
+        return dec.select(
+            "doc_id",
+            F.size("tokens").cast("long").alias("n_tok"),
+            F.xxhash64("tokens").alias("roundtrip_hash"),
+        )
+
     def x1_ab_test(spark, sf_dir):
         """X1: A/B experiment readout — users deterministically split
         into two arms by pmod(xxhash64("<user_id>#ab"), 2) (the mx_split
@@ -1488,6 +1511,7 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_bucketed_join": engine_bucketed_join,
         "x1_ab_test": x1_ab_test,
         "engine_bpe_train": engine_bpe_train,
+        "engine_bpe_encode": engine_bpe_encode,
         "tx_bloom_decontam": tx_bloom_decontam,
         "sk_cms_heavy": sk_cms_heavy,
         "dd_phash": dd_phash,
@@ -2145,6 +2169,12 @@ def _engine_oracles() -> dict[str, str]:
       FROM keyed) WHERE rnk <= 5
     """)
 
+    bpe_encode_o = engine_oracle("""
+    SELECT doc_id, n_tok::BIGINT AS n_tok,
+           xxh64_intlist(tokens) AS roundtrip_hash
+    FROM seq
+    """)
+
     mx_quota_o = engine_oracle("""
     , s AS (SELECT source, count(*)::BIGINT AS c FROM documents
             GROUP BY source),
@@ -2542,6 +2572,7 @@ def _engine_oracles() -> dict[str, str]:
         "mx_weighted": mx_weighted_o,
         "mx_reservoir": mx_reservoir_o,
         "mx_quota": mx_quota_o,
+        "engine_bpe_encode": bpe_encode_o,
         "engine_seq_dedup": seq_dedup,
         "engine_seq_pack": seq_pack,
         "engine_seq_chunk": seq_chunk,

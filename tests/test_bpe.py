@@ -98,3 +98,59 @@ def test_bpe_train_early_stop(spark):
     merges, merged = bpe_train(df, "tokens", n_merges=4, new_id_base=100)
     assert merges == []
     assert [list(map(int, r["tokens"])) for r in merged.collect()] == [[1, 2, 3, 4, 5]]
+
+
+def test_bpe_encode_matches_train_output_and_compresses(spark):
+    """encode(training corpus, trained table) == bpe_train's own merged
+    corpus, array-for-array — the invariant that makes a table reusable
+    on new shards; and encoding strictly shortens docs that contain a
+    learned pair."""
+    from tsrollup.bpe import bpe_encode
+
+    rng = np.random.default_rng(23)
+    seqs = [rng.integers(0, 5, size=rng.integers(4, 25)).tolist()
+            for _ in range(30)]
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [str(i) for i in range(30)], "tokens": seqs})
+    )
+    merges, merged = bpe_train(df, "tokens", n_merges=5, new_id_base=900)
+    assert merges  # fixture is pair-dense by construction
+
+    enc = bpe_encode(df, merges)
+    got = {r["doc_id"]: list(map(int, r["tokens"])) for r in enc.collect()}
+    exp = {r["doc_id"]: list(map(int, r["tokens"])) for r in merged.collect()}
+    assert got == exp
+
+    total_in = sum(len(s) for s in seqs)
+    total_out = sum(len(v) for v in got.values())
+    assert total_out < total_in
+
+
+def test_bpe_decode_roundtrip_and_edges(spark):
+    """decode(encode(x)) == x bit-for-bit, including docs too short to
+    merge; decoded dtype narrows back to array<int>."""
+    from tsrollup.bpe import bpe_decode, bpe_encode
+
+    rng = np.random.default_rng(29)
+    seqs = [rng.integers(0, 4, size=rng.integers(2, 20)).tolist()
+            for _ in range(20)] + [[7], [3, 3]]
+    ids = [str(i) for i in range(len(seqs))]
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": ids, "tokens": seqs}))
+    merges, _ = bpe_train(df, "tokens", n_merges=4, new_id_base=800)
+
+    dec = bpe_decode(bpe_encode(df, merges), merges)
+    assert dict(dec.dtypes)["tokens"] == "array<int>"
+    got = {r["doc_id"]: list(map(int, r["tokens"])) for r in dec.collect()}
+    assert got == dict(zip(ids, seqs))
+
+
+def test_expand_pair_np_nested_merges():
+    """Reverse-order expansion unwinds merges that reference merge ids."""
+    from tsrollup.bpe import expand_pair_np
+
+    # merge0: (1,2)->10 ; merge1: (10,3)->11  =>  [11] decodes to [1,2,3]
+    arr = np.array([11, 4, 11], dtype=np.int64)
+    step1 = expand_pair_np(arr, 10, 3, 11)
+    assert step1.tolist() == [10, 3, 4, 10, 3]
+    step0 = expand_pair_np(step1, 1, 2, 10)
+    assert step0.tolist() == [1, 2, 3, 4, 1, 2, 3]

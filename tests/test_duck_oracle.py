@@ -115,6 +115,7 @@ ENGINE_ORACLE_NAMES = [
     "engine_streaming_ohlc",
     "engine_targeted_delete",
     "mx_quota",
+    "engine_bpe_encode",
 ]
 
 

@@ -132,3 +132,84 @@ def bpe_train(
             eager=True
         )
     return merges, cur
+
+
+def bpe_encode(
+    seq: DataFrame,
+    merges: list[tuple[int, int, int, int]],
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Apply a TRAINED merge table to a corpus — the tokenize pass that
+    pairs with ``bpe_train``: merges apply in training (priority) order,
+    each left-to-right non-overlapping, the canonical greedy encode. On
+    the training corpus itself this reproduces ``bpe_train``'s merged
+    output bit-for-bit (pytest-pinned), which is what makes a separately
+    trained table safely reusable on new shards.
+
+    Scale shape: the merge table ships in the task closure (k entries —
+    tokenizer-sized, broadcast by construction) and the whole encode is
+    ONE mapInPandas corpus scan applying all k merges per sequence
+    in-kernel — vs training's inherent k sequential count+apply rounds.
+    Token ids widen to long (merge ids live above the int32 base)."""
+    widened = seq.withColumn(tokens_col, F.col(tokens_col).cast("array<long>"))
+
+    def apply(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            out = []
+            for arr in pdf[tokens_col]:
+                a_np = np.asarray(arr, dtype=np.int64)
+                for a, b, new_id, _cnt in merges:
+                    a_np = merge_pair_np(a_np, a, b, new_id)
+                out.append(a_np)
+            pdf[tokens_col] = out
+            yield pdf
+
+    return widened.mapInPandas(apply, schema=widened.schema)
+
+
+def expand_pair_np(arr: np.ndarray, a: int, b: int, new_id: int) -> np.ndarray:
+    """Inverse of one merge: every new_id becomes (a, b) — vectorized
+    via a cumsum position map, no Python loop over tokens."""
+    hits = arr == new_id
+    if not hits.any():
+        return arr
+    reps = np.where(hits, 2, 1)
+    starts = np.cumsum(reps) - reps
+    out = np.empty(int(reps.sum()), dtype=np.int64)
+    out[starts] = np.where(hits, a, arr)
+    out[starts[hits] + 1] = b
+    return out
+
+
+def bpe_decode(
+    seq: DataFrame,
+    merges: list[tuple[int, int, int, int]],
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Expand merge ids back to base tokens — merges undo in REVERSE
+    training order (later merges may reference earlier merge ids), so
+    decode(encode(x)) == x for every sequence: BPE is lossless and the
+    round trip is oracle-twinnable as a per-row hash of the decoded
+    payload vs the original. Output tokens narrow back to array<int>
+    (all surviving ids are base-vocabulary int32 ids by construction —
+    the pipeline's standing token dtype invariant)."""
+
+    def apply(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            out = []
+            for arr in pdf[tokens_col]:
+                a_np = np.asarray(arr, dtype=np.int64)
+                for a, b, new_id, _cnt in reversed(merges):
+                    a_np = expand_pair_np(a_np, a, b, new_id)
+                out.append(a_np.astype(np.int32))
+            pdf[tokens_col] = out
+            yield pdf
+
+    schema = ", ".join(
+        f"{f.name} array<int>" if f.name == tokens_col
+        else f"{f.name} {f.dataType.simpleString()}"
+        for f in seq.schema.fields
+    )
+    return seq.mapInPandas(apply, schema=schema)
