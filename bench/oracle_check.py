@@ -65,18 +65,23 @@ def main() -> int:
         ok_cols = list(a.columns) == list(b.columns)
         ok_vals = ok_rows and ok_cols and a.equals(b)
         if ok_rows and ok_cols and not ok_vals:
+            # a.equals is dtype-sensitive; re-verdict per column with
+            # value-level compare (both-NA == equal, matching .equals).
+            # ok_vals becomes True only if EVERY column is value-equal —
+            # a dtype-only column must never absolve a later real diff.
+            dtype_only = True
             for c in a.columns:
                 if not a[c].equals(b[c]):
-                    mask = ~(a[c] == b[c])
+                    mask = ~((a[c] == b[c]) | (a[c].isna() & b[c].isna()))
                     print(
                         f"  [{name}] col {c} dtype {a[c].dtype} vs "
                         f"{b[c].dtype} diffs {int(mask.sum())}"
                     )
                     if mask.sum():
+                        dtype_only = False
                         print(a[mask].head(3))
                         print(b[mask].head(3))
-                    else:
-                        ok_vals = True  # dtype-only: values identical
+            ok_vals = dtype_only
         status = "OK" if (ok_rows and ok_cols and ok_vals) else "FAIL"
         if status == "FAIL":
             failures += 1

@@ -5601,3 +5601,204 @@ def q3_scd2(spark, sf_dir):
         nxt.alias("valid_to_us"),
         nxt.isNull().alias("is_current"),
     )
+
+
+# ------------------ X4 RFM segmentation (round 4)
+
+@q(
+    "x4_rfm",
+    """
+    WITH mx AS (SELECT max(epoch_us(ts)) AS now_us FROM events),
+    u AS (
+      SELECT user_id,
+             CAST((mx.now_us - max(epoch_us(ts))) // 86400000000 AS BIGINT)
+               AS recency_days,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS monetary_cents
+      FROM events, mx
+      WHERE event_type = 'purchase'
+      GROUP BY user_id, mx.now_us
+    )
+    SELECT user_id, recency_days, frequency, monetary_cents,
+           ntile(5) OVER (ORDER BY recency_days ASC, user_id) AS r_score,
+           ntile(5) OVER (ORDER BY frequency DESC, user_id) AS f_score,
+           ntile(5) OVER (ORDER BY monetary_cents DESC, user_id) AS m_score
+    FROM u
+    """,
+)
+def x4_rfm(spark, sf_dir):
+    """RFM segmentation — the classic user-value triage (recency /
+    frequency / monetary quintiles) as one exact-integer pipeline:
+    recency in whole days from the corpus max timestamp (deterministic
+    "now" — the --now-day discipline), frequency an exact count, and
+    monetary summed in CENTS (value quantizes to a BIGINT before the
+    sum, the repo's standing money rule — a double sum would be
+    summation-order-unstable across engines). Quintiles via ntile(5)
+    with user_id tiebreaks so bucket boundaries are a pure function of
+    the data; score 1 = best (most recent / most frequent / highest
+    spend), matching the ORDER BY direction on both sides.
+
+    Scale shape: one (user) hash agg over the filtered scan + three
+    global ntile windows over USER-level rows — dim-sized relative to
+    events. If the user dimension itself outgrows one partition, each
+    ntile becomes the mixing.py range-bucket rank (prefix offsets) with
+    quantile cuts from exact counts; the per-user agg is unchanged."""
+    ev = t(spark, sf_dir, "events")
+    # "now" = corpus max ts over ALL events (the deterministic analysis
+    # timestamp), NOT the purchase subset's max — recencies must be
+    # comparable across segmentations of different event types
+    now = ev.agg(F.max(F.expr("unix_micros(CAST(ts AS TIMESTAMP))")).alias("now_us"))
+    e = ev.where(F.col("event_type") == "purchase")
+    u = (
+        e.crossJoin(F.broadcast(now))
+        .groupBy("user_id", "now_us")
+        .agg(
+            F.expr("CAST((max(now_us) - max(unix_micros(CAST(ts AS TIMESTAMP)))) div 86400000000 AS BIGINT)")
+            .alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("monetary_cents"),
+        )
+        .drop("now_us")
+    )
+    return u.select(
+        "user_id", "recency_days", "frequency", "monetary_cents",
+        F.ntile(5).over(Window.orderBy(F.asc("recency_days"), F.asc("user_id"))).cast("long").alias("r_score"),
+        F.ntile(5).over(Window.orderBy(F.desc("frequency"), F.asc("user_id"))).cast("long").alias("f_score"),
+        F.ntile(5).over(Window.orderBy(F.desc("monetary_cents"), F.asc("user_id"))).cast("long").alias("m_score"),
+    )
+
+
+# ------------------ contrastive pair mining (EMB, round 4)
+
+@q(
+    "emb_hard_negatives",
+    """
+    WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings),
+    q AS (SELECT * FROM v WHERE vec_id < 10),
+    s AS (
+      SELECT q.vec_id AS query_id, q.label AS query_label,
+             c.vec_id AS cand_id, (c.label = q.label) AS is_pos,
+             round(list_cosine_similarity(q.e, c.e), 6) AS cos_sim
+      FROM q JOIN v c ON c.vec_id != q.vec_id
+    ),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id, is_pos
+                                   ORDER BY cos_sim DESC, cand_id) AS rnk
+      FROM s
+    )
+    SELECT query_id, query_label,
+           max(CASE WHEN is_pos THEN cand_id END) AS pos_id,
+           max(CASE WHEN is_pos THEN cos_sim END) AS pos_cos,
+           max(CASE WHEN NOT is_pos THEN cand_id END) AS neg_id,
+           max(CASE WHEN NOT is_pos THEN cos_sim END) AS neg_cos,
+           round(max(CASE WHEN is_pos THEN cos_sim END)
+                 - max(CASE WHEN NOT is_pos THEN cos_sim END), 6) AS margin
+    FROM r WHERE rnk = 1
+    GROUP BY query_id, query_label
+    """,
+)
+def emb_hard_negatives(spark, sf_dir):
+    """Contrastive-pair mining for embedding-model training data: per
+    query vector, the nearest SAME-label neighbor (the positive) and the
+    nearest DIFFERENT-label neighbor (the HARD negative — the sample
+    that does the work in a triplet/InfoNCE batch), plus the margin
+    between them (negative margin = the metric currently misranks this
+    anchor). Ranking happens on the 6-dp-ROUNDED cosine with cand-id
+    tiebreak — the repo's standing defense against last-ulp rank flips.
+
+    Scale shape: the query side broadcasts (n_query × corpus, ONE corpus
+    scan — the ann_cosine_topk baseline shape); at 10^9 vectors the
+    candidate set comes from ann_ivf/ann_lsh buckets instead of the full
+    corpus, same ranking afterwards. Never corpus × corpus."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    qv = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("v").alias("qv"),
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "v", lambda x, y: x * y), F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0),
+                    lambda acc, x: acc + x)
+    )
+    s = (
+        e.crossJoin(F.broadcast(qv))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", "query_label",
+            F.col("vec_id").alias("cand_id"),
+            (F.col("label") == F.col("query_label")).alias("is_pos"),
+            F.round(dot / (norm(F.col("qv")) * norm(F.col("v"))), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id", "is_pos").orderBy(
+        F.desc("cos_sim"), F.asc("cand_id")
+    )
+    r = s.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") == 1)
+    pos = lambda c: F.max(F.when(F.col("is_pos"), F.col(c)))  # noqa: E731
+    neg = lambda c: F.max(F.when(~F.col("is_pos"), F.col(c)))  # noqa: E731
+    return r.groupBy("query_id", "query_label").agg(
+        pos("cand_id").alias("pos_id"),
+        pos("cos_sim").alias("pos_cos"),
+        neg("cand_id").alias("neg_id"),
+        neg("cos_sim").alias("neg_cos"),
+        F.round(pos("cos_sim") - neg("cos_sim"), 6).alias("margin"),
+    )
+
+
+# ------------------ temperature-scaled mixture weights (MX7, round 4)
+
+@q(
+    "mx_temperature",
+    """
+    WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS c
+               FROM documents GROUP BY source),
+    m AS (SELECT source, c,
+                 CAST(round(sqrt(CAST(c AS DOUBLE)) * 1e6, 0) AS BIGINT) AS su
+          FROM s),
+    tot AS (SELECT CAST(sum(su) AS BIGINT) AS st FROM m)
+    SELECT source, c AS n_rows,
+           round(CAST(su AS DOUBLE) / st, 6) AS weight,
+           CAST((200 * su) // st AS BIGINT) AS draws,
+           ((200 * su) // st > c) AS oversampled
+    FROM m, tot
+    """,
+)
+def mx_temperature(spark, sf_dir):
+    """Temperature-scaled mixture allocation (the mT5 / multilingual-mix
+    idiom): sampling weight ∝ size^α with α = 0.5, which UPSAMPLES small
+    sources relative to proportional mixing — the knob between
+    proportional (α=1, mx_quota) and uniform (α=0). Per source: its
+    weight, the integer draw budget out of 200, and whether that budget
+    exceeds the source's size (oversampled ⇒ the source repeats epochs).
+
+    Exactness: c^0.5 quantizes to micro-units immediately (su =
+    round(sqrt(c)·1e6), a BIGINT — sqrt of an exact integer is one
+    correctly-rounded op), so the normalizing denominator is an exact
+    BIGINT sum (order-free) and draws = (200·su) div Σsu is pure integer
+    arithmetic; only the reported weight is a single rounded division.
+    Scale: one dim-sized hash agg + a 1-row broadcast total."""
+    s = t(spark, sf_dir, "documents").groupBy("source").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    m = s.select(
+        "source", "c",
+        F.round(F.sqrt(F.col("c").cast("double")) * 1e6, 0).cast("long").alias("su"),
+    )
+    tot = m.agg(F.sum("su").cast("long").alias("st"))
+    draws = F.expr("200 * su div st")
+    return m.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.col("c").alias("n_rows"),
+        F.round(F.col("su").cast("double") / F.col("st"), 6).alias("weight"),
+        draws.cast("long").alias("draws"),
+        (draws > F.col("c")).alias("oversampled"),
+    )
