@@ -767,6 +767,60 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def engine_vacuum(spark, sf_dir):
+        """S5: store vacuum + crash recovery (storage.vacuum_store) —
+        build a store, then plant all three crash-leftover classes the
+        swap-based maintenance ops can leave: a completed-swap orphan
+        (.__compact_old beside a live leaf), a CRASHED swap (a leaf
+        renamed away to .__delete_old — the store is serving a hole),
+        and a stale .__compact_tmp. Vacuum must remove the garbage and
+        RESTORE the missing leaf. The twin recomputes the full 1m rollup
+        from the sequences: a green hash proves the restored store
+        serves exactly the pre-crash rows — recovery, not just GC."""
+        import shutil
+
+        from pyspark.sql import functions as F
+
+        from tsrollup.config import RollupConfig
+        from tsrollup.pipeline import ROLLUP_DIR, rollup_build
+        from tsrollup.storage import vacuum_store
+
+        base = _scratch("vacuum")
+        in_dir = _seq_files(spark, sf_dir, base)
+        out = os.path.join(base, "store")
+        rollup_build(spark, in_dir, out, RollupConfig(), derived=False)
+        rollup_path = os.path.join(out, ROLLUP_DIR)
+        leaves = sorted(
+            root
+            for root, _d, files in os.walk(rollup_path)
+            if any(f.endswith(".parquet") for f in files)
+        )
+        assert len(leaves) >= 3, f"fixture too small: {len(leaves)} leaves"
+        p0, l0 = os.path.split(leaves[0])
+        shutil.copytree(leaves[0], os.path.join(p0, f".{l0}.__compact_old"))
+        p1, l1 = os.path.split(leaves[1])
+        os.rename(leaves[1], os.path.join(p1, f".{l1}.__delete_old"))
+        p2, l2 = os.path.split(leaves[2])
+        shutil.copytree(leaves[2], os.path.join(p2, f".{l2}.__compact_tmp"))
+
+        done = vacuum_store(out, ROLLUP_DIR)
+        acts = sorted(d["action"] for d in done)
+        assert acts == ["removed", "removed", "restored"], acts
+        assert not any(
+            d.startswith(".")
+            for root, dirs, _f in os.walk(rollup_path)
+            for d in dirs
+        )
+        return (
+            spark.read.parquet(rollup_path)
+            .where(F.col("tier") == "1m")
+            .select(
+                "source",
+                F.unix_timestamp("bucket_start").alias("bucket_s"),
+                "cnt", "n_tok_sum", "tok_sum",
+            )
+        )
+
     def engine_compaction(spark, sf_dir):
         """S4: small-file compaction (storage.compact_store) — build a
         store, FRAGMENT the rollup sink (rewrite with a row-hash
@@ -1519,6 +1573,7 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_streaming_pair_join": engine_streaming_pair_join,
         "engine_compaction": engine_compaction,
         "engine_targeted_delete": engine_targeted_delete,
+        "engine_vacuum": engine_vacuum,
         "tx_bigram_lift": tx_bigram_lift,
         "dd_substring": dd_substring,
         "dd_substring_removal": dd_substring_removal,
@@ -2544,6 +2599,14 @@ def _engine_oracles() -> dict[str, str]:
     GROUP BY 1, 2
     """)
 
+    vacuum_o = engine_oracle("""
+    SELECT source, epoch(date_trunc('minute', event_ts))::BIGINT AS bucket_s,
+           count(*)::BIGINT AS cnt,
+           sum(n_tok)::BIGINT AS n_tok_sum,
+           sum(list_aggregate(tokens, 'sum'))::BIGINT AS tok_sum
+    FROM seq GROUP BY 1, 2
+    """)
+
     bucketed_join_o = """
     SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
            CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum
@@ -2554,6 +2617,7 @@ def _engine_oracles() -> dict[str, str]:
     return {
         "engine_bucketed_join": bucketed_join_o,
         "engine_targeted_delete": targeted_delete_o,
+        "engine_vacuum": vacuum_o,
         "x1_ab_test": ab_test_o,
         "tx_bloom_decontam": bloom_decontam_o,
         "sk_cms_heavy": cms_heavy_o,

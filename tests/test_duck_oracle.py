@@ -116,6 +116,7 @@ ENGINE_ORACLE_NAMES = [
     "engine_targeted_delete",
     "mx_quota",
     "engine_bpe_encode",
+    "engine_vacuum",
 ]
 
 

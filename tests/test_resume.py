@@ -296,3 +296,69 @@ def test_compact_store_preserves_content(spark, seq_fixture_small, tmp_path):
         f.write(b"not parquet")
     assert compact_store(spark, out, "frag", target_files=1) == []
     assert snapshot().equals(after)
+
+
+def test_vacuum_store_gc_and_crash_recovery(spark, seq_fixture_small, tmp_path):
+    """vacuum_store removes completed-swap orphans and stale tmps,
+    RESTORES a leaf whose swap crashed between the renames (old present,
+    leaf missing), drops empty dirs, is idempotent, and the store's
+    content afterwards equals the pre-crash content exactly."""
+    import os
+    import shutil
+
+    from tsrollup.config import RollupConfig
+    from tsrollup.pipeline import ROLLUP_DIR, rollup_build
+    from tsrollup.storage import vacuum_store
+
+    out = str(tmp_path / "store")
+    rollup_build(spark, seq_fixture_small, out, RollupConfig(), derived=False)
+    rollup_path = os.path.join(out, ROLLUP_DIR)
+
+    def snapshot():
+        return (
+            spark.read.parquet(rollup_path)
+            .toPandas()
+            .sort_values(
+                ["tier", "day", "source", "bucket_start"], kind="mergesort"
+            )
+            .reset_index(drop=True)
+        )
+
+    before = snapshot()
+    leaves = sorted(
+        root
+        for root, _d, files in os.walk(rollup_path)
+        if any(f.endswith(".parquet") for f in files)
+    )
+    assert len(leaves) >= 3
+
+    # (a) completed swap left its old copy behind
+    p0, l0 = os.path.split(leaves[0])
+    orphan_old = os.path.join(p0, f".{l0}.__compact_old")
+    shutil.copytree(leaves[0], orphan_old)
+    # (b) crashed swap: leaf renamed away, new copy never moved in
+    p1, l1 = os.path.split(leaves[1])
+    os.rename(leaves[1], os.path.join(p1, f".{l1}.__delete_old"))
+    # (c) stale tmp from an aborted rewrite
+    p2, l2 = os.path.split(leaves[2])
+    stale_tmp = os.path.join(p2, f".{l2}.__delete_tmp")
+    shutil.copytree(leaves[2], stale_tmp)
+    # (d) empty dangling partition dir
+    empty = os.path.join(rollup_path, "tier=1m", "day=1999-01-01")
+    os.makedirs(empty)
+
+    done = vacuum_store(out, ROLLUP_DIR)
+    by_action = {}
+    for d in done:
+        by_action.setdefault(d["action"], []).append(d["path"])
+    assert by_action["restored"] == [leaves[1]]
+    assert sorted(by_action["removed"]) == sorted([orphan_old, stale_tmp])
+    assert by_action["removed_empty"] == [empty]
+    assert os.path.isdir(leaves[1]) and not os.path.exists(orphan_old)
+    assert not os.path.exists(stale_tmp) and not os.path.exists(empty)
+
+    # content identical to pre-crash; second pass is a no-op
+    assert snapshot().equals(before)
+    assert vacuum_store(out, ROLLUP_DIR) == []
+    # missing sink is a clean no-op
+    assert vacuum_store(out, "no_such_sink") == []

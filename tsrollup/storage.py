@@ -255,3 +255,56 @@ def targeted_delete(
             }
         )
     return results
+
+
+#: scratch-dir suffixes the swap-based maintenance ops may leave behind
+#: if they crash between steps (compact_store / targeted_delete)
+_SCRATCH_SUFFIXES = (
+    ".__compact_tmp", ".__compact_old", ".__delete_tmp", ".__delete_old",
+)
+
+
+def vacuum_store(out_base: str, sink: str) -> list[dict]:
+    """Store GC + crash recovery — the vacuum pass that makes the
+    verify-then-swap maintenance ops (compact_store, targeted_delete)
+    safe to crash ANYWHERE: their scratch dirs are hidden (invisible to
+    readers) but they hold bytes, and one crash window — after
+    ``rename(leaf, old)`` but before ``rename(tmp, leaf)`` — leaves the
+    leaf itself missing. Per hidden scratch dir found:
+
+    - ``.<leaf>.__*_old`` with the leaf MISSING → **restored**: the old
+      dir is the last good copy; rename it back (crash recovery).
+    - ``.<leaf>.__*_old`` with the leaf present → **removed**: the swap
+      completed; the old copy is garbage.
+    - ``.<leaf>.__*_tmp`` → **removed**: tmp contents are either
+      incomplete or already swapped in under the leaf name; with the
+      leaf present-or-restored they are never the only copy.
+
+    Also drops empty leaf directories (left by retention/delete of every
+    file). Pure filesystem pass — no Spark job, O(dirs) metadata work;
+    Iceberg deploy: `expire_snapshots` + `remove_orphan_files`.
+    Idempotent; returns one dict (path, action) per change."""
+    base = os.path.join(out_base, sink)
+    results: list[dict] = []
+    if not os.path.isdir(base):
+        return results
+    for root, dirs, files in os.walk(base, topdown=False):
+        for d in list(dirs):
+            full = os.path.join(root, d)
+            suffix = next(
+                (s for s in _SCRATCH_SUFFIXES if d.endswith(s)), None
+            )
+            if suffix is None:
+                # empty non-scratch dir (no files anywhere below): drop
+                if not os.listdir(full):
+                    os.rmdir(full)
+                    results.append({"path": full, "action": "removed_empty"})
+                continue
+            leaf = os.path.join(root, d[1 : -len(suffix)])  # strip . and suffix
+            if suffix.endswith("_old") and not os.path.exists(leaf):
+                os.rename(full, leaf)
+                results.append({"path": leaf, "action": "restored"})
+            else:
+                shutil.rmtree(full)
+                results.append({"path": full, "action": "removed"})
+    return results
