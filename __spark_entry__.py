@@ -703,6 +703,42 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     "out_rows_1m", "out_rows_1h", "out_rows_1d")
         )
 
+    def engine_time_travel(spark, sf_dir):
+        """S6: snapshot time travel (resume.read_rollup_asof) — ledger
+        seqs are snapshot ids: build day-0 only (commit seq 1), then the
+        full input incrementally (seq 2), and read the store AS OF seq 1.
+        The twin recomputes the 1m rollup from ONLY the day-0 sequences:
+        a green hash proves the as-of read reconstructs the historical
+        snapshot exactly (membership via ledger, not directory listing).
+        The strict rewritten-after-snapshot guard is pytest-covered."""
+        from pyspark.sql import functions as F
+
+        from tsrollup.config import RollupConfig
+        from tsrollup.pipeline import ROLLUP_DIR, rollup_build
+        from tsrollup.resume import read_rollup_asof
+
+        base = _scratch("time_travel")
+        in_dir = _seq_files(spark, sf_dir, base)
+        seq = spark.read.parquet(in_dir)
+        day0 = seq.agg(F.min(F.to_date("event_ts"))).collect()[0][0]
+        first_path = os.path.join(base, "first")
+        seq.where(F.to_date("event_ts") <= F.lit(day0)).write.mode(
+            "overwrite"
+        ).parquet(first_path)
+        out = os.path.join(base, "store")
+        cfg = RollupConfig()
+        rollup_build(spark, first_path, out, cfg, run_id="r1", derived=False)
+        rollup_build(spark, in_dir, out, cfg, run_id="r2", derived=False)
+        return (
+            read_rollup_asof(spark, out, ROLLUP_DIR, seq=1)
+            .where(F.col("tier") == "1m")
+            .select(
+                "source",
+                F.unix_timestamp("bucket_start").alias("bucket_s"),
+                "cnt", "n_tok_sum", "tok_sum",
+            )
+        )
+
     def engine_retention(spark, sf_dir):
         """R1: build a store, expire the oldest 1m day, return the
         surviving (tier, day) partition inventory."""
@@ -1574,6 +1610,7 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_compaction": engine_compaction,
         "engine_targeted_delete": engine_targeted_delete,
         "engine_vacuum": engine_vacuum,
+        "engine_time_travel": engine_time_travel,
         "tx_bigram_lift": tx_bigram_lift,
         "dd_substring": dd_substring,
         "dd_substring_removal": dd_substring_removal,
@@ -2607,6 +2644,16 @@ def _engine_oracles() -> dict[str, str]:
     FROM seq GROUP BY 1, 2
     """)
 
+    time_travel_o = engine_oracle("""
+    , d0 AS (SELECT min(event_ts::DATE) AS d FROM seq)
+    SELECT source, epoch(date_trunc('minute', event_ts))::BIGINT AS bucket_s,
+           count(*)::BIGINT AS cnt,
+           sum(n_tok)::BIGINT AS n_tok_sum,
+           sum(list_aggregate(tokens, 'sum'))::BIGINT AS tok_sum
+    FROM seq, d0 WHERE event_ts::DATE <= d0.d
+    GROUP BY 1, 2
+    """)
+
     bucketed_join_o = """
     SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
            CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum
@@ -2618,6 +2665,7 @@ def _engine_oracles() -> dict[str, str]:
         "engine_bucketed_join": bucketed_join_o,
         "engine_targeted_delete": targeted_delete_o,
         "engine_vacuum": vacuum_o,
+        "engine_time_travel": time_travel_o,
         "x1_ab_test": ab_test_o,
         "tx_bloom_decontam": bloom_decontam_o,
         "sk_cms_heavy": cms_heavy_o,

@@ -231,6 +231,10 @@ def main() -> None:
         "x2_survival",
         "emb_pq_adc",
         "x3_markov",
+        "tx_doc_similarity",
+        "emb_hard_negatives",
+        "x4_rfm",
+        "q3_scd2",
     ):
         t0 = time.monotonic()
         SPARK[name](spark, sf_dir).count()
@@ -275,6 +279,7 @@ def main() -> None:
         "dd_audio_fp",
         "x1_ab_test",
         "engine_bucketed_join",
+        "mx_quota",
     ):
         t0 = time.monotonic()
         eq[name](spark, sf_dir).count()

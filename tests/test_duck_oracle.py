@@ -117,6 +117,7 @@ ENGINE_ORACLE_NAMES = [
     "mx_quota",
     "engine_bpe_encode",
     "engine_vacuum",
+    "engine_time_travel",
 ]
 
 

@@ -362,3 +362,62 @@ def test_vacuum_store_gc_and_crash_recovery(spark, seq_fixture_small, tmp_path):
     assert vacuum_store(out, ROLLUP_DIR) == []
     # missing sink is a clean no-op
     assert vacuum_store(out, "no_such_sink") == []
+
+
+def test_time_travel_asof_reconstructs_snapshot(spark, split_inputs):
+    """read_rollup_asof(seq=1) == the store a reader saw after build 1,
+    byte-for-byte; asof the latest seq == the current store; the strict
+    guard raises once a visible unit is re-rolled after the snapshot,
+    while strict=False serves the rows WITH rewritten_since flags."""
+    import pytest as _pytest
+
+    from tsrollup.resume import invalidate_units, read_rollup_asof
+
+    first, full = split_inputs
+    out = os.path.join(BASE, "asof")
+    snap1 = os.path.join(BASE, "asof_snap1")
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(snap1, ignore_errors=True)
+    cfg = RollupConfig()
+    rollup_build(spark, first, out, cfg, run_id="r1", derived=False)
+    # independent copy of the post-build-1 store = the expected snapshot
+    shutil.copytree(out, snap1)
+    rollup_build(spark, full, out, cfg, run_id="r2", derived=False)
+
+    keys = ["tier", "source", "bucket_start"]
+    got = read_rollup_asof(spark, out, ROLLUP_DIR, seq=1).drop(
+        "day", "source_bucket"
+    )
+    exp = spark.read.parquet(os.path.join(snap1, ROLLUP_DIR))
+    a = normalize_ts(got.toPandas(), ("bucket_start",))
+    e = normalize_ts(exp.drop("day", "source_bucket").toPandas(), ("bucket_start",))
+    assert_frame_byte_equal(
+        a.sort_values(keys, kind="mergesort").reset_index(drop=True),
+        e.sort_values(keys, kind="mergesort").reset_index(drop=True),
+        keys, msg="asof seq 1 vs physical snapshot",
+    )
+
+    # asof the current seq == the current store
+    cur = read_rollup_asof(spark, out, ROLLUP_DIR, seq=2)
+    assert cur.count() == spark.read.parquet(os.path.join(out, ROLLUP_DIR)).count()
+
+    # re-roll one of snapshot 1's units -> its historical bytes are gone:
+    # strict raises, non-strict flags
+    unit = got.selectExpr(
+        "concat_ws('/', cast(pmod(xxhash64(source), 64) as int), "
+        "cast(to_date(bucket_start) as string)) AS u"
+    ).limit(1).collect()[0]["u"]
+    from tsrollup.storage import n_source_buckets
+    assert n_source_buckets() == 64  # keep the inline unit recovery honest
+    invalidate_units(out, [unit])          # seq 3 tombstone
+    rollup_build(spark, full, out, cfg, run_id="r3", derived=False)  # seq 4
+    with _pytest.raises(RuntimeError, match="rewritten after seq 1"):
+        read_rollup_asof(spark, out, ROLLUP_DIR, seq=1).count()
+    flagged = read_rollup_asof(spark, out, ROLLUP_DIR, seq=1, strict=False)
+    assert "rewritten_since" in flagged.columns
+    assert flagged.where("rewritten_since").count() > 0
+    assert flagged.count() == len(a)  # same membership, newer bytes flagged
+
+    # no ledger at all -> clean error
+    with _pytest.raises(ValueError, match="no ledger"):
+        read_rollup_asof(spark, os.path.join(BASE, "nowhere"), ROLLUP_DIR, 1)

@@ -5802,3 +5802,64 @@ def mx_temperature(spark, sf_dir):
         draws.cast("long").alias("draws"),
         (draws > F.col("c")).alias("oversampled"),
     )
+
+
+# ------------------ X5 path analysis (round 4)
+
+@q(
+    "x5_paths",
+    """
+    WITH o AS (
+      SELECT user_id, event_type AS e1,
+             lead(event_type, 1) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS e2,
+             lead(event_type, 2) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS e3
+      FROM events
+    ),
+    p AS (
+      SELECT e1 || '>' || e2 || '>' || e3 AS path,
+             CAST(count(*) AS BIGINT) AS n_walks,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM o WHERE e3 IS NOT NULL GROUP BY 1
+    )
+    SELECT path, n_walks, n_users FROM (
+      SELECT *, row_number() OVER (ORDER BY n_walks DESC, path) AS rnk
+      FROM p
+    ) WHERE rnk <= 10
+    """,
+)
+def x5_paths(spark, sf_dir):
+    """Path analysis — the top event-type TRIGRAM paths across all user
+    journeys (the sankey/flow view product analytics sits on, and the
+    WHICH behind x3_markov's per-user surprise scalar): every 3-step
+    window of each user's ordered stream is a walk; paths rank by walk
+    count with lexicographic tiebreak. Exact integers end to end.
+
+    Scale shape: ONE shuffle on user_id serves both lead() windows
+    (same partition key), then a path hash agg (cardinality ≤ types³ —
+    catalog-sized) and a broadcast-able top-k. No joins, no explode."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    p = (
+        o.where(F.col("e3").isNotNull())
+        .select(
+            F.concat_ws(">", "e1", "e2", "e3").alias("path"), "user_id"
+        )
+        .groupBy("path")
+        .agg(
+            F.count(F.lit(1)).alias("n_walks"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+    )
+    rw = Window.orderBy(F.desc("n_walks"), F.asc("path"))
+    return (
+        p.withColumn("rnk", F.row_number().over(rw))
+        .where(F.col("rnk") <= 10)
+        .select("path", "n_walks", "n_users")
+    )

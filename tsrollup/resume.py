@@ -195,3 +195,85 @@ def commit_ledger(
     pq.write_table(table, tmp)
     os.rename(tmp, final)  # atomic on POSIX — the commit point
     return final
+
+
+def visible_units_asof(
+    spark: SparkSession, base_path: str, seq: int
+) -> DataFrame | None:
+    """Snapshot membership at ledger sequence ``seq``: units whose newest
+    commit at-or-before ``seq`` outlives any tombstone at-or-before
+    ``seq`` — the unit set a reader at that point in history saw. Adds
+    ``rewritten_since`` = a LATER ledger entry (commit or tombstone)
+    touched the unit, i.e. the store's CURRENT bytes for it are newer
+    than the snapshot."""
+    led = read_ledger(spark, base_path)
+    if led is None:
+        return None
+    c = (
+        led.where(F.col("seq") <= seq)
+        .groupBy("unit_id")
+        .agg(F.max("seq").alias("cseq"))
+    )
+    tomb = read_tombstones(spark, base_path)
+    if tomb is not None:
+        tseq = (
+            tomb.where(F.col("seq") <= seq)
+            .groupBy("unit_id")
+            .agg(F.max("seq").alias("tseq"))
+        )
+        c = c.join(tseq, "unit_id", "left").where(
+            F.col("cseq") > F.coalesce(F.col("tseq"), F.lit(-1))
+        )
+    later = led.where(F.col("seq") > seq).select("unit_id")
+    if tomb is not None:
+        later = later.union(tomb.where(F.col("seq") > seq).select("unit_id"))
+    later = later.distinct().withColumn("rewritten_since", F.lit(True))
+    return (
+        c.select("unit_id")
+        .join(later, "unit_id", "left")
+        .select(
+            "unit_id",
+            F.coalesce("rewritten_since", F.lit(False)).alias("rewritten_since"),
+        )
+    )
+
+
+def read_rollup_asof(
+    spark: SparkSession,
+    out_base: str,
+    rollup_dir: str,
+    seq: int,
+    strict: bool = True,
+) -> DataFrame:
+    """Time-travel read: the rollup store AS OF ledger sequence ``seq``.
+    Ledger seqs are the store's snapshot ids (every build/backfill
+    appends one atomically), so membership time travel is exact: rows
+    filter to the units visible at ``seq`` via the (source, bucket)
+    → unit key recovery, broadcast-semi-joined — one store scan.
+
+    Honesty contract for the plain-dir sandbox store: dynamic-partition
+    overwrite keeps only each unit's NEWEST bytes, so if a visible unit
+    was re-rolled after ``seq`` the historical bytes are gone —
+    ``strict=True`` (default) raises instead of silently serving newer
+    data; ``strict=False`` returns the rows with a ``rewritten_since``
+    column for the caller to judge. Iceberg deploy: snapshot reads keep
+    the old data files, so the strict path never triggers there —
+    `VERSION AS OF` replaces the membership filter wholesale."""
+    vis = visible_units_asof(spark, out_base, seq)
+    if vis is None:
+        raise ValueError(f"no ledger under {out_base} — nothing to time-travel")
+    if strict:
+        bad = vis.where("rewritten_since").limit(1).collect()
+        if bad:
+            raise RuntimeError(
+                f"unit {bad[0]['unit_id']} was rewritten after seq {seq}; "
+                "its historical bytes are unavailable in a plain-dir store "
+                "(use strict=False to read with rewritten_since flags)"
+            )
+    rows = spark.read.parquet(os.path.join(out_base, rollup_dir)).withColumn(
+        "unit_id", unit_id_col_from_bucket()
+    )
+    out = rows.join(F.broadcast(vis), "unit_id")
+    if strict:
+        out = out.drop("rewritten_since")
+    return out.drop("unit_id")
