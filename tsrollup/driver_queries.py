@@ -5863,3 +5863,116 @@ def x5_paths(spark, sf_dir):
         .where(F.col("rnk") <= 10)
         .select("path", "n_walks", "n_users")
     )
+
+
+# ------------------ B5 day-of-week profile (round 4)
+
+@q(
+    "b5_dow_profile",
+    """
+    WITH h AS (
+      SELECT event_type,
+             dayofweek(ts) + 1 AS dow, hour(ts) AS hod,
+             CAST(count(*) AS BIGINT) AS c,
+             CAST(count(DISTINCT ts::DATE) AS BIGINT) AS n_days
+      FROM events GROUP BY 1, 2, 3
+    )
+    SELECT event_type, dow, hod, c AS cnt, n_days,
+           round(CAST(c AS DOUBLE) / n_days, 4) AS per_day
+    FROM h
+    """,
+)
+def b5_dow_profile(spark, sf_dir):
+    """Weekly seasonality template — the (day-of-week × hour-of-day)
+    traffic profile per event type: the baseline grid behind "is this
+    Tuesday 3pm normal for a Tuesday 3pm?" alerting (w5's seasonal-naive
+    compares POINT-to-point; this is the aggregate template view).
+    Exact integer counts; the only float is one final division by the
+    number of distinct dates observed in that cell (calendar-normalized
+    so partial weeks don't bias cells), rounded once.
+
+    Scale shape: ONE hash agg on (type, dow, hod) — cardinality ≤
+    types × 168, catalog-sized regardless of corpus size; dow/hod are
+    codegen date functions in the scan. Convention pin: Spark dayofweek
+    is 1-7 Sunday-first, DuckDB's is 0-6 — the twin adds 1 explicitly;
+    any further drift hash-mismatches immediately."""
+    e = t(spark, sf_dir, "events")
+    h = e.groupBy(
+        "event_type",
+        F.dayofweek("ts").cast("long").alias("dow"),
+        F.hour("ts").cast("long").alias("hod"),
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.count_distinct(F.to_date("ts")).alias("n_days"),
+    )
+    return h.select(
+        "event_type", "dow", "hod", "cnt", "n_days",
+        F.round(F.col("cnt").cast("double") / F.col("n_days"), 4).alias("per_day"),
+    )
+
+
+# ------------------ TX readability score (round 4)
+
+@q(
+    "tx_readability",
+    """
+    WITH base AS (
+      SELECT doc_id, lower(text) AS t FROM documents
+    ),
+    c AS (
+      SELECT doc_id,
+             CAST(length(t) - length(replace(t, ' ', '')) + 1 AS BIGINT)
+               AS n_words,
+             CAST(greatest(length(t) - length(replace(t, '.', ''))
+                           + length(t) - length(replace(t, '!', ''))
+                           + length(t) - length(replace(t, '?', '')), 1)
+                  AS BIGINT) AS n_sents,
+             CAST(length(regexp_replace(t, '[^aeiou]', '', 'g')) AS BIGINT)
+               AS n_vowels
+      FROM base
+    )
+    SELECT doc_id, n_words, n_sents, n_vowels,
+           round(206.835
+                 - 1.015 * (CAST(n_words AS DOUBLE) / n_sents)
+                 - 84.6 * (CAST(n_vowels AS DOUBLE) / n_words), 4)
+             AS flesch_proxy
+    FROM c
+    """,
+)
+def tx_readability(spark, sf_dir):
+    """Readability quality signal — a Flesch-reading-ease PROXY from
+    three exact integer counts per doc: whitespace-delimited words,
+    sentence terminators (., !, ? — floor 1 so fragment docs don't
+    divide by zero), and vowel count as the syllable proxy (the
+    standard cheap stand-in; real syllabification needs a dictionary).
+    Low scores flag run-on/boilerplate text, high scores flag
+    fragment/listing spam — a curation filter axis independent of
+    entropy (tx_entropy) and LM surprise (tx_bigram_lm).
+
+    Exactness: counts are integers; the score is a fixed arithmetic
+    tree of two exact-integer ratios evaluated once and rounded —
+    deterministic across engines (each op correctly rounded, no
+    summation order anywhere). One scan, no joins, no explode."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.lower("text").alias("txt")
+    )
+    n_occ = lambda ch: (  # noqa: E731
+        F.length("txt") - F.length(F.replace(F.col("txt"), F.lit(ch)))
+    )
+    c = d.select(
+        "doc_id",
+        (n_occ(" ") + 1).cast("long").alias("n_words"),
+        F.greatest(
+            n_occ(".") + n_occ("!") + n_occ("?"), F.lit(1)
+        ).cast("long").alias("n_sents"),
+        F.length(F.regexp_replace("txt", "[^aeiou]", "")).cast("long").alias("n_vowels"),
+    )
+    return c.select(
+        "doc_id", "n_words", "n_sents", "n_vowels",
+        F.round(
+            F.lit(206.835)
+            - F.lit(1.015) * (F.col("n_words").cast("double") / F.col("n_sents"))
+            - F.lit(84.6) * (F.col("n_vowels").cast("double") / F.col("n_words")),
+            4,
+        ).alias("flesch_proxy"),
+    )
