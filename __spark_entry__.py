@@ -210,6 +210,25 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.hex("thumb").alias("thumb_hex"),
         )
 
+    def mm_audio_resample(spark, sf_dir):
+        """Multimodal audio resample pass (datapipe.
+        multimodal_audio_resample): parse RIFF/WAV payloads -> EXACT
+        int64 linear resample to 4 kHz -> re-encode, binary in / binary
+        out in ONE mapInPandas stage — the audio member of the
+        decode/feature/resize/frame-sample transform family. Bytes
+        projected to hex for the rows-only hash (integer-exact kernel,
+        stable run to run; parity vs a pure-python reference in
+        tests/test_datapipe.py)."""
+        from pyspark.sql import functions as F
+
+        from tsrollup.datapipe import multimodal_audio_resample
+
+        df = multimodal_audio_resample(spark, sf_dir, rate_out=4000)
+        return df.select(
+            "doc_id", "n_in", "rate_in", "n_out", "rate_out",
+            F.hex("resampled").alias("resampled_hex"),
+        )
+
     def mm_features(spark, sf_dir):
         # The driver canonicalizer sorts/hashes every column, and pandas
         # can't factorize list cells — project the feature array to a
@@ -1638,6 +1657,7 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": ann_lsh,
         "mm_features": mm_features,
         "mm_thumbnails": mm_thumbnails,
+        "mm_audio_resample": mm_audio_resample,
         "mm_features2": mm_features2,
         "mm_video_frames": mm_video_frames,
         "engine_streaming_rollup": engine_streaming_rollup,

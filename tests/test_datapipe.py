@@ -1239,3 +1239,81 @@ def test_pq_adc_recall_vs_exact(spark):
     got_ids = [r["vec_id"] for r in sorted(got, key=lambda r: r["rnk"])]
     recall = len(set(got_ids) & set(exact_top)) / 20
     assert recall >= 0.25, (recall, got_ids, exact_top)
+
+
+def test_audio_resample_linear_exact():
+    """Exact-integer linear resample: pure-python reference parity,
+    half-rate == even-index decimation, same-rate == identity, upsample
+    interpolates at floor-rounded midpoints, contract errors."""
+    import pytest as _pytest
+
+    from tsrollup.datapipe import audio_resample_linear
+
+    rng = np.random.default_rng(31)
+    s = rng.integers(-32768, 32767, size=101).astype(np.int16)
+
+    def ref(s, ri, ro):
+        n = len(s)
+        out = []
+        for i in range(max(1, n * ro // ri)):
+            num = i * ri
+            k = min(num // ro, n - 1)
+            frac = num - k * ro
+            k1 = min(k + 1, n - 1)
+            out.append(int(s[k]) + ((int(s[k1]) - int(s[k])) * frac) // ro)
+        return np.array(out, dtype=np.int16)
+
+    for ri, ro in ((8000, 4000), (8000, 3000), (4000, 8000), (8000, 8000),
+                   (44100, 8000)):
+        got = audio_resample_linear(s, ri, ro)
+        exp = ref(s, ri, ro)
+        assert got.dtype == np.int16 and np.array_equal(got, exp), (ri, ro)
+
+    assert np.array_equal(audio_resample_linear(s, 8000, 4000), s[::2][:50])
+    assert np.array_equal(audio_resample_linear(s, 8000, 8000), s)
+    up = audio_resample_linear(np.array([0, 100], dtype=np.int16), 1, 2)
+    assert up.tolist() == [0, 50, 100, 100]  # midpoint + endpoint clamp
+    assert audio_resample_linear(np.array([], dtype=np.int16), 8, 4).size == 0
+    with _pytest.raises(ValueError, match="rates must be positive"):
+        audio_resample_linear(s, 0, 4000)
+
+
+def test_multimodal_audio_resample_pass(spark):
+    """The Spark pass emits one row per audio doc (doc_id % 4 == 2),
+    re-encoded payloads re-parse to exactly the kernel's output at the
+    new rate, and the whole pass is deterministic."""
+    from tsrollup.datapipe import (
+        audio_resample_linear,
+        multimodal_audio_resample,
+        wav_samples,
+    )
+
+    sf = os.path.join(TESTDATA, "sf0.001")
+    out = multimodal_audio_resample(spark, sf, rate_out=4000).collect()
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+    expect_ids = {
+        str(r["doc_id"]) for r in docs
+        if int(r["doc_id"]) % 4 == 2 and len(r["text"].encode()) > 0
+    }
+    assert {r["doc_id"] for r in out} == expect_ids and out
+
+    by_id = {r["doc_id"]: r for r in out}
+    for r in docs:
+        did = str(r["doc_id"])
+        if did not in by_id:
+            continue
+        raw = np.frombuffer(r["text"].encode(), dtype=np.uint8)
+        samples = ((raw.astype(np.int32) - 128) * 256).astype(np.int16)
+        exp = audio_resample_linear(samples, 8000, 4000)
+        got_samples, got_rate = wav_samples(bytes(by_id[did]["resampled"]))
+        assert got_rate == 4000
+        assert np.array_equal(got_samples, exp), did
+        assert by_id[did]["n_in"] == len(samples)
+        assert by_id[did]["n_out"] == len(exp)
+
+    again = multimodal_audio_resample(spark, sf, rate_out=4000).collect()
+    assert {(r["doc_id"], bytes(r["resampled"])) for r in again} == {
+        (r["doc_id"], bytes(r["resampled"])) for r in out
+    }

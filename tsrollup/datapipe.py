@@ -2393,3 +2393,75 @@ def pq_adc_sql(query_vec_id: int = 0, topk: int = 20) -> str:
              row_number() OVER (ORDER BY adc_dist, vec_id) AS rnk
       FROM adc) WHERE rnk <= {topk}
     """
+
+
+def audio_resample_linear(
+    samples: np.ndarray, rate_in: int, rate_out: int
+) -> np.ndarray:
+    """EXACT-integer linear resample of int16 PCM: output sample i sits
+    at rational input position i·rate_in/rate_out; the interpolation is
+    s[k] + ((s[k+1]−s[k])·num) // rate_out with num = the position's
+    fractional numerator — pure int64 arithmetic, floor-rounded, so the
+    result is bit-deterministic on every platform (float resamplers are
+    not). Endpoint clamps to the last sample."""
+    if rate_in <= 0 or rate_out <= 0:
+        raise ValueError(f"rates must be positive: {rate_in} -> {rate_out}")
+    s = np.asarray(samples, dtype=np.int64)
+    n = s.shape[0]
+    if n == 0:
+        return s.astype(np.int16)
+    n_out = max(1, (n * rate_out) // rate_in)
+    pos_num = np.arange(n_out, dtype=np.int64) * rate_in  # / rate_out
+    k = pos_num // rate_out
+    frac = pos_num - k * rate_out
+    k = np.minimum(k, n - 1)
+    k1 = np.minimum(k + 1, n - 1)
+    out = s[k] + ((s[k1] - s[k]) * frac) // rate_out
+    return out.astype(np.int16)
+
+
+def multimodal_audio_resample(
+    spark: SparkSession, sf_dir: str, rate_out: int = 4000
+) -> DataFrame:
+    """Audio resample pass over the multimodal audio subset — the audio
+    sibling of multimodal_thumbnails: synthesize the SAME deterministic
+    WAV payloads as multimodal_features_mixed (doc_id % 4 == 2 docs),
+    then ONE mapInPandas stage decodes each RIFF payload, linear-
+    resamples to ``rate_out`` in exact int64 arithmetic, and re-encodes
+    — binary in, binary out. Emits both geometries (sample counts and
+    rates) plus the resampled payload; everything is integer-exact so
+    the output bytes are stable run to run (pinned by tests)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+
+    def run(batches):
+        for pdf in batches:
+            rows = {
+                "doc_id": [], "n_in": [], "rate_in": [],
+                "n_out": [], "rate_out": [], "resampled": [],
+            }
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = text.encode("utf-8")
+                arr = np.frombuffer(raw, dtype=np.uint8)
+                if int(doc_id) % 4 != 2 or arr.size == 0:
+                    continue
+                samples = ((arr.astype(np.int32) - 128) * 256).astype(np.int16)
+                payload = make_wav(samples)
+                dec, rate_in = wav_samples(payload)
+                res = audio_resample_linear(dec, rate_in, rate_out)
+                rows["doc_id"].append(doc_id)
+                rows["n_in"].append(dec.shape[0])
+                rows["rate_in"].append(rate_in)
+                rows["n_out"].append(res.shape[0])
+                rows["rate_out"].append(rate_out)
+                rows["resampled"].append(make_wav(res, rate=rate_out))
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(
+        run,
+        schema=(
+            "doc_id string, n_in int, rate_in int, "
+            "n_out int, rate_out int, resampled binary"
+        ),
+    )
