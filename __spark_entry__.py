@@ -758,6 +758,53 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def engine_schema_evolution(spark, sf_dir):
+        """S7: widen-only schema evolution (storage.read_sink_merged) —
+        build a store, then a "later pipeline version" rewrites the
+        NEWEST 1m day-leaf with an added pipeline_ver column (the
+        add-a-field lifecycle every long-lived table hits). A plain read
+        would silently drop the new column; the merged read unions
+        footers so old leaves surface it as NULL. The twin recomputes
+        the 1m rollup tagging rows of the max day with ver 2 and the
+        rest NULL — value-exact proof that evolution changed the SCHEMA
+        and nothing else."""
+        from pyspark.sql import functions as F
+
+        from tsrollup.config import RollupConfig
+        from tsrollup.pipeline import ROLLUP_DIR, rollup_build
+        from tsrollup.storage import read_sink_merged
+
+        base = _scratch("schema_evo")
+        in_dir = _seq_files(spark, sf_dir, base)
+        out = os.path.join(base, "store")
+        rollup_build(spark, in_dir, out, RollupConfig(), derived=False)
+        rollup_path = os.path.join(out, ROLLUP_DIR)
+        tier_dir = os.path.join(rollup_path, "tier=1m")
+        max_day = sorted(
+            d.split("=")[1] for d in os.listdir(tier_dir) if d.startswith("day=")
+        )[-1]
+        # later-version rewrite of that day's leaves: same rows + new col
+        day_dir = os.path.join(tier_dir, f"day={max_day}")
+        evolved = spark.read.parquet(day_dir).withColumn(
+            "pipeline_ver", F.lit(2)
+        )
+        tmp = os.path.join(base, "evolved_day")
+        # preserve the store's leaf layout (…/day=D/source_bucket=N/)
+        evolved.write.mode("overwrite").partitionBy("source_bucket").parquet(tmp)
+        import shutil
+
+        shutil.rmtree(day_dir)
+        os.rename(tmp, day_dir)
+        return (
+            read_sink_merged(spark, out, ROLLUP_DIR)
+            .where(F.col("tier") == "1m")
+            .select(
+                "source",
+                F.unix_timestamp("bucket_start").alias("bucket_s"),
+                "cnt", "n_tok_sum", "tok_sum", "pipeline_ver",
+            )
+        )
+
     def engine_retention(spark, sf_dir):
         """R1: build a store, expire the oldest 1m day, return the
         surviving (tier, day) partition inventory."""
@@ -1630,6 +1677,7 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_targeted_delete": engine_targeted_delete,
         "engine_vacuum": engine_vacuum,
         "engine_time_travel": engine_time_travel,
+        "engine_schema_evolution": engine_schema_evolution,
         "tx_bigram_lift": tx_bigram_lift,
         "dd_substring": dd_substring,
         "dd_substring_removal": dd_substring_removal,
@@ -2674,6 +2722,17 @@ def _engine_oracles() -> dict[str, str]:
     GROUP BY 1, 2
     """)
 
+    schema_evo_o = engine_oracle("""
+    , mx AS (SELECT max(event_ts::DATE) AS d FROM seq)
+    SELECT source, epoch(date_trunc('minute', event_ts))::BIGINT AS bucket_s,
+           count(*)::BIGINT AS cnt,
+           sum(n_tok)::BIGINT AS n_tok_sum,
+           sum(list_aggregate(tokens, 'sum'))::BIGINT AS tok_sum,
+           CASE WHEN event_ts::DATE = mx.d THEN 2 END AS pipeline_ver
+    FROM seq, mx
+    GROUP BY 1, 2, 6
+    """)
+
     bucketed_join_o = """
     SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
            CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum
@@ -2686,6 +2745,7 @@ def _engine_oracles() -> dict[str, str]:
         "engine_targeted_delete": targeted_delete_o,
         "engine_vacuum": vacuum_o,
         "engine_time_travel": time_travel_o,
+        "engine_schema_evolution": schema_evo_o,
         "x1_ab_test": ab_test_o,
         "tx_bloom_decontam": bloom_decontam_o,
         "sk_cms_heavy": cms_heavy_o,

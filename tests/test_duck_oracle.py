@@ -118,6 +118,7 @@ ENGINE_ORACLE_NAMES = [
     "engine_bpe_encode",
     "engine_vacuum",
     "engine_time_travel",
+    "engine_schema_evolution",
 ]
 
 

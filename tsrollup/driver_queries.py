@@ -5976,3 +5976,115 @@ def tx_readability(spark, sf_dir):
             4,
         ).alias("flesch_proxy"),
     )
+
+
+# ------------------ X6 PSI distribution drift (round 4)
+
+@q(
+    "x6_psi",
+    """
+    WITH e AS (
+      SELECT event_type,
+             CAST(round(value * 100, 0) AS BIGINT) AS cents,
+             epoch_us(ts) AS us
+      FROM events
+    ),
+    ext AS (SELECT min(us) AS mn, max(us) AS mx FROM e),
+    halves AS (
+      SELECT event_type, cents,
+             (2 * us >= ext.mn + ext.mx) AS is_cur
+      FROM e, ext
+    ),
+    edges AS (
+      SELECT event_type,
+             quantile_cont(cents, [0.2, 0.4, 0.6, 0.8]) AS eg
+      FROM halves WHERE NOT is_cur GROUP BY event_type
+    ),
+    binned AS (
+      SELECT h.event_type, h.is_cur,
+             len(list_filter(eg, x -> h.cents > x)) AS bin
+      FROM halves h JOIN edges USING (event_type)
+    ),
+    cnt AS (
+      SELECT event_type, bin,
+             CAST(count(*) FILTER (NOT is_cur) AS BIGINT) AS cp,
+             CAST(count(*) FILTER (is_cur) AS BIGINT) AS cq
+      FROM binned GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type,
+             CAST(sum(cp) AS BIGINT) AS np, CAST(sum(cq) AS BIGINT) AS nq,
+             CAST(count(*) AS BIGINT) AS nb
+      FROM cnt GROUP BY event_type
+    ),
+    terms AS (
+      SELECT c.event_type,
+             CAST(round(
+               ((CAST(cp + 1 AS DOUBLE) / (np + nb))
+                - (CAST(cq + 1 AS DOUBLE) / (nq + nb)))
+               * ln((CAST(cp + 1 AS DOUBLE) / (np + nb))
+                    / (CAST(cq + 1 AS DOUBLE) / (nq + nb))) * 1e9, 0)
+               AS BIGINT) AS micronats
+      FROM cnt c JOIN tot USING (event_type)
+    )
+    SELECT event_type,
+           round(CAST(sum(micronats) AS DOUBLE) / 1e9, 6) AS psi
+    FROM terms GROUP BY event_type
+    """,
+)
+def x6_psi(spark, sf_dir):
+    """Population Stability Index — the ML-ops drift scalar on VALUE
+    distributions (engine_token_drift's KL is the token-payload sibling):
+    per event type, quintile bin edges learned from the time-earlier
+    half (exact midpoint cut, 2·us ≥ min+max — no division knife edge),
+    both halves binned against those FIXED edges, PSI = Σ (p−q)·ln(p/q)
+    with add-one smoothing so empty bins stay finite. PSI < 0.1 stable /
+    0.1–0.25 moderate / > 0.25 major is the standard triage.
+
+    Determinism contract: values quantize to cents up front; edges are
+    the exact (n−1)p-interpolated percentiles both engines pin (w7
+    precedent); bin index = COUNT of edges strictly below — an integer
+    predicate; each (p−q)·ln(p/q) term (doubles from exact integers)
+    rounds to integer NANO-nats before the per-type BIGINT sum, so the
+    float result is summation-order-free. Scale shape: one extent agg
+    (broadcast), one per-type percentile agg over the reference half
+    (dim-sized output, broadcast back), one binning scan + hash agg."""
+    e = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("us"),
+    )
+    ext = e.agg(F.min("us").alias("mn"), F.max("us").alias("mx"))
+    halves = e.crossJoin(F.broadcast(ext)).select(
+        "event_type", "cents",
+        (2 * F.col("us") >= F.col("mn") + F.col("mx")).alias("is_cur"),
+    )
+    edges = (
+        halves.where(~F.col("is_cur"))
+        .groupBy("event_type")
+        .agg(F.expr("percentile(cents, array(0.2, 0.4, 0.6, 0.8))").alias("eg"))
+    )
+    binned = halves.join(F.broadcast(edges), "event_type").select(
+        "event_type", "is_cur",
+        F.aggregate(
+            F.col("eg"), F.lit(0),
+            lambda acc, x: acc + F.when(F.col("cents") > x, 1).otherwise(0),
+        ).alias("bin"),
+    )
+    cnt = binned.groupBy("event_type", "bin").agg(
+        F.count_if(~F.col("is_cur")).alias("cp"),
+        F.count_if(F.col("is_cur")).alias("cq"),
+    )
+    tot = cnt.groupBy("event_type").agg(
+        F.sum("cp").alias("np"), F.sum("cq").alias("nq"),
+        F.count(F.lit(1)).alias("nb"),
+    )
+    p = (F.col("cp") + 1).cast("double") / (F.col("np") + F.col("nb"))
+    qq = (F.col("cq") + 1).cast("double") / (F.col("nq") + F.col("nb"))
+    terms = cnt.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        F.round((p - qq) * F.log(p / qq) * 1e9, 0).cast("long").alias("micronats"),
+    )
+    return terms.groupBy("event_type").agg(
+        F.round(F.sum("micronats").cast("double") / 1e9, 6).alias("psi")
+    )

@@ -308,3 +308,19 @@ def vacuum_store(out_base: str, sink: str) -> list[dict]:
                 shutil.rmtree(full)
                 results.append({"path": full, "action": "removed"})
     return results
+
+
+def read_sink_merged(spark: SparkSession, out_base: str, sink: str) -> DataFrame:
+    """Schema-evolution read: a long-lived store's leaves legitimately
+    disagree on columns (a later pipeline version ADDS one — rollup rows
+    gain a field; old leaves predate it). Plain parquet reads take the
+    first footer's schema and silently DROP the new column from newer
+    leaves; ``mergeSchema`` unions all footers so old rows surface the
+    added column as NULL — the Iceberg add-column semantics (there it's
+    pure metadata; here the footers carry it). Dropping or renaming a
+    column is NOT supported on plain dirs (that genuinely needs Iceberg
+    metadata) — widen-only evolution, the append-friendly subset."""
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(os.path.join(out_base, sink))
+    )
