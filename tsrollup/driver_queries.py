@@ -6088,3 +6088,94 @@ def x6_psi(spark, sf_dir):
     return terms.groupBy("event_type").agg(
         F.round(F.sum("micronats").cast("double") / 1e9, 6).alias("psi")
     )
+
+
+# ------------------ J11 nearest-event join (round 4)
+
+@q(
+    "j11_nearest_event",
+    """
+    WITH u AS (
+      SELECT user_id, epoch_us(ts) AS us, event_id,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_q
+      FROM events WHERE event_type IN ('purchase', 'error')
+    ),
+    c AS (
+      SELECT *,
+             last_value(CASE WHEN is_q = 0 THEN us END IGNORE NULLS)
+               OVER w_back AS b_us,
+             last_value(CASE WHEN is_q = 0 THEN event_id END IGNORE NULLS)
+               OVER w_back AS b_id,
+             first_value(CASE WHEN is_q = 0 THEN us END IGNORE NULLS)
+               OVER w_fwd AS f_us,
+             first_value(CASE WHEN is_q = 0 THEN event_id END IGNORE NULLS)
+               OVER w_fwd AS f_id
+      FROM u
+      WINDOW
+        w_back AS (PARTITION BY user_id ORDER BY us, is_q, event_id
+                   ROWS UNBOUNDED PRECEDING),
+        w_fwd AS (PARTITION BY user_id ORDER BY us, is_q, event_id
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_id, user_id, us AS ts_us, match_id, delta_us FROM (
+      SELECT event_id, user_id, us,
+             CASE WHEN b_us IS NOT NULL
+                       AND (f_us IS NULL OR us - b_us <= f_us - us)
+                  THEN b_id ELSE f_id END AS match_id,
+             CASE WHEN b_us IS NOT NULL
+                       AND (f_us IS NULL OR us - b_us <= f_us - us)
+                  THEN b_us - us
+                  ELSE f_us - us END AS delta_us
+      FROM c WHERE is_q = 1
+    ) WHERE match_id IS NOT NULL AND abs(delta_us) <= 3600000000
+    """,
+)
+def j11_nearest_event(spark, sf_dir):
+    """Nearest-event join — for every purchase, the nearest SAME-USER
+    error in time, EITHER direction, within a 1-hour tolerance: the
+    sensor-fusion/alert-correlation variant the backward-only as-of
+    (j6) can't express. Evaluated as ONE union-tagged stream with two
+    ignore-nulls window carries (backward last, forward first) — the
+    j6 single-shuffle discipline, never a join: both windows share the
+    user_id partitioning so ONE exchange serves everything. Ties at
+    equal |Δt| take the backward (earlier) match; at equal ts the
+    reference row sorts before the query row (is_q tiebreak) and is
+    carried as backward with Δt = 0. The delta stays in exact epoch
+    MICROS — no division at all, so negative-delta floor-vs-trunc
+    divergence between engines cannot exist by construction."""
+    e = t(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "error")
+    ).select(
+        "user_id",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("us"),
+        "event_id",
+        (F.col("event_type") == "purchase").cast("int").alias("is_q"),
+    )
+    order = [F.col("us"), F.col("is_q"), F.col("event_id")]
+    wb = Window.partitionBy("user_id").orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wf = Window.partitionBy("user_id").orderBy(*order).rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    ref = lambda c: F.when(F.col("is_q") == 0, F.col(c))  # noqa: E731
+    c = e.select(
+        "*",
+        F.last(ref("us"), ignorenulls=True).over(wb).alias("b_us"),
+        F.last(ref("event_id"), ignorenulls=True).over(wb).alias("b_id"),
+        F.first(ref("us"), ignorenulls=True).over(wf).alias("f_us"),
+        F.first(ref("event_id"), ignorenulls=True).over(wf).alias("f_id"),
+    ).where(F.col("is_q") == 1)
+    take_back = F.col("b_us").isNotNull() & (
+        F.col("f_us").isNull()
+        | (F.col("us") - F.col("b_us") <= F.col("f_us") - F.col("us"))
+    )
+    out = c.select(
+        "event_id", "user_id", F.col("us").alias("ts_us"),
+        F.when(take_back, F.col("b_id")).otherwise(F.col("f_id")).alias("match_id"),
+        F.when(take_back, F.col("b_us") - F.col("us"))
+        .otherwise(F.col("f_us") - F.col("us")).alias("delta_us"),
+    )
+    return out.where(
+        F.col("match_id").isNotNull() & (F.abs("delta_us") <= 3_600_000_000)
+    )
