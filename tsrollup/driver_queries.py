@@ -6179,3 +6179,94 @@ def j11_nearest_event(spark, sf_dir):
     return out.where(
         F.col("match_id").isNotNull() & (F.abs("delta_us") <= 3_600_000_000)
     )
+
+
+# ------------------ W31 two-sample KS drift test (round 4)
+
+@q(
+    "w31_ks",
+    """
+    WITH e AS (
+      SELECT event_type,
+             CAST(round(value * 100, 0) AS BIGINT) AS cents,
+             epoch_us(ts) AS us
+      FROM events
+    ),
+    ext AS (SELECT min(us) AS mn, max(us) AS mx FROM e),
+    h AS (
+      SELECT event_type, cents, (2 * us >= ext.mn + ext.mx) AS is_cur
+      FROM e, ext
+    ),
+    g AS (
+      SELECT event_type, cents,
+             CAST(count(*) FILTER (NOT is_cur) AS BIGINT) AS c1,
+             CAST(count(*) FILTER (is_cur) AS BIGINT) AS c2
+      FROM h GROUP BY 1, 2
+    ),
+    n AS (SELECT event_type, CAST(sum(c1) AS BIGINT) AS n1,
+                 CAST(sum(c2) AS BIGINT) AS n2
+          FROM g GROUP BY event_type),
+    cum AS (
+      SELECT g.event_type, n.n1, n.n2,
+             sum(c1) OVER (PARTITION BY g.event_type
+                           ORDER BY cents
+                           ROWS UNBOUNDED PRECEDING) AS k1,
+             sum(c2) OVER (PARTITION BY g.event_type
+                           ORDER BY cents
+                           ROWS UNBOUNDED PRECEDING) AS k2
+      FROM g JOIN n USING (event_type)
+    )
+    SELECT event_type, n1, n2,
+           CAST(max(abs(k1 * n2 - k2 * n1)) AS BIGINT) AS ks_num,
+           round(CAST(max(abs(k1 * n2 - k2 * n1)) AS DOUBLE) / (n1 * n2), 6)
+             AS ks_stat,
+           (20 * max(abs(k1 * n2 - k2 * n1)) >= n1 * n2) AS drifted
+    FROM cum GROUP BY 1, 2, 3
+    """,
+)
+def w31_ks(spark, sf_dir):
+    """Two-sample Kolmogorov–Smirnov drift test between the corpus's
+    time halves, per event type — x6_psi's nonparametric sibling: no
+    bins, no smoothing, sensitive anywhere in the distribution. The KS
+    statistic D = max |F1 − F2| is computed as EXACT INTEGERS:
+    D·n1·n2 = max |k1·n2 − k2·n1| over the merged support (k = running
+    counts per distinct cent value), so the only float is one final
+    reporting division; the drift verdict (D ≥ 0.05) is the pure
+    integer inequality 20·num ≥ n1·n2 — no knife edge anywhere.
+    Overflow bound: k·n < 2^63 holds to ~3·10^9 rows per (type, half);
+    beyond that, pre-aggregate to a coarser value grid first.
+
+    Scale shape: one hash agg to the distinct-value grid (cardinality ≤
+    value domain, not rows), ONE cumulative window per type over that
+    grid, one max agg. Midpoint cut is the exact 2·us ≥ mn+mx idiom."""
+    e = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("us"),
+    )
+    ext = e.agg(F.min("us").alias("mn"), F.max("us").alias("mx"))
+    h = e.crossJoin(F.broadcast(ext)).select(
+        "event_type", "cents",
+        (2 * F.col("us") >= F.col("mn") + F.col("mx")).alias("is_cur"),
+    )
+    g = h.groupBy("event_type", "cents").agg(
+        F.count_if(~F.col("is_cur")).alias("c1"),
+        F.count_if(F.col("is_cur")).alias("c2"),
+    )
+    n = g.groupBy("event_type").agg(
+        F.sum("c1").alias("n1"), F.sum("c2").alias("n2")
+    )
+    w = Window.partitionBy("event_type").orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = g.join(F.broadcast(n), "event_type").select(
+        "event_type", "n1", "n2",
+        F.sum("c1").over(w).alias("k1"),
+        F.sum("c2").over(w).alias("k2"),
+    )
+    num = F.max(F.abs(F.col("k1") * F.col("n2") - F.col("k2") * F.col("n1")))
+    return cum.groupBy("event_type", "n1", "n2").agg(
+        num.cast("long").alias("ks_num"),
+        F.round(num.cast("double") / (F.col("n1") * F.col("n2")), 6).alias("ks_stat"),
+        (20 * num >= F.col("n1") * F.col("n2")).alias("drifted"),
+    )
