@@ -758,6 +758,36 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def engine_freshness(spark, sf_dir):
+        """OPS1: ingestion freshness/lag report — the on-call view of a
+        live store: per source, row count, newest event (epoch s), lag
+        behind the corpus max ("now" — the deterministic --now-day
+        discipline), trailing-hour row count, and a stale verdict as an
+        exact integer-seconds inequality (lag > 600 s). One hash agg +
+        a 1-row broadcast "now"; all integers."""
+        from pyspark.sql import functions as F
+
+        seq = sequences_from_documents(spark, sf_dir)
+        e = seq.select(
+            "source", F.unix_timestamp("event_ts").alias("s")
+        )
+        now = e.agg(F.max("s").alias("now_s"))
+        return (
+            e.crossJoin(F.broadcast(now))
+            .groupBy("source", "now_s")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.max("s").alias("max_event_s"),
+                F.count_if(F.col("s") > F.col("now_s") - 3600).alias("rows_1h"),
+            )
+            .select(
+                "source", "n_rows", "max_event_s",
+                (F.col("now_s") - F.col("max_event_s")).alias("lag_s"),
+                "rows_1h",
+                (F.col("now_s") - F.col("max_event_s") > 600).alias("is_stale"),
+            )
+        )
+
     def engine_schema_evolution(spark, sf_dir):
         """S7: widen-only schema evolution (storage.read_sink_merged) —
         build a store, then a "later pipeline version" rewrites the
@@ -1678,6 +1708,7 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_vacuum": engine_vacuum,
         "engine_time_travel": engine_time_travel,
         "engine_schema_evolution": engine_schema_evolution,
+        "engine_freshness": engine_freshness,
         "tx_bigram_lift": tx_bigram_lift,
         "dd_substring": dd_substring,
         "dd_substring_removal": dd_substring_removal,
@@ -2733,6 +2764,18 @@ def _engine_oracles() -> dict[str, str]:
     GROUP BY 1, 2, 6
     """)
 
+    freshness_o = engine_oracle("""
+    , e AS (SELECT source, epoch(event_ts)::BIGINT AS s FROM seq),
+    now_t AS (SELECT max(s) AS now_s FROM e)
+    SELECT source,
+           count(*)::BIGINT AS n_rows,
+           max(s)::BIGINT AS max_event_s,
+           (now_s - max(s))::BIGINT AS lag_s,
+           (count(*) FILTER (s > now_s - 3600))::BIGINT AS rows_1h,
+           (now_s - max(s) > 600) AS is_stale
+    FROM e, now_t GROUP BY source, now_s
+    """)
+
     bucketed_join_o = """
     SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
            CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum
@@ -2746,6 +2789,7 @@ def _engine_oracles() -> dict[str, str]:
         "engine_vacuum": vacuum_o,
         "engine_time_travel": time_travel_o,
         "engine_schema_evolution": schema_evo_o,
+        "engine_freshness": freshness_o,
         "x1_ab_test": ab_test_o,
         "tx_bloom_decontam": bloom_decontam_o,
         "sk_cms_heavy": cms_heavy_o,

@@ -119,6 +119,7 @@ ENGINE_ORACLE_NAMES = [
     "engine_vacuum",
     "engine_time_travel",
     "engine_schema_evolution",
+    "engine_freshness",
 ]
 
 
