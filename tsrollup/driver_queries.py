@@ -6270,3 +6270,49 @@ def w31_ks(spark, sf_dir):
         F.round(num.cast("double") / (F.col("n1") * F.col("n2")), 6).alias("ks_stat"),
         (20 * num >= F.col("n1") * F.col("n2")).alias("drifted"),
     )
+
+
+# ------------------ EMB outlier mining (round 4)
+
+def _register_emb_outliers():
+    """emb_outliers: embedding-space OUTLIER mining — the quality-filter
+    complement of SemDeDup's keep-the-outlier dedup: the vectors
+    FARTHEST from their round-2 Lloyd centroid (exact fixed-point
+    squared distances, datapipe.kmeans_fixed_point) are the candidates
+    for both junk-embedding review and hard-example curation. Top 10 by
+    (dist DESC, vec_id), each with its cell's population so tiny-cell
+    artifacts read differently from genuine isolates. Everything
+    integer, so the ranking twins exactly."""
+    from . import datapipe as dp
+
+    sql = f"""
+    WITH {dp._kmeans_ctes()},
+    assign AS (
+      SELECT vec_id, cell, CAST(dist AS BIGINT) AS dist FROM (
+        SELECT vec_id, cell, dist,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+        FROM d2) WHERE rn = 1
+    ),
+    sz AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_cell
+           FROM assign GROUP BY cell)
+    SELECT vec_id, cell, dist, n_cell, rnk FROM (
+      SELECT a.vec_id, a.cell, a.dist, sz.n_cell,
+             row_number() OVER (ORDER BY a.dist DESC, a.vec_id) AS rnk
+      FROM assign a JOIN sz USING (cell)
+    ) WHERE rnk <= 10
+    """
+
+    @q("emb_outliers", sql)
+    def emb_outliers(spark, sf_dir):
+        a = dp.kmeans_fixed_point(spark, sf_dir)
+        sz = a.groupBy("cell").agg(F.count(F.lit(1)).alias("n_cell"))
+        w = Window.orderBy(F.desc("dist"), F.asc("vec_id"))
+        return (
+            a.join(F.broadcast(sz), "cell")
+            .withColumn("rnk", F.row_number().over(w).cast("long"))
+            .where(F.col("rnk") <= 10)
+            .select("vec_id", "cell", "dist", "n_cell", "rnk")
+        )
+
+
+_register_emb_outliers()
