@@ -6316,3 +6316,156 @@ def _register_emb_outliers():
 
 
 _register_emb_outliers()
+
+
+# ------------------ DQ column profile (round 4)
+
+@q(
+    "dq_profile",
+    """
+    SELECT 'event_type' AS col, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count(event_type) AS BIGINT) AS n_null,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_distinct,
+           CAST(min(event_type) AS VARCHAR) AS min_s,
+           CAST(max(event_type) AS VARCHAR) AS max_s
+    FROM events
+    UNION ALL
+    SELECT 'user_id', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(user_id) AS BIGINT),
+           CAST(count(DISTINCT user_id) AS BIGINT),
+           CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR)
+    FROM events
+    UNION ALL
+    SELECT 'value_cents', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(value) AS BIGINT),
+           CAST(count(DISTINCT CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT),
+           CAST(min(CAST(round(value * 100, 0) AS BIGINT)) AS VARCHAR),
+           CAST(max(CAST(round(value * 100, 0) AS BIGINT)) AS VARCHAR)
+    FROM events
+    UNION ALL
+    SELECT 'ts_s', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(ts) AS BIGINT),
+           CAST(count(DISTINCT epoch_us(ts) // 1000000) AS BIGINT),
+           CAST(min(epoch_us(ts) // 1000000) AS VARCHAR),
+           CAST(max(epoch_us(ts) // 1000000) AS VARCHAR)
+    FROM events
+    """,
+)
+def dq_profile(spark, sf_dir):
+    """ANALYZE-style column profile — the table-stats collection a
+    catalog/CBO (and an on-call debugging a bad join) needs: per
+    column, row count, null count, EXACT distinct count, and min/max
+    rendered as strings (one uniform schema across types; floats
+    profile on the cents grid so the numbers cross engines exactly).
+    dq_checks audits RULES; this profiles SHAPE — the two halves of a
+    data-quality pass.
+
+    Scale shape: Spark evaluates all four profiles in ONE scan — a
+    single agg with count/count_distinct per column (partial-aggregated
+    map-side) — then unpivots the 1-row result with stack(); the twin's
+    UNION ALL of per-column aggregates is the same numbers via DuckDB's
+    planner. Exact distincts at 10^12 rows would swap to HLL
+    (sk_hll_distinct) behind the same schema."""
+    e = t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    row = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        # event_type
+        F.count("event_type").alias("c_et"),
+        F.count_distinct("event_type").alias("d_et"),
+        F.min("event_type").cast("string").alias("mn_et"),
+        F.max("event_type").cast("string").alias("mx_et"),
+        # user_id
+        F.count("user_id").alias("c_u"),
+        F.count_distinct("user_id").alias("d_u"),
+        F.min("user_id").cast("string").alias("mn_u"),
+        F.max("user_id").cast("string").alias("mx_u"),
+        # value (cents grid)
+        F.count("value").alias("c_v"),
+        F.count_distinct(cents).alias("d_v"),
+        F.min(cents).cast("string").alias("mn_v"),
+        F.max(cents).cast("string").alias("mx_v"),
+        # ts (epoch seconds)
+        F.count("ts").alias("c_t"),
+        F.count_distinct(F.unix_timestamp("ts")).alias("d_t"),
+        F.min(F.unix_timestamp("ts")).cast("string").alias("mn_t"),
+        F.max(F.unix_timestamp("ts")).cast("string").alias("mx_t"),
+    )
+    return row.selectExpr(
+        """stack(4,
+           'event_type', n, n - c_et, d_et, mn_et, mx_et,
+           'user_id',    n, n - c_u,  d_u,  mn_u,  mx_u,
+           'value_cents',n, n - c_v,  d_v,  mn_v,  mx_v,
+           'ts_s',       n, n - c_t,  d_t,  mn_t,  mx_t
+        ) AS (col, n_rows, n_null, n_distinct, min_s, max_s)"""
+    )
+
+
+# ------------------ MX8 weighted-fair interleave schedule (round 4)
+
+_IL_W = {"src0": 3, "src5": 1}  # per-source weight; default 2
+_IL_SEED = 13
+_IL_SCALE = 10080
+_IL_TOP = 50
+
+
+@q(
+    "mx_interleave",
+    f"""
+    WITH w AS (SELECT * FROM (VALUES ('src0', 3), ('src5', 1)) AS t(source, wt)),
+    r AS (
+      SELECT d.source, d.doc_id, coalesce(w.wt, 2) AS wt,
+             row_number() OVER (PARTITION BY d.source
+               ORDER BY md5(d.doc_id::VARCHAR || '#{_IL_SEED}'), d.doc_id)
+               AS rnk
+      FROM documents d LEFT JOIN w USING (source)
+    ),
+    k AS (
+      SELECT source, doc_id, rnk,
+             (rnk * {_IL_SCALE}) // wt AS vkey
+      FROM r
+    )
+    SELECT pos, source, doc_id FROM (
+      SELECT source, doc_id,
+             row_number() OVER (ORDER BY vkey, source, rnk)::BIGINT AS pos
+      FROM k
+    ) WHERE pos <= {_IL_TOP}
+    """,
+)
+def mx_interleave(spark, sf_dir):
+    """Weighted-fair mixture INTERLEAVE — the actual epoch schedule a
+    training loader consumes (mx_temperature/mx_quota decide HOW MUCH of
+    each source; this decides the ORDER): each doc gets a virtual
+    finish key rnk·SCALE div weight (the WFQ discipline — a weight-3
+    source lands ~3 docs for every weight-1 doc, evenly spread, not
+    bursty), where rnk is the source-local deterministic shuffle rank.
+    Pure integer keys, (key, source, rnk) total order — the whole
+    schedule is replay-anywhere and oracle-twinnable. Emits the first
+    50 positions.
+
+    Scale shape: per-source rank + one global ordering — both are the
+    mixing.shuffle_rank range-bucket discipline at corpus scale (prefix
+    offsets, never a one-partition sort); here the dim-bounded top-50
+    keeps the driver query broadcast-sized."""
+    d = t(spark, sf_dir, "documents")
+    spark_w = spark.createDataFrame(
+        list(_IL_W.items()), "source string, wt int"
+    )
+    # md5 hex string (not xxhash64): driver-query oracles run BARE DuckDB
+    # with no macro prelude, and md5 is native to both engines
+    wr = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f"#{_IL_SEED}"))),
+        F.col("doc_id"),
+    )
+    r = (
+        d.join(F.broadcast(spark_w), "source", "left")
+        .withColumn("wt", F.coalesce("wt", F.lit(2)))
+        .withColumn("rnk", F.row_number().over(wr).cast("long"))
+        .withColumn("vkey", F.expr(f"rnk * {_IL_SCALE} div wt"))
+    )
+    wg = Window.orderBy(F.asc("vkey"), F.asc("source"), F.asc("rnk"))
+    return (
+        r.withColumn("pos", F.row_number().over(wg).cast("long"))
+        .where(F.col("pos") <= _IL_TOP)
+        .select("pos", "source", "doc_id")
+    )
