@@ -6469,3 +6469,107 @@ def mx_interleave(spark, sf_dir):
         .where(F.col("pos") <= _IL_TOP)
         .select("pos", "source", "doc_id")
     )
+
+
+# ------------------ X7 PageRank on the transition graph (round 4)
+
+@q(
+    "x7_pagerank",
+    """
+    WITH o AS (
+      SELECT user_id, event_type AS src,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS dst
+      FROM events
+    ),
+    e AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+          FROM o WHERE dst IS NOT NULL GROUP BY 1, 2),
+    outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM e GROUP BY src),
+    n AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS nn FROM events),
+    p0 AS (SELECT event_type AS node, CAST(1000000 AS BIGINT) AS pr
+           FROM (SELECT DISTINCT event_type FROM events)),
+    p1 AS (
+      SELECT p0.node,
+             150000 + 85 * coalesce(inm.m, 0) // 100 AS pr
+      FROM p0 LEFT JOIN (
+        SELECT e.dst AS node, CAST(sum(pp.pr * e.w // outw.ow) AS BIGINT) AS m
+        FROM e JOIN outw USING (src) JOIN p0 pp ON pp.node = e.src
+        GROUP BY e.dst
+      ) inm USING (node)
+    ),
+    p2 AS (
+      SELECT p1.node,
+             150000 + 85 * coalesce(inm.m, 0) // 100 AS pr
+      FROM p1 LEFT JOIN (
+        SELECT e.dst AS node, CAST(sum(pp.pr * e.w // outw.ow) AS BIGINT) AS m
+        FROM e JOIN outw USING (src) JOIN p1 pp ON pp.node = e.src
+        GROUP BY e.dst
+      ) inm USING (node)
+    ),
+    p3 AS (
+      SELECT p2.node,
+             150000 + 85 * coalesce(inm.m, 0) // 100 AS pr
+      FROM p2 LEFT JOIN (
+        SELECT e.dst AS node, CAST(sum(pp.pr * e.w // outw.ow) AS BIGINT) AS m
+        FROM e JOIN outw USING (src) JOIN p2 pp ON pp.node = e.src
+        GROUP BY e.dst
+      ) inm USING (node)
+    )
+    SELECT node, CAST(pr AS BIGINT) AS pr_micro,
+           row_number() OVER (ORDER BY pr DESC, node) AS rnk
+    FROM p3
+    """,
+)
+def x7_pagerank(spark, sf_dir):
+    """Weighted PageRank over the event-type TRANSITION graph — the
+    graph-centrality member beside connected components (dd_components):
+    which states the user flow concentrates on, damping 0.85, three
+    power iterations. The entire iteration runs in integer MICRO-MASS:
+    per-edge flow = pr·w div out_w (floor), damped update = 150000 +
+    85·in div 100 — floors are part of the operator's definition, so
+    both engines walk the identical integer trajectory (float PageRank
+    cannot be value-twinned; this is the kmeans_fixed_point discipline
+    applied to graphs). Catalog-sized graph (nodes = event types); at a
+    10^9-node graph each iteration is the same join+agg with pr as a
+    distributed table — the standard Pregel-as-SQL shape, one shuffle
+    per iteration.
+
+    The deliberately-unrolled 3 iterations keep the lineage bounded and
+    the twin a pure CTE chain (the CC operators already cover
+    loop-until-convergence with checkpoint truncation)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = t(spark, sf_dir, "events")
+    o = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    )
+    e = o.where(F.col("dst").isNotNull()).groupBy("src", "dst").agg(
+        F.count(F.lit(1)).alias("w")
+    )
+    outw = e.groupBy("src").agg(F.sum("w").alias("ow"))
+    ew = e.join(outw, "src")  # edges with out-weights (catalog-sized)
+    pr = ev.select(F.col("event_type").alias("node")).distinct().withColumn(
+        "pr", F.lit(1_000_000).cast("long")
+    )
+    for _ in range(3):
+        inm = (
+            ew.join(pr.withColumnRenamed("node", "src"), "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("pr * w div ow").alias("flow"),
+            )
+            .groupBy("node")
+            .agg(F.sum("flow").alias("m"))
+        )
+        pr = pr.select("node").join(inm, "node", "left").select(
+            "node",
+            (F.lit(150_000) + F.expr("85 * coalesce(m, 0) div 100"))
+            .cast("long")
+            .alias("pr"),
+        )
+    rw = Window.orderBy(F.desc("pr"), F.asc("node"))
+    return pr.select(
+        "node",
+        F.col("pr").alias("pr_micro"),
+        F.row_number().over(rw).cast("long").alias("rnk"),
+    )
