@@ -758,6 +758,53 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def engine_backfill(spark, sf_dir):
+        """S8: late-data backfill — the tombstone → re-roll lifecycle
+        end-to-end ON THE BOARD (tests pin it byte-exact; this makes it
+        an oracle row): build a store from an input missing one
+        source's max-day rows (late data not yet arrived), then the
+        late rows land, the affected units are invalidated, and a
+        rebuild re-rolls ONLY those units (commit seq supersedes the
+        tombstone). The twin recomputes the 1m rollup from the FULL
+        sequences: green = the backfilled store equals a never-late
+        build exactly."""
+        from pyspark.sql import functions as F
+
+        from tsrollup.config import RollupConfig
+        from tsrollup.pipeline import ROLLUP_DIR, rollup_build
+        from tsrollup.resume import invalidate_units
+        from tsrollup.storage import n_source_buckets
+
+        base = _scratch("backfill")
+        in_dir = _seq_files(spark, sf_dir, base)
+        seq = spark.read.parquet(in_dir)
+        # the "late" slice: src0's rows on the corpus max day
+        mx = seq.agg(F.max(F.to_date("event_ts"))).collect()[0][0]
+        late_pred = (F.col("source") == "src0") & (
+            F.to_date("event_ts") == F.lit(mx)
+        )
+        early_path = os.path.join(base, "early")
+        seq.where(~late_pred).write.mode("overwrite").parquet(early_path)
+        out = os.path.join(base, "store")
+        cfg = RollupConfig()
+        rollup_build(spark, early_path, out, cfg, run_id="r1", derived=False)
+        # late data arrives -> tombstone the affected unit, rebuild on full
+        bucket = seq.where(late_pred).select(
+            F.pmod(F.xxhash64("source"), F.lit(n_source_buckets()))
+            .cast("int").alias("b")
+        ).limit(1).collect()[0]["b"]
+        invalidate_units(out, [f"{bucket}/{mx.isoformat()}"])
+        rollup_build(spark, in_dir, out, cfg, run_id="r2", derived=False)
+        return (
+            spark.read.parquet(os.path.join(out, ROLLUP_DIR))
+            .where(F.col("tier") == "1m")
+            .select(
+                "source",
+                F.unix_timestamp("bucket_start").alias("bucket_s"),
+                "cnt", "n_tok_sum", "tok_sum",
+            )
+        )
+
     def engine_freshness(spark, sf_dir):
         """OPS1: ingestion freshness/lag report — the on-call view of a
         live store: per source, row count, newest event (epoch s), lag
@@ -1709,6 +1756,7 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_time_travel": engine_time_travel,
         "engine_schema_evolution": engine_schema_evolution,
         "engine_freshness": engine_freshness,
+        "engine_backfill": engine_backfill,
         "tx_bigram_lift": tx_bigram_lift,
         "dd_substring": dd_substring,
         "dd_substring_removal": dd_substring_removal,
@@ -2790,6 +2838,7 @@ def _engine_oracles() -> dict[str, str]:
         "engine_time_travel": time_travel_o,
         "engine_schema_evolution": schema_evo_o,
         "engine_freshness": freshness_o,
+        "engine_backfill": vacuum_o,  # same full-1m recompute as vacuum
         "x1_ab_test": ab_test_o,
         "tx_bloom_decontam": bloom_decontam_o,
         "sk_cms_heavy": cms_heavy_o,

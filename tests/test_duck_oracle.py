@@ -120,6 +120,7 @@ ENGINE_ORACLE_NAMES = [
     "engine_time_travel",
     "engine_schema_evolution",
     "engine_freshness",
+    "engine_backfill",
 ]
 
 
