@@ -6573,3 +6573,49 @@ def x7_pagerank(spark, sf_dir):
         F.col("pr").alias("pr_micro"),
         F.row_number().over(rw).cast("long").alias("rnk"),
     )
+
+
+# ------------------ A10 rolling distinct users / WAU (round 4)
+
+@q(
+    "a10_rolling_distinct",
+    """
+    WITH ud AS (SELECT DISTINCT user_id, ts::DATE AS d FROM events),
+    span AS (SELECT min(d) AS mn, max(d) AS mx FROM ud),
+    contrib AS (
+      SELECT DISTINCT user_id, d + INTERVAL (i) DAY AS wd
+      FROM ud, generate_series(0, 6) AS t(i)
+    )
+    SELECT CAST(CAST(wd AS DATE) AS VARCHAR) AS window_day,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+    FROM contrib, span
+    WHERE wd BETWEEN span.mn AND span.mx
+    GROUP BY 1
+    """,
+)
+def a10_rolling_distinct(spark, sf_dir):
+    """Rolling 7-day distinct users per day (WAU) — the canonical
+    HARD windowed aggregate: distinct doesn't merge, so a sliding
+    count-distinct can't cascade from daily partials the way sums do.
+    The exact distributed shape: dedup to (user, active-day) grain,
+    EXPLODE each activity into the 7 window-ends it contributes to
+    (constant ×7 fan-out of the DEDUPED grain, not raw events), dedup
+    (user, window_day), one count-distinct agg. All exact integers.
+
+    At 10^12 events the (user, day) dedup is the only big shuffle (the
+    ×7 explode rides on its output); window lengths beyond ~30 switch
+    to sk_hll_distinct's mergeable sketch behind the same schema —
+    exact for the 7-day product question, sketched for long tails."""
+    e = t(spark, sf_dir, "events")
+    ud = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    span = ud.agg(F.min("d").alias("mn"), F.max("d").alias("mx"))
+    contrib = ud.select(
+        "user_id",
+        F.explode(F.expr("sequence(d, date_add(d, 6))")).alias("wd"),
+    )
+    return (
+        contrib.crossJoin(F.broadcast(span))
+        .where(F.col("wd").between(F.col("mn"), F.col("mx")))
+        .groupBy(F.col("wd").cast("string").alias("window_day"))
+        .agg(F.count_distinct("user_id").alias("wau"))
+    )
