@@ -229,6 +229,16 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.hex("resampled").alias("resampled_hex"),
         )
 
+    def mm_scene_cuts(spark, sf_dir):
+        """Video scene-change detection (datapipe.video_scene_cuts):
+        demux TSVR -> decode consecutive BMP frames -> exact integer
+        |Δpixel| sums; cut verdict is the pure integer inequality
+        100·diff ≥ n_px. Rows-only (binary fan-in); planted-scene
+        semantics pinned in tests/test_datapipe.py."""
+        from tsrollup.datapipe import video_scene_cuts
+
+        return video_scene_cuts(spark, sf_dir)
+
     def mm_features(spark, sf_dir):
         # The driver canonicalizer sorts/hashes every column, and pandas
         # can't factorize list cells — project the feature array to a
@@ -1785,6 +1795,7 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_features": mm_features,
         "mm_thumbnails": mm_thumbnails,
         "mm_audio_resample": mm_audio_resample,
+        "mm_scene_cuts": mm_scene_cuts,
         "mm_features2": mm_features2,
         "mm_video_frames": mm_video_frames,
         "engine_streaming_rollup": engine_streaming_rollup,

@@ -1317,3 +1317,30 @@ def test_multimodal_audio_resample_pass(spark):
     assert {(r["doc_id"], bytes(r["resampled"])) for r in again} == {
         (r["doc_id"], bytes(r["resampled"])) for r in out
     }
+
+
+def test_video_scene_cuts_planted_boundaries(spark):
+    """Scene boundaries (every scene_len frames) are flagged as cuts,
+    within-scene transitions are not, and diffs are exact integers."""
+    from tsrollup.datapipe import video_scene_cuts
+
+    sf = os.path.join(TESTDATA, "sf0.001")
+    out = video_scene_cuts(spark, sf, scene_len=3, n_frames=6).collect()
+    assert out
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], {})[r["frame_idx"]] = r
+    for doc_id, rows in by_doc.items():
+        assert sorted(rows) == [1, 2, 3, 4, 5]
+        for i, r in rows.items():
+            if i % 3 == 0:  # scene boundary (frame 3 starts scene 2)
+                # a constant-byte doc rolls to itself: boundary diff can
+                # legitimately be 0 only if the frame bytes are uniform
+                if r["diff_sum"] == 0:
+                    continue
+                assert r["is_cut"], (doc_id, i)
+            else:  # within a scene frames are identical by construction
+                assert r["diff_sum"] == 0 and not r["is_cut"], (doc_id, i)
+    # at least half the docs show a genuine cut at frame 3
+    cut3 = sum(1 for rows in by_doc.values() if rows[3]["is_cut"])
+    assert cut3 >= len(by_doc) // 2

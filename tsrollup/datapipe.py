@@ -2465,3 +2465,57 @@ def multimodal_audio_resample(
             "n_out int, rate_out int, resampled binary"
         ),
     )
+
+
+def video_scene_cuts(
+    spark: SparkSession, sf_dir: str, scene_len: int = 3, n_frames: int = 6
+) -> DataFrame:
+    """Scene-change detection over the multimodal video column — the
+    analysis member of the video family (frame SAMPLING feeds training;
+    scene CUTS drive clip segmentation and dedup-by-scene): synthesize
+    deterministic TSVR videos whose frames come in ``scene_len``-frame
+    scenes (frame i tiles roll(text_bytes, i div scene_len) — identical
+    within a scene, shifted across boundaries), then ONE mapInPandas
+    pass demuxes each video, decodes consecutive BMP frames, and scores
+    every transition by the EXACT integer sum of absolute pixel
+    differences. is_cut = 100·diff ≥ n_px (mean pixel delta ≥ 0.01) —
+    a pure integer inequality, so the verdict is bit-deterministic.
+    Emits one row per (doc, transition)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+
+    def run(batches):
+        for pdf in batches:
+            rows = {"doc_id": [], "frame_idx": [], "diff_sum": [],
+                    "n_px": [], "is_cut": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+                if raw.size == 0:
+                    continue
+                frames = [
+                    make_bmp(np.resize(np.roll(raw, i // scene_len), (4, 8, 3)))
+                    for i in range(n_frames)
+                ]
+                payload = make_video(frames)
+                decoded = [
+                    bmp_pixels(f).astype(np.int64)
+                    for _i, f in sample_video_frames(payload, stride=1)
+                ]
+                for i in range(1, len(decoded)):
+                    diff = int(np.abs(decoded[i] - decoded[i - 1]).sum())
+                    n_px = int(decoded[i].size)
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(i)
+                    rows["diff_sum"].append(diff)
+                    rows["n_px"].append(n_px)
+                    rows["is_cut"].append(100 * diff >= n_px)
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(
+        run,
+        schema=(
+            "doc_id string, frame_idx int, diff_sum bigint, "
+            "n_px bigint, is_cut boolean"
+        ),
+    )
