@@ -6619,3 +6619,53 @@ def a10_rolling_distinct(spark, sf_dir):
         .groupBy(F.col("wd").cast("string").alias("window_day"))
         .agg(F.count_distinct("user_id").alias("wau"))
     )
+
+
+# ------------------ B6 inter-arrival gap profile (round 4)
+
+@q(
+    "b6_gap_stats",
+    """
+    WITH o AS (
+      SELECT event_type, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER (PARTITION BY event_type
+                                     ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    g AS (SELECT event_type, us - prev AS gap_us FROM o
+          WHERE prev IS NOT NULL)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_gaps,
+           CAST(max(gap_us) AS BIGINT) AS max_gap_us,
+           round(CAST(sum(gap_us) AS DOUBLE) / count(*) / 1e6, 4)
+             AS mean_gap_s,
+           round(quantile_cont(gap_us, 0.95) / 1e6, 4) AS p95_gap_s
+    FROM g GROUP BY event_type
+    """,
+)
+def b6_gap_stats(spark, sf_dir):
+    """Inter-arrival gap profile per event type — the diagnostic that
+    DRIVES gap-fill policy (G1/G2 fill gaps; this measures them: a p95
+    gap far above the rollup grain says the spine will be mostly
+    interpolation, and max_gap bounds the LOCF staleness horizon).
+    Gaps are exact integer micros from one lag() window; mean is one
+    division of exact sums; p95 is the (n−1)p-interpolated exact
+    percentile both engines pin (w7 precedent). One shuffle on
+    event_type, then a hash agg + one percentile over the per-type
+    partition."""
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    o = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("us"),
+        F.lag(F.expr("unix_micros(CAST(ts AS TIMESTAMP))")).over(w).alias("prev"),
+    )
+    g = o.where(F.col("prev").isNotNull()).select(
+        "event_type", (F.col("us") - F.col("prev")).alias("gap_us")
+    )
+    return g.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.max("gap_us").alias("max_gap_us"),
+        F.round(F.sum("gap_us").cast("double") / F.count(F.lit(1)) / 1e6, 4)
+        .alias("mean_gap_s"),
+        F.round(F.expr("percentile(gap_us, 0.95)") / 1e6, 4).alias("p95_gap_s"),
+    )
