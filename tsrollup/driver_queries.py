@@ -6669,3 +6669,183 @@ def b6_gap_stats(spark, sf_dir):
         .alias("mean_gap_s"),
         F.round(F.expr("percentile(gap_us, 0.95)") / 1e6, 4).alias("p95_gap_s"),
     )
+
+
+# ------------------ C4-style line-level dedup (round 4)
+
+@q(
+    "dd_line_dedup",
+    """
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word,
+             generate_subscripts(string_split(lower(text), ' '), 1) AS p
+      FROM documents
+    ),
+    l AS (
+      SELECT doc_id, (p - 1) // 8 AS line_no,
+             string_agg(word, ' ' ORDER BY p) AS line
+      FROM w GROUP BY doc_id, (p - 1) // 8
+      HAVING count(*) = 8
+    ),
+    df AS (
+      SELECT line, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(min(doc_id) AS BIGINT) AS keeper_doc
+      FROM (SELECT DISTINCT doc_id, line FROM l) GROUP BY line
+    )
+    SELECT l.doc_id,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(count(*) FILTER (df.n_docs >= 2) AS BIGINT) AS n_dup_lines,
+           CAST(count(*) FILTER (df.n_docs >= 2 AND df.keeper_doc != l.doc_id)
+                AS BIGINT) AS n_removable,
+           CAST(count(*) FILTER (df.n_docs >= 2) * 10000 // count(*)
+                AS BIGINT) AS dup_per10k
+    FROM l JOIN df USING (line)
+    GROUP BY l.doc_id
+    """,
+)
+def dd_line_dedup(spark, sf_dir):
+    """C4-style LINE-level exact dedup — the granularity between
+    doc-level (dd_exact_dedup) and token-span (dd_substring): natural
+    corpora dedup repeated LINES (nav bars, cookie banners, licence
+    headers) keeping one occurrence corpus-wide. The fixture's text has
+    no newlines, so a "line" is a fixed non-overlapping 8-word chunk —
+    the plan is identical to newline splitting (C4 removes lines seen
+    ≥2x; keeper = min doc_id, the removal policy dd_substring_removal
+    also pins). Per doc: line count, corpus-duplicated lines, removable
+    lines (duplicated and not the keeper), and an exact per-10k rate.
+
+    Scale shape: one explode to (doc, pos) + a (doc, line_no) hash agg
+    to assemble lines, a distinct + line-frequency agg (the inverted-
+    index discipline — line CONTENT shuffles once; at 10^12 docs the
+    line string is replaced by xxhash64(line), the SD1 fold), one
+    join-back. All integers."""
+    d = t(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), " ")).alias("p0", "word"),
+    )
+    l = (
+        w.groupBy("doc_id", F.expr("p0 div 8").alias("line_no"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("p0"), F.col("word")))
+                    ),
+                    lambda s: s.word,
+                ),
+                " ",
+            ).alias("line"),
+            F.count(F.lit(1)).alias("n_words"),
+        )
+        .where(F.col("n_words") == 8)
+    )
+    dfq = (
+        l.select("doc_id", "line").distinct()
+        .groupBy("line")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keeper_doc"),
+        )
+    )
+    j = l.join(dfq, "line")
+    dup = F.count_if(F.col("n_docs") >= 2)
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        dup.alias("n_dup_lines"),
+        F.count_if(
+            (F.col("n_docs") >= 2) & (F.col("keeper_doc") != F.col("doc_id"))
+        ).alias("n_removable"),
+        F.expr("count_if(n_docs >= 2) * 10000 div count(1)").alias("dup_per10k"),
+    )
+
+
+# ------------------ EMB centroid drift (round 4)
+
+@q(
+    "emb_drift",
+    """
+    WITH mid AS (SELECT CAST((min(vec_id) + max(vec_id)) // 2 AS BIGINT) AS m
+                 FROM embeddings),
+    fp AS (
+      SELECT label, (vec_id > mid.m) AS is_new, vec_id,
+             generate_subscripts(e, 1) AS d,
+             CAST(round(unnest(e) * 1e6, 0) AS BIGINT) AS xfp
+      FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+            FROM embeddings), mid
+    ),
+    cent AS (
+      SELECT label, is_new, d,
+             CAST(round(CAST(sum(xfp) AS DOUBLE)
+                        / count(DISTINCT vec_id), 0) AS BIGINT) AS cfp,
+             CAST(count(DISTINCT vec_id) AS BIGINT) AS n
+      FROM fp GROUP BY 1, 2, 3
+    ),
+    pair AS (
+      SELECT o.label, o.d, o.cfp AS co, nw.cfp AS cn, o.n AS n_old,
+             nw.n AS n_new
+      FROM cent o JOIN cent nw USING (label, d)
+      WHERE NOT o.is_new AND nw.is_new
+    )
+    SELECT label, min(n_old) AS n_old, min(n_new) AS n_new,
+           round(CAST(sum(co * cn) AS DOUBLE)
+                 / sqrt(CAST(sum(co * co) AS DOUBLE)
+                        * CAST(sum(cn * cn) AS DOUBLE)), 6) AS centroid_cos
+    FROM pair GROUP BY label
+    """,
+)
+def emb_drift(spark, sf_dir):
+    """Embedding-space drift — the MLOps drift check for the VECTOR
+    modality (x6_psi/w31_ks cover scalar columns): per label, the cosine
+    between the centroid of the OLD vector batch and the NEW one
+    (batches split at the exact vec_id midpoint — the fixture's arrival
+    proxy; production keys this on ingestion date). A re-embedded or
+    shifted corpus shows centroid_cos well below 1 for every label.
+
+    Determinism: coordinates quantize to 1e-6 BIGINTs up front (the
+    kmeans_fixed_point discipline), per-dim sums are exact integers,
+    centroids round once (sums < 2^53 exact in the double), and the
+    cosine of two exact-integer vectors is three exact BIGINT sums and
+    ONE correctly-rounded float op. Scale shape: one scan, a (label,
+    batch, dim) hash agg (output = labels x 2 x dims — catalog-sized),
+    a dim-aligned self-join of that tiny table."""
+    e = t(spark, sf_dir, "embeddings")
+    mid = e.agg(
+        F.expr("CAST((min(vec_id) + max(vec_id)) div 2 AS BIGINT)").alias("m")
+    )
+    fp = (
+        e.crossJoin(F.broadcast(mid))
+        .select(
+            "label",
+            (F.col("vec_id") > F.col("m")).alias("is_new"),
+            "vec_id",
+            F.posexplode(F.transform(
+                "embedding", lambda x: F.round(x.cast("double") * 1e6, 0).cast("long")
+            )).alias("d0", "xfp"),
+        )
+    )
+    cent = fp.groupBy("label", "is_new", "d0").agg(
+        F.round(
+            F.sum("xfp").cast("double") / F.count_distinct("vec_id"), 0
+        ).cast("long").alias("cfp"),
+        F.count_distinct("vec_id").alias("n"),
+    )
+    old = cent.where(~F.col("is_new")).select(
+        "label", "d0", F.col("cfp").alias("co"), F.col("n").alias("n_old")
+    )
+    new = cent.where(F.col("is_new")).select(
+        "label", "d0", F.col("cfp").alias("cn"), F.col("n").alias("n_new")
+    )
+    pair = old.join(new, ["label", "d0"])
+    return pair.groupBy("label").agg(
+        F.min("n_old").alias("n_old"),
+        F.min("n_new").alias("n_new"),
+        F.round(
+            F.sum(F.col("co") * F.col("cn")).cast("double")
+            / F.sqrt(
+                F.sum(F.col("co") * F.col("co")).cast("double")
+                * F.sum(F.col("cn") * F.col("cn")).cast("double")
+            ),
+            6,
+        ).alias("centroid_cos"),
+    )
