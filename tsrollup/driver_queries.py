@@ -6849,3 +6849,182 @@ def emb_drift(spark, sf_dir):
             6,
         ).alias("centroid_cos"),
     )
+
+
+# ------------------ TX source boilerplate detection (round 4)
+
+@q(
+    "tx_boilerplate",
+    """
+    WITH w AS (
+      SELECT doc_id, source,
+             unnest(string_split(lower(text), ' ')) AS word,
+             generate_subscripts(string_split(lower(text), ' '), 1) AS p
+      FROM documents
+    ),
+    l AS (
+      SELECT doc_id, source, (p - 1) // 8 AS line_no,
+             string_agg(word, ' ' ORDER BY p) AS line
+      FROM w GROUP BY doc_id, source, (p - 1) // 8
+      HAVING count(*) = 8
+    ),
+    nd AS (SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+           FROM l GROUP BY source),
+    lf AS (
+      SELECT source, line, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      FROM l GROUP BY source, line
+    )
+    SELECT lf.source,
+           CAST(count(*) AS BIGINT) AS n_repeat_lines,
+           CAST(count(*) FILTER (2 * lf.df >= nd.n_docs) AS BIGINT)
+             AS n_template_lines,
+           CAST(max(lf.df) AS BIGINT) AS max_df,
+           CAST(min(nd.n_docs) AS BIGINT) AS n_docs
+    FROM lf JOIN nd USING (source)
+    WHERE lf.df >= 2
+    GROUP BY lf.source
+    """,
+)
+def tx_boilerplate(spark, sf_dir):
+    """Per-source BOILERPLATE/template detection — the companion of
+    C4-style line dedup at source granularity: a line occurring in at
+    least HALF a source's docs (integer predicate 2·df ≥ n_docs, df ≥ 2)
+    is that source's template furniture (nav bars, footers, licence
+    blocks), the thing curation strips before training. Lines are the
+    same fixed 8-word chunks as dd_line_dedup (no newlines in the
+    fixture). Per source: every repeated line (df ≥ 2) with the 50%
+    template verdict as a counted flag (integer predicate), the
+    most-repeated line's document frequency, and the doc denominator —
+    all exact integers. The synthetic fixture has almost no repeats
+    (max df 2, from duplicated docs), which the twin verifies exactly;
+    real web sources are where the template count lights up.
+
+    Scale shape: the dd_line_dedup plan plus a per-source frequency agg
+    — line content shuffles once (xxhash64(line) at 10^12 docs), the
+    verdict join is against a dim-sized per-source doc count."""
+    d = t(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id", "source",
+        F.posexplode(F.split(F.lower("text"), " ")).alias("p0", "word"),
+    )
+    l = (
+        w.groupBy("doc_id", "source", F.expr("p0 div 8").alias("line_no"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("p0"), F.col("word")))
+                    ),
+                    lambda s: s.word,
+                ),
+                " ",
+            ).alias("line"),
+            F.count(F.lit(1)).alias("n_words"),
+        )
+        .where(F.col("n_words") == 8)
+    )
+    nd = l.groupBy("source").agg(F.count_distinct("doc_id").alias("n_docs"))
+    lf = l.groupBy("source", "line").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    return (
+        lf.join(F.broadcast(nd), "source")
+        .where(F.col("df") >= 2)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_repeat_lines"),
+            F.count_if(2 * F.col("df") >= F.col("n_docs")).alias("n_template_lines"),
+            F.max("df").alias("max_df"),
+            F.min("n_docs").alias("n_docs"),
+        )
+    )
+
+
+# ------------------ X8 cohort LTV curve (round 4)
+
+@q(
+    "x8_cohort_ltv",
+    """
+    WITH f AS (
+      SELECT user_id,
+             CAST(min(epoch_us(ts)) // 604800000000 AS BIGINT) AS cohort_wk
+      FROM events GROUP BY user_id
+    ),
+    p AS (
+      SELECT e.user_id, f.cohort_wk,
+             CAST(epoch_us(e.ts) // 604800000000 AS BIGINT) - f.cohort_wk
+               AS age_wk,
+             CAST(round(e.value * 100, 0) AS BIGINT) AS cents
+      FROM events e JOIN f USING (user_id)
+      WHERE e.event_type = 'purchase'
+    ),
+    wk AS (
+      SELECT cohort_wk, age_wk,
+             CAST(sum(cents) AS BIGINT) AS rev_cents,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS buyers
+      FROM p GROUP BY 1, 2
+    ),
+    sz AS (SELECT cohort_wk, CAST(count(*) AS BIGINT) AS cohort_users
+           FROM f GROUP BY cohort_wk)
+    SELECT wk.cohort_wk, wk.age_wk, wk.rev_cents, wk.buyers,
+           sz.cohort_users,
+           CAST(sum(wk.rev_cents) OVER (PARTITION BY wk.cohort_wk
+                                        ORDER BY wk.age_wk
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cum_rev_cents,
+           round(CAST(sum(wk.rev_cents) OVER (PARTITION BY wk.cohort_wk
+                                              ORDER BY wk.age_wk
+                                              ROWS UNBOUNDED PRECEDING)
+                      AS DOUBLE) / 100.0 / sz.cohort_users, 4)
+             AS ltv_per_user
+    FROM wk JOIN sz USING (cohort_wk)
+    """,
+)
+def x8_cohort_ltv(spark, sf_dir):
+    """Cohort LTV curve — a8_cohort counts WHO comes back; this sums
+    WHAT they spend: per signup-week cohort and age week, purchase
+    revenue (exact cents), cumulative revenue (one running BIGINT sum),
+    and LTV per cohort user (a single rounded division at the end).
+    Epoch-week indexing is pure integer floor-div of positive micros —
+    identical in both engines. The denominator is the FULL cohort (not
+    just buyers), the definition LTV curves need.
+
+    Scale shape: one (user) first-touch agg, one broadcast-joinable
+    cohort-size table, one (cohort, age) hash agg, one cumulative
+    window over the catalog-sized curve — raw events shuffle once."""
+    e = t(spark, sf_dir, "events")
+    us = F.expr("unix_micros(CAST(ts AS TIMESTAMP))")
+    f = e.groupBy("user_id").agg(
+        F.expr(
+            "CAST(min(unix_micros(CAST(ts AS TIMESTAMP))) div 604800000000 AS BIGINT)"
+        ).alias("cohort_wk")
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(f, "user_id")
+        .select(
+            "user_id", "cohort_wk",
+            us.cast("long").alias("_us"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        )
+        .select(
+            "user_id", "cohort_wk", "cents",
+            (F.expr("CAST(_us div 604800000000 AS BIGINT)") - F.col("cohort_wk"))
+            .alias("age_wk"),
+        )
+    )
+    wk = p.groupBy("cohort_wk", "age_wk").agg(
+        F.sum("cents").alias("rev_cents"),
+        F.count_distinct("user_id").alias("buyers"),
+    )
+    sz = f.groupBy("cohort_wk").agg(F.count(F.lit(1)).alias("cohort_users"))
+    w = Window.partitionBy("cohort_wk").orderBy("age_wk").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = F.sum("rev_cents").over(w).cast("long")
+    return wk.join(F.broadcast(sz), "cohort_wk").select(
+        "cohort_wk", "age_wk", "rev_cents", "buyers", "cohort_users",
+        cum.alias("cum_rev_cents"),
+        F.round(cum.cast("double") / 100.0 / F.col("cohort_users"), 4)
+        .alias("ltv_per_user"),
+    )
