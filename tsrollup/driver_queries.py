@@ -7028,3 +7028,268 @@ def x8_cohort_ltv(spark, sf_dir):
         F.round(cum.cast("double") / 100.0 / F.col("cohort_users"), 4)
         .alias("ltv_per_user"),
     )
+
+
+# ------------------ X9 triangle counting (round 4, session 3)
+
+@q(
+    "x9_triangles",
+    """
+    WITH pe AS (
+      SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s FROM lineitem
+    ),
+    e AS (
+      SELECT DISTINCT a.s AS a, b.s AS b
+      FROM pe a JOIN pe b ON a.ok = b.ok AND a.s < b.s
+    ),
+    tr AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM e e1
+      JOIN e e2 ON e2.a = e1.b
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    corners AS (
+      SELECT x AS node FROM tr
+      UNION ALL SELECT y FROM tr
+      UNION ALL SELECT z FROM tr
+    ),
+    tc AS (SELECT node, CAST(count(*) AS BIGINT) AS tri
+           FROM corners GROUP BY node),
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+        SELECT a AS node FROM e UNION ALL SELECT b FROM e
+      ) GROUP BY node
+    )
+    SELECT deg.node, deg.deg, coalesce(tc.tri, 0) AS tri,
+           CASE WHEN deg.deg >= 2
+                THEN round(2.0 * coalesce(tc.tri, 0)
+                           / (deg.deg * (deg.deg - 1)), 6)
+                ELSE 0.0 END AS local_cc
+    FROM deg LEFT JOIN tc USING (node)
+    """,
+)
+def x9_triangles(spark, sf_dir):
+    """Exact triangle counting + local clustering coefficient over the
+    supplier CO-PURCHASE graph (suppliers sharing an order are
+    adjacent) — the graph-analytics member beside connected components
+    (dd_components) and PageRank (x7): community density of the supply
+    graph. Edge generation is the blocked-pair shape: pairs come only
+    from WITHIN an order, so fan-out is C(order_size, 2), bounded by
+    the largest basket — never corpus-quadratic. Triangles enumerate
+    each once via the canonical orientation a < b < c (e1=(x,y),
+    e2=(y,z), e3=(x,z)); per-node incident counts charge each triangle
+    to its three corners. All integers; local_cc is a single terminal
+    division rounded to 6 — exact cross-engine.
+
+    Scale: at 10^12 lineitems the distinct-edge agg is one shuffle on
+    (a,b); the triangle join is the standard two-path + closing-edge
+    hash join, and the documented skew upgrade is degree-ordered
+    orientation (orient each edge toward the higher-(deg,id) endpoint),
+    which bounds every node's out-neighborhood by O(sqrt(m)) — counts
+    are orientation-invariant, so the twin pins that too."""
+    li = t(spark, sf_dir, "lineitem")
+    pe = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    e = (
+        pe.alias("a")
+        .join(pe.alias("b"), (F.col("a.ok") == F.col("b.ok")) & (F.col("a.s") < F.col("b.s")))
+        .select(F.col("a.s").alias("a"), F.col("b.s").alias("b"))
+        .distinct()
+    )
+    tr = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e2.a") == F.col("e1.b"))
+        .join(
+            e.alias("e3"),
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("x"), F.col("e1.b").alias("y"),
+            F.col("e2.b").alias("z"),
+        )
+    )
+    corners = (
+        tr.select(F.col("x").alias("node"))
+        .unionAll(tr.select(F.col("y").alias("node")))
+        .unionAll(tr.select(F.col("z").alias("node")))
+    )
+    tc = corners.groupBy("node").agg(F.count(F.lit(1)).alias("tri"))
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    return deg.join(tc, "node", "left").select(
+        "node", "deg",
+        F.coalesce("tri", F.lit(0)).cast("long").alias("tri"),
+        F.when(
+            F.col("deg") >= 2,
+            F.round(
+                2.0 * F.coalesce("tri", F.lit(0))
+                / (F.col("deg") * (F.col("deg") - 1)),
+                6,
+            ),
+        ).otherwise(F.lit(0.0)).alias("local_cc"),
+    )
+
+
+# ------------------ EMB-INT8 scalar quantization (round 4, session 3)
+
+@q(
+    "emb_int8",
+    """
+    WITH fp AS (
+      SELECT vec_id, generate_subscripts(e, 1) AS d,
+             CAST(round(unnest(e) * 1000000, 0) AS BIGINT) AS xfp
+      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+    ),
+    rng AS (SELECT d, min(xfp) AS mn, max(xfp) AS mx FROM fp GROUP BY d),
+    qc AS (
+      SELECT fp.vec_id, fp.d, fp.xfp, rng.mn, rng.mx,
+             CASE WHEN rng.mx > rng.mn
+                  THEN ((fp.xfp - rng.mn) * 255) // (rng.mx - rng.mn)
+                  ELSE 0 END AS code
+      FROM fp JOIN rng USING (d)
+    ),
+    err AS (
+      SELECT vec_id, d, code,
+             abs(xfp - (mn + (code * (mx - mn)) // 255)) AS e_micro
+      FROM qc
+    )
+    SELECT vec_id,
+           CAST(count(*) AS BIGINT) AS n_dims,
+           CAST(max(e_micro) AS BIGINT) AS max_err_micro,
+           CAST(sum(e_micro) AS BIGINT) AS sum_err_micro,
+           CAST(sum(code) AS BIGINT) AS code_sum,
+           CAST(sum(code * d) AS BIGINT) AS code_chk
+    FROM err GROUP BY vec_id
+    """,
+)
+def emb_int8(spark, sf_dir):
+    """INT8 scalar quantization of the embedding column — the
+    store-4x-smaller sibling of product quantization (emb_pq_codes):
+    per-dimension [min, max] range over the corpus, 256-level uniform
+    code, reconstruction error per vector. All arithmetic on the 1e-6
+    fixed-point grid (the kmeans_fixed_point discipline): code =
+    (xfp-mn)*255 div (mx-mn) — numerator <= ~2.5e9, exact in BIGINT —
+    and the dequantized value mn + code*(mx-mn) div 255 is integer too,
+    so max/sum reconstruction error and the code checksums are
+    value-twinnable to the last digit. code_chk (sum code*d) pins every
+    code to its POSITION, so a transposed or reordered code vector
+    cannot hash-match.
+
+    Scale: the range pass is one 64-row agg (broadcast back); encode is
+    one scan — at 10^9 vectors the per-dim agg shuffles 64 rows per
+    partition (map-side partials), and the codes write as array<tinyint>
+    for a 4x smaller ANN-serving table."""
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    fp = emb.select(
+        "vec_id", F.posexplode("e").alias("p0", "x")
+    ).select(
+        "vec_id", (F.col("p0") + 1).alias("d"),
+        F.round(F.col("x") * 1_000_000, 0).cast("long").alias("xfp"),
+    )
+    rng = fp.groupBy("d").agg(F.min("xfp").alias("mn"), F.max("xfp").alias("mx"))
+    qc = fp.join(F.broadcast(rng), "d").select(
+        "vec_id", "d", "xfp", "mn", "mx",
+        F.when(
+            F.col("mx") > F.col("mn"),
+            F.expr("((xfp - mn) * 255) div (mx - mn)"),
+        ).otherwise(F.lit(0)).alias("code"),
+    )
+    err = qc.select(
+        "vec_id", "d", "code",
+        F.abs(F.col("xfp") - (F.col("mn") + F.expr("(code * (mx - mn)) div 255")))
+        .alias("e_micro"),
+    )
+    return err.groupBy("vec_id").agg(
+        F.count(F.lit(1)).alias("n_dims"),
+        F.max("e_micro").alias("max_err_micro"),
+        F.sum("e_micro").alias("sum_err_micro"),
+        F.sum("code").alias("code_sum"),
+        F.sum(F.col("code") * F.col("d")).alias("code_chk"),
+    )
+
+
+# ------------------ X10 last-touch attribution (round 4, session 3)
+
+@q(
+    "x10_attribution",
+    """
+    WITH tch AS (
+      SELECT user_id, ts, max_by(event_type, event_id) AS channel
+      FROM events WHERE event_type IN ('click', 'view')
+      GROUP BY user_id, ts
+    ),
+    pu AS (
+      SELECT event_id, user_id, ts,
+             CAST(round(value * 100, 0) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    a AS (
+      SELECT p.event_id, p.user_id, p.cents,
+             CASE WHEN tch.ts IS NOT NULL
+                       AND epoch_us(p.ts) - epoch_us(tch.ts) <= 604800000000
+                  THEN tch.channel ELSE 'direct' END AS channel,
+             CASE WHEN tch.ts IS NOT NULL
+                       AND epoch_us(p.ts) - epoch_us(tch.ts) <= 604800000000
+                  THEN epoch_us(p.ts) - epoch_us(tch.ts) END AS gap_us
+      FROM pu p ASOF LEFT JOIN tch
+        ON p.user_id = tch.user_id AND p.ts >= tch.ts
+    )
+    SELECT channel,
+           CAST(count(*) AS BIGINT) AS conversions,
+           CAST(sum(cents) AS BIGINT) AS rev_cents,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS buyers,
+           CAST(max(gap_us) AS BIGINT) AS max_gap_us
+    FROM a GROUP BY channel
+    """,
+)
+def x10_attribution(spark, sf_dir):
+    """LAST-TOUCH marketing attribution — every purchase credited to the
+    user's most recent click/view within a 7-day lookback, else
+    'direct'. The matching is the engine's as-of join (union-tag +
+    single-window carry, ONE shuffle on user_id — tsrollup/asof.py);
+    the oracle is DuckDB's native ASOF LEFT JOIN plus the same 7-day
+    cutoff, so the twin pins nearest-prior semantics, the tolerance
+    rule, AND the tie rule (same-instant touches collapse to the
+    max-event_id row via max_by on both sides; right side unique per
+    (user_id, ts) — the asof determinism contract). Revenue in exact
+    integer cents; gaps in exact integer microseconds.
+
+    Scale: identical shape to j6 — no range-join explosion, the carry
+    is a window function after one shuffle; the channel agg output is
+    catalog-sized."""
+    from .asof import asof_join
+
+    e = t(spark, sf_dir, "events")
+    tch = (
+        e.where(F.col("event_type").isin("click", "view"))
+        .groupBy("user_id", "ts")
+        .agg(F.expr("max_by(event_type, event_id)").alias("channel"))
+    )
+    pu = e.where("event_type = 'purchase'").select(
+        "event_id", "user_id", "ts",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    j = asof_join(pu, tch, on=["user_id"], left_ts="ts", right_ts="ts")
+    gap = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        F.col("ts_asof").cast("timestamp")
+    )
+    within = F.col("ts_asof").isNotNull() & (gap <= F.lit(604_800_000_000))
+    a = j.select(
+        "event_id", "user_id", "cents",
+        F.when(within, F.col("channel_asof")).otherwise(F.lit("direct"))
+        .alias("channel"),
+        F.when(within, gap).alias("gap_us"),
+    )
+    return a.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("conversions"),
+        F.sum("cents").alias("rev_cents"),
+        F.count_distinct("user_id").alias("buyers"),
+        F.max("gap_us").alias("max_gap_us"),
+    )
