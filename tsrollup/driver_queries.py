@@ -7293,3 +7293,143 @@ def x10_attribution(spark, sf_dir):
         F.count_distinct("user_id").alias("buyers"),
         F.max("gap_us").alias("max_gap_us"),
     )
+
+
+# ------------------ TX-PPL CCNet perplexity buckets (round 4, session 3)
+
+def _register_ppl_buckets():
+    """tx_ppl_buckets: CCNet-style head/middle/tail split of the corpus
+    by LM perplexity — the canonical quality-tiering step of web-scale
+    curation (head = least surprising third, what CCNet keeps; tail =
+    the gibberish candidates). Scores come from the SAME corpus-trained
+    bigram LM as tx_bigram_lm (datapipe.bigram_lm_score / bigram_lm_sql
+    embedded as a CTE), so the twin inherits its integer micro-bit
+    determinism contract wholesale; tercile assignment is ntile(3) per
+    language over the TOTAL order (bits_per_word, doc_id) — a rounded
+    4-dp score both engines compute bit-identically, doc_id breaking
+    ties — so bucket membership is exact cross-engine.
+
+    Scale: the LM scoring is tx_bigram_lm's plan (one explode, counts
+    re-aggregated from doc multiplicities, AQE-sized joins); the split
+    adds one catalog-keyed window whose partitions are per-language —
+    at 10^12 docs the per-lang sort is the documented upgrade point
+    (range-partitioned rank, mixing.py's shuffle_rank discipline),
+    semantics unchanged."""
+    from . import datapipe as dp
+
+    inner = dp.bigram_lm_sql()
+    sql = f"""
+    WITH s AS ({inner}),
+    j AS (
+      SELECT d.lang, s.doc_id, s.n_bigrams, s.bits_per_word,
+             ntile(3) OVER (PARTITION BY d.lang
+                            ORDER BY s.bits_per_word, s.doc_id) AS b
+      FROM s JOIN documents d USING (doc_id)
+    )
+    SELECT lang,
+           CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                  ELSE 'tail' END AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_bigrams) AS BIGINT) AS sum_bigrams,
+           min(bits_per_word) AS min_bpw,
+           max(bits_per_word) AS max_bpw
+    FROM j GROUP BY lang, b
+    """
+
+    @q("tx_ppl_buckets", sql)
+    def tx_ppl_buckets(spark, sf_dir):
+        docs = t(spark, sf_dir, "documents")
+        s = dp.bigram_lm_score(docs)
+        j = s.join(docs.select("doc_id", "lang"), "doc_id")
+        w = Window.partitionBy("lang").orderBy("bits_per_word", "doc_id")
+        jb = j.select(
+            "lang", "n_bigrams", "bits_per_word", F.ntile(3).over(w).alias("b")
+        )
+        return jb.groupBy(
+            "lang",
+            F.when(F.col("b") == 1, F.lit("head"))
+            .when(F.col("b") == 2, F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        ).agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bigrams").alias("sum_bigrams"),
+            F.min("bits_per_word").alias("min_bpw"),
+            F.max("bits_per_word").alias("max_bpw"),
+        )
+
+
+_register_ppl_buckets()
+
+
+# ------------------ X11 market-basket association rules (round 4, session 3)
+
+@q(
+    "x11_assoc",
+    """
+    WITH it AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+    n AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders FROM it),
+    cnt AS (SELECT p, CAST(count(*) AS BIGINT) AS c FROM it GROUP BY p),
+    pairs AS (
+      SELECT a.p AS pa, b.p AS pb, CAST(count(*) AS BIGINT) AS sup
+      FROM it a JOIN it b ON a.ok = b.ok AND a.p < b.p
+      GROUP BY a.p, b.p
+      HAVING count(*) >= 3
+    )
+    SELECT pa, pb, sup,
+           CAST(round(1e6 * sup / ca.c, 0) AS BIGINT) AS conf_micro,
+           CAST(round(1e6 * sup * n.n_orders / (ca.c * cb.c), 0) AS BIGINT)
+             AS lift_micro
+    FROM pairs
+    JOIN cnt ca ON ca.p = pairs.pa
+    JOIN cnt cb ON cb.p = pairs.pb
+    CROSS JOIN n
+    ORDER BY lift_micro DESC, pa, pb
+    LIMIT 50
+    """,
+)
+def x11_assoc(spark, sf_dir):
+    """Market-basket association rules over order baskets: top-50 part
+    pairs by LIFT with min-support 3 — support / confidence / lift, the
+    Apriori-style co-purchase miner (tx_bigram_lift is its token-level
+    sibling; this one mines the TPC-H transaction graph). Pair
+    generation is the within-basket shape shared with x9: C(basket,2)
+    fan-out bounded by the largest order, never corpus-quadratic, and
+    the HAVING sup >= 3 prune is the classic support threshold that
+    keeps the rule table small. Confidence and lift are single rounded
+    divisions of exact BIGINTs scaled to micro-units (1e6·sup·N <
+    2^53, exact in double) — value-twinnable to the last digit; the
+    top-50 order (lift_micro DESC, pa, pb) is total because (pa, pb)
+    is unique.
+
+    Scale: distinct-items agg shuffles on (ok, p); the pair agg
+    shuffles on (pa, pb) with map-side combine; item counts broadcast
+    (catalog-sized); N is a 1-row cross join, not a collect."""
+    li = t(spark, sf_dir, "lineitem")
+    it = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")
+    ).distinct()
+    n = it.agg(F.count_distinct("ok").alias("n_orders"))
+    cnt = it.groupBy("p").agg(F.count(F.lit(1)).alias("c"))
+    pairs = (
+        it.alias("a")
+        .join(it.alias("b"), (F.col("a.ok") == F.col("b.ok")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .where(F.col("sup") >= 3)
+    )
+    out = (
+        pairs.join(F.broadcast(cnt.select(F.col("p").alias("pa"), F.col("c").alias("ca"))), "pa")
+        .join(F.broadcast(cnt.select(F.col("p").alias("pb"), F.col("c").alias("cb"))), "pb")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "pa", "pb", "sup",
+            F.round(F.lit(1e6) * F.col("sup") / F.col("ca"), 0)
+            .cast("long").alias("conf_micro"),
+            F.round(
+                F.lit(1e6) * F.col("sup") * F.col("n_orders")
+                / (F.col("ca") * F.col("cb")), 0,
+            ).cast("long").alias("lift_micro"),
+        )
+    )
+    return out.orderBy(F.desc("lift_micro"), "pa", "pb").limit(50)
