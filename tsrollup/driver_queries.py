@@ -7433,3 +7433,264 @@ def x11_assoc(spark, sf_dir):
         )
     )
     return out.orderBy(F.desc("lift_micro"), "pa", "pb").limit(50)
+
+
+# ------------------ X12 SCD Type-2 dimension build (round 4, session 3)
+
+@q(
+    "x12_scd2",
+    """
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS tus, event_id,
+             CAST(CAST(json_extract_string(props, '$.k') AS INT) // 10
+                  AS BIGINT) AS seg
+      FROM events
+    ),
+    r AS (
+      SELECT user_id, tus, event_id, seg,
+             CASE WHEN seg IS DISTINCT FROM lag(seg) OVER w
+                  THEN 1 ELSE 0 END AS chg
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+    ),
+    g AS (
+      SELECT user_id, tus, seg,
+             sum(chg) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                            ROWS UNBOUNDED PRECEDING) AS grp
+      FROM r
+    ),
+    v AS (
+      SELECT user_id, grp, min(seg) AS seg,
+             CAST(min(tus) AS BIGINT) AS valid_from,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM g GROUP BY user_id, grp
+    )
+    SELECT user_id, CAST(grp AS BIGINT) AS version, seg, valid_from,
+           lead(valid_from) OVER w2 AS valid_to,
+           CASE WHEN lead(valid_from) OVER w2 IS NULL
+                THEN 1 ELSE 0 END AS is_current,
+           n_events
+    FROM v WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from)
+    """,
+)
+def x12_scd2(spark, sf_dir):
+    """SCD TYPE-2 dimension build from the raw event stream — the
+    warehouse op that turns a mutable attribute (here the user's
+    props.k decade, a stand-in for plan/segment/region) into
+    effective-dated rows: one row per (user, attribute run) with
+    [valid_from, valid_to) in exact epoch microseconds, a version
+    counter, and the is_current flag. Run detection is gaps-and-islands
+    (change flag vs lag on the (ts, event_id) total order → running-sum
+    group id — the w8 anomaly-islands idiom applied to dimension
+    history); valid_to is the NEXT run's start (half-open intervals, no
+    overlap/no gap by construction), which the j8 point-in-interval
+    join can then probe.
+
+    Scale: everything is per-user windows after ONE shuffle on user_id
+    — the island sum, the run agg, and the lead all reuse the same
+    partitioning (Spark plans a single Exchange); output is
+    change-sized, not event-sized, for slowly-changing attributes."""
+    e = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"),
+        "event_id",
+        F.expr("CAST(get_json_object(props, '$.k') AS INT) div 10").alias("seg"),
+    )
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    r = e.select(
+        "user_id", "tus", "seg",
+        (~F.col("seg").eqNullSafe(F.lag("seg").over(w)))
+        .cast("long").alias("chg"),
+        "event_id",
+    )
+    g = r.select(
+        "user_id", "tus", "seg",
+        F.sum("chg").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("grp"),
+    )
+    v = g.groupBy("user_id", "grp").agg(
+        F.min("seg").alias("seg"),
+        F.min("tus").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from")
+    nxt = F.lead("valid_from").over(w2)
+    return v.select(
+        "user_id", F.col("grp").alias("version"), "seg", "valid_from",
+        nxt.alias("valid_to"),
+        F.when(nxt.isNull(), F.lit(1)).otherwise(F.lit(0)).alias("is_current"),
+        "n_events",
+    )
+
+
+# ------------------ K4 Z-order clustering layout (round 4, session 3)
+
+_MORTON_BITS = 16
+
+
+def _morton_terms(x: str, y: str, duck: bool) -> str:
+    """Identical Morton (Z-order) interleave of two 16-bit keys as a sum
+    of exact BIGINT terms, rendered for each engine's bit-op syntax."""
+    terms = []
+    for b in range(_MORTON_BITS):
+        if duck:
+            terms.append(f"((({x} >> {b}) & 1) << {2 * b})")
+            terms.append(f"((({y} >> {b}) & 1) << {2 * b + 1})")
+        else:
+            terms.append(f"shiftleft(shiftright({x}, {b}) & 1, {2 * b})")
+            terms.append(f"shiftleft(shiftright({y}, {b}) & 1, {2 * b + 1})")
+    return " + ".join(terms)
+
+
+def _register_zorder():
+    rows_per_file = 256
+    duck_sql = f"""
+    WITH mn AS (SELECT min(epoch_us(ts) // 86400000000) AS d0 FROM events),
+    base AS (
+      SELECT e.event_id, e.user_id AS u, epoch_us(e.ts) AS tus,
+             epoch_us(e.ts) // 86400000000 - mn.d0 AS d
+      FROM events e CROSS JOIN mn
+    ),
+    m AS (SELECT event_id, u, d, tus,
+                 {_morton_terms('u', 'd', True)} AS mz
+          FROM base),
+    rz AS (SELECT u, d,
+                  (row_number() OVER (ORDER BY mz, event_id) - 1)
+                    // {rows_per_file} AS f
+           FROM m),
+    rn AS (SELECT u, d,
+                  (row_number() OVER (ORDER BY tus, event_id) - 1)
+                    // {rows_per_file} AS f
+           FROM m),
+    fz AS (SELECT f, min(u) AS mnu, max(u) AS mxu,
+                  min(d) AS mnd, max(d) AS mxd FROM rz GROUP BY f),
+    fn AS (SELECT f, min(u) AS mnu, max(u) AS mxu,
+                  min(d) AS mnd, max(d) AS mxd FROM rn GROUP BY f),
+    pb AS (SELECT min(u) + 7 AS pu FROM base)
+    SELECT layout, n_files, sum_bbox, max_bbox, files_touch_user,
+           files_touch_day
+    FROM (
+      SELECT 'zorder' AS layout,
+             CAST(count(*) AS BIGINT) AS n_files,
+             CAST(sum((mxu - mnu + 1) * (mxd - mnd + 1)) AS BIGINT) AS sum_bbox,
+             CAST(max((mxu - mnu + 1) * (mxd - mnd + 1)) AS BIGINT) AS max_bbox,
+             CAST(sum(CASE WHEN mnu <= pb.pu AND pb.pu <= mxu
+                           THEN 1 ELSE 0 END) AS BIGINT) AS files_touch_user,
+             CAST(sum(CASE WHEN mnd <= 10 AND 10 <= mxd
+                           THEN 1 ELSE 0 END) AS BIGINT) AS files_touch_day
+      FROM fz CROSS JOIN pb
+      UNION ALL
+      SELECT 'natural',
+             CAST(count(*) AS BIGINT),
+             CAST(sum((mxu - mnu + 1) * (mxd - mnd + 1)) AS BIGINT),
+             CAST(max((mxu - mnu + 1) * (mxd - mnd + 1)) AS BIGINT),
+             CAST(sum(CASE WHEN mnu <= pb.pu AND pb.pu <= mxu
+                           THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(sum(CASE WHEN mnd <= 10 AND 10 <= mxd
+                           THEN 1 ELSE 0 END) AS BIGINT)
+      FROM fn CROSS JOIN pb
+    ) ORDER BY layout
+    """
+
+    @q("k4_zorder", duck_sql)
+    def k4_zorder(spark, sf_dir):
+        """Z-ORDER clustering layout vs natural (time) order — the
+        Delta/Iceberg OPTIMIZE ZORDER story, measured: rows are packed
+        into {rows_per_file}-row files under (a) Morton-interleaved
+        (user_id, day) order and (b) arrival order; per-file min/max
+        bounding boxes then quantify data-skipping power — sum/max bbox
+        volume plus how many files a user-point and a day-slice probe
+        must touch (the zone-map pruning count a 100-TB reader pays).
+
+        The Spark side computes the global file assignment WITHOUT a
+        one-partition sort: the Morton code's high bits are a
+        range-aligned bucket, so file id = (prefix-sum of bucket counts
+        + within-bucket row_number) div N — the mixing.shuffle_rank
+        range-bucket discipline, proven here against the oracle's naive
+        global row_number (equality IS the proof the bucketed rank is
+        the true global rank). Bucket counts are an O(buckets) collect,
+        never O(rows); within-bucket windows run as independent
+        partitions. Morton terms are pure BIGINT bit ops — exact in
+        both engines."""
+        e = t(spark, sf_dir, "events")
+        mn = e.agg(
+            F.expr("min(unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000)")
+            .alias("d0")
+        )
+        base = e.crossJoin(F.broadcast(mn)).select(
+            "event_id",
+            F.col("user_id").alias("u"),
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("tus"),
+            F.expr(
+                "unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000 - d0"
+            ).alias("d"),
+        )
+        m = base.select(
+            "event_id", "u", "d", "tus",
+            F.expr(_morton_terms("u", "d", False)).alias("mz"),
+        )
+
+        def bucketed_file(df, key, bucket_expr, order_cols):
+            wb = df.withColumn("__b", bucket_expr)
+            counts = wb.groupBy("__b").count().collect()
+            off, acc = {}, 0
+            for row in sorted(counts, key=lambda r: r["__b"]):
+                off[row["__b"]] = acc
+                acc += row["count"]
+            offsets = df.sparkSession.createDataFrame(
+                list(off.items()) or [(0, 0)], "__b long, __off long"
+            )
+            wnd = Window.partitionBy("__b").orderBy(*order_cols)
+            return (
+                wb.join(F.broadcast(offsets), "__b")
+                .withColumn(
+                    "f",
+                    F.expr(
+                        f"(__off + (row_number() OVER (PARTITION BY __b "
+                        f"ORDER BY {', '.join(order_cols)})) - 1) "
+                        f"div {rows_per_file}"
+                    ),
+                )
+                .select("u", "d", "f")
+            )
+
+        rz = bucketed_file(
+            m, "mz", F.shiftright(F.col("mz"), 6), ["mz", "event_id"]
+        )
+        rn = bucketed_file(
+            m, "tus", F.col("d"), ["tus", "event_id"]
+        )
+
+        pb = base.agg((F.min("u") + F.lit(7)).alias("pu"))
+
+        def file_stats(r, layout):
+            fs = r.groupBy("f").agg(
+                F.min("u").alias("mnu"), F.max("u").alias("mxu"),
+                F.min("d").alias("mnd"), F.max("d").alias("mxd"),
+            )
+            bbox = (F.col("mxu") - F.col("mnu") + 1) * (
+                F.col("mxd") - F.col("mnd") + 1
+            )
+            return fs.crossJoin(F.broadcast(pb)).agg(
+                F.lit(layout).alias("layout"),
+                F.count(F.lit(1)).alias("n_files"),
+                F.sum(bbox).alias("sum_bbox"),
+                F.max(bbox).alias("max_bbox"),
+                F.sum(
+                    ((F.col("mnu") <= F.col("pu")) & (F.col("pu") <= F.col("mxu")))
+                    .cast("long")
+                ).alias("files_touch_user"),
+                F.sum(
+                    ((F.col("mnd") <= 10) & (F.lit(10) <= F.col("mxd")))
+                    .cast("long")
+                ).alias("files_touch_day"),
+            )
+
+        return (
+            file_stats(rz, "zorder")
+            .unionAll(file_stats(rn, "natural"))
+            .orderBy("layout")
+        )
+
+
+_register_zorder()
