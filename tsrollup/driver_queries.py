@@ -7435,95 +7435,7 @@ def x11_assoc(spark, sf_dir):
     return out.orderBy(F.desc("lift_micro"), "pa", "pb").limit(50)
 
 
-# ------------------ X12 SCD Type-2 dimension build (round 4, session 3)
-
-@q(
-    "x12_scd2",
-    """
-    WITH e AS (
-      SELECT user_id, epoch_us(ts) AS tus, event_id,
-             CAST(CAST(json_extract_string(props, '$.k') AS INT) // 10
-                  AS BIGINT) AS seg
-      FROM events
-    ),
-    r AS (
-      SELECT user_id, tus, event_id, seg,
-             CASE WHEN seg IS DISTINCT FROM lag(seg) OVER w
-                  THEN 1 ELSE 0 END AS chg
-      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
-    ),
-    g AS (
-      SELECT user_id, tus, seg,
-             sum(chg) OVER (PARTITION BY user_id ORDER BY tus, event_id
-                            ROWS UNBOUNDED PRECEDING) AS grp
-      FROM r
-    ),
-    v AS (
-      SELECT user_id, grp, min(seg) AS seg,
-             CAST(min(tus) AS BIGINT) AS valid_from,
-             CAST(count(*) AS BIGINT) AS n_events
-      FROM g GROUP BY user_id, grp
-    )
-    SELECT user_id, CAST(grp AS BIGINT) AS version, seg, valid_from,
-           lead(valid_from) OVER w2 AS valid_to,
-           CASE WHEN lead(valid_from) OVER w2 IS NULL
-                THEN 1 ELSE 0 END AS is_current,
-           n_events
-    FROM v WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from)
-    """,
-)
-def x12_scd2(spark, sf_dir):
-    """SCD TYPE-2 dimension build from the raw event stream — the
-    warehouse op that turns a mutable attribute (here the user's
-    props.k decade, a stand-in for plan/segment/region) into
-    effective-dated rows: one row per (user, attribute run) with
-    [valid_from, valid_to) in exact epoch microseconds, a version
-    counter, and the is_current flag. Run detection is gaps-and-islands
-    (change flag vs lag on the (ts, event_id) total order → running-sum
-    group id — the w8 anomaly-islands idiom applied to dimension
-    history); valid_to is the NEXT run's start (half-open intervals, no
-    overlap/no gap by construction), which the j8 point-in-interval
-    join can then probe.
-
-    Scale: everything is per-user windows after ONE shuffle on user_id
-    — the island sum, the run agg, and the lead all reuse the same
-    partitioning (Spark plans a single Exchange); output is
-    change-sized, not event-sized, for slowly-changing attributes."""
-    e = t(spark, sf_dir, "events").select(
-        "user_id",
-        F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"),
-        "event_id",
-        F.expr("CAST(get_json_object(props, '$.k') AS INT) div 10").alias("seg"),
-    )
-    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
-    r = e.select(
-        "user_id", "tus", "seg",
-        (~F.col("seg").eqNullSafe(F.lag("seg").over(w)))
-        .cast("long").alias("chg"),
-        "event_id",
-    )
-    g = r.select(
-        "user_id", "tus", "seg",
-        F.sum("chg").over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ).alias("grp"),
-    )
-    v = g.groupBy("user_id", "grp").agg(
-        F.min("seg").alias("seg"),
-        F.min("tus").alias("valid_from"),
-        F.count(F.lit(1)).alias("n_events"),
-    )
-    w2 = Window.partitionBy("user_id").orderBy("valid_from")
-    nxt = F.lead("valid_from").over(w2)
-    return v.select(
-        "user_id", F.col("grp").alias("version"), "seg", "valid_from",
-        nxt.alias("valid_to"),
-        F.when(nxt.isNull(), F.lit(1)).otherwise(F.lit(0)).alias("is_current"),
-        "n_events",
-    )
-
-
-# ------------------ K4 Z-order clustering layout (round 4, session 3)
+# ------------- K5 layout data-skipping comparison (round 4, session 3)
 
 _MORTON_BITS = 16
 
@@ -7542,7 +7454,7 @@ def _morton_terms(x: str, y: str, duck: bool) -> str:
     return " + ".join(terms)
 
 
-def _register_zorder():
+def _register_layout_skipping():
     rows_per_file = 256
     duck_sql = f"""
     WITH mn AS (SELECT min(epoch_us(ts) // 86400000000) AS d0 FROM events),
@@ -7592,10 +7504,11 @@ def _register_zorder():
     ) ORDER BY layout
     """
 
-    @q("k4_zorder", duck_sql)
-    def k4_zorder(spark, sf_dir):
-        """Z-ORDER clustering layout vs natural (time) order — the
-        Delta/Iceberg OPTIMIZE ZORDER story, measured: rows are packed
+    @q("k5_layout_skipping", duck_sql)
+    def k5_layout_skipping(spark, sf_dir):
+        """Data-SKIPPING quality of Z-order file packing vs natural
+        (time) order — k4_zorder_map builds the zone maps; this entry
+        quantifies what they buy: rows are packed
         into {rows_per_file}-row files under (a) Morton-interleaved
         (user_id, day) order and (b) arrival order; per-file min/max
         bounding boxes then quantify data-skipping power — sum/max bbox
@@ -7693,4 +7606,4 @@ def _register_zorder():
         )
 
 
-_register_zorder()
+_register_layout_skipping()
