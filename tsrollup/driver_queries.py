@@ -7607,3 +7607,250 @@ def _register_layout_skipping():
 
 
 _register_layout_skipping()
+
+
+# ----------- DD split-leakage audit (round 4, session 3)
+
+def _register_split_leakage():
+    """dd_split_leakage: does the train/val/test hash split LEAK near
+    duplicates across the boundary? tx_decontam answers this for n-gram
+    overlap vs an eval SET; this is the vector-modality, split-aware
+    version: every banded-LSH near-dup pair (the dd_embedding_neardup
+    candidate path — never all-pairs) is labeled with BOTH endpoints'
+    mx_split assignment (the same xxhash64 bucket the real splitter
+    uses, re-evaluated by the oracle through the xxh64 SQL macros), and
+    the report counts pairs per split-class plus the distinct eval-side
+    docs contaminated by a train-side twin. At 10^9 vectors: the pair
+    list is LSH-banded, the split is a stateless hash column, the
+    output is catalog-sized (≤6 split classes)."""
+    from . import datapipe as dp
+    from .duck_oracle import XXH64_PRELUDE
+
+    pairs_sql = dp.neardup_pairs_sql()
+    sql = XXH64_PRELUDE + f"""
+    WITH pairs AS ({pairs_sql}),
+    sp AS (SELECT vec_id,
+                  CASE WHEN xxpmod(xxh64(vec_id::VARCHAR || '#0'), 10000) < 500
+                       THEN 'test'
+                       WHEN xxpmod(xxh64(vec_id::VARCHAR || '#0'), 10000) < 1000
+                       THEN 'val'
+                       ELSE 'train' END AS split
+           FROM embeddings),
+    cls AS (
+      SELECT least(sa.split, sb.split) AS lo,
+             greatest(sa.split, sb.split) AS hi,
+             p.vec_a, p.vec_b, sa.split AS split_a, sb.split AS split_b
+      FROM pairs p
+      JOIN sp sa ON sa.vec_id = p.vec_a
+      JOIN sp sb ON sb.vec_id = p.vec_b
+    ),
+    np AS (SELECT lo, hi, CAST(count(*) AS BIGINT) AS n_pairs
+           FROM cls GROUP BY 1, 2),
+    mem AS (
+      SELECT lo, hi, vec_a AS v, split_a AS s FROM cls
+      UNION ALL SELECT lo, hi, vec_b, split_b FROM cls
+    ),
+    ev AS (SELECT lo, hi, CAST(count(DISTINCT v) AS BIGINT) AS n_eval
+           FROM mem WHERE s != 'train' GROUP BY 1, 2)
+    SELECT np.lo AS split_lo, np.hi AS split_hi, np.n_pairs,
+           coalesce(ev.n_eval, 0) AS n_eval_docs
+    FROM np LEFT JOIN ev ON ev.lo = np.lo AND ev.hi = np.hi
+    """
+
+    @q("dd_split_leakage", sql)
+    def dd_split_leakage(spark, sf_dir):
+        from .mixing import hash_split
+
+        pairs = dp.embedding_neardup_pairs(spark, sf_dir).select("vec_a", "vec_b")
+        sp = hash_split(
+            t(spark, sf_dir, "embeddings").select("vec_id"),
+            "vec_id", 500, 500, seed=0,
+        )
+        lab = (
+            pairs.join(
+                sp.select(F.col("vec_id").alias("vec_a"),
+                          F.col("split").alias("split_a")), "vec_a")
+            .join(
+                sp.select(F.col("vec_id").alias("vec_b"),
+                          F.col("split").alias("split_b")), "vec_b")
+            .select(
+                "vec_a", "vec_b", "split_a", "split_b",
+                F.least("split_a", "split_b").alias("split_lo"),
+                F.greatest("split_a", "split_b").alias("split_hi"),
+            )
+        )
+        np_ = lab.groupBy("split_lo", "split_hi").agg(
+            F.count(F.lit(1)).alias("n_pairs")
+        )
+        mem = lab.select(
+            "split_lo", "split_hi",
+            F.col("vec_a").alias("v"), F.col("split_a").alias("s"),
+        ).unionAll(
+            lab.select(
+                "split_lo", "split_hi",
+                F.col("vec_b").alias("v"), F.col("split_b").alias("s"),
+            )
+        )
+        ev = (
+            mem.where(F.col("s") != "train")
+            .groupBy("split_lo", "split_hi")
+            .agg(F.count_distinct("v").alias("n_eval"))
+        )
+        return np_.join(ev, ["split_lo", "split_hi"], "left").select(
+            "split_lo", "split_hi", "n_pairs",
+            F.coalesce("n_eval", F.lit(0)).alias("n_eval_docs"),
+        )
+
+
+_register_split_leakage()
+
+
+# ----------- X13 multi-source BFS distances (round 4, session 3)
+
+@q(
+    "x13_bfs",
+    """
+    WITH RECURSIVE pe AS (
+      SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s FROM lineitem
+    ),
+    e AS (
+      SELECT DISTINCT a.s AS u, b.s AS v
+      FROM pe a JOIN pe b ON a.ok = b.ok AND a.s != b.s
+    ),
+    seeds AS (
+      SELECT s FROM (SELECT DISTINCT u AS s FROM e) ORDER BY s LIMIT 3
+    ),
+    walk(node, seed, d) AS (
+      SELECT s, s, 0 FROM seeds
+      UNION
+      SELECT e.v, w.seed, w.d + 1
+      FROM walk w JOIN e ON e.u = w.node WHERE w.d < 6
+    ),
+    ns AS (SELECT node, seed, min(d) AS d FROM walk GROUP BY 1, 2),
+    best AS (SELECT node, min(d) AS dist FROM ns GROUP BY 1)
+    SELECT ns.node, CAST(best.dist AS BIGINT) AS dist,
+           CAST(min(ns.seed) AS BIGINT) AS nearest_seed
+    FROM ns JOIN best ON best.node = ns.node AND ns.d = best.dist
+    GROUP BY ns.node, best.dist
+    """,
+)
+def x13_bfs(spark, sf_dir):
+    """MULTI-SOURCE BFS over the supplier co-purchase graph: hop
+    distance from each node to its nearest seed (the 3 smallest
+    supplier ids in the edge set) plus the deterministic nearest-seed
+    label (min seed among argmin distances) — the shortest-path /
+    nearest-facility member of the graph family (components = x
+    reachability, PageRank = stationary mass, triangles = density;
+    this adds DISTANCE). The Spark side is the canonical iterative
+    frontier expansion: per round, frontier ⋈ edges minus visited
+    (left_anti), localCheckpoint truncating lineage each round (the
+    dd_components discipline) and an O(1)-row emptiness probe as the
+    stop condition — max 6 rounds, matching the oracle's bounded
+    recursive CTE, so both engines explore the identical closure.
+
+    Scale: per round ONE shuffle join frontier→edges + one anti-join
+    against visited; state is (node, seed) pairs — at 10^9 nodes the
+    visited set is the dominant shuffle and is exactly the CC state
+    shape. Seeds are an O(3) collect."""
+    li = t(spark, sf_dir, "lineitem")
+    pe = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    e = (
+        pe.alias("a")
+        .join(pe.alias("b"), (F.col("a.ok") == F.col("b.ok"))
+              & (F.col("a.s") != F.col("b.s")))
+        .select(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    seeds = [
+        r["u"] for r in e.select("u").distinct().orderBy("u").limit(3).collect()
+    ]
+    state = spark.createDataFrame(
+        [(s, s, 0) for s in seeds], "node long, seed long, d int"
+    )
+    frontier = state
+    for d in range(1, 7):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["u"])
+            .select(F.col("v").alias("node"), "seed")
+            .distinct()
+            .join(state.select("node", "seed"), ["node", "seed"], "left_anti")
+            .withColumn("d", F.lit(d).cast("int"))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        state = state.unionAll(nxt).localCheckpoint()
+        frontier = nxt
+    ns = state.groupBy("node", "seed").agg(F.min("d").alias("d")).alias("ns")
+    best = (
+        ns.groupBy("node").agg(F.min("d").alias("dist"))
+        .select(F.col("node").alias("bnode"), "dist")
+        .alias("bb")
+    )
+    return (
+        ns.join(
+            best,
+            (F.col("ns.node") == F.col("bb.bnode"))
+            & (F.col("ns.d") == F.col("bb.dist")),
+        )
+        .groupBy(F.col("ns.node").alias("node"),
+                 F.col("bb.dist").cast("long").alias("dist"))
+        .agg(F.min("ns.seed").cast("long").alias("nearest_seed"))
+        .select("node", "dist", "nearest_seed")
+    )
+
+
+# ----------- DQ3 k-anonymity audit (round 4, session 3)
+
+@q(
+    "dq_kanon",
+    """
+    WITH g AS (
+      SELECT event_type, dayofweek(ts) + 1 AS dow,
+             CAST(json_extract_string(props, '$.k') AS INT) // 10 AS seg,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2, 3
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(min(n) AS BIGINT) AS k_min,
+           CAST(sum(n) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS rows_at_risk,
+           CAST(10000 * sum(CASE WHEN n < 5 THEN n ELSE 0 END) // sum(n)
+                AS BIGINT) AS risk_bp
+    FROM g GROUP BY 1
+    """,
+)
+def dq_kanon(spark, sf_dir):
+    """K-ANONYMITY audit — the data-governance companion of tx_pii_scan:
+    group rows by quasi-identifier combination (event_type ×
+    day-of-week × props.k decade — the release columns an attacker
+    could join on), then report per event_type the group count, the
+    minimum group size k_min (the table's k-anonymity level), the rows
+    living in groups smaller than k=5 (re-identification candidates a
+    release would suppress or generalize), and their basis-point share.
+    Exact integers end-to-end (floor-div basis points); the Spark/
+    DuckDB dayofweek convention pinned (+1 on the oracle side, 1-7).
+
+    Scale: ONE scan, one (qi) hash agg with map-side combine, one
+    catalog-sized re-agg — the a3 cascade shape."""
+    e = t(spark, sf_dir, "events")
+    g = e.groupBy(
+        "event_type",
+        F.dayofweek("ts").alias("dow"),
+        F.expr("CAST(get_json_object(props, '$.k') AS INT) div 10").alias("seg"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    small = F.when(F.col("n") < 5, F.col("n")).otherwise(F.lit(0))
+    return g.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.min("n").alias("k_min"),
+        F.sum("n").alias("n_rows"),
+        F.sum(small).alias("rows_at_risk"),
+        F.expr(
+            "CAST(10000 * sum(CASE WHEN n < 5 THEN n ELSE 0 END) div sum(n)"
+            " AS BIGINT)"
+        ).alias("risk_bp"),
+    )
