@@ -31,6 +31,9 @@ ORACLE: dict[str, str] = {}
 
 def q(name: str, sql: str | None = None):
     def reg(fn):
+        if name in SPARK:
+            # silent overwrite once shadowed an existing entry — fail loud
+            raise ValueError(f"duplicate query registration: {name}")
         SPARK[name] = fn
         if sql is not None:
             ORACLE[name] = sql
@@ -7853,4 +7856,200 @@ def dq_kanon(spark, sf_dir):
             "CAST(10000 * sum(CASE WHEN n < 5 THEN n ELSE 0 END) div sum(n)"
             " AS BIGINT)"
         ).alias("risk_bp"),
+    )
+
+
+# ----------- X14 multi-touch attribution (round 4, session 3)
+
+@q(
+    "x14_attribution_multi",
+    """
+    WITH tch AS (
+      SELECT user_id, ts, event_type AS channel, event_id
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    pu AS (
+      SELECT event_id AS p_id, user_id, ts,
+             CAST(round(value * 100, 0) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    tj AS (
+      SELECT p.p_id, p.cents, t.channel,
+             (epoch_us(p.ts) - epoch_us(t.ts)) // 86400000000 AS age_d
+      FROM pu p JOIN tch t
+        ON t.user_id = p.user_id AND t.ts <= p.ts
+           AND epoch_us(p.ts) - epoch_us(t.ts) <= 604800000000
+    ),
+    pc AS (
+      SELECT p_id, cents, channel,
+             CAST(count(*) AS BIGINT) AS n_c,
+             CAST(sum(1048576 >> CAST(age_d AS INT)) AS BIGINT) AS w_c
+      FROM tj GROUP BY 1, 2, 3
+    ),
+    pt AS (
+      SELECT p_id, CAST(sum(n_c) AS BIGINT) AS n_t,
+             CAST(sum(w_c) AS BIGINT) AS w_t
+      FROM pc GROUP BY 1
+    )
+    SELECT pc.channel,
+           CAST(count(DISTINCT pc.p_id) AS BIGINT) AS conversions_touched,
+           CAST(sum((1000000 * pc.cents * pc.n_c) // pt.n_t) AS BIGINT)
+             AS linear_credit_micro,
+           CAST(sum((1000000 * pc.cents * pc.w_c) // pt.w_t) AS BIGINT)
+             AS decay_credit_micro
+    FROM pc JOIN pt USING (p_id)
+    GROUP BY 1
+    """,
+)
+def x14_attribution_multi(spark, sf_dir):
+    """MULTI-touch attribution — the fractional-credit counterpart of
+    x10's last-touch rule: every click/view inside the purchase's
+    7-day lookback shares the revenue, (a) LINEAR equal split by touch
+    count and (b) TIME-DECAY with halving per day of age. Both credit
+    schedules are pure BIGINT: the decay weight is 2^20 >> age_days
+    (integer halving — no float pow), and per-(purchase, channel)
+    credit is (1e6 · cents · weight_share) floor-div the purchase
+    total weight — numerators < 2^52, so Spark div == DuckDB // and
+    both engines lose the identical sub-micro remainder (a documented
+    floor semantic, not drift).
+
+    Scale: the touch join is per-user (one shuffle on user_id) with
+    the 7-day band bounding fan-out by touches-per-user-week; per-
+    purchase totals are a re-agg OF the channel partials (no second
+    scan); the channel report is catalog-sized."""
+    e = t(spark, sf_dir, "events")
+    tch = e.where(F.col("event_type").isin("click", "view")).select(
+        "user_id", F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("channel"),
+    )
+    pu = e.where("event_type = 'purchase'").select(
+        F.col("event_id").alias("p_id"), "user_id", "ts",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    gap = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        F.col("t_ts").cast("timestamp")
+    )
+    tj = (
+        pu.join(tch, "user_id")
+        .where((F.col("t_ts") <= F.col("ts")) & (gap <= F.lit(604_800_000_000)))
+        .select(
+            "p_id", "cents", "channel",
+            (gap / F.lit(86_400_000_000)).cast("long").alias("age_d"),
+        )
+    )
+    pc = tj.groupBy("p_id", "cents", "channel").agg(
+        F.count(F.lit(1)).alias("n_c"),
+        F.sum(F.expr("shiftright(1048576, CAST(age_d AS INT))")).alias("w_c"),
+    )
+    pt = pc.groupBy("p_id").agg(
+        F.sum("n_c").alias("n_t"), F.sum("w_c").alias("w_t")
+    )
+    j = pc.join(pt, "p_id")
+    return j.groupBy("channel").agg(
+        F.count_distinct("p_id").alias("conversions_touched"),
+        F.sum(F.expr("(1000000 * cents * n_c) div n_t")).alias("linear_credit_micro"),
+        F.sum(F.expr("(1000000 * cents * w_c) div w_t")).alias("decay_credit_micro"),
+    )
+
+
+# ----------- X15 mutual information (round 4, session 3)
+
+@q(
+    "x15_mutual_info",
+    """
+    WITH c AS (
+      SELECT event_type AS x, dayofweek(ts) + 1 AS y,
+             CAST(count(*) AS BIGINT) AS cxy
+      FROM events GROUP BY 1, 2
+    ),
+    cx AS (SELECT x, CAST(sum(cxy) AS BIGINT) AS cx FROM c GROUP BY 1),
+    cy AS (SELECT y, CAST(sum(cxy) AS BIGINT) AS cy FROM c GROUP BY 1),
+    n AS (SELECT CAST(sum(cxy) AS BIGINT) AS n FROM c),
+    mi AS (
+      SELECT CAST(round(c.cxy * log2(CAST(c.cxy AS DOUBLE) * n.n
+                                     / (cx.cx * cy.cy)) * 1e6, 0) AS BIGINT)
+               AS microbits
+      FROM c JOIN cx USING (x) JOIN cy USING (y) CROSS JOIN n
+    ),
+    hx AS (
+      SELECT CAST(round(cx * log2(CAST(cx AS DOUBLE) / n.n) * 1e6, 0)
+                  AS BIGINT) AS mb
+      FROM cx CROSS JOIN n
+    ),
+    hy AS (
+      SELECT CAST(round(cy * log2(CAST(cy AS DOUBLE) / n.n) * 1e6, 0)
+                  AS BIGINT) AS mb
+      FROM cy CROSS JOIN n
+    )
+    SELECT n.n,
+           round(CAST((SELECT sum(microbits) FROM mi) AS DOUBLE) / 1e6 / n.n, 6)
+             AS mi_bits,
+           round(-CAST((SELECT sum(mb) FROM hx) AS DOUBLE) / 1e6 / n.n, 6)
+             AS hx_bits,
+           round(-CAST((SELECT sum(mb) FROM hy) AS DOUBLE) / 1e6 / n.n, 6)
+             AS hy_bits
+    FROM n
+    """,
+)
+def x15_mutual_info(spark, sf_dir):
+    """MUTUAL INFORMATION between two categorical columns (event_type ×
+    day-of-week) plus both marginal entropies — the feature-relevance /
+    dependence measure (PSI drifts one column over time; MI scores the
+    dependence BETWEEN columns). Same determinism contract as
+    tx_entropy: every cell term c_xy·log2(c_xy·N/(c_x·c_y)) is a double
+    of EXACT integers, rounded to micro-bits per cell before the BIGINT
+    sum, so the reduction is order-free; three terminal divisions round
+    to 6 dp. dayofweek pinned to Spark's 1-7.
+
+    Scale: one scan → (x, y) hash agg (map-side combine); margins and
+    N are re-aggregates of the cells (a3 cascade shape); cell count is
+    catalog-sized (|x|·|y|)."""
+    e = t(spark, sf_dir, "events")
+    c = e.groupBy(
+        F.col("event_type").alias("x"), F.dayofweek("ts").alias("y")
+    ).agg(F.count(F.lit(1)).alias("cxy"))
+    cx = c.groupBy("x").agg(F.sum("cxy").alias("cx"))
+    cy = c.groupBy("y").agg(F.sum("cxy").alias("cy"))
+    n = c.agg(F.sum("cxy").alias("n"))
+    mi = (
+        c.join(F.broadcast(cx), "x")
+        .join(F.broadcast(cy), "y")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.round(
+                F.col("cxy")
+                * F.log2(F.col("cxy").cast("double") * F.col("n")
+                         / (F.col("cx") * F.col("cy")))
+                * F.lit(1e6), 0,
+            ).cast("long").alias("microbits")
+        )
+        .agg(F.sum("microbits").alias("mi_mb"))
+    )
+    hx = (
+        cx.crossJoin(F.broadcast(n))
+        .select(
+            F.round(F.col("cx") * F.log2(F.col("cx").cast("double") / F.col("n"))
+                    * F.lit(1e6), 0).cast("long").alias("mb")
+        ).agg(F.sum("mb").alias("hx_mb"))
+    )
+    hy = (
+        cy.crossJoin(F.broadcast(n))
+        .select(
+            F.round(F.col("cy") * F.log2(F.col("cy").cast("double") / F.col("n"))
+                    * F.lit(1e6), 0).cast("long").alias("mb")
+        ).agg(F.sum("mb").alias("hy_mb"))
+    )
+    return (
+        n.crossJoin(F.broadcast(mi))
+        .crossJoin(F.broadcast(hx))
+        .crossJoin(F.broadcast(hy))
+        .select(
+            "n",
+            F.round(F.col("mi_mb").cast("double") / 1e6 / F.col("n"), 6)
+            .alias("mi_bits"),
+            F.round(-F.col("hx_mb").cast("double") / 1e6 / F.col("n"), 6)
+            .alias("hx_bits"),
+            F.round(-F.col("hy_mb").cast("double") / 1e6 / F.col("n"), 6)
+            .alias("hy_bits"),
+        )
     )
