@@ -7457,6 +7457,32 @@ def _morton_terms(x: str, y: str, duck: bool) -> str:
     return " + ".join(terms)
 
 
+def _bucketed_rank(df, bucket_expr, order_cols):
+    """Global 0-based rank over ORDER BY order_cols WITHOUT a
+    one-partition sort — the mixing.shuffle_rank range-bucket
+    discipline generalized to any sort key: `bucket_expr` must be
+    range-aligned with the order (monotone non-decreasing along it).
+    Bucket counts are an O(buckets) collect, never O(rows); the
+    within-bucket row_numbers run as independent window partitions.
+    Adds column `__rank` (BIGINT). Two-pass: df must be deterministic."""
+    wb = df.withColumn("__b", bucket_expr)
+    counts = wb.groupBy("__b").count().collect()
+    off, acc = {}, 0
+    for row in sorted(counts, key=lambda r: r["__b"]):
+        off[row["__b"]] = acc
+        acc += row["count"]
+    offsets = df.sparkSession.createDataFrame(
+        list(off.items()) or [(0, 0)], "__b long, __off long"
+    )
+    return wb.join(F.broadcast(offsets), "__b").withColumn(
+        "__rank",
+        F.expr(
+            f"__off + (row_number() OVER (PARTITION BY __b "
+            f"ORDER BY {', '.join(order_cols)})) - 1"
+        ).cast("long"),
+    )
+
+
 def _register_layout_skipping():
     rows_per_file = 256
     duck_sql = f"""
@@ -7546,36 +7572,10 @@ def _register_layout_skipping():
             F.expr(_morton_terms("u", "d", False)).alias("mz"),
         )
 
-        def bucketed_file(df, key, bucket_expr, order_cols):
-            wb = df.withColumn("__b", bucket_expr)
-            counts = wb.groupBy("__b").count().collect()
-            off, acc = {}, 0
-            for row in sorted(counts, key=lambda r: r["__b"]):
-                off[row["__b"]] = acc
-                acc += row["count"]
-            offsets = df.sparkSession.createDataFrame(
-                list(off.items()) or [(0, 0)], "__b long, __off long"
-            )
-            wnd = Window.partitionBy("__b").orderBy(*order_cols)
-            return (
-                wb.join(F.broadcast(offsets), "__b")
-                .withColumn(
-                    "f",
-                    F.expr(
-                        f"(__off + (row_number() OVER (PARTITION BY __b "
-                        f"ORDER BY {', '.join(order_cols)})) - 1) "
-                        f"div {rows_per_file}"
-                    ),
-                )
-                .select("u", "d", "f")
-            )
-
-        rz = bucketed_file(
-            m, "mz", F.shiftright(F.col("mz"), 6), ["mz", "event_id"]
-        )
-        rn = bucketed_file(
-            m, "tus", F.col("d"), ["tus", "event_id"]
-        )
+        rz = _bucketed_rank(m, F.shiftright(F.col("mz"), 6), ["mz", "event_id"]) \
+            .select("u", "d", F.expr(f"__rank div {rows_per_file}").alias("f"))
+        rn = _bucketed_rank(m, F.col("d"), ["tus", "event_id"]) \
+            .select("u", "d", F.expr(f"__rank div {rows_per_file}").alias("f"))
 
         pb = base.agg((F.min("u") + F.lit(7)).alias("pu"))
 
@@ -8052,4 +8052,129 @@ def x15_mutual_info(spark, sf_dir):
             F.round(-F.col("hy_mb").cast("double") / 1e6 / F.col("n"), 6)
             .alias("hy_bits"),
         )
+    )
+
+
+# ----------- FE1 smoothed target encoding (round 4, session 3)
+
+@q(
+    "fe_target_encoding",
+    """
+    WITH p AS (
+      SELECT CAST(CAST(json_extract_string(props, '$.k') AS INT) // 10
+                  AS BIGINT) AS seg,
+             CAST(round(value * 100, 0) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (SELECT seg, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(cents) AS BIGINT) AS s
+          FROM p GROUP BY 1),
+    g AS (SELECT CAST(sum(n) AS BIGINT) AS n_all,
+                 CAST((1000000 * CAST(sum(s) AS BIGINT)) // sum(n)
+                      AS BIGINT) AS gm_micro
+          FROM c)
+    SELECT c.seg, c.n, c.s AS sum_cents, g.gm_micro,
+           (1000000 * c.s + 100 * g.gm_micro) // (c.n + 100) AS enc_micro,
+           (1000000 * c.s + 100 * g.gm_micro) // (c.n + 100) - g.gm_micro
+             AS delta_micro
+    FROM c CROSS JOIN g
+    """,
+)
+def fe_target_encoding(spark, sf_dir):
+    """SMOOTHED TARGET ENCODING — the ML feature-engineering op that
+    replaces a categorical column (the user's props.k decade) with the
+    smoothed mean of a target (purchase cents): enc = (sum_c + m·µ) /
+    (n_c + m) with prior weight m=100, shrinking small categories
+    toward the global mean. Exactness: the global mean is pinned FIRST
+    as floor(1e6·S/N) micro-cents, then the smoothed encode is a
+    single BIGINT floor-div — both engines lose the identical sub-micro
+    remainder, so every encode and its delta-vs-prior are value-exact
+    (the x14 floor-div discipline; numerators < 2^52 through sf100).
+
+    Scale: one filtered scan → catalog-sized (seg) agg → 1-row global
+    re-agg broadcast back. The encode table is what a training join
+    broadcasts against 10^12 rows."""
+    e = t(spark, sf_dir, "events")
+    p = e.where("event_type = 'purchase'").select(
+        F.expr("CAST(get_json_object(props, '$.k') AS INT) div 10").alias("seg"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    c = p.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s")
+    )
+    g = c.agg(
+        F.sum("n").alias("n_all"),
+        F.expr("(1000000 * sum(s)) div sum(n)").alias("gm_micro"),
+    )
+    enc = F.expr("(1000000 * s + 100 * gm_micro) div (n + 100)")
+    return c.crossJoin(F.broadcast(g)).select(
+        "seg", "n", F.col("s").alias("sum_cents"), "gm_micro",
+        enc.alias("enc_micro"),
+        (enc - F.col("gm_micro")).alias("delta_micro"),
+    )
+
+
+# ----------- FE2 cross-source quantile normalization (round 4, session 3)
+
+@q(
+    "fe_quantile_norm",
+    """
+    WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+    g AS (SELECT n_chars AS gchars,
+                 row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS gidx
+          FROM d),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM d),
+    s AS (SELECT doc_id, source, n_chars,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY n_chars, doc_id) - 1 AS r,
+                 count(*) OVER (PARTITION BY source) AS n_s
+          FROM d),
+    m AS (
+      SELECT s.doc_id, s.source, s.n_chars,
+             CASE WHEN s.n_s > 1 THEN (s.r * (nn.n_all - 1)) // (s.n_s - 1)
+                  ELSE (nn.n_all - 1) // 2 END AS tidx
+      FROM s CROSS JOIN nn
+    )
+    SELECT m.doc_id, m.source, m.n_chars,
+           CAST(g.gchars AS BIGINT) AS qnorm_chars
+    FROM m JOIN g ON g.gidx = m.tidx
+    """,
+)
+def fe_quantile_norm(spark, sf_dir):
+    """CROSS-SOURCE QUANTILE NORMALIZATION — the batch-effect
+    correction of feature engineering: each document's n_chars is
+    replaced by the GLOBAL distribution's value at the same quantile
+    position within its source, so every source's feature marginal
+    becomes the corpus marginal (what genomics calls quantile
+    normalization; here it de-biases per-source length habits before
+    mixing). Position mapping is pure integer: source-rank r of n_s
+    maps to global index floor(r·(N−1)/(n_s−1)) — both engines
+    floor-div identically; ties on n_chars break by doc_id so both
+    rank orders are total.
+
+    Scale: the within-source ranks are ordinary window partitions; the
+    GLOBAL index is _bucketed_rank (range-bucket discipline — O(buckets)
+    collect, no one-partition sort), proven equal to the oracle's naive
+    global row_number; the final step is an equi-join on gidx."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    g = _bucketed_rank(
+        d, F.expr("n_chars div 64"), ["n_chars", "doc_id"]
+    ).select(F.col("n_chars").alias("gchars"), F.col("__rank").alias("gidx"))
+    nn = d.agg(F.count(F.lit(1)).alias("n_all"))
+    ws = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    wc = Window.partitionBy("source")
+    s = d.select(
+        "doc_id", "source", "n_chars",
+        (F.row_number().over(ws) - 1).cast("long").alias("r"),
+        F.count(F.lit(1)).over(wc).alias("n_s"),
+    )
+    m = s.crossJoin(F.broadcast(nn)).select(
+        "doc_id", "source", "n_chars",
+        F.when(
+            F.col("n_s") > 1,
+            F.expr("(r * (n_all - 1)) div (n_s - 1)"),
+        ).otherwise(F.expr("(n_all - 1) div 2")).alias("tidx"),
+    )
+    return m.join(g, m["tidx"] == g["gidx"]).select(
+        "doc_id", "source", "n_chars", F.col("gchars").alias("qnorm_chars")
     )
