@@ -8178,3 +8178,172 @@ def fe_quantile_norm(spark, sf_dir):
     return m.join(g, m["tidx"] == g["gidx"]).select(
         "doc_id", "source", "n_chars", F.col("gchars").alias("qnorm_chars")
     )
+
+
+# ----------- DD LSH recall audit (round 4, session 3)
+
+def _register_lsh_quality():
+    """dd_lsh_quality: HOW MUCH does the banded hyperplane LSH miss?
+    Exact brute-force pairs at tau=0.45 (the dd_embedding_neardup
+    baseline — crossJoin is the documented sample-scale shape; at
+    10^12 vectors this audit runs on a hash-sampled slice, the pair
+    truth stays O(sample^2)) are left-anti'd against the LSH candidate
+    path's verified pairs (dd_embedding_neardup_lsh). Because LSH
+    candidates are exact-cosine VERIFIED, precision is 1 by
+    construction — the honest number is RECALL, reported in basis
+    points plus the miss count. A curation run quoting 'near-dup rate
+    0.8%' needs this row to say how much of the truth the banding saw."""
+    from . import datapipe as dp
+
+    lsh_sql = dp.neardup_pairs_sql()
+    sql = f"""
+    WITH ex AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])), 4)
+            >= 0.45
+    ),
+    lsh AS (SELECT vec_a, vec_b FROM ({lsh_sql})),
+    hit AS (
+      SELECT count(*) AS n_both FROM ex
+      WHERE EXISTS (SELECT 1 FROM lsh
+                    WHERE lsh.vec_a = ex.vec_a AND lsh.vec_b = ex.vec_b)
+    )
+    SELECT CAST((SELECT count(*) FROM ex) AS BIGINT) AS n_exact,
+           CAST((SELECT count(*) FROM lsh) AS BIGINT) AS n_lsh,
+           CAST(hit.n_both AS BIGINT) AS n_both,
+           CAST((SELECT count(*) FROM ex) - hit.n_both AS BIGINT) AS n_missed,
+           CAST(10000 * hit.n_both //
+                greatest((SELECT count(*) FROM ex), 1) AS BIGINT) AS recall_bp
+    FROM hit
+    """
+
+    @q("dd_lsh_quality", sql)
+    def dd_lsh_quality(spark, sf_dir):
+        emb = t(spark, sf_dir, "embeddings").select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        )
+        a = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+        b = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+        dot = F.aggregate(
+            F.zip_with("va", "vb", lambda x, y: x * y),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+        norm = lambda c: F.sqrt(  # noqa: E731
+            F.aggregate(F.transform(c, lambda x: x * x),
+                        F.lit(0.0), lambda acc, x: acc + x)
+        )
+        ex = (
+            a.join(b, F.col("vec_a") < F.col("vec_b"))
+            .where(
+                F.round(dot / (norm(F.col("va")) * norm(F.col("vb"))), 4)
+                >= 0.45
+            )
+            .select("vec_a", "vec_b")
+        )
+        lsh = dp.embedding_neardup_pairs(spark, sf_dir).select("vec_a", "vec_b")
+        both = ex.join(lsh, ["vec_a", "vec_b"], "left_semi")
+        stats = (
+            ex.agg(F.count(F.lit(1)).alias("n_exact"))
+            .crossJoin(F.broadcast(lsh.agg(F.count(F.lit(1)).alias("n_lsh"))))
+            .crossJoin(F.broadcast(both.agg(F.count(F.lit(1)).alias("n_both"))))
+        )
+        return stats.select(
+            "n_exact", "n_lsh", "n_both",
+            (F.col("n_exact") - F.col("n_both")).alias("n_missed"),
+            F.expr(
+                "CAST(10000 * n_both div greatest(n_exact, 1) AS BIGINT)"
+            ).alias("recall_bp"),
+        )
+
+
+_register_lsh_quality()
+
+
+# ----------- X16 Lorenz deciles + Gini (round 4, session 3)
+
+@q(
+    "x16_gini",
+    """
+    WITH u AS (
+      SELECT user_id, CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                           AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    r AS (
+      SELECT user_id, cents,
+             row_number() OVER (ORDER BY cents, user_id) AS rnk,
+             ntile(10) OVER (ORDER BY cents, user_id) AS decile
+      FROM u
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS s,
+             CAST(sum(rnk * cents) AS BIGINT) AS sw
+      FROM r
+    ),
+    dec AS (
+      SELECT CAST(decile AS BIGINT) AS decile,
+             CAST(count(*) AS BIGINT) AS users,
+             CAST(sum(cents) AS BIGINT) AS rev_cents
+      FROM r GROUP BY 1
+    )
+    SELECT dec.decile, dec.users, dec.rev_cents,
+           CAST(10000 * dec.rev_cents // tot.s AS BIGINT) AS share_bp,
+           CAST(10000 * sum(dec.rev_cents)
+                  OVER (ORDER BY dec.decile ROWS UNBOUNDED PRECEDING)
+                // tot.s AS BIGINT) AS cum_share_bp,
+           CAST(round((2.0 * tot.sw / (tot.n * tot.s)
+                       - (tot.n + 1.0) / tot.n) * 1e6, 0) AS BIGINT)
+             AS gini_micro
+    FROM dec CROSS JOIN tot
+    """,
+)
+def x16_gini(spark, sf_dir):
+    """REVENUE CONCENTRATION: Lorenz deciles + the exact-rank Gini
+    coefficient over per-user purchase revenue — the inequality lens on
+    the x8/x4 monetization family (whales vs long tail). Users rank by
+    (cents, user_id) — a total order, so decile membership and the
+    rank-weighted sum S_w = Σ rank·cents are integer-exact; Gini =
+    2·S_w/(n·S) − (n+1)/n evaluates on exact BIGINTs with ONE rounded
+    float expression (identical operand order both engines). Decile
+    shares are floor-div basis points.
+
+    Scale: per-user agg is one shuffle; the rank is over USERS (already
+    aggregated — catalog-to-millions scale), upgrading to _bucketed_rank
+    keyed by cents when users outgrow a window; Σ rank·cents < 2^63
+    through sf100."""
+    e = t(spark, sf_dir, "events")
+    u = (
+        e.where("event_type = 'purchase'")
+        .groupBy("user_id")
+        .agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"))
+    )
+    wo = Window.orderBy("cents", "user_id")
+    r = u.select(
+        "user_id", "cents",
+        F.row_number().over(wo).cast("long").alias("rnk"),
+        F.ntile(10).over(wo).cast("long").alias("decile"),
+    )
+    tot = r.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum(F.col("rnk") * F.col("cents")).alias("sw"),
+    )
+    dec = r.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("users"), F.sum("cents").alias("rev_cents")
+    )
+    wd = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return dec.crossJoin(F.broadcast(tot)).select(
+        "decile", "users", "rev_cents",
+        F.expr("CAST(10000 * rev_cents div s AS BIGINT)").alias("share_bp"),
+        F.expr(
+            "CAST((10000 * sum(rev_cents) OVER (ORDER BY decile "
+            "ROWS UNBOUNDED PRECEDING)) div s AS BIGINT)"
+        ).alias("cum_share_bp"),
+        F.round(
+            (F.lit(2.0) * F.col("sw") / (F.col("n") * F.col("s"))
+             - (F.col("n") + F.lit(1.0)) / F.col("n")) * F.lit(1e6), 0
+        ).cast("long").alias("gini_micro"),
+    )
