@@ -8347,3 +8347,176 @@ def x16_gini(spark, sf_dir):
              - (F.col("n") + F.lit(1.0)) / F.col("n")) * F.lit(1e6), 0
         ).cast("long").alias("gini_micro"),
     )
+
+
+# ----------- ML1 exact AUC via rank-sum (round 4, session 3)
+
+@q(
+    "ml_auc",
+    """
+    WITH u AS (
+      SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+             CAST(count(CASE WHEN event_type = 'click' THEN 1 END)
+                  AS BIGINT) AS score,
+             CASE WHEN count(CASE WHEN event_type = 'purchase' THEN 1 END) > 0
+                  THEN 1 ELSE 0 END AS label
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT score, CAST(count(*) AS BIGINT) AS n_s,
+             CAST(sum(label) AS BIGINT) AS pos_s
+      FROM u GROUP BY 1
+    ),
+    c AS (
+      SELECT score, n_s, pos_s,
+             CAST(coalesce(sum(n_s) OVER (ORDER BY score
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS cum_before
+      FROM s
+    ),
+    tot AS (
+      SELECT CAST(sum(n_s) AS BIGINT) AS n_users,
+             CAST(sum(pos_s) AS BIGINT) AS n_pos,
+             CAST(sum(n_s - pos_s) AS BIGINT) AS n_neg,
+             CAST(sum(pos_s * (2 * cum_before + n_s + 1)) AS BIGINT) AS u2
+      FROM c
+    )
+    SELECT n_users, n_pos, n_neg, u2,
+           CAST(10000 * (u2 - n_pos * (n_pos + 1))
+                // greatest(2 * n_pos * n_neg, 1) AS BIGINT) AS auc_bp
+    FROM tot
+    """,
+)
+def ml_auc(spark, sf_dir):
+    """EXACT AUC (Mann-Whitney rank-sum) for a score against a binary
+    label — the model-evaluation primitive (here: does a user-day's
+    click count predict a same-day purchase?). Tie handling is the textbook average
+    rank, kept INTEGER by working in doubled ranks: a score bucket with
+    n_s members starting after cum_before rows contributes
+    pos_s·(2·cum_before + n_s + 1) to 2·ΣR₊, so AUC = (2ΣR₊ −
+    n₊(n₊+1)) / (2·n₊·n₋) is a ratio of exact BIGINTs, reported in
+    floor-div basis points — no per-row rank materialization, no
+    float sums.
+
+    Scale: per-user agg (one shuffle) → per-SCORE agg (catalog-sized)
+    → one tiny ordered cum-sum window over distinct scores. The AUC of
+    a 10^12-row table costs two hash aggs."""
+    e = t(spark, sf_dir, "events")
+    u = e.groupBy(
+        "user_id",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000").alias("day"),
+    ).agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("score"),
+        (F.count(F.when(F.col("event_type") == "purchase", 1)) > 0)
+        .cast("long").alias("label"),
+    )
+    s = u.groupBy("score").agg(
+        F.count(F.lit(1)).alias("n_s"), F.sum("label").alias("pos_s")
+    )
+    wc = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    c = s.select(
+        "score", "n_s", "pos_s",
+        F.coalesce(F.sum("n_s").over(wc), F.lit(0)).alias("cum_before"),
+    )
+    tot = c.agg(
+        F.sum("n_s").alias("n_users"),
+        F.sum("pos_s").alias("n_pos"),
+        F.sum(F.col("n_s") - F.col("pos_s")).alias("n_neg"),
+        F.sum(F.col("pos_s") * (2 * F.col("cum_before") + F.col("n_s") + 1))
+        .alias("u2"),
+    )
+    return tot.select(
+        "n_users", "n_pos", "n_neg", "u2",
+        F.expr(
+            "CAST(10000 * (u2 - n_pos * (n_pos + 1)) "
+            "div greatest(2 * n_pos * n_neg, 1) AS BIGINT)"
+        ).alias("auc_bp"),
+    )
+
+
+# ----------- X17 time-to-convert percentiles (round 4, session 3)
+
+@q(
+    "x17_ttc_pctl",
+    """
+    WITH tch AS (
+      SELECT user_id, ts, max_by(event_type, event_id) AS channel
+      FROM events WHERE event_type IN ('click', 'view')
+      GROUP BY user_id, ts
+    ),
+    pu AS (
+      SELECT event_id AS p_id, user_id, ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    a AS (
+      SELECT p.p_id, tch.channel,
+             epoch_us(p.ts) - epoch_us(tch.ts) AS gap_us
+      FROM pu p ASOF JOIN tch
+        ON p.user_id = tch.user_id AND p.ts >= tch.ts
+      WHERE epoch_us(p.ts) - epoch_us(tch.ts) <= 604800000000
+    ),
+    r AS (
+      SELECT channel, gap_us,
+             row_number() OVER (PARTITION BY channel
+                                ORDER BY gap_us, p_id) AS rn,
+             count(*) OVER (PARTITION BY channel) AS n
+      FROM a
+    )
+    SELECT channel, CAST(max(n) AS BIGINT) AS n,
+           CAST(max(CASE WHEN rn = (n + 1) // 2 THEN gap_us END)
+                AS BIGINT) AS p50_us,
+           CAST(max(CASE WHEN rn = (9 * n + 9) // 10 THEN gap_us END)
+                AS BIGINT) AS p90_us,
+           CAST(max(gap_us) AS BIGINT) AS max_us
+    FROM r GROUP BY channel
+    """,
+)
+def x17_ttc_pctl(spark, sf_dir):
+    """TIME-TO-CONVERT distribution per attribution channel: discrete
+    (type-1) p50/p90/max of the purchase-minus-last-touch gap within
+    the 7-day lookback — the latency lens the funnel (j9) and
+    attribution (x10/x14) family lacked. Matching reuses the engine's
+    as-of join; the percentiles avoid every cross-engine interpolation
+    trap by SELECTING the value at an integer target rank (median rank
+    = (n+1) div 2, p90 rank = ceil(0.9·n) = (9n+9) div 10) on the
+    (gap_us, p_id) total order — a tied boundary picks the identical
+    value in both engines by construction.
+
+    Scale: as-of carry = ONE shuffle on user_id; the rank windows
+    partition per channel (catalog-sized partitions count, millions of
+    rows each — ordinary window scale)."""
+    from .asof import asof_join
+
+    e = t(spark, sf_dir, "events")
+    tch = (
+        e.where(F.col("event_type").isin("click", "view"))
+        .groupBy("user_id", "ts")
+        .agg(F.expr("max_by(event_type, event_id)").alias("channel"))
+    )
+    pu = e.where("event_type = 'purchase'").select(
+        F.col("event_id").alias("p_id"), "user_id", "ts"
+    )
+    j = asof_join(pu, tch, on=["user_id"], left_ts="ts", right_ts="ts")
+    gap = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        F.col("ts_asof").cast("timestamp")
+    )
+    a = (
+        j.where(F.col("ts_asof").isNotNull() & (gap <= F.lit(604_800_000_000)))
+        .select("p_id", F.col("channel_asof").alias("channel"),
+                gap.alias("gap_us"))
+    )
+    wr = Window.partitionBy("channel").orderBy("gap_us", "p_id")
+    wn = Window.partitionBy("channel")
+    r = a.select(
+        "channel", "gap_us",
+        F.row_number().over(wr).cast("long").alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return r.groupBy("channel").agg(
+        F.max("n").alias("n"),
+        F.max(F.when(F.col("rn") == F.expr("(n + 1) div 2"),
+                     F.col("gap_us"))).alias("p50_us"),
+        F.max(F.when(F.col("rn") == F.expr("(9 * n + 9) div 10"),
+                     F.col("gap_us"))).alias("p90_us"),
+        F.max("gap_us").alias("max_us"),
+    )
