@@ -8520,3 +8520,147 @@ def x17_ttc_pctl(spark, sf_dir):
                      F.col("gap_us"))).alias("p90_us"),
         F.max("gap_us").alias("max_us"),
     )
+
+
+# ----------- ML2 confusion matrix / P-R-F1 (round 4, session 3)
+
+@q(
+    "ml_confusion",
+    """
+    WITH u AS (
+      SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+             CASE WHEN count(CASE WHEN event_type = 'click' THEN 1 END) >= 1
+                  THEN 1 ELSE 0 END AS pred,
+             CASE WHEN count(CASE WHEN event_type = 'purchase' THEN 1 END) > 0
+                  THEN 1 ELSE 0 END AS label
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT CAST(sum(pred * label) AS BIGINT) AS tp,
+             CAST(sum(pred * (1 - label)) AS BIGINT) AS fp,
+             CAST(sum((1 - pred) * label) AS BIGINT) AS fn,
+             CAST(sum((1 - pred) * (1 - label)) AS BIGINT) AS tn
+      FROM u
+    )
+    SELECT tp, fp, fn, tn,
+           CAST(10000 * tp // greatest(tp + fp, 1) AS BIGINT) AS precision_bp,
+           CAST(10000 * tp // greatest(tp + fn, 1) AS BIGINT) AS recall_bp,
+           CAST(20000 * tp // greatest(2 * tp + fp + fn, 1) AS BIGINT) AS f1_bp,
+           CAST(10000 * (tp + tn) // greatest(tp + fp + fn + tn, 1)
+                AS BIGINT) AS accuracy_bp
+    FROM m
+    """,
+)
+def ml_confusion(spark, sf_dir):
+    """CLASSIFICATION METRICS at a fixed threshold — confusion matrix +
+    precision/recall/F1/accuracy for the decision rule 'a user-day with
+    ≥1 click will purchase' (same grain and label as ml_auc, which
+    scores the rule threshold-free). All four cells are exact integer
+    sums of {0,1} products; every ratio is a floor-div basis point with
+    a greatest(·,1) guard, so the row is value-exact cross-engine —
+    F1 computed as 2tp/(2tp+fp+fn) keeps it single-division.
+
+    Scale: one user-day agg + one 4-cell re-agg; the metric of 10^12
+    rows is two hash aggs (the ml_auc shape)."""
+    e = t(spark, sf_dir, "events")
+    u = e.groupBy(
+        "user_id",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000").alias("day"),
+    ).agg(
+        (F.count(F.when(F.col("event_type") == "click", 1)) >= 1)
+        .cast("long").alias("pred"),
+        (F.count(F.when(F.col("event_type") == "purchase", 1)) > 0)
+        .cast("long").alias("label"),
+    )
+    m = u.agg(
+        F.sum(F.col("pred") * F.col("label")).alias("tp"),
+        F.sum(F.col("pred") * (1 - F.col("label"))).alias("fp"),
+        F.sum((1 - F.col("pred")) * F.col("label")).alias("fn"),
+        F.sum((1 - F.col("pred")) * (1 - F.col("label"))).alias("tn"),
+    )
+    return m.select(
+        "tp", "fp", "fn", "tn",
+        F.expr("CAST(10000 * tp div greatest(tp + fp, 1) AS BIGINT)")
+        .alias("precision_bp"),
+        F.expr("CAST(10000 * tp div greatest(tp + fn, 1) AS BIGINT)")
+        .alias("recall_bp"),
+        F.expr("CAST(20000 * tp div greatest(2 * tp + fp + fn, 1) AS BIGINT)")
+        .alias("f1_bp"),
+        F.expr(
+            "CAST(10000 * (tp + tn) div greatest(tp + fp + fn + tn, 1)"
+            " AS BIGINT)"
+        ).alias("accuracy_bp"),
+    )
+
+
+# ----------- FE3 point-in-time feature extraction (round 4, session 3)
+
+@q(
+    "fe_pit_features",
+    """
+    WITH e AS (
+      SELECT event_id, user_id, event_type,
+             epoch_us(ts) AS tus,
+             CAST(round(value * 100, 0) AS BIGINT) AS cents
+      FROM events
+    ),
+    f AS (
+      SELECT event_id, user_id, event_type, tus,
+             CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END)
+               OVER w AS BIGINT) AS f_purchases_7d,
+             CAST(count(CASE WHEN event_type = 'click' THEN 1 END)
+               OVER w AS BIGINT) AS f_clicks_7d,
+             CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+                                    THEN cents END) OVER w, 0)
+                  AS BIGINT) AS f_spend_7d_cents
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY tus
+                   RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id, tus, f_purchases_7d, f_clicks_7d,
+           f_spend_7d_cents
+    FROM f WHERE event_type = 'purchase'
+    """,
+)
+def fe_pit_features(spark, sf_dir):
+    """POINT-IN-TIME-correct feature extraction — the feature-store
+    contract that prevents label leakage: for every label event (each
+    purchase), rolling 7-day user features computed over rows STRICTLY
+    BEFORE the label's timestamp (RANGE … 1 PRECEDING — same-microsecond
+    rows are excluded on BOTH engines, the leakage off-by-one that
+    silently inflates offline metrics). Features are exact integers
+    (counts + cents). The RANGE frame is on the epoch-micro key, so
+    frame membership is pure integer comparison — no timestamp-type
+    drift; same-instant rows within the window enter/leave atomically
+    in both engines because the frame bound is value-based, not row-
+    based.
+
+    Scale: ONE shuffle on user_id; the three features share a single
+    window frame (one sort, one pass); the label filter prunes after —
+    at 10^12 events this is the classic per-entity time-ordered scan."""
+    e = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("tus")
+        .rangeBetween(-604_800_000_000, -1)
+    )
+    f = e.select(
+        "event_id", "user_id", "event_type", "tus",
+        F.count(F.when(F.col("event_type") == "purchase", 1)).over(w)
+        .alias("f_purchases_7d"),
+        F.count(F.when(F.col("event_type") == "click", 1)).over(w)
+        .alias("f_clicks_7d"),
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "purchase",
+                         F.col("cents"))).over(w),
+            F.lit(0),
+        ).alias("f_spend_7d_cents"),
+    )
+    return f.where("event_type = 'purchase'").select(
+        "event_id", "user_id", "tus", "f_purchases_7d", "f_clicks_7d",
+        "f_spend_7d_cents",
+    )
