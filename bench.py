@@ -235,6 +235,27 @@ def main() -> None:
         "emb_hard_negatives",
         "x4_rfm",
         "q3_scd2",
+        # round-4 session-3 additions (dd_lsh_quality is deliberately
+        # absent: its exact brute-force truth side is the documented
+        # sample-scale audit — 77 s at sf0.1 — not a per-round query)
+        "emb_int8",
+        "x9_triangles",
+        "x10_attribution",
+        "tx_ppl_buckets",
+        "x11_assoc",
+        "k5_layout_skipping",
+        "dd_split_leakage",
+        "x13_bfs",
+        "dq_kanon",
+        "x14_attribution_multi",
+        "x15_mutual_info",
+        "fe_target_encoding",
+        "fe_quantile_norm",
+        "x16_gini",
+        "ml_auc",
+        "x17_ttc_pctl",
+        "ml_confusion",
+        "fe_pit_features",
     ):
         t0 = time.monotonic()
         SPARK[name](spark, sf_dir).count()
