@@ -8664,3 +8664,178 @@ def fe_pit_features(spark, sf_dir):
         "event_id", "user_id", "tus", "f_purchases_7d", "f_clicks_7d",
         "f_spend_7d_cents",
     )
+
+
+# ----------- X18 clamped running balance (round 4, session 3)
+
+@q(
+    "x18_clamped_balance",
+    """
+    WITH f AS (
+      SELECT user_id, epoch_us(ts) AS tus, event_id,
+             CASE WHEN event_type = 'purchase'
+                  THEN CAST(round(value * 100, 0) AS BIGINT)
+                  WHEN event_type IN ('click', 'view')
+                  THEN CAST(-50 AS BIGINT)
+                  ELSE CAST(0 AS BIGINT) END AS flow
+      FROM events
+    ),
+    s1 AS (
+      SELECT user_id, tus, event_id, flow,
+             CAST(sum(flow) OVER (PARTITION BY user_id
+                                  ORDER BY tus, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ps
+      FROM f
+    ),
+    s2 AS (
+      SELECT user_id, tus, event_id, flow, ps,
+             least(CAST(0 AS BIGINT),
+                   min(ps) OVER (PARTITION BY user_id
+                                 ORDER BY tus, event_id
+                                 ROWS UNBOUNDED PRECEDING)) AS floor_s
+      FROM s1
+    ),
+    b AS (
+      SELECT user_id, flow, ps - floor_s AS bal,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY tus DESC, event_id DESC) AS rdesc
+      FROM s2
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(max(CASE WHEN rdesc = 1 THEN bal END) AS BIGINT)
+             AS final_cents,
+           CAST(sum(CASE WHEN bal = 0 AND flow < 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clamped,
+           CAST(max(bal) AS BIGINT) AS peak_cents
+    FROM b GROUP BY user_id
+    """,
+)
+def x18_clamped_balance(spark, sf_dir):
+    """CLAMPED RUNNING BALANCE — the floor-at-zero account fold
+    (credits from purchases, 50-cent debits per click/view, balance
+    never negative): a NON-associative recurrence b_t = max(0, b_{t-1}
+    + d_t) that a naive engine writes as a per-row loop, expressed here
+    in CLOSED FORM b_t = S_t − min(0, min_{i≤t} S_i) (prefix sum minus
+    clamped running minimum — the c6 CUSUM identity applied to
+    balances), so both engines evaluate it as two stacked window
+    functions over one (user, ts, event_id) sort. Outputs per user:
+    final balance, clamp count (debits that hit the floor), peak — all
+    exact BIGINT cents.
+
+    Scale: ONE shuffle on user_id; all three windows and the final agg
+    share the partitioning (single Exchange in the plan); no UDF, no
+    recursion, whole-stage codegen end-to-end."""
+    e = t(spark, sf_dir, "events")
+    f = e.select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"),
+        "event_id",
+        F.when(F.col("event_type") == "purchase",
+               F.round(F.col("value") * 100, 0).cast("long"))
+        .when(F.col("event_type").isin("click", "view"), F.lit(-50).cast("long"))
+        .otherwise(F.lit(0).cast("long")).alias("flow"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("tus", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    s1 = f.select("user_id", "tus", "event_id", "flow",
+                  F.sum("flow").over(w).alias("ps"))
+    s2 = s1.select(
+        "user_id", "tus", "event_id", "flow", "ps",
+        F.least(F.lit(0).cast("long"), F.min("ps").over(w)).alias("floor_s"),
+    )
+    wd = Window.partitionBy("user_id").orderBy(
+        F.desc("tus"), F.desc("event_id")
+    )
+    b = s2.select(
+        "user_id", "flow",
+        (F.col("ps") - F.col("floor_s")).alias("bal"),
+        F.row_number().over(wd).alias("rdesc"),
+    )
+    return b.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max(F.when(F.col("rdesc") == 1, F.col("bal"))).alias("final_cents"),
+        F.sum(
+            F.when((F.col("bal") == 0) & (F.col("flow") < 0), 1).otherwise(0)
+        ).alias("n_clamped"),
+        F.max("bal").alias("peak_cents"),
+    )
+
+
+# ----------- ML3 decile gains / lift table (round 4, session 3)
+
+@q(
+    "ml_gains",
+    """
+    WITH u AS (
+      SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+             CAST(count(CASE WHEN event_type = 'click' THEN 1 END)
+                  AS BIGINT) AS score,
+             CASE WHEN count(CASE WHEN event_type = 'purchase' THEN 1 END) > 0
+                  THEN 1 ELSE 0 END AS label
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT label,
+             ntile(10) OVER (ORDER BY score DESC, user_id, day) AS decile
+      FROM u
+    ),
+    d AS (
+      SELECT CAST(decile AS BIGINT) AS decile,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(label) AS BIGINT) AS pos
+      FROM r GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+                   CAST(sum(pos) AS BIGINT) AS pp FROM d)
+    SELECT d.decile, d.n, d.pos,
+           CAST(10000 * d.pos * tot.nn // greatest(d.n * tot.pp, 1)
+                AS BIGINT) AS lift_bp,
+           CAST(10000 * sum(d.pos) OVER (ORDER BY d.decile
+                    ROWS UNBOUNDED PRECEDING)
+                // greatest(tot.pp, 1) AS BIGINT) AS cum_gain_bp
+    FROM d CROSS JOIN tot
+    """,
+)
+def ml_gains(spark, sf_dir):
+    """DECILE GAINS / LIFT table — the campaign-targeting view of the
+    same score ml_auc ranks (user-day click count → same-day purchase):
+    rank entities by score DESC, cut into deciles, report per-decile
+    positive LIFT vs the base rate and the cumulative share of all
+    positives captured (the gains curve a marketer reads as 'top 20%
+    of the list captures X% of buyers'). The decile cut is ntile on the
+    (score DESC, user_id, day) TOTAL order; lift = (pos_d/n_d)/(P/N)
+    evaluated as ONE integer floor-div 10000·pos_d·N div (n_d·P) — no
+    intermediate rates, exact cross-engine.
+
+    Scale: the user-day agg is one shuffle; the rank is over entities
+    (post-agg), _bucketed_rank keyed by score when entities outgrow a
+    window; deciles and totals are catalog-sized."""
+    e = t(spark, sf_dir, "events")
+    u = e.groupBy(
+        "user_id",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000").alias("day"),
+    ).agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("score"),
+        (F.count(F.when(F.col("event_type") == "purchase", 1)) > 0)
+        .cast("long").alias("label"),
+    )
+    wr = Window.orderBy(F.desc("score"), "user_id", "day")
+    r = u.select("label", F.ntile(10).over(wr).cast("long").alias("decile"))
+    d = r.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("label").alias("pos")
+    )
+    tot = d.agg(F.sum("n").alias("nn"), F.sum("pos").alias("pp"))
+    return d.crossJoin(F.broadcast(tot)).select(
+        "decile", "n", "pos",
+        F.expr(
+            "CAST(10000 * pos * nn div greatest(n * pp, 1) AS BIGINT)"
+        ).alias("lift_bp"),
+        F.expr(
+            "CAST(10000 * sum(pos) OVER (ORDER BY decile "
+            "ROWS UNBOUNDED PRECEDING) div greatest(pp, 1) AS BIGINT)"
+        ).alias("cum_gain_bp"),
+    )
