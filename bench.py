@@ -256,6 +256,10 @@ def main() -> None:
         "x17_ttc_pctl",
         "ml_confusion",
         "fe_pit_features",
+        "x18_clamped_balance",
+        "ml_gains",
+        "j12_star_join",
+        "c8_histogram_quantile",
     ):
         t0 = time.monotonic()
         SPARK[name](spark, sf_dir).count()

@@ -8839,3 +8839,169 @@ def ml_gains(spark, sf_dir):
             "ROWS UNBOUNDED PRECEDING) div greatest(pp, 1) AS BIGINT)"
         ).alias("cum_gain_bp"),
     )
+
+
+# ----------- J12 star-schema join (TPC-H Q5 shape) (round 4, session 3)
+
+@q(
+    "j12_star_join",
+    """
+    SELECT n.n_name AS nation,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT)))
+                AS BIGINT) AS revenue_micro
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def j12_star_join(spark, sf_dir):
+    """SIX-TABLE STAR JOIN — the TPC-H Q5 shape (local-supplier revenue
+    by nation within a region-year): customer ⋈ orders ⋈ lineitem ⋈
+    supplier (with the correlated s_nationkey = c_nationkey condition
+    that makes Q5 interesting) ⋈ nation ⋈ region. The multi-join
+    planning showcase: region/nation/supplier/customer are dimensions
+    Catalyst broadcasts (AQE confirms at runtime), the orderdate filter
+    prunes orders BEFORE the fact join, and the only real shuffle pairs
+    orders with lineitem on orderkey. Revenue in exact integer
+    micro-cents: cents · (100 − disc_pct), both factors exact 2-decimal
+    integers — no float sums anywhere.
+
+    Scale: at 10^12 lineitems this is the canonical star plan —
+    broadcast all dims, one fact shuffle, map-side partial agg to 25
+    nations."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").where("r_name = 'ASIA'")
+    j = (
+        F.broadcast(c)
+        .join(o, o["o_custkey"] == c["c_custkey"])
+        .join(li, li["l_orderkey"] == o["o_orderkey"])
+        .join(
+            F.broadcast(s),
+            (s["s_suppkey"] == li["l_suppkey"])
+            & (s["s_nationkey"] == c["c_nationkey"]),
+        )
+        .join(F.broadcast(n), n["n_nationkey"] == s["s_nationkey"])
+        .join(F.broadcast(r), r["r_regionkey"] == n["n_regionkey"])
+    )
+    rev = F.round(F.col("l_extendedprice") * 100, 0).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100, 0).cast("long")
+    )
+    return j.groupBy(F.col("n_name").alias("nation")).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(rev).alias("revenue_micro"),
+    )
+
+
+# ----------- C8 Prometheus histogram_quantile (round 4, session 3)
+
+_HQ_BUCKETS = [1, 2, 5, 10, 20, 50, 100, 200, 500]
+
+
+def _register_histogram_quantile():
+    duck_case = " ".join(
+        f"WHEN value <= {b} THEN {b}" for b in _HQ_BUCKETS
+    )
+    spark_case = duck_case
+    lo_duck = " ".join(
+        f"WHEN le = {b} THEN {lo}"
+        for b, lo in zip(_HQ_BUCKETS, [0] + _HQ_BUCKETS[:-1])
+    )
+    sql = f"""
+    WITH b AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             CASE {duck_case} ELSE 500 END AS le,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2, 3
+    ),
+    c AS (
+      SELECT event_type, day, le, n,
+             CAST(sum(n) OVER (PARTITION BY event_type, day ORDER BY le
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+             CAST(sum(n) OVER (PARTITION BY event_type, day)
+                  AS BIGINT) AS total
+      FROM b
+    ),
+    pick AS (
+      SELECT event_type, day, min(le) AS le
+      FROM c WHERE 100 * cum >= 95 * total GROUP BY 1, 2
+    )
+    SELECT c.event_type, CAST(c.day AS BIGINT) AS day, c.total,
+           CAST(c.le AS BIGINT) AS le,
+           round((CASE {lo_duck} ELSE 0 END)
+                 + (c.le - (CASE {lo_duck} ELSE 0 END))
+                   * (95 * c.total - 100 * (c.cum - c.n))
+                   / (100.0 * c.n), 6) AS p95
+    FROM c JOIN pick USING (event_type, day, le)
+    """
+
+    @q("c8_histogram_quantile", sql)
+    def c8_histogram_quantile(spark, sf_dir):
+        """PROMETHEUS histogram_quantile(0.95, …) — quantile estimation
+        from CUMULATIVE le-bucket counters, the monitoring-stack
+        quantile (c5 gave counter rate semantics; this completes the
+        Prometheus pair): per (event_type, day), count values into the
+        fixed le ladder {1,2,5,…,500}, pick the lowest bucket whose
+        cumulative count covers the 0.95 rank via the INTEGER predicate
+        100·cum ≥ 95·total (no float rank), then interpolate linearly
+        inside the bucket exactly as promql does — lo + (le−lo)·(95·
+        total − 100·cum_prev)/(100·n_bucket), ONE float division of
+        exact integers, rounded to 6 dp.
+
+        Scale: bucket counts are a (type, day, le) hash agg with
+        map-side combine (the mergeable-histogram sk_hist shape — tier
+        cascades re-aggregate the buckets, never raw values); windows
+        run over ≤9 rows per partition."""
+        e = t(spark, sf_dir, "events").where("value IS NOT NULL")
+        b = e.groupBy(
+            "event_type",
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000")
+            .alias("day"),
+            F.expr(f"CASE {spark_case} ELSE 500 END").alias("le"),
+        ).agg(F.count(F.lit(1)).alias("n"))
+        wcum = (
+            Window.partitionBy("event_type", "day").orderBy("le")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        wtot = Window.partitionBy("event_type", "day")
+        c = b.select(
+            "event_type", "day", "le", "n",
+            F.sum("n").over(wcum).alias("cum"),
+            F.sum("n").over(wtot).alias("total"),
+        )
+        pick = (
+            c.where(100 * F.col("cum") >= 95 * F.col("total"))
+            .groupBy("event_type", "day")
+            .agg(F.min("le").alias("le"))
+        )
+        lo = F.expr(f"CASE {lo_duck} ELSE 0 END")
+        return c.join(pick, ["event_type", "day", "le"]).select(
+            "event_type", F.col("day").cast("long").alias("day"), "total",
+            F.col("le").cast("long").alias("le"),
+            F.round(
+                lo
+                + (F.col("le") - lo)
+                * (95 * F.col("total") - 100 * (F.col("cum") - F.col("n")))
+                / (100.0 * F.col("n")),
+                6,
+            ).alias("p95"),
+        )
+
+
+_register_histogram_quantile()
