@@ -1,0 +1,120 @@
+"""Independent-reference parity tests for the round-4 session-3
+operators whose Spark implementations use nontrivial machinery —
+each is checked against a small pure-Python reference (the
+kernel==independent-loop-reference discipline), not just the DuckDB
+twin (tests/test_driver_queries.py covers that side already).
+"""
+
+import os
+
+import pytest
+
+from tsrollup.driver_queries import SPARK, _bucketed_rank
+
+from .conftest import TESTDATA
+
+SF_DIR = os.path.join(TESTDATA, "sf0.001")
+
+
+def test_clamped_balance_matches_loop_reference(spark):
+    """x18's closed form b_t = S_t - min(0, running-min S) must equal the
+    literal per-row fold b_t = max(0, b_{t-1} + d_t)."""
+    rows = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .selectExpr(
+            "user_id",
+            "unix_micros(CAST(ts AS TIMESTAMP)) AS tus",
+            "event_id",
+            "CASE WHEN event_type = 'purchase' "
+            "THEN CAST(round(value * 100, 0) AS BIGINT) "
+            "WHEN event_type IN ('click', 'view') THEN -50L "
+            "ELSE 0L END AS flow",
+        )
+        .collect()
+    )
+    ref = {}
+    for r in sorted(rows, key=lambda r: (r.user_id, r.tus, r.event_id)):
+        bal, n, clamped, peak = ref.get(r.user_id, (0, 0, 0, 0))
+        nxt = max(0, bal + r.flow)
+        # n_clamped counts rows where the post-clamp balance is 0 AND
+        # the flow was negative (x18's definition)
+        clamped += 1 if (nxt == 0 and r.flow < 0) else 0
+        peak = max(peak, nxt)
+        ref[r.user_id] = (nxt, n + 1, clamped, peak)
+
+    got = {
+        r.user_id: (r.final_cents, r.n_events, r.n_clamped, r.peak_cents)
+        for r in SPARK["x18_clamped_balance"](spark, SF_DIR).collect()
+    }
+    assert set(got) == set(ref)
+    for uid, (bal, n, clamped, peak) in ref.items():
+        assert got[uid] == (bal, n, clamped, peak), uid
+
+
+def test_bucketed_rank_equals_naive_global_rank(spark):
+    """_bucketed_rank (range-bucket discipline behind k5 and fe2) must
+    reproduce a naive global row_number exactly, including with skewed
+    and colliding bucket keys."""
+    import pyspark.sql.functions as F
+
+    df = spark.range(0, 997).select(
+        (F.col("id") * 37 % 501).alias("k"), F.col("id").alias("tie")
+    )
+    ranked = _bucketed_rank(df, F.expr("k div 7"), ["k", "tie"]).collect()
+    expect = {
+        (r.k, r.tie): i
+        for i, r in enumerate(sorted(ranked, key=lambda r: (r.k, r.tie)))
+    }
+    for r in ranked:
+        assert r["__rank"] == expect[(r.k, r.tie)]
+
+
+def test_bfs_matches_python_reference(spark):
+    """x13's iterative frontier expansion must equal a textbook BFS."""
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey"
+    ).collect()
+    baskets = {}
+    for r in li:
+        baskets.setdefault(r.l_orderkey, set()).add(r.l_suppkey)
+    adj = {}
+    for members in baskets.values():
+        for a in members:
+            for b in members:
+                if a != b:
+                    adj.setdefault(a, set()).add(b)
+    seeds = sorted(adj)[:3]
+    from collections import deque
+
+    best = {}  # node -> (dist, nearest_seed)
+    for s in seeds:
+        dist = {s: 0}
+        dq = deque([s])
+        while dq:
+            u = dq.popleft()
+            if dist[u] >= 6:
+                continue
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    dq.append(v)
+        for node, d in dist.items():
+            cur = best.get(node)
+            if cur is None or d < cur[0] or (d == cur[0] and s < cur[1]):
+                best[node] = (d, s)
+
+    got = {
+        r.node: (r.dist, r.nearest_seed)
+        for r in SPARK["x13_bfs"](spark, SF_DIR).collect()
+    }
+    assert got == best
+
+
+def test_lsh_quality_confirms_verified_subset(spark):
+    """The LSH pair list is exact-cosine verified, so it must be a
+    subset of the brute-force truth: n_both == n_lsh and recall_bp
+    is consistent with the counts."""
+    row = SPARK["dd_lsh_quality"](spark, SF_DIR).collect()[0]
+    assert row.n_both == row.n_lsh
+    assert row.n_missed == row.n_exact - row.n_both
+    assert row.recall_bp == 10000 * row.n_both // max(row.n_exact, 1)
