@@ -260,6 +260,8 @@ def main() -> None:
         "ml_gains",
         "j12_star_join",
         "c8_histogram_quantile",
+        "x19_funnel_steps",
+        "x20_bounce",
     ):
         t0 = time.monotonic()
         SPARK[name](spark, sf_dir).count()

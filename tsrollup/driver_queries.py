@@ -9005,3 +9005,207 @@ def _register_histogram_quantile():
 
 
 _register_histogram_quantile()
+
+
+# ----------- X19 strict-order multi-step funnel (round 4, session 3)
+
+@q(
+    "x19_funnel_steps",
+    """
+    WITH t1 AS (
+      SELECT user_id, min(epoch_us(ts)) AS ts1
+      FROM events WHERE event_type = 'signup' GROUP BY 1
+    ),
+    t2 AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS ts2
+      FROM events e JOIN t1 ON t1.user_id = e.user_id
+      WHERE e.event_type = 'click' AND epoch_us(e.ts) > t1.ts1
+      GROUP BY 1
+    ),
+    t3 AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS ts3
+      FROM events e JOIN t2 ON t2.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > t2.ts2
+      GROUP BY 1
+    ),
+    counts AS (
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM t1) AS c1,
+             (SELECT CAST(count(*) AS BIGINT) FROM t2) AS c2,
+             (SELECT CAST(count(*) AS BIGINT) FROM t3) AS c3
+    )
+    SELECT step, users, prev_users,
+           CAST(10000 * users // greatest(prev_users, 1) AS BIGINT)
+             AS conv_bp
+    FROM (
+      SELECT 1 AS step, c1 AS users, c1 AS prev_users FROM counts
+      UNION ALL SELECT 2, c2, c1 FROM counts
+      UNION ALL SELECT 3, c3, c2 FROM counts
+    ) ORDER BY step
+    """,
+)
+def x19_funnel_steps(spark, sf_dir):
+    """STRICT-ORDER multi-step funnel — the product-analytics staple j9
+    (tolerance-window pairwise funnel) doesn't cover: signup → first
+    click strictly AFTER the signup → first purchase strictly after
+    THAT click, with per-step reached counts and step-over-step
+    conversion in basis points. Each step is one conditional-min
+    aggregate chained through a join on the previous step's users, so
+    'reached step k' means an actual ordered k-chain exists (not just
+    presence of all k event types — the correctness subtlety that
+    separates a funnel from three COUNT DISTINCTs). All timestamps are
+    exact epoch-micro BIGINTs; conversions are guarded floor-div basis
+    points.
+
+    Scale: three user-keyed hash aggs + two joins that all share the
+    user_id partitioning (AQE coalesces); step counts are 1-row
+    re-aggs. At 10^12 events each step prunes the stream by event_type
+    BEFORE the join — filters reach the scan."""
+    e = t(spark, sf_dir, "events").select(
+        "user_id", "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"),
+    )
+    t1 = (
+        e.where("event_type = 'signup'")
+        .groupBy("user_id").agg(F.min("tus").alias("ts1"))
+    )
+    t2 = (
+        e.where("event_type = 'click'")
+        .join(t1, "user_id")
+        .where(F.col("tus") > F.col("ts1"))
+        .groupBy("user_id").agg(F.min("tus").alias("ts2"))
+    )
+    t3 = (
+        e.where("event_type = 'purchase'")
+        .join(t2, "user_id")
+        .where(F.col("tus") > F.col("ts2"))
+        .groupBy("user_id").agg(F.min("tus").alias("ts3"))
+    )
+    c1 = t1.agg(F.count(F.lit(1)).alias("c1"))
+    c2 = t2.agg(F.count(F.lit(1)).alias("c2"))
+    c3 = t3.agg(F.count(F.lit(1)).alias("c3"))
+    counts = c1.crossJoin(F.broadcast(c2)).crossJoin(F.broadcast(c3))
+    steps = (
+        counts.select(F.lit(1).alias("step"), F.col("c1").alias("users"),
+                      F.col("c1").alias("prev_users"))
+        .unionAll(counts.select(F.lit(2), F.col("c2"), F.col("c1")))
+        .unionAll(counts.select(F.lit(3), F.col("c3"), F.col("c2")))
+    )
+    return steps.select(
+        "step", "users", "prev_users",
+        F.expr("CAST(10000 * users div greatest(prev_users, 1) AS BIGINT)")
+        .alias("conv_bp"),
+    ).orderBy("step")
+
+
+# ----------- X20 session bounce / entry-exit report (round 4, session 3)
+
+@q(
+    "x20_bounce",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS tus
+      FROM events
+    ),
+    m AS (
+      SELECT user_id, event_id, event_type, tus,
+             CASE WHEN tus - lag(tus) OVER w > 1800000000
+                       OR lag(tus) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+    ),
+    s AS (
+      SELECT user_id, event_id, event_type, tus,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m
+    ),
+    s2 AS (
+      SELECT user_id, sid, event_type, tus, n_events,
+             row_number() OVER (PARTITION BY user_id, sid
+                                ORDER BY tus, event_id) AS ra,
+             row_number() OVER (PARTITION BY user_id, sid
+                                ORDER BY tus DESC, event_id DESC) AS rd
+      FROM (SELECT *, count(*) OVER (PARTITION BY user_id, sid)
+                        AS n_events FROM s)
+    ),
+    ses AS (
+      SELECT user_id, sid,
+             CAST(max(n_events) AS BIGINT) AS n_events,
+             max(CASE WHEN ra = 1 THEN event_type END) AS entry_type,
+             max(CASE WHEN rd = 1 THEN event_type END) AS exit_type,
+             CAST(max(tus) - min(tus) AS BIGINT) AS dur_us
+      FROM s2 GROUP BY 1, 2
+    )
+    SELECT entry_type,
+           CAST(count(*) AS BIGINT) AS sessions,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS bounces,
+           CAST(10000 * sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                // count(*) AS BIGINT) AS bounce_bp,
+           CAST(sum(n_events) AS BIGINT) AS events,
+           CAST(sum(dur_us) AS BIGINT) AS dur_us_sum,
+           CAST(sum(CASE WHEN exit_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS purchase_exits
+    FROM ses GROUP BY entry_type
+    """,
+)
+def x20_bounce(spark, sf_dir):
+    """SESSION ENTRY/EXIT + BOUNCE-RATE report — the web-analytics view
+    of b4's sessions: sessions grouped by their ENTRY event type, with
+    bounce rate (single-event sessions) in basis points, total
+    engagement (events + exact µs dwell), and how many sessions EXIT on
+    a purchase. Session boundaries are b4_sessionize's 30-min
+    inactivity islands verbatim; entry/exit rows are selected at
+    row_number 1 on the ascending/descending (tus, event_id) total
+    order — the tie rule is pinned cross-engine.
+
+    Scale: one shuffle on user_id shared by both windows and the
+    session agg; the report is catalog-sized (one row per event
+    type)."""
+    e = t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"),
+    )
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    lag = F.lag("tus").over(w)
+    m = e.select(
+        "user_id", "event_id", "event_type", "tus",
+        (lag.isNull() | ((F.col("tus") - lag) > 1_800_000_000))
+        .cast("long").alias("new_s"),
+    )
+    s = m.select(
+        "user_id", "event_id", "event_type", "tus",
+        F.sum("new_s").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("sid"),
+    )
+    ws = Window.partitionBy("user_id", "sid")
+    wa = ws.orderBy("tus", "event_id")
+    wd = ws.orderBy(F.desc("tus"), F.desc("event_id"))
+    s2 = s.select(
+        "user_id", "sid", "event_type", "tus",
+        F.count(F.lit(1)).over(ws).alias("n_events"),
+        F.row_number().over(wa).alias("ra"),
+        F.row_number().over(wd).alias("rd"),
+    )
+    ses = s2.groupBy("user_id", "sid").agg(
+        F.max("n_events").alias("n_events"),
+        F.max(F.when(F.col("ra") == 1, F.col("event_type")))
+        .alias("entry_type"),
+        F.max(F.when(F.col("rd") == 1, F.col("event_type")))
+        .alias("exit_type"),
+        (F.max("tus") - F.min("tus")).alias("dur_us"),
+    )
+    bounce = F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+    return ses.groupBy("entry_type").agg(
+        F.count(F.lit(1)).alias("sessions"),
+        bounce.alias("bounces"),
+        F.expr(
+            "CAST(10000 * sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) "
+            "div count(*) AS BIGINT)"
+        ).alias("bounce_bp"),
+        F.sum("n_events").alias("events"),
+        F.sum("dur_us").alias("dur_us_sum"),
+        F.sum(F.when(F.col("exit_type") == "purchase", 1).otherwise(0))
+        .alias("purchase_exits"),
+    )
