@@ -262,6 +262,7 @@ def main() -> None:
         "c8_histogram_quantile",
         "x19_funnel_steps",
         "x20_bounce",
+        "tx_moore_lewis",
     ):
         t0 = time.monotonic()
         SPARK[name](spark, sf_dir).count()

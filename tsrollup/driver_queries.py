@@ -9209,3 +9209,161 @@ def x20_bounce(spark, sf_dir):
         F.sum(F.when(F.col("exit_type") == "purchase", 1).otherwise(0))
         .alias("purchase_exits"),
     )
+
+
+# ----------- TX Moore-Lewis data selection (round 4, session 3)
+
+@q(
+    "tx_moore_lewis",
+    """
+    WITH w AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+    ),
+    wp AS (
+      SELECT doc_id, unnest(ws) AS word, generate_subscripts(ws, 1) AS i
+      FROM w
+    ),
+    bg AS (
+      SELECT p.doc_id, p.word AS prev, n.word AS w
+      FROM wp p JOIN wp n ON n.doc_id = p.doc_id AND n.i = p.i + 1
+    ),
+    dbg AS (
+      SELECT doc_id, prev, w, CAST(count(*) AS BIGINT) AS m
+      FROM bg GROUP BY doc_id, prev, w
+    ),
+    dom AS (SELECT doc_id FROM documents WHERE source = 'src0'),
+    bc_g AS (SELECT prev, w, CAST(sum(m) AS BIGINT) AS c_bw
+             FROM dbg GROUP BY prev, w),
+    cc_g AS (SELECT prev, CAST(sum(c_bw) AS BIGINT) AS c_b
+             FROM bc_g GROUP BY prev),
+    bc_d AS (SELECT prev, w, CAST(sum(m) AS BIGINT) AS c_bw
+             FROM dbg JOIN dom USING (doc_id) GROUP BY prev, w),
+    cc_d AS (SELECT prev, CAST(sum(c_bw) AS BIGINT) AS c_b
+             FROM bc_d GROUP BY prev),
+    vocab AS (
+      SELECT CAST(count(DISTINCT word) AS BIGINT) AS v_size
+      FROM (SELECT unnest(ws) AS word FROM w)
+    ),
+    scored AS (
+      SELECT dbg.doc_id, dbg.m,
+             CAST(round(dbg.m * log2(
+               CAST(2 * bc_g.c_bw + 1 AS DOUBLE)
+               / CAST(2 * cc_g.c_b + vocab.v_size AS DOUBLE)
+             ) * 1e6, 0) AS BIGINT) AS mb_g,
+             CAST(round(dbg.m * log2(
+               CAST(2 * coalesce(bc_d.c_bw, 0) + 1 AS DOUBLE)
+               / CAST(2 * coalesce(cc_d.c_b, 0) + vocab.v_size AS DOUBLE)
+             ) * 1e6, 0) AS BIGINT) AS mb_d
+      FROM dbg
+      JOIN bc_g USING (prev, w)
+      JOIN cc_g USING (prev)
+      LEFT JOIN bc_d USING (prev, w)
+      LEFT JOIN cc_d USING (prev)
+      CROSS JOIN vocab
+    ),
+    agg AS (
+      SELECT d.doc_id, d.source,
+             CAST(sum(s.m) AS BIGINT) AS n_bigrams,
+             CAST(sum(s.mb_d) AS BIGINT) AS sum_mb_d,
+             CAST(sum(s.mb_g) AS BIGINT) AS sum_mb_g
+      FROM scored s JOIN documents d USING (doc_id)
+      GROUP BY d.doc_id, d.source
+    )
+    SELECT doc_id, source, n_bigrams,
+           round(-CAST(sum_mb_d AS DOUBLE) / 1e6 / n_bigrams, 4) AS h_in,
+           round(-CAST(sum_mb_g AS DOUBLE) / 1e6 / n_bigrams, 4) AS h_gen,
+           round((-CAST(sum_mb_d AS DOUBLE) / 1e6 / n_bigrams)
+                 - (-CAST(sum_mb_g AS DOUBLE) / 1e6 / n_bigrams), 4)
+             AS ml_bits
+    FROM agg
+    """,
+)
+def tx_moore_lewis(spark, sf_dir):
+    """MOORE-LEWIS data selection (Moore & Lewis, ACL 2010) — THE
+    classic training-data selection rule: score every document by the
+    cross-entropy DIFFERENCE H_in(doc) − H_gen(doc) between an
+    IN-DOMAIN language model (trained on the src0 slice) and the
+    general corpus model; the most negative ml_bits are the documents
+    that look most like the target domain relative to how generic they
+    are — what you keep when assembling a domain mix from web-scale
+    data. Both models are the engine's add-1/2-smoothed bigram LM over
+    a SHARED global vocabulary (comparable smoothing); domain counts
+    re-aggregate the SAME doc-level multiplicities (no second corpus
+    scan), unseen-in-domain bigrams fall back to the smoothing floor
+    via coalesce(0). Twin-exact by the tx_bigram_lm contract — each
+    model's m·log2(·) term rounds to integer micro-bits per (doc,
+    prev, w) BEFORE the per-doc BIGINT sums.
+
+    Scale: one explode; the domain model is a filtered RE-aggregate of
+    the (prev, w) multiplicities; two shuffle joins keyed (prev, w) /
+    (prev) per model that AQE sizes; V is a 1-row broadcast."""
+    docs = t(spark, sf_dir, "documents")
+    w = docs.select("doc_id", F.split(F.lower("text"), " ").alias("ws"))
+    bg = w.where(F.size("ws") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.expr("slice(ws, 1, size(ws) - 1)").alias("prev"),
+                F.expr("slice(ws, 2, size(ws) - 1)").alias("w"),
+            )
+        ).alias("z"),
+    ).select("doc_id", F.col("z.prev").alias("prev"), F.col("z.w").alias("w"))
+    dbg = (
+        bg.groupBy("doc_id", "prev", "w")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .localCheckpoint()  # feeds four consumers (bc_g, bc_d, scoring)
+    )
+    dom = docs.where("source = 'src0'").select("doc_id")
+    bc_g = dbg.groupBy("prev", "w").agg(F.sum("m").alias("c_bw_g"))
+    cc_g = bc_g.groupBy("prev").agg(F.sum("c_bw_g").alias("c_b_g"))
+    bc_d = (
+        dbg.join(dom, "doc_id")
+        .groupBy("prev", "w").agg(F.sum("m").alias("c_bw_d"))
+    )
+    cc_d = bc_d.groupBy("prev").agg(F.sum("c_bw_d").alias("c_b_d"))
+    vocab = w.select(F.explode("ws").alias("word")).agg(
+        F.count_distinct("word").alias("v_size")
+    )
+    mb = lambda cbw, cb: F.round(  # noqa: E731
+        F.col("m")
+        * F.log2(
+            (2 * cbw + F.lit(1)).cast("double")
+            / (2 * cb + F.col("v_size")).cast("double")
+        )
+        * F.lit(1e6), 0,
+    ).cast("long")
+    scored = (
+        dbg.join(bc_g, ["prev", "w"])
+        .join(cc_g, "prev")
+        .join(bc_d, ["prev", "w"], "left")
+        .join(cc_d, "prev", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id", "m",
+            mb(F.col("c_bw_g"), F.col("c_b_g")).alias("mb_g"),
+            mb(F.coalesce("c_bw_d", F.lit(0)),
+               F.coalesce("c_b_d", F.lit(0))).alias("mb_d"),
+        )
+    )
+    agg = (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("m").alias("n_bigrams"),
+            F.sum("mb_d").alias("sum_mb_d"),
+            F.sum("mb_g").alias("sum_mb_g"),
+        )
+        .join(docs.select("doc_id", "source"), "doc_id")
+    )
+    h = lambda c: F.round(  # noqa: E731
+        -F.col(c).cast("double") / F.lit(1e6) / F.col("n_bigrams"), 4
+    )
+    return agg.select(
+        "doc_id", "source", "n_bigrams",
+        h("sum_mb_d").alias("h_in"),
+        h("sum_mb_g").alias("h_gen"),
+        F.round(
+            (-F.col("sum_mb_d").cast("double") / 1e6 / F.col("n_bigrams"))
+            - (-F.col("sum_mb_g").cast("double") / 1e6 / F.col("n_bigrams")),
+            4,
+        ).alias("ml_bits"),
+    )
