@@ -118,3 +118,72 @@ def test_lsh_quality_confirms_verified_subset(spark):
     assert row.n_both == row.n_lsh
     assert row.n_missed == row.n_exact - row.n_both
     assert row.recall_bp == 10000 * row.n_both // max(row.n_exact, 1)
+
+
+def test_funnel_steps_matches_python_reference(spark):
+    """x19's chained conditional mins must equal a literal per-user scan
+    for the ordered chain signup -> later click -> later purchase."""
+    rows = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .selectExpr("user_id", "event_type",
+                    "unix_micros(CAST(ts AS TIMESTAMP)) AS tus")
+        .collect()
+    )
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append((r.tus, r.event_type))
+    c = [0, 0, 0]
+    for evs in by_user.values():
+        evs.sort()
+        t1 = min((t for t, k in evs if k == "signup"), default=None)
+        if t1 is None:
+            continue
+        c[0] += 1
+        t2 = min((t for t, k in evs if k == "click" and t > t1), default=None)
+        if t2 is None:
+            continue
+        c[1] += 1
+        if any(k == "purchase" and t > t2 for t, k in evs):
+            c[2] += 1
+    got = {r.step: (r.users, r.prev_users, r.conv_bp)
+           for r in SPARK["x19_funnel_steps"](spark, SF_DIR).collect()}
+    assert got[1] == (c[0], c[0], 10000)
+    assert got[2] == (c[1], c[0], 10000 * c[1] // max(c[0], 1))
+    assert got[3] == (c[2], c[1], 10000 * c[2] // max(c[1], 1))
+
+
+def test_bounce_report_matches_python_reference(spark):
+    """x20's islands + entry/exit selection vs a literal sessionizer."""
+    rows = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .selectExpr("user_id", "event_id", "event_type",
+                    "unix_micros(CAST(ts AS TIMESTAMP)) AS tus")
+        .collect()
+    )
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append((r.tus, r.event_id, r.event_type))
+    agg = {}
+    for evs in by_user.values():
+        evs.sort()
+        sessions, cur = [], []
+        for tup in evs:
+            if cur and tup[0] - cur[-1][0] > 1_800_000_000:
+                sessions.append(cur)
+                cur = []
+            cur.append(tup)
+        sessions.append(cur)
+        for s in sessions:
+            entry, exit_ = s[0][2], s[-1][2]
+            a = agg.setdefault(entry, [0, 0, 0, 0, 0])
+            a[0] += 1
+            a[1] += 1 if len(s) == 1 else 0
+            a[2] += len(s)
+            a[3] += s[-1][0] - s[0][0]
+            a[4] += 1 if exit_ == "purchase" else 0
+    got = {r.entry_type: (r.sessions, r.bounces, r.bounce_bp, r.events,
+                          r.dur_us_sum, r.purchase_exits)
+           for r in SPARK["x20_bounce"](spark, SF_DIR).collect()}
+    assert set(got) == set(agg)
+    for k, (ses, b, ev, dur, px) in agg.items():
+        assert got[k] == (ses, b, 10000 * b // ses, ev, dur, px), k
