@@ -263,6 +263,7 @@ def main() -> None:
         "x19_funnel_steps",
         "x20_bounce",
         "tx_moore_lewis",
+        "tx_dsir",
     ):
         t0 = time.monotonic()
         SPARK[name](spark, sf_dir).count()

@@ -9367,3 +9367,114 @@ def tx_moore_lewis(spark, sf_dir):
             4,
         ).alias("ml_bits"),
     )
+
+
+# ----------- TX DSIR hashed importance weights (round 4, session 3)
+
+def _register_dsir():
+    """tx_dsir: DSIR-style data selection (Xie et al. 2023) — importance
+    weights from HASHED n-gram features instead of an explicit LM:
+    words hash into 1024 buckets, the domain (src0) and general corpora
+    each induce an add-1-smoothed bucket distribution, and every doc
+    scores Σ m_b · log2(p_dom(b)/p_gen(b)) / n — positive = looks like
+    the domain. The deliberate contrast with tx_moore_lewis is the PLAN
+    SHAPE: no (prev, w) joins keyed by unbounded vocabulary — the only
+    shuffle is the (doc, bucket) hash agg, and both model tables are
+    1024-row broadcasts, which is precisely why the hashed variant is
+    the one that runs at web scale. Buckets come from the SAME
+    xxhash64 the engine uses everywhere (oracle re-evaluates it via the
+    xxh64 SQL macros); each doc-bucket term rounds to integer
+    micro-bits before the BIGINT per-doc sum (the tx_bigram_lm
+    contract)."""
+    from .duck_oracle import XXH64_PRELUDE
+
+    B = 1024
+    sql = XXH64_PRELUDE + f"""
+    WITH wb AS (
+      SELECT doc_id, xxpmod(xxh64(word), {B}) AS b
+      FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+            FROM documents)
+    ),
+    db AS (
+      SELECT doc_id, b, CAST(count(*) AS BIGINT) AS m
+      FROM wb GROUP BY 1, 2
+    ),
+    dom_docs AS (SELECT doc_id FROM documents WHERE source = 'src0'),
+    gb AS (SELECT b, CAST(sum(m) AS BIGINT) AS c_g FROM db GROUP BY 1),
+    dbk AS (SELECT db.b, CAST(sum(db.m) AS BIGINT) AS c_d
+            FROM db JOIN dom_docs USING (doc_id) GROUP BY 1),
+    tot AS (
+      SELECT CAST((SELECT sum(c_g) FROM gb) AS BIGINT) AS n_g,
+             CAST((SELECT coalesce(sum(c_d), 0) FROM dbk) AS BIGINT) AS n_d
+    ),
+    scored AS (
+      SELECT db.doc_id, db.m,
+             CAST(round(db.m * log2(
+               (CAST(coalesce(dbk.c_d, 0) + 1 AS DOUBLE)
+                  / (tot.n_d + {B}))
+               / (CAST(gb.c_g + 1 AS DOUBLE) / (tot.n_g + {B}))
+             ) * 1e6, 0) AS BIGINT) AS microbits
+      FROM db
+      JOIN gb USING (b)
+      LEFT JOIN dbk USING (b)
+      CROSS JOIN tot
+    ),
+    agg AS (
+      SELECT d.doc_id, d.source,
+             CAST(sum(s.m) AS BIGINT) AS n_words,
+             CAST(sum(s.microbits) AS BIGINT) AS sum_mb
+      FROM scored s JOIN documents d USING (doc_id)
+      GROUP BY 1, 2
+    )
+    SELECT doc_id, source, n_words,
+           round(CAST(sum_mb AS DOUBLE) / 1e6 / n_words, 4) AS dsir_bits
+    FROM agg
+    """
+
+    @q("tx_dsir", sql)
+    def tx_dsir(spark, sf_dir):
+        docs = t(spark, sf_dir, "documents")
+        wb = docs.select(
+            "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word")
+        ).select("doc_id", F.pmod(F.xxhash64("word"), F.lit(B)).alias("b"))
+        db = wb.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("m"))
+        db = db.localCheckpoint()  # feeds three consumers
+        dom = docs.where("source = 'src0'").select("doc_id")
+        gb = db.groupBy("b").agg(F.sum("m").alias("c_g"))
+        dbk = db.join(dom, "doc_id").groupBy("b").agg(F.sum("m").alias("c_d"))
+        tot = gb.agg(F.sum("c_g").alias("n_g")).crossJoin(
+            F.broadcast(
+                dbk.agg(F.coalesce(F.sum("c_d"), F.lit(0)).alias("n_d"))
+            )
+        )
+        scored = (
+            db.join(F.broadcast(gb), "b")
+            .join(F.broadcast(dbk), "b", "left")
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "doc_id", "m",
+                F.round(
+                    F.col("m")
+                    * F.log2(
+                        ((F.coalesce("c_d", F.lit(0)) + 1).cast("double")
+                         / (F.col("n_d") + F.lit(B)))
+                        / ((F.col("c_g") + 1).cast("double")
+                           / (F.col("n_g") + F.lit(B)))
+                    )
+                    * F.lit(1e6), 0,
+                ).cast("long").alias("microbits"),
+            )
+        )
+        agg = (
+            scored.groupBy("doc_id")
+            .agg(F.sum("m").alias("n_words"), F.sum("microbits").alias("sum_mb"))
+            .join(docs.select("doc_id", "source"), "doc_id")
+        )
+        return agg.select(
+            "doc_id", "source", "n_words",
+            F.round(F.col("sum_mb").cast("double") / 1e6 / F.col("n_words"), 4)
+            .alias("dsir_bits"),
+        )
+
+
+_register_dsir()
