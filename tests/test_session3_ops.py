@@ -187,3 +187,39 @@ def test_bounce_report_matches_python_reference(spark):
     assert set(got) == set(agg)
     for k, (ses, b, ev, dur, px) in agg.items():
         assert got[k] == (ses, b, 10000 * b // ses, ev, dur, px), k
+
+
+@pytest.mark.parametrize(
+    "name,max_hash_exchanges,min_broadcast_joins",
+    [
+        # star join: five broadcast dims; the ONLY shuffle is the
+        # 25-row nation agg
+        ("j12_star_join", 1, 5),
+        # clamped fold: both stacked windows + the final agg share one
+        # user_id partitioning
+        ("x18_clamped_balance", 1, 0),
+        # PIT features: three RANGE-frame features share a single
+        # (user_id) sort — one Exchange total
+        ("fe_pit_features", 1, 0),
+        # sessions: user shuffle + the catalog-sized entry_type agg
+        ("x20_bounce", 2, 0),
+    ],
+)
+def test_plan_shape_claims(spark, name, max_hash_exchanges, min_broadcast_joins):
+    """The scale claims in the session-3 docstrings are PLAN properties —
+    pin them so a refactor that silently adds a shuffle fails loudly."""
+    import re
+
+    plan = (
+        SPARK[name](spark, SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    n_ex = len(re.findall(r"Exchange hashpartitioning", plan))
+    n_bhj = len(re.findall(r"BroadcastHashJoin", plan))
+    assert n_ex <= max_hash_exchanges, (
+        f"{name}: {n_ex} hash exchanges (claimed <= {max_hash_exchanges})"
+    )
+    assert n_bhj >= min_broadcast_joins, (
+        f"{name}: {n_bhj} broadcast joins (claimed >= {min_broadcast_joins})"
+    )
+    assert "SortMergeJoin" not in plan or name == "x20_bounce"
