@@ -264,6 +264,7 @@ def main() -> None:
         "x20_bounce",
         "tx_moore_lewis",
         "tx_dsir",
+        "a11_pricing_summary",
     ):
         t0 = time.monotonic()
         SPARK[name](spark, sf_dir).count()

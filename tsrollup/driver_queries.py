@@ -9478,3 +9478,67 @@ def _register_dsir():
 
 
 _register_dsir()
+
+
+# ----------- A11 TPC-H Q1 pricing summary (round 4, session 3)
+
+@q(
+    "a11_pricing_summary",
+    """
+    WITH l AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(round(l_quantity * 100, 0) AS BIGINT) AS qty_c,
+             CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS price_c,
+             CAST(round(l_discount * 100, 0) AS BIGINT) AS disc_pct,
+             CAST(round(l_tax * 100, 0) AS BIGINT) AS tax_pct
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '2001-06-01'
+    )
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(qty_c) AS BIGINT) AS sum_qty_c,
+           CAST(sum(price_c) AS BIGINT) AS sum_base_c,
+           CAST(sum(price_c * (100 - disc_pct)) AS BIGINT) AS sum_disc_micro,
+           CAST(sum(price_c * (100 - disc_pct) * (100 + tax_pct))
+                AS BIGINT) AS sum_charge_e8,
+           CAST(sum(disc_pct) AS BIGINT) AS sum_disc_pct,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM l GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def a11_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 — the canonical scan-heavy pricing summary (return
+    flag × line status: quantities, base/discounted/charged revenue,
+    counts) over a ship-date horizon. Every money expression is exact
+    integer arithmetic on the 2-decimal grid: price·(100−disc) and
+    price·(100−disc)·(100+tax) are BIGINT products (≤1e7·100·110 ≈
+    1e11 per row, sums < 2^63 through sf100) — no float accumulation,
+    so the twin is value-exact rather than tolerance-compared, which
+    is stricter than TPC-H's own 0.01 rule.
+
+    Scale: THE map-side-combine showcase — one scan with the shipdate
+    filter pushed to parquet, partial aggs per partition, one 4-row
+    Exchange. Whole-stage codegen end-to-end."""
+    li = t(spark, sf_dir, "lineitem").where("l_shipdate <= '2001-06-01'")
+    c = lambda col: F.round(F.col(col) * 100, 0).cast("long")  # noqa: E731
+    l = li.select(
+        "l_returnflag", "l_linestatus",
+        c("l_quantity").alias("qty_c"),
+        c("l_extendedprice").alias("price_c"),
+        c("l_discount").alias("disc_pct"),
+        c("l_tax").alias("tax_pct"),
+    )
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("qty_c").alias("sum_qty_c"),
+            F.sum("price_c").alias("sum_base_c"),
+            F.sum(F.col("price_c") * (100 - F.col("disc_pct")))
+            .alias("sum_disc_micro"),
+            F.sum(F.col("price_c") * (100 - F.col("disc_pct"))
+                  * (100 + F.col("tax_pct"))).alias("sum_charge_e8"),
+            F.sum("disc_pct").alias("sum_disc_pct"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
