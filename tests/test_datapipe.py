@@ -189,9 +189,9 @@ def test_embedding_neardup_lsh_subset_of_brute(spark):
     assert lset, "LSH found no pairs on the fixture"
     assert lset <= bset, f"false positives: {lset - bset}"
     assert (lsh["cos_sim"] >= ND_TAU).all()
-    # recall floor: banded LSH at tau=0.45 won't be perfect, but finding
-    # fewer than 1/3 of the true pairs means the banding is broken
-    assert len(lset) * 3 >= len(bset), f"recall collapsed: {len(lset)}/{len(bset)}"
+    # recall gate (round-5 directive): 12 bands x 4 planes must find at
+    # least 90% of the true pairs at tau=0.45 (4x4 measured 55-64%)
+    assert len(lset) * 10 >= len(bset) * 9, f"recall < 90%: {len(lset)}/{len(bset)}"
 
     keeper = SPARK["dd_embedding_keeper"](spark, SF).toPandas()
     k = dict(zip(keeper["vec_id"], keeper["keep_id"]))

@@ -118,6 +118,19 @@ def test_lsh_quality_confirms_verified_subset(spark):
     assert row.n_both == row.n_lsh
     assert row.n_missed == row.n_exact - row.n_both
     assert row.recall_bp == 10000 * row.n_both // max(row.n_exact, 1)
+    assert row.n_cand >= row.n_lsh, "candidates must superset verified pairs"
+
+
+def test_lsh_recall_gate_sf001(spark):
+    """Round-5 directive gate: the production banding (12x4) must measure
+    recall_bp >= 9000 at sf0.01 on the repo's own audit, with the raw
+    candidate fan-out reported (the honest cost of the recall)."""
+    sf001 = os.path.join(TESTDATA, "sf0.01")
+    row = SPARK["dd_lsh_quality"](spark, sf001).collect()[0]
+    assert row.recall_bp >= 9000, (
+        f"LSH recall regressed: {row.recall_bp} bp "
+        f"(n_exact={row.n_exact}, n_both={row.n_both}, n_cand={row.n_cand})"
+    )
 
 
 def test_funnel_steps_matches_python_reference(spark):

@@ -90,10 +90,18 @@ def ann_lsh_topk(
 # Both the Spark query and its DuckDB oracle twin compute the SAME banded
 # algorithm (the planes are embedded as literals in the generated SQL), so
 # the driver's value-hash verifies the semantics exactly; RECALL vs the
-# brute-force baseline is measured separately (tests/test_datapipe.py).
+# brute-force baseline is measured separately (tests/test_datapipe.py and
+# the dd_lsh_quality audit query, which also reports candidate fan-out).
 
 #: banded-LSH defaults for the driver queries (500-vector fixture).
-ND_BANDS = 4
+#: 12 bands x 4 planes: at tau=0.45 cosine, p_plane = 1 - arccos(.45)/pi
+#: ~= 0.649, p_band = p^4 ~= 0.177, recall = 1-(1-p_band)^12 ~= 0.903.
+#: Measured by dd_lsh_quality: 9285 bp at sf0.01, 10000 bp at sf0.001
+#: (the round-4 4x4 config measured 5500-6400 bp — silently missing ~40%
+#: of true pairs; the gate is recall_bp >= 9000, tests/test_session3_ops).
+#: Cost honestly stated: each vector is shuffled B times and the raw
+#: candidate fan-out roughly doubles vs 4x4 (n_cand reported per run).
+ND_BANDS = 12
 ND_PLANES = 4
 ND_DIM = 64
 ND_TAU = 0.45
@@ -126,14 +134,15 @@ def _bucket_expr(vec_col, band_planes: np.ndarray):
     return FF.concat(*bits)
 
 
-def embedding_neardup_pairs(
+def embedding_neardup_candidates(
     spark: SparkSession,
     sf_dir: str,
-    tau: float = ND_TAU,
     planes: np.ndarray | None = None,
 ) -> DataFrame:
-    """All (vec_a < vec_b) pairs sharing an LSH bucket in >=1 band with
-    exact cosine >= tau. Returns (vec_a, vec_b, cos_sim rounded to 4)."""
+    """Raw banded-LSH candidate pairs (pre-verify): all (vec_a < vec_b)
+    sharing a bucket in >=1 band, deduped. Returns (vec_a, vec_b, va, vb).
+    Exposed separately so the dd_lsh_quality audit can report the honest
+    candidate fan-out alongside recall."""
     planes = neardup_planes() if planes is None else planes
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
@@ -150,12 +159,23 @@ def embedding_neardup_pairs(
     b2 = banded.select(
         F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), "band", "bucket"
     )
-    cand = (
+    return (
         a.join(b2, ["band", "bucket"])
         .where(F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b", "va", "vb")
         .dropDuplicates(["vec_a", "vec_b"])
     )
+
+
+def embedding_neardup_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    tau: float = ND_TAU,
+    planes: np.ndarray | None = None,
+) -> DataFrame:
+    """All (vec_a < vec_b) pairs sharing an LSH bucket in >=1 band with
+    exact cosine >= tau. Returns (vec_a, vec_b, cos_sim rounded to 4)."""
+    cand = embedding_neardup_candidates(spark, sf_dir, planes=planes)
     dot = F.aggregate(
         F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
@@ -169,9 +189,10 @@ def embedding_neardup_pairs(
     )
 
 
-def neardup_pairs_sql(tau: float = ND_TAU, planes: np.ndarray | None = None) -> str:
-    """DuckDB twin of embedding_neardup_pairs: same bands, same planes (as
-    literals), same rounded-sign buckets, same exact-cosine verify."""
+def neardup_cand_ctes(planes: np.ndarray | None = None) -> str:
+    """The shared WITH-body (v, banded, cand CTEs) of the DuckDB twins:
+    same bands, same planes (as literals), same rounded-sign buckets as
+    the Spark side. `cand` is the raw deduped candidate-pair set."""
     planes = neardup_planes() if planes is None else planes
     band_selects = []
     for b in range(planes.shape[0]):
@@ -185,14 +206,20 @@ def neardup_pairs_sql(tau: float = ND_TAU, planes: np.ndarray | None = None) -> 
         band_selects.append(
             f"SELECT vec_id, e, {b} AS band, ({' || '.join(bits)}) AS bucket FROM v"
         )
-    return f"""
-    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    return f"""v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
     banded AS ({' UNION ALL '.join(band_selects)}),
     cand AS (
       SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
       FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
       WHERE a.vec_id < b.vec_id
-    )
+    )"""
+
+
+def neardup_pairs_sql(tau: float = ND_TAU, planes: np.ndarray | None = None) -> str:
+    """DuckDB twin of embedding_neardup_pairs: same bands, same planes (as
+    literals), same rounded-sign buckets, same exact-cosine verify."""
+    return f"""
+    WITH {neardup_cand_ctes(planes)}
     SELECT vec_a, vec_b, cos_sim FROM (
       SELECT c.vec_a, c.vec_b,
              round(list_cosine_similarity(va.e, vb.e), 4) AS cos_sim

@@ -8195,22 +8195,30 @@ def _register_lsh_quality():
     0.8%' needs this row to say how much of the truth the banding saw."""
     from . import datapipe as dp
 
-    lsh_sql = dp.neardup_pairs_sql()
     sql = f"""
-    WITH ex AS (
+    WITH {dp.neardup_cand_ctes()},
+    lsh AS (
+      SELECT vec_a, vec_b FROM (
+        SELECT c.vec_a, c.vec_b,
+               round(list_cosine_similarity(va.e, vb.e), 4) AS cos_sim
+        FROM cand c JOIN v va ON va.vec_id = c.vec_a
+                    JOIN v vb ON vb.vec_id = c.vec_b
+      ) WHERE cos_sim >= 0.45
+    ),
+    ex AS (
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
       WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])), 4)
             >= 0.45
     ),
-    lsh AS (SELECT vec_a, vec_b FROM ({lsh_sql})),
     hit AS (
       SELECT count(*) AS n_both FROM ex
       WHERE EXISTS (SELECT 1 FROM lsh
                     WHERE lsh.vec_a = ex.vec_a AND lsh.vec_b = ex.vec_b)
     )
     SELECT CAST((SELECT count(*) FROM ex) AS BIGINT) AS n_exact,
+           CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_cand,
            CAST((SELECT count(*) FROM lsh) AS BIGINT) AS n_lsh,
            CAST(hit.n_both AS BIGINT) AS n_both,
            CAST((SELECT count(*) FROM ex) - hit.n_both AS BIGINT) AS n_missed,
@@ -8243,15 +8251,17 @@ def _register_lsh_quality():
             )
             .select("vec_a", "vec_b")
         )
+        cand = dp.embedding_neardup_candidates(spark, sf_dir)
         lsh = dp.embedding_neardup_pairs(spark, sf_dir).select("vec_a", "vec_b")
         both = ex.join(lsh, ["vec_a", "vec_b"], "left_semi")
         stats = (
             ex.agg(F.count(F.lit(1)).alias("n_exact"))
+            .crossJoin(F.broadcast(cand.agg(F.count(F.lit(1)).alias("n_cand"))))
             .crossJoin(F.broadcast(lsh.agg(F.count(F.lit(1)).alias("n_lsh"))))
             .crossJoin(F.broadcast(both.agg(F.count(F.lit(1)).alias("n_both"))))
         )
         return stats.select(
-            "n_exact", "n_lsh", "n_both",
+            "n_exact", "n_cand", "n_lsh", "n_both",
             (F.col("n_exact") - F.col("n_both")).alias("n_missed"),
             F.expr(
                 "CAST(10000 * n_both div greatest(n_exact, 1) AS BIGINT)"
