@@ -118,8 +118,19 @@ def main() -> None:
     prefault.start()
     fx_dir = os.path.join(BENCH_CACHE, f"fx_{sf_name}")
     seq_path = write_fixture(fx_dir, n_rows, n_sources, seed=42, rate_scale=100.0)
+    # byte-identical second copy of the benchmark dataset (same seed/params,
+    # fresh directory) that this JVM has NEVER listed, planned, or scanned —
+    # the cold-run input (see the cold/warm protocol note below)
+    cold_path = write_fixture(
+        os.path.join(BENCH_CACHE, f"fx_{sf_name}_cold"), n_rows, n_sources,
+        seed=42, rate_scale=100.0,
+    )
     # pre-touch fixture + testdata bytes into the page cache (untimed)
-    for base in (seq_path if os.path.isdir(seq_path) else os.path.dirname(seq_path), sf_dir):
+    for base in (
+        seq_path if os.path.isdir(seq_path) else os.path.dirname(seq_path),
+        cold_path if os.path.isdir(cold_path) else os.path.dirname(cold_path),
+        sf_dir,
+    ):
         for root, _dirs, files in os.walk(base):
             for f in files:
                 with open(os.path.join(root, f), "rb") as fh:
@@ -127,18 +138,29 @@ def main() -> None:
     prefault.join()
     # warm the dataset-specific JVM caches (file listing, parquet footers,
     # split planning) — IO-metadata warmup, same class as the page-cache
-    # pre-touch above; no data is read and nothing is computed
+    # pre-touch above; no data is read and nothing is computed. Applied to
+    # the WARM fixture only: the cold fixture stays JVM-untouched.
     spark.read.parquet(seq_path).rdd.getNumPartitions()
     out_base = os.path.join(BENCH_CACHE, f"out_{sf_name}_{cpus}")
-    shutil.rmtree(out_base + "_cold", ignore_errors=True)
-    t0 = time.monotonic()
-    cold_summary = rollup_build(spark, seq_path, out_base + "_cold", RollupConfig())
-    extras["rollup_build_cold"] = round(time.monotonic() - t0, 3)
 
+    # Cold/warm protocol (round 5). Rounds 1-4 timed the cold run FIRST,
+    # immediately after the prefault burst; the drift log (BENCH/BASELINE.md)
+    # shows the cold wall is ~CONSTANT across sessions while warm tracks
+    # host speed — i.e. the old 1.5-1.6x "cold" residual was hypervisor
+    # ramp/throttle right after the demand spike, not dataset state (page
+    # cache was pre-touched, JIT/arenas warmed at full size either way).
+    # To separate the two confounds, cold is now measured at STEADY host
+    # state: warm samples run first over fixture A, then the cold run is
+    # the true first pass over fixture B — byte-identical, never listed /
+    # planned / scanned by this JVM — so it pays exactly the dataset-first-
+    # touch costs (file listing, footer reads, split planning, fresh output
+    # tree) a warmed cluster pays on a NEW dataset. The very first timed
+    # full-size run of the session is still reported (rollup_build_first_run)
+    # so the host-ramp component stays visible.
+    #
     # warm = MEDIAN of 3 runs: single-sample walls on this host swing
-    # ±30% with hypervisor state (BENCH/BASELINE.md drift log — identical
-    # back-to-back runs measured 17.0/18.8/19.4 s), so a one-shot warm
-    # number makes the cold/warm ratio a coin flip. All samples reported.
+    # ±30% with hypervisor state (identical back-to-back runs measured
+    # 17.0/18.8/19.4 s), so a one-shot number is a coin flip.
     warm_samples = []
     summary = None
     for i in range(3):
@@ -149,7 +171,14 @@ def main() -> None:
         if summary is None or warm_samples[-1] == sorted(warm_samples)[len(warm_samples) // 2]:
             summary = s
     warm = sorted(warm_samples)[1]
+
+    shutil.rmtree(out_base + "_cold", ignore_errors=True)
+    t0 = time.monotonic()
+    cold_summary = rollup_build(spark, cold_path, out_base + "_cold", RollupConfig())
+    extras["rollup_build_cold"] = round(time.monotonic() - t0, 3)
+
     timings["rollup_build"] = warm
+    extras["rollup_build_first_run"] = warm_samples[0]
     extras["rollup_build_warm_samples"] = warm_samples
     extras["rollup_seq_per_s"] = round(summary["input_rows"] / warm, 1)
     extras["rollup_rows_per_tier"] = summary["rows_per_tier"]
@@ -316,20 +345,54 @@ def main() -> None:
         timings[f"q_{name}"] = round(time.monotonic() - t0, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "tsrollup_bench_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_name,
-                "cpus": cpus,
-                "fixture_rows": n_rows,
-                **extras,
-            }
-        )
+    full = {
+        "metric": "tsrollup_bench_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_name,
+        "cpus": cpus,
+        "fixture_rows": n_rows,
+        **extras,
+    }
+
+    # The driver captures only a bounded TAIL of stdout: round 4's single
+    # giant line (103 queries) lost its front and the official artifact
+    # parsed as null. Persist the FULL per-query map to BENCH/ and print a
+    # COMPACT totals-only JSON line LAST (a few hundred bytes — always
+    # inside the captured tail).
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    os.makedirs(bench_dir, exist_ok=True)
+    rnd = 1 + max(
+        [
+            int(f[len("BENCH_r"):-len(".json")])
+            for f in os.listdir(os.path.dirname(bench_dir))
+            if f.startswith("BENCH_r") and f.endswith(".json")
+            and f[len("BENCH_r"):-len(".json")].isdigit()
+        ]
+        or [0]
     )
+    full_path = os.path.join(bench_dir, f"bench_full_r{rnd:02d}.json")
+    with open(full_path, "w") as fh:
+        json.dump(full, fh, indent=1)
+    print(json.dumps({"full_map": os.path.relpath(full_path), "n_queries": len(timings)}))
+    compact = {
+        "metric": "tsrollup_bench_total",
+        "value": total,
+        "unit": "sec",
+        "queries": {"rollup_build": warm},
+        "sf": sf_name,
+        "cpus": cpus,
+        "n_queries": len(timings),
+        "fixture_rows": n_rows,
+        "rollup_build_cold": extras["rollup_build_cold"],
+        "rollup_build_first_run": extras["rollup_build_first_run"],
+        "rollup_build_warm_samples": extras["rollup_build_warm_samples"],
+        "rollup_seq_per_s": extras["rollup_seq_per_s"],
+        "compression_ratio": extras["compression_ratio"],
+        "queries_full": os.path.relpath(full_path),
+    }
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":
