@@ -230,3 +230,108 @@ def test_cms_upper_bound_and_merge(spark, raw):
 def test_cms_rejects_bad_shape():
     with pytest.raises(ValueError, match="positive"):
         sketches.cms_from_counts(None, "t", "c", width=0, depth=3)
+
+
+# ------------------------------------------------------------------------ KLL
+
+def test_kll_exact_regime_merge_equals_direct(spark, raw):
+    """n <= k per group: the sketch is lossless, so (a) fine partials
+    merged up carry EXACTLY the same multiset as a direct coarse build
+    (every item at level 0, weight 1) and (b) percentiles equal the exact
+    discrete value-at-rank."""
+    k = 100_000  # far above any group size in the fixture
+    finer = raw.withColumn("split", F.pmod(F.xxhash64("doc_id"), F.lit(4)))
+    fine = sketches.kll_partials(finer, ["source", "split"], "n_tok", k=k)
+    merged = sketches.kll_merge(fine, ["source"], k=k)
+    direct = sketches.kll_partials(raw, ["source"], "n_tok", k=k)
+    m = merged.toPandas().sort_values(["source", "level", "value"]).reset_index(drop=True)
+    d = direct.toPandas().sort_values(["source", "level", "value"]).reset_index(drop=True)
+    assert (m["level"] == 0).all() and (d["level"] == 0).all()
+    pd.testing.assert_frame_equal(m, d)
+
+    got = (
+        sketches.kll_percentiles(merged, ["source"], [500, 950, 990])
+        .toPandas()
+        .set_index("source")
+        .sort_index()
+    )
+    pdf = raw.select("source", "n_tok").toPandas()
+    for src, grp in pdf.groupby("source"):
+        v = np.sort(grp["n_tok"].to_numpy())
+        n = len(v)
+        for q in (500, 950, 990):
+            exact = v[int(np.ceil(q * n / 1000.0)) - 1]  # value at rank ceil(qn/1000)
+            assert got.loc[src, f"p{q}"] == exact, (src, q)
+
+
+def test_kll_rank_error_envelope(spark):
+    """Compaction regime: absolute rank error of every extracted quantile
+    stays within 3n/k (conservative vs the KLL O(n/k) bound; measured
+    ~1.7n/k worst-case on this fixture) — for a direct build AND for a
+    sharded build merged up, on adversarially skewed data."""
+    rng = np.random.default_rng(7)
+    n, k = 60_000, 200
+    vals = np.concatenate(
+        [rng.standard_normal(n // 2) * 10, rng.exponential(100, n // 2)]
+    )
+    pdf = pd.DataFrame(
+        {"g": "all", "shard": np.arange(n) % 16, "v": vals}
+    )
+    df = spark.createDataFrame(pdf)
+    svals = np.sort(vals)
+
+    def max_rank_err(pctl_pdf):
+        worst = 0
+        for q in (100, 250, 500, 750, 900, 950, 990, 999):
+            est = pctl_pdf[f"p{q}"].iloc[0]
+            # rank of the estimate vs target rank
+            r_est = np.searchsorted(svals, est, side="right")
+            worst = max(worst, abs(r_est - q * n / 1000.0))
+        return worst
+
+    qs = [100, 250, 500, 750, 900, 950, 990, 999]
+    direct = sketches.kll_percentiles(
+        sketches.kll_partials(df, ["g"], "v", k=k), ["g"], qs
+    ).toPandas()
+    sharded = sketches.kll_percentiles(
+        sketches.kll_merge(
+            sketches.kll_partials(df, ["g", "shard"], "v", k=k), ["g"], k=k
+        ),
+        ["g"],
+        qs,
+    ).toPandas()
+    bound = 3.0 * n / k
+    e_direct, e_sharded = max_rank_err(direct), max_rank_err(sharded)
+    assert e_direct <= bound, f"direct rank error {e_direct} > {bound}"
+    assert e_sharded <= bound, f"sharded+merged rank error {e_sharded} > {bound}"
+
+
+def test_kll_tier_cascade_long_format(spark, raw):
+    """The rollup-store shape: 1m partials -> 1h merge -> 1d merge, all in
+    the long (keys..., level, value) format; total sketch WEIGHT (sum of
+    2^level) tracks the input row count within the compaction rounding
+    budget (an odd-length buffer compaction shifts weight by +-2^h; even
+    ones conserve it exactly), so every tier still "represents" n rows."""
+    k = 64
+    base = raw.withColumn("bucket_start", F.date_trunc("minute", "event_ts"))
+    m1 = sketches.kll_partials(base, ["source", "bucket_start"], "n_tok", k=k)
+    h1 = sketches.kll_merge(
+        m1.withColumn("bucket_start", F.date_trunc("hour", "bucket_start")),
+        ["source", "bucket_start"],
+        k=k,
+    )
+    d1 = sketches.kll_merge(
+        h1.withColumn("bucket_start", F.date_trunc("day", "bucket_start")),
+        ["source", "bucket_start"],
+        k=k,
+    )
+    n_rows = raw.where(F.col("n_tok").isNotNull()).count()
+    for tier in (m1, h1, d1):
+        w = (
+            tier.select(F.expr("CAST(pow(2, level) AS BIGINT)").alias("w"))
+            .agg(F.sum("w"))
+            .collect()[0][0]
+        )
+        assert abs(w - n_rows) <= max(64, n_rows // 20), (
+            f"sketch weight {w} drifted from input rows {n_rows}"
+        )

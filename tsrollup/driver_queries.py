@@ -1256,6 +1256,53 @@ def sk_hll_distinct(spark, sf_dir):
     return sketches.hll_estimate(merged)
 
 
+@q(
+    "sk_kll_pctl",
+    """
+    WITH c AS (
+      SELECT source, n_chars, count(*) AS cnt
+      FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2
+    ), cum AS (
+      SELECT source, n_chars,
+             sum(cnt) OVER (PARTITION BY source ORDER BY n_chars
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cnt,
+             sum(cnt) OVER (PARTITION BY source) AS total_cnt
+      FROM c
+    )
+    SELECT source,
+      CAST(min(CASE WHEN cum_cnt * 1000 >= 500 * total_cnt THEN n_chars END) AS BIGINT) AS p500,
+      CAST(min(CASE WHEN cum_cnt * 1000 >= 950 * total_cnt THEN n_chars END) AS BIGINT) AS p950,
+      CAST(min(CASE WHEN cum_cnt * 1000 >= 990 * total_cnt THEN n_chars END) AS BIGINT) AS p990
+    FROM cum GROUP BY source
+    """,
+)
+def sk_kll_pctl(spark, sf_dir):
+    """KLL mergeable quantile sketch (sketches.py): rank-accurate
+    percentiles WITHOUT pre-known bin edges — the gap sk_hist_pctl
+    (fixed bins) and the exact percentile rollup (can't cascade) leave
+    open. The Spark side goes the long way — per-(source, lang) KLL
+    partials, cascade-merged to source, SQL-only extraction — while the
+    oracle computes the exact discrete value-at-rank directly. At fixture
+    scale every group stays under the level-0 capacity, so the sketch is
+    in its LOSSLESS regime and must equal the truth exactly (the
+    sk_hll_distinct coupon-regime posture); at production scale the same
+    plan returns estimates inside the KLL rank-error envelope
+    (tests/test_sketches.py pins 3n/k) and the 1m->1h->1d cascade never
+    re-scans raw data."""
+    from . import sketches
+
+    d = t(spark, sf_dir, "documents")
+    parts = sketches.kll_partials(d, ["source", "lang"], "n_chars", k=1024)
+    merged = sketches.kll_merge(parts, ["source"], k=1024)
+    pct = sketches.kll_percentiles(merged, ["source"], [500, 950, 990])
+    return pct.select(
+        "source",
+        F.col("p500").cast("long").alias("p500"),
+        F.col("p950").cast("long").alias("p950"),
+        F.col("p990").cast("long").alias("p990"),
+    )
+
+
 # ------------------------------------------------- SimHash near-dup (DD)
 
 def _register_simhash():

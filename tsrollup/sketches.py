@@ -368,3 +368,193 @@ def cms_estimate(
     )
     joined = F.broadcast(cells).join(cms, ["r", "cell"], "inner")
     return joined.groupBy("item").agg(F.min("cnt").alias("cnt_cms"))
+
+
+# ----------------------------------------------------------------- KLL
+# Rank-accurate MERGEABLE quantile sketch (Karnin-Lang-Liberty, FOCS'16).
+# Closes the gap the fixed-bin histogram family leaves open: hist_partials
+# needs pre-known bin edges and the exact percentile rollup cannot cascade,
+# so arbitrary-range p99s over 1m -> 1h -> 1d tiers previously required a
+# raw re-scan. KLL partials/merges are long-format (keys..., level, value)
+# rows with weight 2^level — the same table shape as hist partials, so the
+# same storage/cascade machinery applies — and percentile EXTRACTION is
+# pure SQL window math over the long rows (integer threshold comparisons,
+# cross-engine exact), keeping Python confined to the bounded-memory
+# sketch build/merge inside applyInPandas (Arrow-batched, never per-row).
+#
+# Guarantees (paper form): rank error eps ~ O(1/k) with the (2/3)-decay
+# capacities used here; a group whose item count never overflows the
+# level-0 capacity (n <= k) is LOSSLESS — every item sits at level 0 with
+# weight 1 and every quantile is the exact discrete value-at-rank. That
+# exact regime is what the driver board twins (sk_kll_pctl), the same
+# posture as sk_hll_distinct's coupon regime; the compaction regime is
+# covered by a rank-error envelope test vs np.percentile.
+
+#: default accuracy knob: max level-0 buffer length. eps ~= 1.7/k on the
+#: envelope test (pinned at 3*n/k absolute rank error, conservative).
+KLL_K = 200
+
+
+def _kll_capacity(k: int, depth_from_top: int) -> int:
+    """Capacity of a level `depth_from_top` levels below the highest:
+    ceil(k * (2/3)^depth), floored at 2 (a 1-item buffer can't compact)."""
+    import math
+
+    return max(2, math.ceil(k * (2.0 / 3.0) ** depth_from_top))
+
+
+def _kll_compact(levels: list, flips: list, k: int) -> None:
+    """Compact every overfull level in place: sort the buffer, promote
+    every other item (alternating offset per level — deterministic given
+    insertion order; the classic coin flip only matters adversarially) to
+    the level above at doubled weight, drop the rest. Repeats until all
+    levels fit, because promoting can overflow the level above and
+    growing H shrinks lower-level capacities."""
+    import numpy as np
+
+    changed = True
+    while changed:
+        changed = False
+        for h in range(len(levels)):
+            cap = _kll_capacity(k, len(levels) - 1 - h)
+            if len(levels[h]) > cap:
+                buf = np.sort(levels[h])
+                off = flips[h] & 1
+                flips[h] += 1
+                if h + 1 == len(levels):
+                    levels.append(np.array([], dtype=np.float64))
+                    flips.append(0)
+                levels[h + 1] = np.concatenate([levels[h + 1], buf[off::2]])
+                levels[h] = np.array([], dtype=np.float64)
+                changed = True
+    return None
+
+
+def _kll_from_values(values, k: int) -> list:
+    """Build a KLL sketch from raw values, fed in level-0-capacity chunks
+    (the streaming insertion order — memory stays O(k log(n/k)) even
+    though the Arrow group hands us the whole array)."""
+    import numpy as np
+
+    levels = [np.array([], dtype=np.float64)]
+    flips = [0]
+    values = np.asarray(values, dtype=np.float64)
+    for i in range(0, len(values), max(2, k)):
+        levels[0] = np.concatenate([levels[0], values[i : i + max(2, k)]])
+        _kll_compact(levels, flips, k)
+    return levels
+
+
+def _kll_long_rows(levels: list):
+    """(level, value) long rows for a sketch."""
+    import numpy as np
+
+    if not any(len(b) for b in levels):
+        return np.array([], dtype=np.int32), np.array([], dtype=np.float64)
+    lv = np.concatenate(
+        [np.full(len(b), h, dtype=np.int32) for h, b in enumerate(levels)]
+    )
+    va = np.concatenate([np.asarray(b, dtype=np.float64) for b in levels])
+    return lv, va
+
+
+def _keys_schema(df: DataFrame, keys: list[str]) -> str:
+    return ", ".join(f"`{k}` {df.schema[k].dataType.simpleString()}" for k in keys)
+
+
+def kll_partials(
+    df: DataFrame, keys: list[str], value_col: str, k: int = KLL_K
+) -> DataFrame:
+    """Per-group KLL sketch of `value_col` as long-format rows
+    (keys..., level int, value double). NULLs are excluded (same contract
+    as hist_partials). One applyInPandas stage — grouped Arrow batches,
+    bounded sketch memory, no per-row Python."""
+    import pandas as pd
+
+    schema = f"{_keys_schema(df, keys)}, level int, value double"
+
+    def build(key, pdf):
+        vals = pdf[value_col].to_numpy(dtype="float64")
+        levels = _kll_from_values(vals, k)
+        lv, va = _kll_long_rows(levels)
+        out = pd.DataFrame({"level": lv, "value": va})
+        for i, kc in enumerate(keys):
+            out.insert(i, kc, pd.Series([key[i]] * len(out)))
+        return out
+
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .select(*keys, value_col)
+        .groupBy(*keys)
+        .applyInPandas(build, schema)
+    )
+
+
+def kll_merge(partials: DataFrame, keys: list[str], k: int = KLL_K) -> DataFrame:
+    """Cascade KLL sketches to a coarser key set: per output group,
+    concatenate the input sketches level-wise, then re-compact. Merge is
+    associative in the rank-error budget (the KLL merge rule), so
+    1m -> 1h -> 1d tier cascades never re-scan raw data."""
+    import numpy as np
+    import pandas as pd
+
+    schema = f"{_keys_schema(partials, keys)}, level int, value double"
+
+    def merge(key, pdf):
+        hmax = int(pdf["level"].max())
+        levels = [
+            pdf.loc[pdf["level"] == h, "value"].to_numpy(dtype="float64")
+            for h in range(hmax + 1)
+        ]
+        flips = [0] * (hmax + 1)
+        _kll_compact(levels, flips, k)
+        lv, va = _kll_long_rows(levels)
+        out = pd.DataFrame({"level": lv, "value": va})
+        for i, kc in enumerate(keys):
+            out.insert(i, kc, pd.Series([key[i]] * len(out)))
+        return out
+
+    return (
+        partials.select(*keys, "level", "value")
+        .groupBy(*keys)
+        .applyInPandas(merge, schema)
+    )
+
+
+def kll_percentiles(
+    sketch: DataFrame, keys: list[str], qs_permille: list[int]
+) -> DataFrame:
+    """Quantile estimates from long-format KLL rows — pure SQL, no Python.
+
+    Weight of a level-h item is 2^h (exact int64). The q-permille estimate
+    is the smallest value whose cumulative weight reaches ceil(q . W/1000):
+    `cum_w * 1000 >= q * total_w`, integer-only comparisons, so any ANSI
+    engine extracting from the same rows agrees bit-for-bit (ties on value
+    collapse to the same answer regardless of intra-tie window order)."""
+    w = sketch.select(
+        *keys,
+        "value",
+        F.expr("CAST(pow(2, level) AS BIGINT)").alias("wgt"),
+    )
+    w_cum = (
+        Window.partitionBy(*keys)
+        .orderBy("value", "wgt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*keys)
+    cum = w.select(
+        *keys,
+        "value",
+        F.sum("wgt").over(w_cum).alias("cum_w"),
+        F.sum("wgt").over(w_all).alias("total_w"),
+    )
+    aggs = [
+        F.min(
+            F.when(
+                F.col("cum_w") * F.lit(1000) >= F.lit(q) * F.col("total_w"),
+                F.col("value"),
+            )
+        ).alias(f"p{q}")
+        for q in qs_permille
+    ]
+    return cum.groupBy(*keys).agg(*aggs)
