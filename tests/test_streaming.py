@@ -703,3 +703,76 @@ def test_streaming_pair_join_matches_batch_range_join(spark, stream_input):
     assert len(got) == len(want) and len(want) > 0
     assert got.equals(want)
     assert (got["gap_us"].abs() <= tol * 1_000_000).all()
+
+
+def test_streaming_dedup_bounded_state_contract(spark):
+    """T10b — dropDuplicatesWithinWatermark variant: a duplicate within
+    the watermark horizon is suppressed; a duplicate arriving after the
+    watermark evicted its key RE-EMITS (the documented bounded-state
+    contract — batch dedup reconciles). Carrier payloads advance the
+    watermark between micro-batches."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tsrollup.streaming import run_streaming_dedup_bounded
+
+    t0 = np.datetime64("2024-04-02T00:00:00", "us")
+    mn = np.timedelta64(60_000_000, "us")
+    pay_a, pay_b, pay_c, pay_d = [11, 12, 13], [14, 15], [16, 17, 18, 19], [20]
+    # file0: A at t0, B (carrier) at t0+1m
+    # file1: A again at t0+5m (within 10m horizon of t0 -> SUPPRESSED),
+    #        C (carrier) at t0+30m -> watermark for the NEXT batch = t0+20m
+    # file2: D (carrier) — during this batch wm=t0+20m, and state eviction
+    #        runs at batch END (measured Spark semantics: a re-occurrence
+    #        landing in the SAME batch as its key's eviction is still
+    #        swallowed against the stale entry), so A's key leaves the
+    #        store here
+    # file3: A again at t0+50m (state evicted one batch ago -> RE-EMITS)
+    files = [
+        [("d0", pay_a, "s", 3, t0), ("d1", pay_b, "s", 2, t0 + mn)],
+        [("d2", pay_a, "s", 3, t0 + 5 * mn), ("d3", pay_c, "s", 4, t0 + 30 * mn)],
+        [("d4", pay_d, "s", 1, t0 + 35 * mn)],
+        [("d5", pay_a, "s", 3, t0 + 50 * mn)],
+    ]
+    schema = pa.schema([
+        ("doc_id", pa.string()), ("tokens", pa.list_(pa.int32())),
+        ("source", pa.string()), ("n_tok", pa.int32()),
+        ("event_ts", pa.timestamp("us")),
+    ])
+    in_dir = os.path.join(BASE, "dedup_b_in")
+    shutil.rmtree(in_dir, ignore_errors=True)
+    os.makedirs(in_dir)
+    import time as _time
+    now = int(_time.time())
+    for i, rows in enumerate(files):
+        f = os.path.join(in_dir, f"part-{i}.parquet")
+        pq.write_table(pa.Table.from_pylist(
+            [dict(zip([x.name for x in schema], r)) for r in rows],
+            schema=schema), f)
+        os.utime(f, (now + i, now + i))
+
+    out = os.path.join(BASE, "dedup_b_out")
+    ckpt = os.path.join(BASE, "dedup_b_ckpt")
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    run_streaming_dedup_bounded(
+        spark, in_dir, out, ckpt, watermark="10 minutes", max_files_per_trigger=1
+    )
+    got = spark.read.parquet(out).toPandas()
+    from pyspark.sql import functions as FF
+    ha = spark.createDataFrame([(pay_a,)], "tokens array<int>").select(
+        FF.xxhash64("tokens")).collect()[0][0]
+    hb = spark.createDataFrame([(pay_b,)], "tokens array<int>").select(
+        FF.xxhash64("tokens")).collect()[0][0]
+    hc = spark.createDataFrame([(pay_c,)], "tokens array<int>").select(
+        FF.xxhash64("tokens")).collect()[0][0]
+    hd = spark.createDataFrame([(pay_d,)], "tokens array<int>").select(
+        FF.xxhash64("tokens")).collect()[0][0]
+    counts = got.groupby("h").size().to_dict()
+    assert counts.get(hb) == 1 and counts.get(hc) == 1 and counts.get(hd) == 1, counts
+    # the horizon-bounded contract: suppressed within, re-emitted beyond
+    assert counts.get(ha) == 2, (
+        f"expected A to emit twice (t0 emit, t0+5m suppressed, t0+50m "
+        f"re-emit after eviction), got {counts}"
+    )
+    assert len(got) == 5

@@ -866,6 +866,56 @@ def run_streaming_dedup(
     q.awaitTermination()
 
 
+def streaming_dedup_bounded(
+    stream: DataFrame, watermark: str = "30 minutes"
+) -> DataFrame:
+    """T10b — BOUNDED-STATE streaming dedup via
+    dropDuplicatesWithinWatermark: state for a payload hash lives only
+    until the event-time watermark passes the first occurrence's
+    timestamp, so on an infinite stream the state store holds O(distinct
+    payloads per horizon) 8-byte keys instead of growing forever (the
+    global-exact variant above is the right trade for corpus ingestion,
+    where cardinality is bounded by the corpus; THIS is the right trade
+    for unbounded telemetry).
+
+    Contract (pinned by test_streaming): a duplicate arriving while its
+    key's state is live is suppressed; a duplicate arriving AFTER the
+    watermark evicted the key RE-EMITS. Eviction runs at micro-batch END
+    (measured: a re-occurrence landing in the same batch as its key's
+    eviction is still swallowed against the stale entry), so the
+    re-emit guarantee is at batch granularity. Downstream reconciliation
+    is the batch exact dedup (SD1/SD2) — the same late-data division of
+    labor as T3's tombstone re-roll: the stream guarantees at-most-once
+    per horizon, the batch pass restores exactly-once per corpus."""
+    return (
+        stream.withWatermark("event_ts", watermark)
+        .select(F.xxhash64("tokens").alias("h"), "n_tok", "event_ts")
+        .dropDuplicatesWithinWatermark(["h"])
+        .select("h", "n_tok", "event_ts")
+    )
+
+
+def run_streaming_dedup_bounded(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    checkpoint: str,
+    watermark: str = "30 minutes",
+    max_files_per_trigger: int | None = None,
+) -> None:
+    stream = read_sequence_stream(spark, in_dir, max_files_per_trigger)
+    q = (
+        streaming_dedup_bounded(stream, watermark)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 # ---------------------------------------------------------------- T11
 # Streaming session windows: per-source activity sessions (gap-based)
 # merged ACROSS micro-batches in the state store — the stateful shape
