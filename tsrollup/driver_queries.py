@@ -5470,6 +5470,43 @@ def k6_skew_report(spark, sf_dir):
     )
 
 
+# ------------------ K7 salted skew join (round 5)
+
+@q(
+    "k7_skew_join",
+    """
+    SELECT c.c_mktsegment AS seg,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def k7_skew_join(spark, sf_dir):
+    """Explicit salted skew JOIN (skewjoin.py) — the join-side companion
+    to K2's salted aggregation, closing the spec's "explicit salting +
+    AQE" phrase for joins. Hot keys come from the same exact-integer
+    rule as k6_skew_report (rows x n_keys >= 2 x total), the fact side
+    salts ONLY those keys (pmod(xxhash64(o_orderkey), 8)), the dim side
+    replicates hot rows x8 — and the result is ROW-IDENTICAL to the
+    plain join, which is exactly what the oracle computes. The straggler
+    property (max reducer group shrinks ~S-fold on planted 90% skew) is
+    pinned in tests/test_skewjoin.py."""
+    from .skewjoin import hot_keys, salted_skew_join
+
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").withColumnRenamed("c_custkey", "o_custkey")
+    hot = hot_keys(o, "o_custkey", factor=2)
+    joined = salted_skew_join(o, c, "o_custkey", hot, 8, "o_orderkey")
+    return joined.groupBy(F.col("c_mktsegment").alias("seg")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("cents"),
+    )
+
+
 # ------------------ TF-IDF cosine document similarity (round 4)
 
 @q(
