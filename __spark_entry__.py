@@ -270,20 +270,31 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
 
     # reap scratch roots left by exited processes so rounds don't
-    # accumulate stores (live PIDs are left untouched)
+    # accumulate stores (live PIDs are left untouched). The liveness probe
+    # alone can mistake a RECYCLED or other-user PID for a live builder
+    # (PermissionError keeps the dir forever), so stale dirs are ALSO
+    # age-gated: anything untouched for 12h is reaped regardless of PID.
+    import time as _time
+
+    _scratch_ttl_s = 12 * 3600
     for d in os.listdir(os.path.dirname(scratch_base)) if os.path.isdir(
         os.path.dirname(scratch_base)
     ) else []:
         if d.isdigit() and d != str(os.getpid()):
+            p = os.path.join(os.path.dirname(scratch_base), d)
+            try:
+                stale = _time.time() - os.path.getmtime(p) > _scratch_ttl_s
+            except OSError:
+                stale = False
             try:
                 os.kill(int(d), 0)
+                if stale:
+                    shutil.rmtree(p, ignore_errors=True)
             except ProcessLookupError:
-                shutil.rmtree(
-                    os.path.join(os.path.dirname(scratch_base), d),
-                    ignore_errors=True,
-                )
+                shutil.rmtree(p, ignore_errors=True)
             except PermissionError:
-                pass
+                if stale:
+                    shutil.rmtree(p, ignore_errors=True)
 
     def _scratch(name: str) -> str:
         p = os.path.join(scratch_base, name)

@@ -154,3 +154,16 @@ def test_expand_pair_np_nested_merges():
     assert step1.tolist() == [10, 3, 4, 10, 3]
     step0 = expand_pair_np(step1, 1, 2, 10)
     assert step0.tolist() == [1, 2, 3, 4, 1, 2, 3]
+
+
+def test_bpe_train_rejects_vocab_overlapping_merge_ids(spark):
+    """ADVICE regression: token ids at/above new_id_base would alias
+    merge ids and mis-expand on decode — bpe_train fails loud."""
+    import pytest
+    from tsrollup.bpe import bpe_train
+
+    seq = spark.createDataFrame(
+        [("d0", [1_000_001, 5, 5, 5])], "doc_id string, tokens array<long>"
+    )
+    with pytest.raises(ValueError, match="new_id_base"):
+        bpe_train(seq, n_merges=2)

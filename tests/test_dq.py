@@ -82,3 +82,21 @@ def test_audit_requires_rules(spark):
 
     with pytest.raises(ValueError):
         audit([])
+
+
+def test_unique_rule_null_keys_not_violations(spark):
+    """ADVICE regression: NULL-keyed rows must not each count as a
+    duplicate violation — distinct runs over a struct of the keys, so
+    two DIFFERENT NULL-keyed rows group as one value (documented
+    NULL==NULL grouping) and unique non-NULL keys report 0 violations."""
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (None, "c"), (None, "d")], "k int, v string"
+    )
+    out = audit(
+        [TableSpec("t", df, unique_rules=(UniqueRule("pk_k", ("k",)),))]
+    ).toPandas()
+    row = out[out["check"] == "pk_k"].iloc[0]
+    # 4 rows, distinct struct keys {1, 2, NULL} -> exactly the one
+    # NULL-group duplicate, not one violation per NULL row
+    assert row["violations"] == 1
+    assert row["checked"] == 4

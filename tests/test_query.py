@@ -287,3 +287,25 @@ def test_targeted_delete_rewrites_only_affected_leaves(spark, tmp_path):
     assert b_now == b_files
     # idempotent: second pass finds nothing
     assert targeted_delete(spark, base, sink, "k % 10 = 3 AND k < 50") == []
+
+
+def test_targeted_delete_null_predicate_rows_retained(spark, tmp_path):
+    """ADVICE regression: a delete predicate over a nullable column
+    evaluates to NULL on NULL rows — those rows are RETAINED (not
+    deleted, not miscounted), so the per-leaf verify arithmetic holds."""
+    import os
+
+    import pandas as pd
+
+    from tsrollup.storage import targeted_delete
+
+    base = str(tmp_path)
+    df = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 2, 3, 4, None, None], "grp": ["a"] * 6})
+    )
+    df.write.partitionBy("grp").parquet(os.path.join(base, "tbl"))
+    done = targeted_delete(spark, base, "tbl", "k <= 2")
+    assert len(done) == 1 and done[0]["deleted"] == 2
+    left = spark.read.parquet(os.path.join(base, "tbl"))
+    assert left.count() == 4
+    assert left.where("k IS NULL").count() == 2, "NULL-predicate rows kept"

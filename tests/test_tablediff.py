@@ -67,3 +67,15 @@ def test_bad_mode(spark):
     df = spark.range(1)
     with pytest.raises(ValueError):
         snapshot_diff(df, df, ["id"], ["id"], mode="bogus")
+
+
+def test_null_key_raises(spark):
+    """ADVICE regression: NULL join keys never match across snapshots
+    (would double-report 'added'+'removed'); fail loud instead."""
+    import pytest
+    from tsrollup.tablediff import snapshot_diff
+
+    a = spark.createDataFrame([(1, "x"), (None, "y")], "k int, v string")
+    b = spark.createDataFrame([(1, "x"), (None, "y")], "k int, v string")
+    with pytest.raises(ValueError, match="NULL in key"):
+        snapshot_diff(a, b, ["k"], ["v"]).collect()

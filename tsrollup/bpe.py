@@ -98,6 +98,18 @@ def bpe_train(
     in training order; merged_corpus is ``seq`` with every learned
     merge applied. Ties on count break by (a ASC, b ASC) so the merge
     table is a pure function of the corpus."""
+    # merge ids must not alias base-vocabulary ids: a corpus whose token
+    # ids reach into [new_id_base, new_id_base + n_merges) would silently
+    # conflate merges with real tokens and bpe_decode would mis-expand.
+    # One cheap agg up front, fail loud.
+    max_id = seq.agg(
+        F.max(F.array_max(F.col(tokens_col))).alias("m")
+    ).collect()[0]["m"]
+    if max_id is not None and int(max_id) >= new_id_base:
+        raise ValueError(
+            f"bpe_train: corpus max token id {max_id} >= new_id_base "
+            f"{new_id_base}; raise new_id_base above the base vocabulary"
+        )
     merges: list[tuple[int, int, int, int]] = []
     cur = seq
     for rnd in range(n_merges):

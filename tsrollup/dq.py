@@ -82,9 +82,16 @@ def _fused_scan(spec: TableSpec) -> DataFrame | None:
             F.sum(F.expr(r.violation_sql).cast("long")).alias(f"c_{r.name}")
         )
     for r in spec.unique_rules:
+        # distinct over a STRUCT of the key columns: a NULL key component
+        # still forms a distinct (non-NULL) struct value, so NULL-keyed
+        # rows group together instead of each counting as a violation
+        # (bare count_distinct(cols...) skips any-NULL rows entirely) —
+        # matches DuckDB's count(DISTINCT (a, b)) row-value semantics
         aggs.append(
-            (F.count(F.lit(1)) - F.count_distinct(*[F.col(c) for c in r.cols]))
-            .alias(f"c_{r.name}")
+            (
+                F.count(F.lit(1))
+                - F.count_distinct(F.struct(*[F.col(c) for c in r.cols]))
+            ).alias(f"c_{r.name}")
         )
     names = [r.name for r in spec.column_rules] + [
         r.name for r in spec.unique_rules

@@ -221,7 +221,10 @@ def targeted_delete(
         if not pq:
             continue
         df = spark.read.parquet(root)
-        n_match = df.where(predicate_sql).count()
+        # NULL-predicate rows (predicate over a nullable column) are
+        # RETAINED, not deleted: match-count and keep-filter both coalesce
+        # NULL to false so the verify arithmetic below holds exactly
+        n_match = df.where(f"coalesce(({predicate_sql}), false)").count()
         if n_match == 0:
             continue
         rows_before = df.count()
@@ -231,7 +234,7 @@ def targeted_delete(
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(old, ignore_errors=True)
         (
-            df.where(f"NOT ({predicate_sql})")
+            df.where(f"NOT coalesce(({predicate_sql}), false)")
             .coalesce(len(pq))
             .write.mode("overwrite")
             .parquet(tmp)

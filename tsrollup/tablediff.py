@@ -40,6 +40,20 @@ def snapshot_diff(
     the two modes."""
     if mode not in ("columns", "fingerprint"):
         raise ValueError(f"unknown mode {mode!r}")
+    # NULL keys never equi-join, so a NULL-keyed row would be reported as
+    # both 'added' and 'removed' even when unchanged — fail loud instead
+    # (diff keys are primary keys; a NULL there is a data bug upstream)
+    null_key = reduce(
+        lambda x, y: x | y, [F.col(c).isNull() for c in key_cols]
+    )
+    n_null = (
+        old.where(null_key).limit(1).count() + new.where(null_key).limit(1).count()
+    )
+    if n_null:
+        raise ValueError(
+            f"snapshot_diff: NULL in key column(s) {key_cols} — NULL keys "
+            "cannot be matched across snapshots; clean or coalesce them first"
+        )
     if mode == "fingerprint":
         a = old.select(*key_cols, F.xxhash64(*compare_cols).alias("__ha"))
         b = new.select(*key_cols, F.xxhash64(*compare_cols).alias("__hb"))
