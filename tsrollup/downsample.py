@@ -114,6 +114,112 @@ def lttb_kernel(ts_us: np.ndarray, values: np.ndarray, n_out: int) -> np.ndarray
     return out
 
 
+def lttb_grid_kernel(
+    x_int: np.ndarray, v_int: np.ndarray, n_out: int
+) -> np.ndarray:
+    """Exact-integer LTTB selection for ONE series (same recurrence as
+    `lttb_kernel`, but on an integer (x, v) grid so the argmax is
+    bit-identical across engines — the twin discipline).
+
+    Instead of the float centroid (cx, cy) = mean of the next bucket,
+    every candidate's doubled triangle area is scaled by the next
+    bucket's size m (constant within a bucket, so the argmax is
+    unchanged):
+
+        area*m = |(ax*m - sum_x) * (v - av) - (ax - x) * (sum_v - av*m)|
+
+    evaluated in int64 (np.int64 after an explicit < 2**62 bound check —
+    overflow raises instead of wrapping). Bucket edges use the identical
+    thesis-literal float math as `lttb_kernel` (one IEEE divide, one
+    multiply, one floor — bit-identical in DuckDB). Ties break to the
+    earliest index, as everywhere.
+    """
+    n = x_int.shape[0]
+    if n_out >= n or n <= 2:
+        return np.arange(n, dtype=np.int64)
+    if n_out < 3:
+        raise ValueError(f"n_out must be >= 3, got {n_out}")
+    x = x_int.astype(np.int64)
+    v = v_int.astype(np.int64)
+    every = (n - 2) / (n_out - 2)
+    edges = 1 + np.floor(
+        np.arange(n_out - 1, dtype=np.float64) * every
+    ).astype(np.int64)
+    # conservative magnitude bound: the largest product this kernel forms
+    # is (|x|max * m + |sum_x|) * 2*|v|max; raise loudly before int64 wraps
+    xa = int(np.abs(x).max())
+    va = int(np.abs(v).max())
+    m_max = n  # next-bucket size is < n
+    bound = 2 * (xa * m_max + xa * m_max) * (2 * va + 1)
+    if bound >= 2**62:
+        raise ValueError(
+            f"lttb_grid_kernel magnitude bound exceeded: |x|<= {xa}, "
+            f"|v| <= {va}, n = {n} — coarsen the grid scales"
+        )
+    out = np.empty(n_out, dtype=np.int64)
+    out[0] = 0
+    out[-1] = n - 1
+    a = 0
+    for b in range(n_out - 2):
+        lo, hi = int(edges[b]), int(edges[b + 1])
+        nlo, nhi = hi, int(edges[b + 2]) if b + 2 < edges.shape[0] else n
+        if nhi <= nlo:  # next bucket empty -> anchor on the last point
+            sx, sy, m = int(x[n - 1]), int(v[n - 1]), 1
+        else:
+            sx = int(x[nlo:nhi].sum())
+            sy = int(v[nlo:nhi].sum())
+            m = nhi - nlo
+        ax, av = int(x[a]), int(v[a])
+        area = np.abs(
+            (ax * m - sx) * (v[lo:hi] - av) - (ax - x[lo:hi]) * (sy - av * m)
+        )
+        a = lo + int(np.argmax(area))
+        out[b + 1] = a
+    return out
+
+
+def downsample_lttb_grid(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    value_col: str,
+    n_out: int,
+    order_tiebreak: str,
+    value_scale: float = 1000.0,
+) -> DataFrame:
+    """Twin-able LTTB: runs `lttb_grid_kernel` per key group over the
+    exact-integer grid x = seconds since the key's first sample
+    (floor-div of the microsecond delta) and v = floor(value*scale+0.5).
+    `order_tiebreak` pins the 0-based series index under equal
+    timestamps (required for the oracle twin's row_number). Output:
+    keys + (sel_i, x_s, v_grid) — all integers, hash-exact across
+    engines."""
+    key_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.select(*keys).schema.fields
+    )
+    schema = f"{key_fields}, sel_i bigint, x_s bigint, v_grid bigint"
+    slim = df.select(*keys, ts_col, value_col, order_tiebreak)
+
+    def select_points(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            [ts_col, order_tiebreak], kind="mergesort"
+        ).reset_index(drop=True)
+        tus = pdf[ts_col].to_numpy().astype("datetime64[us]").view(np.int64)
+        x = (tus - tus[0]) // 1_000_000
+        v = np.floor(
+            pdf[value_col].to_numpy(dtype=np.float64) * value_scale + 0.5
+        ).astype(np.int64)
+        idx = lttb_grid_kernel(x, v, n_out)
+        out = pdf.iloc[idx][keys].copy()
+        out["sel_i"] = idx
+        out["x_s"] = x[idx]
+        out["v_grid"] = v[idx]
+        return out
+
+    return slim.groupBy(*keys).applyInPandas(select_points, schema=schema)
+
+
 def downsample_lttb(
     df: DataFrame,
     keys: list[str],

@@ -2845,23 +2845,106 @@ def g3_m4_downsample(spark, sf_dir):
     )
 
 
-@q("ds_lttb")
-def ds_lttb(spark, sf_dir):
-    """LTTB downsampling to 100 points per event_type series (rows-only:
-    the bucket-anchor recurrence isn't ANSI-expressible; the kernel is
-    pinned against an independent pure-loop reference in
-    tests/test_downsample.py). Selected points are a SUBSET of the input,
-    so values pass through bit-exact."""
-    from .downsample import downsample_lttb
+_LTTB_NOUT = 40  # interior buckets 0..37, edges b=0..38, E = n_out-2 = 38
 
-    d = downsample_lttb(
-        t(spark, sf_dir, "events"),
-        keys=["event_type"], ts_col="ts", value_col="value", n_out=100,
+@q(
+    "ds_lttb",
+    f"""
+    WITH RECURSIVE base AS (
+      SELECT event_type,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id) - 1 AS i,
+             epoch_us(ts) AS tus,
+             CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS v
+      FROM events
+    ),
+    pts AS (
+      SELECT event_type, i,
+             (tus - min(tus) OVER (PARTITION BY event_type)) // 1000000 AS x,
+             v
+      FROM base
+    ),
+    meta AS (SELECT event_type, count(*) AS n FROM pts GROUP BY 1),
+    eb AS (
+      SELECT m.event_type, gs.b,
+             1 + CAST(floor(gs.b * ((m.n - 2)::DOUBLE
+                                    / {_LTTB_NOUT - 2}.0)) AS BIGINT) AS e
+      FROM meta m,
+           (SELECT unnest(generate_series(0, {_LTTB_NOUT - 2})) AS b) gs
+    ),
+    buckets AS (
+      SELECT e1.event_type, e1.b, e1.e AS lo, e2.e AS hi,
+             coalesce(e3.e, m.n) AS nhi
+      FROM eb e1
+      JOIN eb e2 ON e2.event_type = e1.event_type AND e2.b = e1.b + 1
+      LEFT JOIN eb e3 ON e3.event_type = e1.event_type AND e3.b = e1.b + 2
+      JOIN meta m ON m.event_type = e1.event_type
+      WHERE e1.b <= {_LTTB_NOUT - 3}
+    ),
+    nsum AS (
+      SELECT bu.event_type, bu.b, sum(p.x)::BIGINT AS sx,
+             sum(p.v)::BIGINT AS sy, count(*)::BIGINT AS m
+      FROM buckets bu JOIN pts p
+        ON p.event_type = bu.event_type AND p.i >= bu.hi AND p.i < bu.nhi
+      GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT bu.event_type, bu.b, p.i, p.x, p.v, ns.sx, ns.sy, ns.m
+      FROM buckets bu
+      JOIN pts p ON p.event_type = bu.event_type
+                AND p.i >= bu.lo AND p.i < bu.hi
+      JOIN nsum ns ON ns.event_type = bu.event_type AND ns.b = bu.b
+    ),
+    rec AS (
+      SELECT event_type, CAST(-1 AS BIGINT) AS b, i AS a_i, x AS ax, v AS av
+      FROM pts WHERE i = 0
+      UNION ALL
+      SELECT c.event_type, CAST(c.b AS BIGINT), c.i, c.x, c.v
+      FROM rec r JOIN cand c
+        ON c.event_type = r.event_type AND c.b = r.b + 1
+      WHERE NOT EXISTS (
+        SELECT 1 FROM cand c2
+        WHERE c2.event_type = c.event_type AND c2.b = c.b AND (
+          abs((r.ax * c2.m - c2.sx) * (c2.v - r.av)
+              - (r.ax - c2.x) * (c2.sy - r.av * c2.m))
+            > abs((r.ax * c.m - c.sx) * (c.v - r.av)
+                  - (r.ax - c.x) * (c.sy - r.av * c.m))
+          OR (abs((r.ax * c2.m - c2.sx) * (c2.v - r.av)
+                  - (r.ax - c2.x) * (c2.sy - r.av * c2.m))
+                = abs((r.ax * c.m - c.sx) * (c.v - r.av)
+                      - (r.ax - c.x) * (c.sy - r.av * c.m))
+              AND c2.i < c.i))
+      )
     )
-    return d.select(
-        "event_type",
-        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
-        F.col("value").alias("value_d"),
+    SELECT event_type, a_i AS sel_i, ax AS x_s, av AS v_grid FROM rec
+    UNION ALL
+    SELECT p.event_type, p.i, p.x, p.v
+    FROM pts p JOIN meta m ON m.event_type = p.event_type AND p.i = m.n - 1
+    """,
+)
+def ds_lttb(spark, sf_dir):
+    """LTTB downsampling to {_LTTB_NOUT} points per event_type series on
+    the exact-integer grid (downsample.downsample_lttb_grid: x = whole
+    seconds since the key's first sample, v = value milli-units) —
+    promoted from rows-only to a full twin. The bucket-anchor recurrence
+    is a DuckDB recursive CTE over bucket indexes (the W20/W22/W23
+    idiom): each step joins the current anchor to the next bucket's
+    candidates and keeps the one whose integer area*m (doubled triangle
+    area scaled by the next bucket's size — argmax-invariant within a
+    bucket) is maximal, earliest index on ties, so both engines select
+    bit-identically with zero float comparisons. Bucket edges are the
+    thesis-literal floor(b * ((n-2)/E)) — one IEEE divide + multiply +
+    floor, identical cross-engine. The twin grid requires n >= n_out per
+    key (no empty interior/next buckets — sf0.01 has ~2000 points/key);
+    the kernel's degenerate branches are pinned by pytest instead. The
+    float thesis-literal path stays as `downsample_lttb`, pinned against
+    an independent pure-loop reference in tests/test_downsample.py."""
+    from .downsample import downsample_lttb_grid
+
+    return downsample_lttb_grid(
+        t(spark, sf_dir, "events"),
+        keys=["event_type"], ts_col="ts", value_col="value",
+        n_out=_LTTB_NOUT, order_tiebreak="event_id",
     )
 
 
