@@ -193,7 +193,7 @@ class TestRound4Layouts:
         from tsrollup.codec import _dec_unpack, _reconstruct_dec
 
         base = 1_700_000_000_000_000 // 86_400_000_000 * 86_400_000_000
-        for n, want_magic in ((1, 0xD3), (3, 0xD3), (5, 0xD2), (300, 0xD2)):
+        for n, want_magic in ((1, 0xD4), (3, 0xD4), (5, 0xD2), (300, 0xD2)):
             blk = self._mk_block(n)
             p = try_decompose_block(*blk)
             assert p is not None and p[0] == want_magic, n
@@ -216,6 +216,56 @@ class TestRound4Layouts:
         assert np.array_equal(rc, blk[0])
         assert np.array_equal(rn, blk[1], equal_nan=True)
         assert np.array_equal(rt, blk[2], equal_nan=True)
+
+    def test_legacy_v3_tiny_payload_still_decodes(self):
+        """Round-4 stores carry 0xD3 tiny blocks; the encoder moved to
+        0xD4 in round 5 but the retention horizon keeps v3 readable.
+        The blob here is built byte-by-byte to the frozen v3 layout."""
+        import struct
+
+        from tsrollup.codec import _dec_unpack, _varint, _zzvarint
+
+        base = 1_700_000_000_000_000 // 86_400_000_000 * 86_400_000_000
+        ts = np.array(
+            [1_700_000_000_000_000, 1_700_000_060_000_000], dtype=np.int64
+        )
+        cnt = np.array([3, 5], dtype=np.int64)
+        ntoksum = np.array([700, 1200], dtype=np.int64)
+        toksum = np.array([90_000, 140_000], dtype=np.int64)
+        tokdiff = np.array([0, 2], dtype=np.int64)
+        parts = [struct.pack("<BB", 0xD3, 2), _varint(int(ts[0]) - base)]
+        parts.append(_zzvarint(int(ts[1] - ts[0])))
+        for s in (cnt, ntoksum, toksum, tokdiff):
+            parts.append(_zzvarint(int(s[0])))
+            parts.append(_zzvarint(int(s[1] - s[0])))
+        ts2, (c2, n2, t2, td2) = _dec_unpack(b"".join(parts), base)
+        assert np.array_equal(ts2, ts)
+        assert np.array_equal(c2, cnt)
+        assert np.array_equal(n2, ntoksum)
+        assert np.array_equal(t2, toksum)
+        assert np.array_equal(td2, tokdiff)
+
+    def test_v4_misaligned_ts_roundtrip(self):
+        """A tiny block whose timestamps are NOT whole minutes must take
+        the unaligned branch (zigzag microsecond deltas) and round-trip."""
+        from tsrollup.codec import _dec_encode, _dec_unpack
+
+        base = 1_700_000_000_000_000 // 86_400_000_000 * 86_400_000_000
+        ts = np.array(
+            [base + 7_123_456, base + 67_900_001], dtype=np.int64
+        )
+        cnt = np.array([2, 4], dtype=np.int64)
+        ntoksum = np.array([500, 900], dtype=np.int64)
+        toksum = np.array([60_000, 110_000], dtype=np.int64)
+        tokdiff = np.zeros(2, dtype=np.int64)
+        p = _dec_encode(ts, base, cnt, ntoksum, toksum, tokdiff)
+        assert p[0] == 0xD4 and not (p[1] & 0b100)  # unaligned flag off
+        ts2, (c2, n2, t2, td2) = _dec_unpack(p, base)
+        assert np.array_equal(ts2, ts)
+        assert np.array_equal(c2, cnt)
+        assert np.array_equal(n2, ntoksum)
+        assert np.array_equal(t2, toksum)
+        assert not td2.any()
 
     def test_legacy_v1_payload_still_decodes(self):
         """Old stores carry 0xD1 payloads — decode compatibility is a

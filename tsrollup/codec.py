@@ -845,7 +845,10 @@ DEC_METRIC = "__dec__"
 BLOCK_SUM_COLS = ("n_tok_sum", "tok_sum", "tok_cnt")
 _DEC_MAGIC = 0xD1       # legacy round-3 layout (decode-only)
 _DEC_MAGIC_V2 = 0xD2    # predictor-residual streams, varint lengths
-_DEC_MAGIC_TINY = 0xD3  # n <= 4 bare-varint blocks
+_DEC_MAGIC_TINY = 0xD3  # legacy n <= 4 bare-varint blocks (decode-only)
+_DEC_MAGIC_V4 = 0xD4    # n <= 4 packed header: n+flags byte, minute-grid
+#                         ts varints, all-zero streams omitted
+_MINUTE_US = 60_000_000
 _U64_ALL = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 
@@ -1094,9 +1097,15 @@ def _dec_encode(
       Gap slots predict exactly (LOCF'd numerator over LOCF'd driver)
       so residuals go constant there. Stream lengths are varints (the
       fixed <5H> header taxed small blocks).
-    - v3 (magic 0xD3): TINY blocks (n <= 4) as bare zigzag varints with
+    - v4 (magic 0xD4): TINY blocks (n <= 4) as bare zigzag varints with
       no per-stream headers — the 484-of-609 one-point blocks of the
-      sf0.1 store cost ~16 bytes instead of ~35.
+      sf0.1 store cost ~13 bytes instead of ~35. Round-5 revision of the
+      v3 tiny layout (0xD3, now decode-only): one packed header byte
+      carries n (2 bits), a minute-grid flag and four stream-presence
+      bits, so an all-zero stream (tok_cnt == n_tok_sum is the common
+      case) costs 0 bytes instead of n, and rollup bucket timestamps —
+      always whole minutes — store as minute-index varints (1 byte for a
+      1h delta) instead of zigzag microsecond varints (5 bytes).
     """
     n = cnt_i.shape[0]
     obs = cnt_i > 0
@@ -1126,15 +1135,31 @@ def _dec_encode(
     )
     if n > 4:
         return v2
-    parts = [struct.pack("<BB", _DEC_MAGIC_TINY, n), _varint(int(ts_us[0]) - base_us)]
-    for dv in np.diff(ts_us):
-        parts.append(_zzvarint(int(dv)))
-    for s in (cnt_i, ntoksum, toksum, tokdiff):
+    rel = ts_us - base_us  # >= 0: base_us is the day floor of ts_us[0]
+    aligned = bool((rel % _MINUTE_US == 0).all())
+    streams = (cnt_i, ntoksum, toksum, tokdiff)
+    flags = 0
+    for bit, s in enumerate(streams):
+        if s.any():
+            flags |= 1 << bit
+    hdr = (n - 1) | (int(aligned) << 2) | (flags << 3)
+    parts = [struct.pack("<BB", _DEC_MAGIC_V4, hdr)]
+    if aligned:
+        parts.append(_varint(int(rel[0]) // _MINUTE_US))
+        for dv in np.diff(rel):
+            parts.append(_varint(int(dv) // _MINUTE_US))
+    else:
+        parts.append(_varint(int(rel[0])))
+        for dv in np.diff(ts_us):
+            parts.append(_zzvarint(int(dv)))
+    for s in streams:
+        if not s.any():
+            continue
         parts.append(_zzvarint(int(s[0])))
         for dv in np.diff(s):
             parts.append(_zzvarint(int(dv)))
-    v3 = b"".join(parts)
-    out = v3 if len(v3) <= len(v2) else v2
+    v4 = b"".join(parts)
+    out = v4 if len(v4) <= len(v2) else v2
     # encode-time round-trip: the decomposed contract is "bitwise-verified
     # at encode"; the residual transform lives on this side of
     # try_decompose_block's stream verification, so verify THROUGH the
@@ -1156,6 +1181,37 @@ def _dec_unpack(blob: bytes, base_us: int) -> tuple[np.ndarray, list[np.ndarray]
     Dispatches on the layout magic: 0xD1 (legacy), 0xD2 (predictor
     residuals), 0xD3 (tiny varint blocks)."""
     magic = blob[0]
+    if magic == _DEC_MAGIC_V4:
+        hdr = blob[1]
+        n = (hdr & 0b11) + 1
+        aligned = bool(hdr & 0b100)
+        flags = (hdr >> 3) & 0b1111
+        ts = np.empty(n, dtype=np.int64)
+        if aligned:
+            u, off = _unvarint(blob, 2)
+            ts[0] = base_us + u * _MINUTE_US
+            for i in range(1, n):
+                u, off = _unvarint(blob, off)
+                ts[i] = ts[i - 1] + u * _MINUTE_US
+        else:
+            u, off = _unvarint(blob, 2)
+            ts[0] = base_us + u
+            for i in range(1, n):
+                dv, off = _unzzvarint(blob, off)
+                ts[i] = ts[i - 1] + dv
+        streams = []
+        for bit in range(4):
+            if not flags & (1 << bit):
+                streams.append(np.zeros(n, dtype=np.int64))
+                continue
+            s = np.empty(n, dtype=np.int64)
+            v, off = _unzzvarint(blob, off)
+            s[0] = v
+            for i in range(1, n):
+                dv, off = _unzzvarint(blob, off)
+                s[i] = s[i - 1] + dv
+            streams.append(s)
+        return ts, streams
     if magic == _DEC_MAGIC_TINY:
         n = blob[1]
         rel, off = _unvarint(blob, 2)
