@@ -9719,3 +9719,210 @@ def a11_pricing_summary(spark, sf_dir):
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+# ------------------- round-5 monitoring-surface additions (C9/C10/B7/OPS2)
+
+@q(
+    "c9_irate",
+    """
+    WITH s AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket, value,
+             epoch_us(ts) AS tus,
+             lag(value) OVER w AS prev_v,
+             lag(epoch_us(ts)) OVER w AS prev_t,
+             row_number() OVER wd AS rn_d
+      FROM events
+      WINDOW w AS (PARTITION BY event_type, date_trunc('hour', ts)
+                   ORDER BY ts, event_id),
+             wd AS (PARTITION BY event_type, date_trunc('hour', ts)
+                    ORDER BY ts DESC, event_id DESC)
+    )
+    SELECT event_type, epoch(bucket)::BIGINT AS bucket_s,
+           round((CASE WHEN value - prev_v < 0 THEN value
+                       ELSE value - prev_v END) * 1000000.0
+                 / (tus - prev_t), 6) AS irate_r,
+           (tus - prev_t)::BIGINT AS dt_us
+    FROM s WHERE rn_d = 1 AND prev_v IS NOT NULL
+    """,
+)
+def c9_irate(spark, sf_dir):
+    """PromQL-style irate per (event_type, hour): the instantaneous
+    counter rate from the LAST TWO samples inside each hour bucket
+    (reset-adjusted like c5 — a negative delta is a restart and the
+    post-reset value stands in for the delta). Self-contained per
+    bucket: an hour with fewer than two samples emits nothing, exactly
+    as a PromQL range with <2 points does. Both engines evaluate the
+    identical delta*1e6/dt_us IEEE sequence rounded 1e-6; dt_us is
+    exact integer microseconds. One shuffle: both windows and the
+    final filter share the (event_type, hour) partitioning."""
+    ev = t(spark, sf_dir, "events").withColumn(
+        "bucket", F.date_trunc("hour", "ts")
+    ).withColumn("tus", F.unix_micros(F.col("ts").cast("timestamp")))
+    w = Window.partitionBy("event_type", "bucket").orderBy("ts", "event_id")
+    wd = Window.partitionBy("event_type", "bucket").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    s = ev.select(
+        "event_type", "bucket", "value", "tus",
+        F.lag("value").over(w).alias("prev_v"),
+        F.lag("tus").over(w).alias("prev_t"),
+        F.row_number().over(wd).alias("rn_d"),
+    ).where("rn_d = 1 AND prev_v IS NOT NULL")
+    delta = F.col("value") - F.col("prev_v")
+    return s.select(
+        "event_type",
+        F.unix_timestamp("bucket").alias("bucket_s"),
+        F.round(
+            F.when(delta < 0, F.col("value")).otherwise(delta)
+            * F.lit(1000000.0) / (F.col("tus") - F.col("prev_t")),
+            6,
+        ).alias("irate_r"),
+        (F.col("tus") - F.col("prev_t")).cast("long").alias("dt_us"),
+    )
+
+
+@q(
+    "c10_changes",
+    """
+    WITH d AS (
+      SELECT event_type, date_trunc('day', ts) AS day, value,
+             lag(value) OVER (PARTITION BY event_type
+                              ORDER BY ts, event_id) AS prev
+      FROM events
+    )
+    SELECT event_type, epoch(day)::BIGINT AS day_s,
+           sum(CASE WHEN value <> prev THEN 1 ELSE 0 END)::BIGINT
+             AS n_changes,
+           count(*)::BIGINT AS n_pairs
+    FROM d WHERE prev IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def c10_changes(spark, sf_dir):
+    """PromQL-style changes() per (event_type, day): how many adjacent
+    samples of the type's (ts, event_id)-ordered stream CHANGED value,
+    attributed to the later sample's day — the gauge-flappiness /
+    config-churn diagnostic next to c5's counter increase. Exact:
+    double inequality on unmodified stored values, integer counts.
+    One shuffle (the per-type window); the day rollup is a hash agg."""
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    d = (
+        t(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.date_trunc("day", "ts").alias("day"),
+            "value",
+            F.lag("value").over(w).alias("prev"),
+        )
+        .where("prev IS NOT NULL")
+    )
+    return d.groupBy(
+        "event_type", F.unix_timestamp("day").alias("day_s")
+    ).agg(
+        F.sum(F.when(F.col("value") != F.col("prev"), 1).otherwise(0))
+        .cast("long").alias("n_changes"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )
+
+
+@q(
+    "b7_heatmap",
+    """
+    SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_s,
+           CAST(floor(value / 50.0) AS BIGINT) AS vbin,
+           count(*)::BIGINT AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def b7_heatmap(spark, sf_dir):
+    """Time x value-bucket heatmap: per (hour, 50-unit value bin) event
+    count — the Grafana-heatmap shape a store renders distribution-over-
+    time panels from (the raw-points alternative ships every event to
+    the browser). One hash aggregate, integer-exact: value/50.0 + floor
+    is the same single IEEE divide on both engines. At 100 TB this is
+    the canonical map-side-combine aggregate — output is (hours x bins),
+    catalog-sized."""
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            F.unix_timestamp(F.date_trunc("hour", "ts")).alias("hour_s"),
+            F.floor(F.col("value") / F.lit(50.0)).cast("long").alias("vbin"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@q(
+    "ops2_completeness",
+    """
+    WITH hb AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS i
+      FROM events GROUP BY 1, 2
+    ),
+    ext AS (SELECT event_type, min(i) AS mn, max(i) AS mx FROM hb GROUP BY 1),
+    spine AS (SELECT event_type, unnest(generate_series(mn, mx)) AS i
+              FROM ext),
+    dense AS (
+      SELECT s.event_type, s.i,
+             CASE WHEN hb.i IS NULL THEN 0 ELSE 1 END AS obs
+      FROM spine s LEFT JOIN hb ON hb.event_type = s.event_type
+                               AND hb.i = s.i
+    ),
+    gaps AS (
+      SELECT event_type, i - row_number() OVER (PARTITION BY event_type
+                                                ORDER BY i) AS grp
+      FROM dense WHERE obs = 0
+    ),
+    runs AS (
+      SELECT event_type, count(*)::BIGINT AS run_len
+      FROM gaps GROUP BY event_type, grp
+    )
+    SELECT d.event_type,
+           count(*)::BIGINT AS expected_h,
+           sum(d.obs)::BIGINT AS observed_h,
+           (count(*) - sum(d.obs))::BIGINT AS missing_h,
+           CAST(10000 * sum(d.obs) // count(*) AS BIGINT)
+             AS completeness_bp,
+           coalesce(max(r.mx_run), 0)::BIGINT AS max_gap_h
+    FROM dense d
+    LEFT JOIN (SELECT event_type, max(run_len) AS mx_run FROM runs
+               GROUP BY 1) r
+      ON r.event_type = d.event_type
+    GROUP BY 1, r.mx_run
+    """,
+)
+def ops2_completeness(spark, sf_dir):
+    """Per-source data-completeness scorecard over the type's observed
+    hour span: expected vs observed hours, basis-point completeness
+    (exact integer floor-div), and the LONGEST consecutive-missing-hours
+    run (the islands idiom on the zero-filled spine: group missing hours
+    by i - row_number). The freshness report (OPS1) answers 'how stale';
+    this answers 'how gappy' — together they are the ingestion SLO pair.
+    Everything is exact integers; the spine join is the g1 gap-fill
+    shape, catalog-sized output."""
+    dense = _dense_hourly(spark, sf_dir).withColumn(
+        "obs", F.when(F.col("c") > 0, F.lit(1)).otherwise(F.lit(0))
+    )
+    wg = Window.partitionBy("event_type").orderBy("i")
+    runs = (
+        dense.where("obs = 0")
+        .select("event_type", (F.col("i") - F.row_number().over(wg)).alias("grp"))
+        .groupBy("event_type", "grp")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+        .groupBy("event_type")
+        .agg(F.max("run_len").alias("mx_run"))
+    )
+    agg = dense.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("expected_h"),
+        F.sum("obs").cast("long").alias("observed_h"),
+        (F.count(F.lit(1)) - F.sum("obs")).cast("long").alias("missing_h"),
+    )
+    return agg.join(runs, "event_type", "left").select(
+        "event_type", "expected_h", "observed_h", "missing_h",
+        # integer floor-div on BOTH engines (numerator < 2^52), never
+        # float-divide-then-cast — the truncation can disagree at a
+        # correctly-rounded-up boundary
+        F.expr("10000 * observed_h div expected_h").alias("completeness_bp"),
+        F.coalesce(F.col("mx_run"), F.lit(0)).cast("long").alias("max_gap_h"),
+    )
