@@ -1506,3 +1506,52 @@ def test_shesd_min_n_guard(spark):
             spark.range(1), keys=["id"], idx_col="id", resid_col="id",
             max_k=3, min_n=4,
         )
+
+
+class TestPageHinkley:
+    def test_kernel_matches_independent_reference(self):
+        """Pure-python scalar reference, same recurrence, independent
+        code path."""
+        from tsrollup.kernels import page_hinkley
+
+        rng = np.random.default_rng(17)
+        x = rng.normal(20, 2, 300)
+        delta = 0.5
+        mean, ph = page_hinkley(x, delta)
+        s, cum, mn = 0.0, 0.0, float("inf")
+        for t in range(300):
+            s += x[t]
+            m = s / (t + 1)
+            cum += x[t] - m - delta
+            mn = min(mn, cum)
+            assert mean[t] == m and ph[t] == cum - mn
+        # a constant series never drifts: every step contributes exactly
+        # -delta, cum is monotone decreasing, ph stays 0
+        _, ph0 = page_hinkley(np.full(100, 7.0), delta)
+        assert (ph0 == 0.0).all()
+
+    def test_spark_operator_flags_planted_mean_shift(self, spark):
+        from tsrollup.tsops import page_hinkley_scores
+
+        rng = np.random.default_rng(23)
+        c = np.rint(rng.normal(20, 2, 240)).astype(int)
+        c[150:] += 15                     # sustained upward level shift
+        rows = [("a", int(i), int(v)) for i, v in enumerate(c)]
+        out = (
+            # delta at the noise sigma, lambda a few sigma-sqrt-t above:
+            # PH's cum is a drift -delta random walk pre-shift, so the
+            # tolerance must scale with sigma or noise excursions flag
+            page_hinkley_scores(
+                _hourly(spark, rows), keys=["key"], delta=2.0, lam=30.0
+            )
+            .toPandas()
+            .sort_values("i")
+            .reset_index(drop=True)
+        )
+        assert len(out) == 240
+        # before the shift: no drift call (delta absorbs the noise)
+        assert not out.loc[: 145, "is_drift"].any(), "pre-shift must stay quiet"
+        # after the shift the PH statistic accumulates and LATCHES
+        first = out.index[out["is_drift"]].min()
+        assert 150 <= first <= 165, f"drift flagged at {first}"
+        assert out.loc[first:, "is_drift"].all(), "PH is cumulative: stays on"

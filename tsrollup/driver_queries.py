@@ -9926,3 +9926,192 @@ def ops2_completeness(spark, sf_dir):
         F.expr("10000 * observed_h div expected_h").alias("completeness_bp"),
         F.coalesce(F.col("mx_run"), F.lit(0)).cast("long").alias("max_gap_h"),
     )
+
+
+# ---------------------- W32 Page-Hinkley drift detector (round 5)
+
+_PH_DELTA, _PH_LAM = 0.5, 10.0
+
+@q(
+    "w32_page_hinkley",
+    f"""
+    WITH RECURSIVE hb AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS i,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    ext AS (SELECT event_type, min(i) AS mn, max(i) AS mx FROM hb GROUP BY 1),
+    spine AS (SELECT event_type, unnest(generate_series(mn, mx)) AS i FROM ext),
+    dense AS (
+      SELECT s.event_type, s.i, coalesce(hb.c, 0)::BIGINT AS c
+      FROM spine s LEFT JOIN hb ON hb.event_type = s.event_type AND hb.i = s.i
+    ),
+    f AS (
+      SELECT event_type, i, c::DOUBLE AS x,
+             row_number() OVER (PARTITION BY event_type ORDER BY i) - 1 AS t
+      FROM dense
+    ),
+    ph AS (
+      SELECT event_type, i, t, x,
+             x AS s,
+             (x - (x / CAST(1 AS DOUBLE))) - {_PH_DELTA!r} AS cum,
+             (x - (x / CAST(1 AS DOUBLE))) - {_PH_DELTA!r} AS mn
+      FROM f WHERE t = 0
+      UNION ALL
+      SELECT f.event_type, f.i, f.t, f.x,
+             ph.s + f.x,
+             ph.cum + ((f.x - ((ph.s + f.x) / CAST(f.t + 1 AS DOUBLE)))
+                       - {_PH_DELTA!r}),
+             least(ph.mn,
+                   ph.cum + ((f.x - ((ph.s + f.x) / CAST(f.t + 1 AS DOUBLE)))
+                             - {_PH_DELTA!r}))
+      FROM ph JOIN f ON f.event_type = ph.event_type AND f.t = ph.t + 1
+    )
+    SELECT event_type, i, x,
+           round(s / CAST(t + 1 AS DOUBLE), 6) AS mean_r,
+           round(cum - mn, 6) AS ph_r,
+           round(cum - mn, 6) >= {_PH_LAM!r} AS is_drift
+    FROM ph
+    """,
+)
+def w32_page_hinkley(spark, sf_dir):
+    """Page-Hinkley drift detector (tsops.page_hinkley_scores) over each
+    event type's zero-filled hourly counts: the self-baselining
+    sequential drift test (running mean replaces c6 CUSUM's known
+    baseline). The pinned float64 kernel loop and the recursive-CTE twin
+    evaluate IDENTICAL expressions with identical delta/lambda literals,
+    rounded 1e-6 — the W22 Kalman discipline."""
+    from .tsops import page_hinkley_scores
+
+    dense = _dense_hourly(spark, sf_dir)
+    return page_hinkley_scores(
+        dense, keys=["event_type"], delta=_PH_DELTA, lam=_PH_LAM
+    )
+
+
+# ---------------------- X21 DAU/MAU stickiness (round 5)
+
+@q(
+    "x21_stickiness",
+    """
+    WITH ud AS (SELECT DISTINCT user_id, ts::DATE AS d FROM events),
+    span AS (SELECT min(d) AS mn, max(d) AS mx FROM ud),
+    dau AS (SELECT d, count(DISTINCT user_id)::BIGINT AS dau
+            FROM ud GROUP BY 1),
+    contrib AS (
+      SELECT DISTINCT user_id, d + INTERVAL (i) DAY AS wd
+      FROM ud, generate_series(0, 13) AS t(i)
+    ),
+    mau AS (
+      SELECT CAST(wd AS DATE) AS d, count(DISTINCT user_id)::BIGINT AS mau14
+      FROM contrib, span WHERE wd BETWEEN span.mn AND span.mx GROUP BY 1
+    )
+    SELECT CAST(dau.d AS VARCHAR) AS day, dau.dau, mau.mau14,
+           CAST(10000 * dau.dau // mau.mau14 AS BIGINT) AS stickiness_bp
+    FROM dau JOIN mau ON mau.d = dau.d
+    """,
+)
+def x21_stickiness(spark, sf_dir):
+    """DAU / trailing-14-day-AU stickiness per day — the product-health
+    ratio next to cohorts (a8) and rolling WAU (a10). Same exact
+    distributed shape as a10: dedup to (user, active-day) grain, explode
+    each activity into the 14 window-ends it feeds (x14 fan-out of the
+    DEDUPED grain, not raw events), window-clipped to the observed span,
+    one count-distinct per side, basis-point integer floor-div.
+    Trailing windows at the span's start cover their in-span prefix —
+    standard trailing-window semantics, identical both engines."""
+    e = t(spark, sf_dir, "events")
+    ud = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    span = ud.agg(F.min("d").alias("mn"), F.max("d").alias("mx"))
+    dau = ud.groupBy("d").agg(F.count_distinct("user_id").alias("dau"))
+    contrib = ud.select(
+        "user_id",
+        F.explode(F.expr("sequence(d, date_add(d, 13))")).alias("wd"),
+    )
+    mau = (
+        contrib.crossJoin(F.broadcast(span))
+        .where(F.col("wd").between(F.col("mn"), F.col("mx")))
+        .groupBy(F.col("wd").alias("d"))
+        .agg(F.count_distinct("user_id").alias("mau14"))
+    )
+    return (
+        dau.join(mau, "d")
+        .select(
+            F.col("d").cast("string").alias("day"),
+            "dau", "mau14",
+            F.expr("10000 * dau div mau14").alias("stickiness_bp"),
+        )
+    )
+
+
+# ------------- DD embedding dedup threshold-sweep curve (round 5)
+
+@q(
+    "dd_threshold_sweep",
+    """
+    WITH pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             CAST(round(10000 * list_cosine_similarity(
+                    CAST(a.embedding AS DOUBLE[]),
+                    CAST(b.embedding AS DOUBLE[])), 0) AS BIGINT) AS cos_bp
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    ),
+    thr AS (SELECT unnest(generate_series(3000, 9500, 500)) AS thr_bp),
+    hit AS (SELECT t.thr_bp, p.vec_a, p.vec_b
+            FROM thr t JOIN pairs p ON p.cos_bp >= t.thr_bp),
+    ids AS (SELECT thr_bp, vec_a AS vid FROM hit
+            UNION SELECT thr_bp, vec_b FROM hit),
+    pc AS (SELECT thr_bp, count(*)::BIGINT AS n_pairs FROM hit GROUP BY 1),
+    dc AS (SELECT thr_bp, count(*)::BIGINT AS n_docs FROM ids GROUP BY 1)
+    SELECT pc.thr_bp::BIGINT AS thr_bp, pc.n_pairs, dc.n_docs
+    FROM pc JOIN dc ON dc.thr_bp = pc.thr_bp
+    """,
+)
+def dd_threshold_sweep(spark, sf_dir):
+    """Dedup threshold-sweep curve: near-dup pair count and affected-doc
+    count at each cosine threshold (basis points, 0.30..0.95 step 0.05)
+    — the decision-support query behind picking tau for a dedup run
+    ('how much would we delete at each setting'). Pairs are computed
+    ONCE (brute force is the exact small-scale baseline; at corpus scale
+    the same sweep runs over the banded-LSH candidate set, noted like
+    dd_embedding_neardup); the ladder is a tiny literal explode over
+    that one pair set. cos quantizes to 1e-4 before comparison on both
+    engines — the proven embedding-twin precision."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: x * x),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+    )
+    pairs = (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a", "vec_b",
+            F.round(F.lit(10000) * dot / (norm(F.col("va")) * norm(F.col("vb"))), 0)
+            .cast("long").alias("cos_bp"),
+        )
+    )
+    thr = spark.range(1).select(
+        F.explode(F.expr("sequence(3000, 9500, 500)")).alias("thr_bp")
+    )
+    hit = thr.join(pairs, F.col("cos_bp") >= F.col("thr_bp")).select(
+        "thr_bp", "vec_a", "vec_b"
+    )
+    ids = hit.select("thr_bp", F.col("vec_a").alias("vid")).union(
+        hit.select("thr_bp", F.col("vec_b").alias("vid"))
+    ).distinct()
+    pc = hit.groupBy("thr_bp").agg(F.count(F.lit(1)).alias("n_pairs"))
+    dc = ids.groupBy("thr_bp").agg(F.count(F.lit(1)).alias("n_docs"))
+    return pc.join(dc, "thr_bp").select(
+        F.col("thr_bp").cast("long"), "n_pairs", "n_docs"
+    )

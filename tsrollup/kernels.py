@@ -587,3 +587,39 @@ def burst_states(
     tot1 = f1 + b1 - e1
     state = (tot1 < tot0).astype(np.int8)
     return state, f0, f1, int(min(f0[n - 1], f1[n - 1]))
+
+
+def page_hinkley(
+    x: np.ndarray, delta: float
+) -> tuple[np.ndarray, np.ndarray]:
+    """Page-Hinkley drift statistic (Page 1954, the sequential form the
+    streaming-drift literature uses), PINNED float64 loop.
+
+    Recurrences (this exact op order — the recursive-CTE oracle twin
+    evaluates the identical expressions):
+
+        s_t   = s_{t-1} + x_t            (running sum; mean_t = s_t / t)
+        cum_t = cum_{t-1} + (x_t - mean_t - delta)
+        mn_t  = min(mn_{t-1}, cum_t)     (mn_0 = +inf)
+        ph_t  = cum_t - mn_t             (>= 0; 0 until an upward drift)
+
+    delta is the magnitude tolerance: shifts smaller than delta never
+    accumulate. Complements CUSUM (c6, closed form, known baseline) —
+    PH self-estimates the baseline as the running mean, so it needs no
+    in-control segment. Returns (mean, ph) arrays.
+    """
+    x = np.asarray(x, dtype=np.float64)
+    n = len(x)
+    mean = np.empty(n)
+    ph = np.empty(n)
+    s = 0.0
+    cum = 0.0
+    mn = np.inf
+    for t in range(n):
+        s = s + float(x[t])
+        m = s / float(t + 1)
+        cum = cum + (float(x[t]) - m - delta)
+        mn = min(mn, cum)
+        mean[t] = m
+        ph[t] = cum - mn
+    return mean, ph

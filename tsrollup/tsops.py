@@ -1842,3 +1842,67 @@ def shesd_outliers(
         "lam",
         (F.col("rnd") <= F.coalesce("__kstar", F.lit(0))).alias("is_outlier"),
     )
+
+
+def page_hinkley_scores(
+    df: DataFrame,
+    keys: list[str],
+    idx_col: str = "i",
+    val_col: str = "c",
+    delta: float = 0.5,
+    lam: float = 10.0,
+) -> DataFrame:
+    """W32 — Page-Hinkley drift detector per series key
+    (kernels.page_hinkley, pinned loop): running-mean estimate and the
+    PH statistic per bucket, with is_drift at ph >= lam. CUSUM (c6)
+    answers 'did the level shift from a KNOWN baseline'; PH
+    self-estimates the baseline as the running mean, so it works on
+    series with no in-control calibration segment — the standard
+    streaming-drift test alongside the KS (w31) and PSI (x6) batch
+    tests.
+
+    Determinism contract: the kernel's float64 op order is pinned and
+    identical to the recursive-CTE expressions the oracle evaluates
+    (delta, lam enter as repr'd literals on both sides); outputs round
+    1e-6 JVM-side before thresholding — the W22 Kalman discipline.
+
+    Scale shape: one applyInPandas over series keys (bucketed frame,
+    tiny vs raw); sequential per series, independent across series.
+    """
+    import numpy as np
+
+    from .kernels import page_hinkley
+
+    key_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.select(*keys).schema.fields
+    )
+    out_schema = (
+        f"{key_schema}, {idx_col} long, x double, mean double, ph double"
+    )
+    dl, lm = float(delta), float(lam)
+
+    def _ph(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(idx_col, kind="mergesort")
+        x = pdf[val_col].to_numpy(dtype=np.float64)
+        mean, ph = page_hinkley(x, dl)
+        out = {k: pdf[k].to_numpy() for k in keys}
+        out[idx_col] = pdf[idx_col].to_numpy()
+        out.update(x=x, mean=mean, ph=ph)
+        return pd.DataFrame(out)
+
+    raw = (
+        df.select(*keys, idx_col, val_col)
+        .groupBy(*keys)
+        .applyInPandas(_ph, out_schema)
+    )
+    # round JVM-side (SQL round is half-away on both engines; np.round
+    # is half-to-even — the w22 boundary discipline)
+    return raw.select(
+        *keys,
+        idx_col,
+        "x",
+        F.round("mean", 6).alias("mean_r"),
+        F.round("ph", 6).alias("ph_r"),
+        (F.round("ph", 6) >= F.lit(lm)).alias("is_drift"),
+    )
