@@ -10115,3 +10115,109 @@ def dd_threshold_sweep(spark, sf_dir):
     return pc.join(dc, "thr_bp").select(
         F.col("thr_bp").cast("long"), "n_pairs", "n_docs"
     )
+
+
+# ------------------ dedup impact + ANN recall audits (round 5)
+
+@q(
+    "tx_dedup_impact",
+    """
+    WITH k AS (
+      SELECT doc_id, source, n_chars,
+             lower(substring(text, 1, 32)) AS key
+      FROM documents
+    ),
+    keep AS (SELECT key, min(doc_id) AS keeper FROM k GROUP BY 1)
+    SELECT k.source,
+           count(*)::BIGINT AS n_docs,
+           sum(CASE WHEN k.doc_id <> keep.keeper THEN 1 ELSE 0 END)::BIGINT
+             AS n_removed,
+           sum(k.n_chars)::BIGINT AS chars_total,
+           sum(CASE WHEN k.doc_id <> keep.keeper THEN k.n_chars
+                    ELSE 0 END)::BIGINT AS chars_removed,
+           CAST(10000 * sum(CASE WHEN k.doc_id <> keep.keeper THEN k.n_chars
+                                 ELSE 0 END)
+                // greatest(sum(k.n_chars), 1) AS BIGINT) AS removed_bp
+    FROM k JOIN keep ON keep.key = k.key
+    GROUP BY 1
+    """,
+)
+def tx_dedup_impact(spark, sf_dir):
+    """Dedup impact report: per source, how many docs and how many chars
+    an exact dedup on the SNM blocking key (lower 32-char prefix) would
+    remove, with the min-doc_id keeper rule — the 'what does this dedup
+    run cost/save' readout a pipeline owner checks BEFORE committing a
+    delete (the threshold-sweep's exact-dedup sibling). Two hash aggs +
+    one key join, all exact integers, basis-point floor-div."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars",
+        F.lower(F.substring("text", 1, 32)).alias("key"),
+    )
+    keep = d.groupBy("key").agg(F.min("doc_id").alias("keeper"))
+    j = d.join(keep, "key")
+    rm = F.when(F.col("doc_id") != F.col("keeper"), F.col("n_chars")).otherwise(
+        F.lit(0)
+    )
+    agg = j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.when(F.col("doc_id") != F.col("keeper"), 1).otherwise(0)
+        ).cast("long").alias("n_removed"),
+        F.sum("n_chars").cast("long").alias("chars_total"),
+        F.sum(rm).cast("long").alias("chars_removed"),
+    )
+    return agg.select(
+        "source", "n_docs", "n_removed", "chars_total", "chars_removed",
+        F.expr(
+            "10000 * chars_removed div greatest(chars_total, 1)"
+        ).alias("removed_bp"),
+    )
+
+
+def _register_ann_recall_audit():
+    """ann_recall_audit: recall@k of the IVF probe path against the exact
+    brute-force top-k for the same queries — the ANN counterpart of
+    dd_lsh_quality (every approximate retrieval path in the repo now has
+    a measured-recall row). The oracle composes the two already-twinned
+    result sets verbatim, so the audit can never drift from what the
+    individual entries compute."""
+    audit_sql = f"""
+    WITH exact AS ({ORACLE["ann_cosine_topk"]}),
+    ivf AS ({ORACLE["ann_ivf"]})
+    SELECT e.q_id,
+           count(*)::BIGINT AS n_exact,
+           sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+             AS n_hit,
+           CAST(10000 * sum(CASE WHEN i.vec_id IS NOT NULL THEN 1
+                                 ELSE 0 END) // count(*) AS BIGINT)
+             AS recall_bp
+    FROM exact e LEFT JOIN ivf i
+      ON i.q_id = e.q_id AND i.vec_id = e.vec_id
+    GROUP BY 1
+    """
+
+    @q("ann_recall_audit", audit_sql)
+    def ann_recall_audit(spark, sf_dir):
+        exact = SPARK["ann_cosine_topk"](spark, sf_dir).select(
+            "q_id", "vec_id"
+        )
+        ivf = SPARK["ann_ivf"](spark, sf_dir).select(
+            F.col("q_id").alias("iq"), F.col("vec_id").alias("iv"),
+            F.lit(1).alias("hit"),
+        )
+        j = exact.join(
+            ivf,
+            (F.col("q_id") == F.col("iq")) & (F.col("vec_id") == F.col("iv")),
+            "left",
+        )
+        agg = j.groupBy("q_id").agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hit"),
+        )
+        return agg.select(
+            "q_id", "n_exact", "n_hit",
+            F.expr("10000 * n_hit div n_exact").alias("recall_bp"),
+        )
+
+
+_register_ann_recall_audit()
