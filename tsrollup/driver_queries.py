@@ -10221,3 +10221,170 @@ def _register_ann_recall_audit():
 
 
 _register_ann_recall_audit()
+
+
+# ---------------- EMB-MMR diversified retrieval top-k (round 5)
+
+_MMR_C, _MMR_K = 20, 5   # candidate pool size, selections
+
+@q(
+    "emb_mmr_topk",
+    f"""
+    WITH RECURSIVE v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    anchor AS (SELECT e AS ae FROM v WHERE vec_id = 0),
+    rel AS (
+      SELECT vec_id AS vid,
+             CAST(round(10000 * list_cosine_similarity(v.e, a.ae), 0)
+                  AS BIGINT) AS rel_bp
+      FROM v, anchor a WHERE v.vec_id <> 0
+    ),
+    cand AS (
+      SELECT vid, rel_bp FROM (
+        SELECT vid, rel_bp,
+               row_number() OVER (ORDER BY rel_bp DESC, vid) AS rnk
+        FROM rel) WHERE rnk <= {_MMR_C}
+    ),
+    sims AS (
+      SELECT c1.vid AS a, c2.vid AS b,
+             CAST(round(10000 * list_cosine_similarity(v1.e, v2.e), 0)
+                  AS BIGINT) AS bp
+      FROM cand c1 JOIN cand c2 ON c1.vid <> c2.vid
+      JOIN v v1 ON v1.vec_id = c1.vid
+      JOIN v v2 ON v2.vec_id = c2.vid
+    ),
+    rec AS (
+      SELECT CAST(1 AS BIGINT) AS step, [c.vid] AS sel, c.vid AS vid,
+             2 * c.rel_bp AS score
+      FROM cand c
+      WHERE NOT EXISTS (SELECT 1 FROM cand c2 WHERE c2.rel_bp > c.rel_bp
+                        OR (c2.rel_bp = c.rel_bp AND c2.vid < c.vid))
+      UNION ALL
+      SELECT r.step + 1, list_append(r.sel, c.vid), c.vid,
+             2 * c.rel_bp - (SELECT max(s.bp) FROM sims s
+                             WHERE s.a = c.vid AND list_contains(r.sel, s.b))
+      FROM rec r JOIN cand c ON NOT list_contains(r.sel, c.vid)
+      WHERE r.step < {_MMR_K}
+        AND NOT EXISTS (
+          SELECT 1 FROM cand c2
+          WHERE NOT list_contains(r.sel, c2.vid) AND c2.vid <> c.vid
+            AND (
+              2 * c2.rel_bp - (SELECT max(s2.bp) FROM sims s2
+                               WHERE s2.a = c2.vid
+                                 AND list_contains(r.sel, s2.b))
+                > 2 * c.rel_bp - (SELECT max(s3.bp) FROM sims s3
+                                  WHERE s3.a = c.vid
+                                    AND list_contains(r.sel, s3.b))
+              OR (2 * c2.rel_bp - (SELECT max(s2.bp) FROM sims s2
+                                   WHERE s2.a = c2.vid
+                                     AND list_contains(r.sel, s2.b))
+                  = 2 * c.rel_bp - (SELECT max(s3.bp) FROM sims s3
+                                    WHERE s3.a = c.vid
+                                      AND list_contains(r.sel, s3.b))
+                 AND c2.vid < c.vid)
+            )
+        )
+    )
+    SELECT step, vid, score FROM rec
+    """,
+)
+def emb_mmr_topk(spark, sf_dir):
+    """MMR (maximal-marginal-relevance) diversified top-k: greedily pick
+    {_MMR_K} of the {_MMR_C} most-anchor-relevant vectors, each step
+    maximizing 2*rel - max-sim-to-already-selected (MMR with lambda=2/3,
+    scaled x3 to stay integer) — the retrieval/diverse-sampling primitive
+    that returns RELEVANT BUT MUTUALLY DISSIMILAR results instead of
+    five near-copies (Carbonell & Goldstein SIGIR'98). The selection
+    recurrence carries a SET, so the twin is a LIST-carrying recursive
+    CTE with a correlated max-over-selected and a NOT-EXISTS argmax —
+    the W20/W22/ds_lttb idiom extended to set state.
+
+    Exactness: rel/sim quantize to basis points (the proven embedding-
+    twin precision) in SPARK SQL via the fold idiom; the greedy itself
+    is pure integer arithmetic in one single-group kernel over the tiny
+    (C x C) candidate matrix. 100-TB shape: candidate generation is the
+    distributed broadcast-anchor scan + top-C rank; the greedy runs on
+    C^2 integers, catalog-sized. Ties break to the smaller vec_id at
+    every step on both engines."""
+    import pandas as pd
+
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    anchor = e.where(F.col("vec_id") == 0).select(F.col("v").alias("av"))
+    dot = lambda x, y: F.aggregate(  # noqa: E731
+        F.zip_with(x, y, lambda a, b: a * b),
+        F.lit(0.0), lambda acc, z: acc + z,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: x * x),
+            F.lit(0.0), lambda acc, z: acc + z,
+        )
+    )
+    rel = (
+        e.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            F.col("vec_id").alias("vid"), "v",
+            F.round(
+                F.lit(10000) * dot(F.col("v"), F.col("av"))
+                / (norm(F.col("v")) * norm(F.col("av"))), 0
+            ).cast("long").alias("rel_bp"),
+        )
+    )
+    wr = Window.orderBy(F.col("rel_bp").desc(), F.col("vid"))
+    cand = rel.select(
+        "vid", "v", "rel_bp", F.row_number().over(wr).alias("rnk")
+    ).where(F.col("rnk") <= _MMR_C)
+    c1 = cand.select(F.col("vid").alias("a"), F.col("v").alias("va"),
+                     F.col("rel_bp").alias("rel_a"))
+    c2 = cand.select(F.col("vid").alias("b"), F.col("v").alias("vb"))
+    pairs = (
+        c1.join(c2, F.col("a") != F.col("b"))
+        .select(
+            "a", "rel_a", "b",
+            F.round(
+                F.lit(10000) * dot(F.col("va"), F.col("vb"))
+                / (norm(F.col("va")) * norm(F.col("vb"))), 0
+            ).cast("long").alias("bp"),
+        )
+    )
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        rel_of = dict(
+            pdf.drop_duplicates("a")[["a", "rel_a"]].itertuples(
+                index=False, name=None
+            )
+        )
+        sim = {(r.a, r.b): r.bp for r in pdf.itertuples()}
+        remaining = sorted(rel_of)
+        sel: list[int] = []
+        rows = []
+        for step in range(1, _MMR_K + 1):
+            best = None
+            for vid in remaining:
+                if not sel:
+                    score = 2 * int(rel_of[vid])
+                else:
+                    score = 2 * int(rel_of[vid]) - max(
+                        int(sim[(vid, j)]) for j in sel
+                    )
+                if best is None or score > best[1] or (
+                    score == best[1] and vid < best[0]
+                ):
+                    best = (vid, score)
+            sel.append(best[0])
+            remaining.remove(best[0])
+            rows.append((step, best[0], best[1]))
+        return pd.DataFrame(rows, columns=["step", "vid", "score"])
+
+    return (
+        pairs.withColumn("g", F.lit(1))
+        .groupBy("g")
+        .applyInPandas(
+            lambda pdf: greedy(pdf), "step long, vid long, score long"
+        )
+    )
