@@ -10388,3 +10388,124 @@ def emb_mmr_topk(spark, sf_dir):
             lambda pdf: greedy(pdf), "step long, vid long, score long"
         )
     )
+
+
+# ------------- X22 incident durations + W33 seasonal strength (round 5)
+
+def _register_island_derived():
+    """Two derived analytics over already-twinned upstreams — the oracle
+    composes the upstream SQL verbatim (the ann_recall_audit pattern), so
+    these can never drift from the entries they build on."""
+    isl_sql = ORACLE["w8_anomaly_islands"]
+
+    @q(
+        "x22_incident_durations",
+        f"""
+        WITH isl AS ({isl_sql}),
+        r AS (
+          SELECT event_type, n_buckets,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY n_buckets, start_idx) AS rn,
+                 count(*) OVER (PARTITION BY event_type) AS cnt
+          FROM isl
+        )
+        SELECT event_type,
+               max(cnt)::BIGINT AS n_incidents,
+               sum(n_buckets)::BIGINT AS anom_buckets,
+               min(CASE WHEN 100 * rn >= 50 * cnt THEN n_buckets END)::BIGINT
+                 AS p50_len,
+               min(CASE WHEN 100 * rn >= 90 * cnt THEN n_buckets END)::BIGINT
+                 AS p90_len,
+               max(n_buckets)::BIGINT AS max_len
+        FROM r GROUP BY 1
+        """,
+    )
+    def x22_incident_durations(spark, sf_dir):
+        """Incident-duration profile per source: how LONG do anomaly
+        episodes last — count, total anomalous buckets, p50/p90/max
+        episode length over the w8 anomaly islands (value-at-integer-
+        rank discrete percentiles, the x17 idiom: first value whose rank
+        crosses the ceil threshold under a pinned (len, start) order).
+        The ops pair to w24's incident GROUPING: that answers 'one page
+        per outage', this answers 'how long are outages'. All exact
+        integers; input is the catalog-sized island set."""
+        isl = SPARK["w8_anomaly_islands"](spark, sf_dir)
+        wr = Window.partitionBy("event_type").orderBy("n_buckets", "start_idx")
+        wc = Window.partitionBy("event_type")
+        r = isl.select(
+            "event_type", "n_buckets",
+            F.row_number().over(wr).alias("rn"),
+            F.count(F.lit(1)).over(wc).alias("cnt"),
+        )
+        return r.groupBy("event_type").agg(
+            F.max("cnt").cast("long").alias("n_incidents"),
+            F.sum("n_buckets").cast("long").alias("anom_buckets"),
+            F.min(
+                F.when(100 * F.col("rn") >= 50 * F.col("cnt"), F.col("n_buckets"))
+            ).cast("long").alias("p50_len"),
+            F.min(
+                F.when(100 * F.col("rn") >= 90 * F.col("cnt"), F.col("n_buckets"))
+            ).cast("long").alias("p90_len"),
+            F.max("n_buckets").cast("long").alias("max_len"),
+        )
+
+    stl_sql = ORACLE["w13_stl_decomp"]
+
+    @q(
+        "w33_seasonal_strength",
+        f"""
+        WITH stl AS ({stl_sql}),
+        c AS (
+          SELECT event_type,
+                 CAST(round(resid_r * 100, 0) AS BIGINT) AS rc,
+                 CAST(round((seasonal_r + resid_r) * 100, 0) AS BIGINT) AS sc
+          FROM stl
+        ),
+        s AS (
+          SELECT event_type, count(*)::BIGINT AS n,
+                 CAST(sum(rc) AS BIGINT) AS sr,
+                 CAST(sum(rc * rc) AS BIGINT) AS srr,
+                 CAST(sum(sc) AS BIGINT) AS ss,
+                 CAST(sum(sc * sc) AS BIGINT) AS sss
+          FROM c GROUP BY 1
+        )
+        SELECT event_type, n,
+               CAST(10000 - 10000 * (n * srr - sr * sr)
+                    // greatest(n * sss - ss * ss, 1) AS BIGINT)
+                 AS strength_bp
+        FROM s
+        """,
+    )
+    def w33_seasonal_strength(spark, sf_dir):
+        """Seasonal-strength index per source: F_s = 1 −
+        Var(resid)/Var(seasonal+resid) in basis points (Hyndman's STL
+        strength statistic) over the w13 decomposition — 'is this series
+        seasonal enough that seasonal-naive/SHESD detectors apply'.
+        Exactness: the 1e-6-rounded STL components quantize to
+        centi-units FIRST, then both variances are pure BIGINT
+        n·Σx²−(Σx)² sums (the w6 discipline; centi keeps every term
+        under 2^47) and the ratio is one integer floor-div."""
+        stl = SPARK["w13_stl_decomp"](spark, sf_dir)
+        c = stl.select(
+            "event_type",
+            F.round(F.col("resid_r") * 100, 0).cast("long").alias("rc"),
+            F.round((F.col("seasonal_r") + F.col("resid_r")) * 100, 0)
+            .cast("long").alias("sc"),
+        )
+        s = c.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("rc").cast("long").alias("sr"),
+            F.sum(F.col("rc") * F.col("rc")).cast("long").alias("srr"),
+            F.sum("sc").cast("long").alias("ss"),
+            F.sum(F.col("sc") * F.col("sc")).cast("long").alias("sss"),
+        )
+        return s.select(
+            "event_type", "n",
+            F.expr(
+                "10000 - 10000 * (n * srr - sr * sr)"
+                " div greatest(n * sss - ss * ss, 1)"
+            ).cast("long").alias("strength_bp"),
+        )
+
+
+_register_island_derived()
