@@ -687,23 +687,36 @@ def decode_xor(blob: bytes) -> np.ndarray:
 BLOCK_METRICS = ("n_tok_mean", "tok_mean", "cnt")
 
 
+def block_start_col(ts_col, span_us: int) -> F.Column:
+    """Span-floor of a timestamp column (block span in µs, a whole-day
+    multiple — RollupConfig.span_us) — the per-tier generalization of
+    date_trunc('day', ...). Whole-day spans keep the result day-aligned,
+    so to_date(block_start) remains a valid disk partition value."""
+    us = F.unix_micros(F.col(ts_col) if isinstance(ts_col, str) else ts_col)
+    if span_us == 86_400_000_000:
+        # identical bytes to the historical layout, and Catalyst folds it
+        return F.date_trunc("day", F.col(ts_col) if isinstance(ts_col, str) else ts_col)
+    return F.timestamp_micros(us - F.pmod(us, F.lit(span_us)))
+
+
 def compress_tier(filled: DataFrame, tier: str, cfg: RollupConfig | None = None) -> DataFrame:
     """C1+C2 as a grouped-map transform: one blob row per
-    (source, tier, metric, day-block) — or one DECOMPOSED row per
-    day-block when cfg.block_layout == 'decomposed' and the block's mean
+    (source, tier, metric, span-block) — or one DECOMPOSED row per
+    span-block when cfg.block_layout == 'decomposed' and the block's mean
     streams reconstruct bit-exactly from its integer sums (see the C4
-    section below). Groups by source and encodes ALL of the source's
-    day-blocks with the batch encoders — per-block numpy fixed costs
-    amortize across the series (the 5 M pts/s/core budget), and the
-    kernel sorts by bucket_start so every blob is byte-deterministic
-    regardless of shuffle order."""
+    section below). Blocks span config.BLOCK_SPAN_DAYS[tier] whole days
+    (coarse tiers amortize per-block headers across the span). Groups by
+    source and encodes ALL of the source's blocks with the batch
+    encoders — per-block numpy fixed costs amortize across the series
+    (the 5 M pts/s/core budget), and the kernel sorts by bucket_start so
+    every blob is byte-deterministic regardless of shuffle order."""
     cfg = cfg or RollupConfig()
     layout = cfg.block_layout
     sum_cols = [c for c in BLOCK_SUM_COLS if c in filled.columns]
     slim = filled.select(
         "source",
         "bucket_start",
-        F.date_trunc("day", "bucket_start").alias("block_start"),
+        block_start_col("bucket_start", cfg.span_us(tier)).alias("block_start"),
         *[F.col(m).cast("double").alias(m) for m in BLOCK_METRICS],
         *[F.col(c).cast("double").alias(c) for c in sum_cols],
     )
@@ -1047,7 +1060,7 @@ def decode_intzz(blob: bytes) -> np.ndarray:
 def _encode_ts_stream(ts_us: np.ndarray, base_us: int) -> bytes:
     """[varint (t0 - block_start)][intzz of bucket deltas] — second-order,
     so a regular grid packs to a constant-delta intzz stream with zero
-    payload bits; the day-relative t0 fits a <=5-byte varint (block_start
+    payload bits; the span-relative t0 fits a <=7-byte varint (block_start
     is a stored row column, so the absolute epoch never enters the
     payload)."""
     return _varint(int(ts_us[0]) - base_us) + encode_intzz(np.diff(ts_us))
@@ -1296,9 +1309,9 @@ def _bit_same(got: np.ndarray, want: np.ndarray) -> bool:
 def try_decompose_block(
     cnt_f: np.ndarray, ntm: np.ndarray, tkm: np.ndarray,
     ntoksum_raw: np.ndarray, toksum_raw: np.ndarray, tokcnt_raw: np.ndarray,
-    ts_us: np.ndarray | None = None,
+    ts_us: np.ndarray | None = None, base_us: int | None = None,
 ) -> bytes | None:
-    """Build the decomposed payload for one day-block, or None when exact
+    """Build the decomposed payload for one span-block, or None when exact
     reconstruction is impossible (the caller then emits classic rows)."""
     n = cnt_f.shape[0]
     if n == 0 or not cnt_f[0] > 0:
@@ -1329,20 +1342,23 @@ def try_decompose_block(
     if ts_us is None:  # unit-test convenience: synthesize a regular grid
         ts_us = np.arange(n, dtype=np.int64) * 60_000_000
     ts_us = np.ascontiguousarray(ts_us, dtype=np.int64)
-    base_us = (int(ts_us[0]) // 86_400_000_000) * 86_400_000_000
+    if base_us is None:  # unit-test convenience: legacy day-block base
+        base_us = (int(ts_us[0]) // 86_400_000_000) * 86_400_000_000
     return _dec_encode(ts_us, base_us, cnt_i, ntoksum, toksum, tokdiff)
 
 
 def encode_block_rows(pdf: pd.DataFrame, layout: str) -> list[tuple]:
-    """Shared day-block builder for compress_tier, the fused derive kernel
+    """Shared span-block builder for compress_tier, the fused derive kernel
     and the incremental segment kernel: a SORTED one-(source, tier) frame
-    in, [(metric, block_start, n_points, ts_blob, val_blob), ...] out.
+    in, [(metric, block_start, n_points, ts_blob, val_blob), ...] out
+    (block spans per config.BLOCK_SPAN_DAYS).
     layout='decomposed' emits one __dec__ row per verifiable block and
     classic per-metric XOR rows otherwise; layout='per_metric' always
     emits classic rows (the round-2 format)."""
     nb = len(pdf)
     ts_us = pdf["bucket_start"].to_numpy().astype("datetime64[us]").view(np.int64)
     blocks = pdf["block_start"].to_numpy()
+    blocks_us = blocks.astype("datetime64[us]").view(np.int64)
     cut = np.flatnonzero(np.concatenate(([True], blocks[1:] != blocks[:-1])))
     ends = np.concatenate((cut[1:], [nb]))
     spans = list(zip(cut, ends))
@@ -1367,6 +1383,7 @@ def encode_block_rows(pdf: pd.DataFrame, layout: str) -> list[tuple]:
                 sums["tok_sum"][a:b],
                 sums["tok_cnt"][a:b],
                 ts_us[a:b],
+                int(blocks_us[a]),
             )
             if payload is not None and (b - a) < 64:
                 # tiny blocks: the fixed intzz/dec headers can outweigh

@@ -25,6 +25,24 @@ TIER_INTERVAL = {"1m": "INTERVAL 1 MINUTE", "1h": "INTERVAL 1 HOUR", "1d": "INTE
 #: Which finer tier each tier cascades from (None = from raw).
 CASCADE_FROM = {"1m": None, "1h": "1m", "1d": "1h"}
 
+#: Default Gorilla block span per tier, in DAYS. One-day blocks are the
+#: default everywhere; LONG-LIVED deployments override per tier via
+#: RollupConfig.block_span_days — coarse tiers have few buckets per day
+#: (1h: 24, 1d: 1), so on a months-long source a one-day block means one
+#: point per block (~4.4 B/pt of pure header) and e.g. (("1h", 16),
+#: ("1d", 128)) amortizes the per-block fixed cost across the span
+#: (measured in BENCH/BASELINE.md §block-spans). Spans must be whole-day
+#: multiples so the day = to_date(block_start) disk partition, the
+#: incremental cut comparison (span floors stay day-aligned), and the
+#: minute-grid v4 timestamps all stay valid. Tradeoffs bounded by the
+#: span: the incremental re-derive halo is <= span raw rows per source
+#: (increment.py) and retention drops a block only once its WHOLE span
+#: is past the horizon (storage.drop_expired_partitions).
+BLOCK_SPAN_DAYS = {"1m": 1, "1h": 1, "1d": 1}
+
+_DAY_US = 86_400_000_000
+
+
 #: Default retention horizon per tier, in days (R1). None = keep forever.
 TIER_RETENTION_DAYS = {"1m": 14, "1h": 90, "1d": None}
 
@@ -73,13 +91,27 @@ class RollupConfig:
     incremental: bool = True
     #: gap-fill interpolation method for value columns: "locf" | "linear".
     gapfill_method: str = "locf"
-    #: codec block width = 1 day of buckets (SURVEY.md §2.8).
+    #: legacy codec block-width knob (round-4; block spans are now the
+    #: per-tier BLOCK_SPAN_DAYS map above — SURVEY.md §2.8).
     block_interval: str = "1d"
     #: block storage layout: "decomposed" stores one integer-stream row
-    #: per day-block (means re-derived by exact division; per-block
+    #: per span-block (means re-derived by exact division; per-block
     #: encode-time verification with automatic per-metric XOR fallback,
     #: codec.py C4); "per_metric" always writes the round-2 XOR rows.
     block_layout: str = "decomposed"
+    #: per-tier block span overrides in whole DAYS, as hashable items —
+    #: e.g. (("1h", 16), ("1d", 128)) for long-lived sources (see
+    #: BLOCK_SPAN_DAYS above). Empty = one-day blocks for every tier.
+    #: Picklable into the grouped-map kernels with the rest of the config.
+    block_span_days: tuple = ()
+
+    def span_us(self, tier: str) -> int:
+        """Block span for a tier in µs (whole-day multiple)."""
+        return int(dict(self.block_span_days).get(tier, 1)) * _DAY_US
+
+    def span_map_us(self) -> dict:
+        """{tier: span_us} for every configured tier (kernel closures)."""
+        return {t: self.span_us(t) for t in self.tiers}
 
     def __post_init__(self):
         # fail at construction, not minutes later inside a cluster stage
@@ -94,3 +126,8 @@ class RollupConfig:
         unknown = [t for t in self.tiers if t not in TIER_TRUNC]
         if unknown:
             raise ValueError(f"unknown tiers {unknown}; known: {list(TIER_TRUNC)}")
+        for t, d in dict(self.block_span_days).items():
+            if t not in TIER_TRUNC or int(d) < 1:
+                raise ValueError(
+                    f"bad block span {t!r}: {d!r} (known tiers, days >= 1)"
+                )

@@ -26,6 +26,8 @@ from . import kernels, schemas
 from .config import DetectorConfig, RollupConfig
 from .gapfill import VALUE_COLS as GAP_VALUE_COLS
 
+_DAY_US = 86_400_000_000
+
 
 def _score_kernel(cfg: DetectorConfig, tier: str):
     """Build the per-source grouped-map function. cfg/tier are plain
@@ -414,17 +416,21 @@ def make_state_row(
     src: str, tier: str, bucket: pd.Series, observed: np.ndarray,
     x: np.ndarray, g_index: int, series_start, step_us: int,
     ewma_state: tuple[float, float], welf_z: tuple, welf_e: tuple,
-    tail: np.ndarray, prev_carry: tuple | None,
+    tail: np.ndarray, prev_carry: tuple | None, span_us: int = _DAY_US,
 ) -> pd.DataFrame:
     """Build the kind='state' row: grid-cut detector state + the gap-fill
-    carry anchor (last OBSERVED row strictly before p = start of the day
-    containing the grid-cut bucket). `bucket`/`observed`/`x` cover the
+    carry anchor (last OBSERVED row strictly before p = start of the tier's
+    block SPAN containing the grid-cut bucket — config.BLOCK_SPAN_DAYS; the
+    partial block at the cut re-encodes from its span start, so the
+    incremental segment must reach back that far). `bucket`/`observed`/`x`
+    cover the
     frame the kernel saw; `prev_carry` is the consumed state's carry
     (bucket, n_tok_mean, tok_mean) for when no local observed row
     precedes p."""
     g_bucket = series_start + np.timedelta64(g_index * step_us, "us")
-    day = np.datetime64(g_bucket, "D").astype("datetime64[us]")
-    p_bucket = max(day, np.datetime64(series_start, "us"))
+    g_us = int(g_bucket.astype("datetime64[us]").view("int64"))
+    span_start = np.datetime64((g_us // span_us) * span_us, "us")
+    p_bucket = max(span_start, np.datetime64(series_start, "us"))
     b_arr = bucket.to_numpy().astype("datetime64[us]")
     cand = np.flatnonzero(observed & (b_arr < p_bucket))
     if cand.size:
@@ -461,11 +467,10 @@ def make_state_row(
     )
 
 
-_DAY_US = 86_400_000_000
-
 
 def _fill_group_pdf(
-    pdf: pd.DataFrame, step_us: int, method: str, cols: tuple[str, ...]
+    pdf: pd.DataFrame, step_us: int, method: str, cols: tuple[str, ...],
+    span_us: int = _DAY_US,
 ) -> pd.DataFrame:
     """In-kernel G1+G2 for one (source, tier) group: rebuild the
     gap-filled frame (grid spine, cnt=0 on gap rows, LOCF/linear value
@@ -492,9 +497,9 @@ def _fill_group_pdf(
         "source": pdf["source"].iloc[0],
         "tier": pdf["tier"].iloc[0],
         "bucket_start": pd.Series(grid.view("datetime64[us]")),
-        # floor-to-day == date_trunc('day', ...) for the engine's
+        # span floor (== codec.block_start_col) for the engine's
         # post-epoch timestamps
-        "block_start": pd.Series(((grid // _DAY_US) * _DAY_US).view("datetime64[us]")),
+        "block_start": pd.Series(((grid // span_us) * span_us).view("datetime64[us]")),
     }
     locf_idx = None
     for c in cols:
@@ -522,7 +527,7 @@ def _fused_kernel(
     cfg: DetectorConfig, metrics: tuple[str, ...],
     emit_state: bool = False, steps_us: dict | None = None,
     fill: str | None = None, fill_cols: tuple[str, ...] = (),
-    block_layout: str = "decomposed",
+    block_layout: str = "decomposed", spans_us: dict | None = None,
 ):
     window, tau, alpha, eps, value_col = (
         cfg.window, cfg.tau, cfg.alpha, cfg.eps, cfg.value_col,
@@ -531,8 +536,10 @@ def _fused_kernel(
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         if fill:
+            t0 = pdf["tier"].iloc[0]
             pdf = _fill_group_pdf(
-                pdf, steps_us[pdf["tier"].iloc[0]], fill, fill_cols
+                pdf, steps_us[t0], fill, fill_cols,
+                (spans_us or {}).get(t0, _DAY_US),
             )
         pdf = pdf.sort_values("bucket_start", kind="mergesort").reset_index(drop=True)
         src = pdf["source"].iloc[0]
@@ -576,6 +583,7 @@ def _fused_kernel(
                                  pdf["tok_mean"].to_numpy(dtype="float64")]),
                 g, bucket.iloc[0].to_datetime64(), step_us,
                 ew_g, wz_g, we_g, tail, None,
+                span_us=(spans_us or {}).get(tier, _DAY_US),
             )
         else:
             _s, e_resid, e_score = kernels.ewma_detector(x, alpha, eps)
@@ -682,11 +690,24 @@ def derive_fused(
         else ()
     )
     cols = sorted(set(BLOCK_METRICS) | {det.value_col} | set(sum_cols))
+    spans_us = cfg.span_map_us()
     if fill is None:
         extra = ["gap_filled"] if emit_state else []
+        if all(v == _DAY_US for v in spans_us.values()):
+            bs = F.date_trunc("day", "bucket_start")
+        else:
+            # per-tier span floor on a multi-tier frame: CASE over the
+            # configured tiers (same arithmetic as codec.block_start_col)
+            us = F.unix_micros("bucket_start")
+            bs = F.timestamp_micros(us - F.pmod(us, F.lit(_DAY_US)))
+            for t, span in spans_us.items():
+                bs = F.when(
+                    F.col("tier") == t,
+                    F.timestamp_micros(us - F.pmod(us, F.lit(span))),
+                ).otherwise(bs)
         slim = filled.select(
             "source", "tier", "bucket_start",
-            F.date_trunc("day", "bucket_start").alias("block_start"),
+            bs.alias("block_start"),
             *[F.col(m).cast("double").alias(m) for m in cols],
             *extra,
         )
@@ -701,6 +722,7 @@ def derive_fused(
         _fused_kernel(
             det, BLOCK_METRICS, emit_state=emit_state, steps_us=dict(TIER_US),
             fill=fill, fill_cols=tuple(cols), block_layout=cfg.block_layout,
+            spans_us=spans_us,
         ),
         schema=FUSED_SCHEMA,
     )

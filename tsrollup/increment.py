@@ -17,7 +17,7 @@ derived wall proportional to the BATCH (plus a bounded halo):
   anchors LOCF/linear across the cut) go straight into the kernel, which
   rebuilds the gap-filled grid in-kernel (detect._fill_group_pdf) and
   trims to >= p; scores resume from the grid state, stats fold on from
-  the Welford triples, and blocks re-encode only days >= day(g). Output
+  the Welford triples, and blocks re-encode only spans >= span(g). Output
   is byte-identical to a full recompute (tests/test_increment.py).
 - Late/backfilled data (min new bucket <= checkpointed end, or no state)
   falls back to a full re-derive of that (source, tier) only.
@@ -28,8 +28,8 @@ derived wall proportional to the BATCH (plus a bounded halo):
   overwrite never drops a neighbor's data.
 
 At 10^12 rows this is the difference between a derived phase that scans
-the store every batch and one that touches O(batch + one day-partial
-halo per source).
+the store every batch and one that touches O(batch + one span-partial
+halo per source, bounded by config.BLOCK_SPAN_DAYS).
 """
 
 from __future__ import annotations
@@ -85,12 +85,13 @@ def write_states(states: DataFrame, out_base: str) -> None:
 def _inc_kernel(
     cfg: DetectorConfig, metrics: tuple[str, ...], steps_us: dict,
     fill: str | None = None, block_layout: str = "decomposed",
+    spans_us: dict | None = None,
 ):
     """Per-(source, tier) grouped map over the SEGMENT [p, end] with the
     checkpointed state joined on. Emits the same long format as
     detect._fused_kernel: score rows for [g, end], stat rows (full-series
     totals via the carried Welford triples), block rows for every local
-    day, and the refreshed kind='state' row.
+    span-block, and the refreshed kind='state' row.
 
     With `fill` set, the input is the RAW segment rows (carry anchor +
     [p, end]) and the gap-filled grid is rebuilt in-kernel
@@ -112,8 +113,10 @@ def _inc_kernel(
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         if fill:
             consts = {c: pdf[c].iloc[0] for c in const_cols if c in pdf.columns}
+            t0 = pdf["tier"].iloc[0]
             filled = _fill_group_pdf(
-                pdf, steps_us[pdf["tier"].iloc[0]], fill, fill_cols
+                pdf, steps_us[t0], fill, fill_cols,
+                (spans_us or {}).get(t0, 86_400_000_000),
             )
             filled = filled[
                 filled["bucket_start"] >= consts["p_bucket"]
@@ -263,6 +266,7 @@ def _inc_kernel(
                 ]),
                 g_new, series_start, step_us,
                 st_g, wz_new, we_new, new_tail, prev_carry,
+                span_us=(spans_us or {}).get(tier, 86_400_000_000),
             )
         )
         return pd.concat(out, ignore_index=True)
@@ -380,7 +384,7 @@ def incremental_derive(
         )
         recomputed = slim.groupBy("source", "tier").applyInPandas(
             _inc_kernel(det, BLOCK_METRICS, dict(TIER_US), fill=cfg.gapfill_method,
-                        block_layout=cfg.block_layout),
+                        block_layout=cfg.block_layout, spans_us=cfg.span_map_us()),
             schema=FUSED_SCHEMA,
         )
     if n_fb:
@@ -492,11 +496,23 @@ def incremental_derive(
     )
     bp = ["tier", "day", "source_bucket"]
     blocks_path = os.path.join(out_base, BLOCKS_DIR)
+    # the incremental kernel re-encodes every block from p = span-floor of
+    # the cut onward (cfg.block_span_days), so preserved block rows are
+    # those strictly BEFORE the cut's span floor — day granularity would
+    # double-keep the partial block at the cut for tiers with >1-day spans
+    cut_us = F.unix_micros("cut_bucket")
+    cut_floor = F.timestamp_micros(cut_us - F.pmod(cut_us, F.lit(86_400_000_000)))
+    for t, span in cfg.span_map_us().items():
+        if span != 86_400_000_000:
+            cut_floor = F.when(
+                F.col("tier") == t,
+                F.timestamp_micros(cut_us - F.pmod(cut_us, F.lit(span))),
+            ).otherwise(cut_floor)
     bl_keep = _preserved(
         spark.read.parquet(blocks_path), blocks_new.select(*bp).distinct(), bp,
         F.col("is_cut").isNull()
         | (F.col("cut_bucket").isNotNull()
-           & (F.col("day") < F.to_date("cut_bucket"))),
+           & (F.col("day") < F.to_date(cut_floor))),
     )
     blocks_out = blocks_new.unionByName(bl_keep)
 

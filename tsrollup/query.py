@@ -125,14 +125,15 @@ def read_range_decoded(
     sources: list[str] | None = None,
     now_day: str | None = None,
     retention: dict | None = None,
+    block_span_days: dict | None = None,
 ) -> DataFrame:
     """Pruned range read served from the COMPRESSED block store.
 
     Same planner contract as read_range, but the bytes come from the
     Gorilla/delta-of-delta blobs (one row per (source, tier, metric,
-    day-block)) instead of the columnar rollup partitions: `day` prunes
-    block partitions before any I/O (a block never crosses its day
-    boundary, codec.compress_tier), the decode is an Arrow-batched
+    span-block)) instead of the columnar rollup partitions: `day` prunes
+    block partitions before any I/O (a block never crosses its tier's
+    span boundary, codec.compress_tier), the decode is an Arrow-batched
     mapInPandas, and the bucket_start range trims the decoded points.
     This is the cold-read path — it stays valid after the rollup tier's
     columnar partitions age out, as long as the denser block retention
@@ -152,12 +153,18 @@ def read_range_decoded(
     # a decomposed row holds ALL metrics of its day-block, so the pushed
     # predicate keeps both the requested classic rows and __dec__ rows;
     # decompress re-derives only the requested metric from the latter
+    # a block's rows extend up to block_span_days past its day= value
+    # (RollupConfig.block_span_days used at build time), so the pruning
+    # lower bound reaches back span-1 days; the upper bound is exact (a
+    # block never starts after its first point)
+    spans = block_span_days or {}
+    lo = start_dt.date() - _dt.timedelta(days=int(spans.get(tier, 1)) - 1)
     bl = (
         spark.read.parquet(os.path.join(out_base, BLOCKS_DIR))
         .where(F.col("tier") == tier)
         .where(F.col("metric").isin(metric, DEC_METRIC))
         .where(
-            (F.col("day") >= F.lit(start_dt.date().isoformat()).cast("date"))
+            (F.col("day") >= F.lit(lo.isoformat()).cast("date"))
             & (F.col("day") <= F.lit(end_dt.date().isoformat()).cast("date"))
         )
     )

@@ -76,10 +76,18 @@ def write_partitioned(df: DataFrame, path: str, partition_cols=("tier", "day"), 
     (df.write.mode(mode).partitionBy(*partition_cols).parquet(path))
 
 
-def drop_expired_partitions(base_path: str, tier: str, horizon_days: int | None, now_day: str) -> list[str]:
+def drop_expired_partitions(
+    base_path: str, tier: str, horizon_days: int | None, now_day: str,
+    span_days: int = 1,
+) -> list[str]:
     """R1 — retention enforcement, sandbox realization: prune partition
     directories older than the tier horizon. Iceberg deploy would instead
     issue `DELETE WHERE day < cutoff` + `expire_snapshots`.
+
+    `span_days` is the number of days a partition's rows may extend past
+    its `day=` value (block sinks under RollupConfig.block_span_days — a
+    span-block partition holds [day, day + span) and is dropped only once
+    its WHOLE span is past the horizon, so retention errs toward keeping).
 
     Returns the list of removed partition dirs. `now_day` is 'YYYY-MM-DD'
     (passed in — the engine never reads the wall clock in kernels)."""
@@ -96,14 +104,15 @@ def drop_expired_partitions(base_path: str, tier: str, horizon_days: int | None,
         if not name.startswith("day="):
             continue
         day = _dt.date.fromisoformat(name.split("=", 1)[1])
-        if day < cutoff:
+        if day + _dt.timedelta(days=span_days - 1) < cutoff:
             shutil.rmtree(os.path.join(tier_dir, name))
             removed.append(os.path.join(tier_dir, name))
     return removed
 
 
 def retain_store(
-    out_base: str, now_day: str, sink_retention: dict | None = None
+    out_base: str, now_day: str, sink_retention: dict | None = None,
+    block_span_days: dict | None = None,
 ) -> dict[str, list[str]]:
     """R1 across the whole store: enforce per-sink, per-tier horizons on
     every day-partitioned sink (rollup, scores, blocks). The default
@@ -113,6 +122,7 @@ def retain_store(
     from .config import SINK_RETENTION_DAYS
 
     policy = SINK_RETENTION_DAYS if sink_retention is None else sink_retention
+    spans = block_span_days or {}
     removed: dict[str, list[str]] = {}
     for sink, tiers in policy.items():
         base = os.path.join(out_base, sink)
@@ -120,7 +130,8 @@ def retain_store(
             continue
         gone: list[str] = []
         for tier, horizon in tiers.items():
-            gone += drop_expired_partitions(base, tier, horizon, now_day)
+            span = int(spans.get(tier, 1)) if sink == "blocks" else 1
+            gone += drop_expired_partitions(base, tier, horizon, now_day, span)
         removed[sink] = gone
     return removed
 
