@@ -165,6 +165,26 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("value").alias("value_d"),
         )
 
+    def engine_codec_blocks_spans(spark, sf_dir):
+        """Same C1+C2+C3 round trip as engine_codec_blocks but under the
+        round-5 MULTI-DAY block spans (block_span_days=(("1h", 16),) —
+        codec.block_start_col span floors, explicit base_us): spans change
+        block framing, never content, so the IDENTICAL DuckDB oracle must
+        match bit-for-bit. Puts the span layout itself on the value-exact
+        board (size/parity contracts in tests/test_block_spans.py)."""
+        from pyspark.sql import functions as F
+
+        cfg = RollupConfig(block_span_days=(("1h", 16),))
+        seq = sequences_from_documents(spark, sf_dir)
+        tiers = build_all_tiers(seq, cfg)
+        filled = gapfill(tiers["1h"], "1h", cfg)
+        blocks = compress_tier(filled, "1h", cfg)
+        return decompress_blocks(blocks).select(
+            "source", "tier", "metric",
+            F.unix_timestamp("bucket_start").alias("bucket_s"),
+            F.col("value").alias("value_d"),
+        )
+
     def ann_lsh(spark, sf_dir):
         """Promoted to oracle-twinned (round 3): the driver query runs the
         literal-plane fold variant (datapipe.ann_lsh_query) whose every
@@ -1802,6 +1822,7 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_matrix_profile": engine_matrix_profile,
         "engine_residual_stats": engine_residual_stats,
         "engine_codec_blocks": engine_codec_blocks,
+        "engine_codec_blocks_spans": engine_codec_blocks_spans,
         "ann_lsh": ann_lsh,
         "mm_features": mm_features,
         "mm_thumbnails": mm_thumbnails,
@@ -2900,6 +2921,7 @@ def _engine_oracles() -> dict[str, str]:
         "engine_resume_ledger": resume_ledger,
         "engine_read_decoded": read_decoded,
         "engine_codec_blocks": codec_blocks,
+        "engine_codec_blocks_spans": codec_blocks,
         "engine_zscore_1h": zscore_1h,
         "engine_streaming_scores": zscore_1h,
         "engine_streaming_token_hist": streaming_token_hist,

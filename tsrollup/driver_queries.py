@@ -10509,3 +10509,177 @@ def _register_island_derived():
 
 
 _register_island_derived()
+
+
+# ------------- W34 Croston + W35 Poisson deviance (round 5, session 2)
+
+@q(
+    "w34_croston",
+    """
+    WITH RECURSIVE mb AS (
+      SELECT event_type, epoch_us(ts) // 60000000 AS m, count(*)::BIGINT AS c
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT event_type, m, c,
+             row_number() OVER (PARTITION BY event_type ORDER BY m) AS k,
+             coalesce(m - lag(m) OVER (PARTITION BY event_type ORDER BY m),
+                      1)::BIGINT AS q
+      FROM mb
+    ),
+    cr AS (
+      SELECT event_type, k, m, c, q, c::DOUBLE AS z, q::DOUBLE AS p
+      FROM r WHERE k = 1
+      UNION ALL
+      SELECT r.event_type, r.k, r.m, r.c, r.q,
+             0.1 * r.c + 0.9 * cr.z,
+             0.1 * r.q + 0.9 * cr.p
+      FROM cr JOIN r ON r.event_type = cr.event_type AND r.k = cr.k + 1
+    )
+    SELECT event_type, k::BIGINT AS k, m::BIGINT AS m, c, q,
+           round(z, 6) AS z_r, round(p, 6) AS p_r,
+           round(0.95 * z / p, 6) AS sba_r
+    FROM cr
+    """,
+)
+def w34_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W34 — Croston's method for INTERMITTENT count series (Croston '72;
+    SBA bias correction, Syntetos-Boylan '05). The per-minute event grid
+    is ~98% zeros, exactly the regime where EWMA/z-score over the dense
+    grid collapse toward zero and Croston is the standard estimator: two
+    EWMAs over the NONZERO subsequence — demand sizes z and inter-demand
+    intervals q (minutes since the previous nonzero bucket; first = 1 by
+    pinned convention) — with forecast z/p and the SBA correction
+    (1 - alpha/2)·z/p at alpha = 0.1.
+
+    Exactness: the recurrence z_k = 0.1·c_k + 0.9·z_{k-1} (and likewise
+    p) is evaluated as a plain sequential float64 loop in ONE grouped-map
+    kernel per event_type (the nonzero subsequence is catalog-sized:
+    ~2k points per type at sf0.01), and the DuckDB twin runs the
+    IDENTICAL multiply-add order as a lockstep recursive CTE — bit-equal
+    floats, 6-dp rounding is cosmetic. At corpus scale the grouped map
+    shuffles only (type, minute, count) rows — the dense zero grid never
+    materializes anywhere."""
+    import numpy as np
+    import pandas as pd
+
+    mb = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 60000000").alias("m"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+    def croston(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("m", kind="mergesort").reset_index(drop=True)
+        m = pdf["m"].to_numpy(np.int64)
+        c = pdf["c"].to_numpy(np.float64)
+        n = len(pdf)
+        qv = np.empty(n, dtype=np.float64)
+        qv[0] = 1.0
+        if n > 1:
+            qv[1:] = (m[1:] - m[:-1]).astype(np.float64)
+        z = np.empty(n, dtype=np.float64)
+        p = np.empty(n, dtype=np.float64)
+        z[0], p[0] = c[0], qv[0]
+        for i in range(1, n):  # pinned sequential order == the CTE twin
+            z[i] = 0.1 * c[i] + 0.9 * z[i - 1]
+            p[i] = 0.1 * qv[i] + 0.9 * p[i - 1]
+        return pd.DataFrame(
+            {
+                "event_type": pdf["event_type"],
+                "k": np.arange(1, n + 1, dtype=np.int64),
+                "m": m,
+                "c": c.astype(np.int64),
+                "q": qv.astype(np.int64),
+                "z_r": np.round(z, 6),
+                "p_r": np.round(p, 6),
+                "sba_r": np.round(0.95 * z / p, 6),
+            }
+        )
+
+    return mb.groupBy("event_type").applyInPandas(
+        croston,
+        "event_type string, k long, m long, c long, q long, "
+        "z_r double, p_r double, sba_r double",
+    )
+
+
+@q(
+    "w35_poisson_dev",
+    """
+    WITH hb AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS i, count(*)::BIGINT AS c
+      FROM events GROUP BY 1, 2
+    ),
+    ext AS (SELECT event_type, min(i) AS mn, max(i) AS mx FROM hb GROUP BY 1),
+    spine AS (
+      SELECT event_type, unnest(generate_series(mn, mx)) AS i FROM ext
+    ),
+    dense AS (
+      SELECT sp.event_type, sp.i, coalesce(hb.c, 0)::BIGINT AS c
+      FROM spine sp LEFT JOIN hb ON hb.event_type = sp.event_type AND hb.i = sp.i
+    ),
+    base AS (
+      SELECT event_type, i, c,
+             sum(c) OVER w AS s168, count(*) OVER w AS n168
+      FROM dense
+      WINDOW w AS (PARTITION BY event_type ORDER BY i
+                   ROWS BETWEEN 168 PRECEDING AND 1 PRECEDING)
+    ),
+    dev AS (
+      SELECT event_type, i, c, s168 / 168.0 AS lam,
+             CASE WHEN c > 0 THEN c * ln(c / (s168 / 168.0)) ELSE 0.0 END
+               - (c - s168 / 168.0) AS hl
+      FROM base WHERE n168 = 168 AND s168 > 0
+    )
+    SELECT event_type, i::BIGINT AS i, c,
+           round(lam, 6) AS lam_r,
+           round(CASE WHEN c >= lam THEN 1.0 ELSE -1.0 END
+                 * sqrt(2.0 * hl), 4) AS dev_r
+    FROM dev
+    """,
+)
+def w35_poisson_dev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W35 — Poisson deviance-residual anomaly for COUNT series. The
+    z-score family assumes Gaussian residuals; hourly event counts are
+    Poisson, where the right standardized residual is the signed deviance
+    sign(c-lam)·sqrt(2·(c·ln(c/lam) - (c-lam))) (McCullagh-Nelder GLM
+    residual; ~N(0,1) under H0, exact at low counts where z-scores
+    over-alarm). Baseline lam = trailing-168h mean EXCLUDING the current
+    bucket (a full window required), over the zero-filled hourly spine.
+
+    Exactness: the window sum of BIGINT counts is exact on both engines,
+    lam is the single division s/168.0, and the deviance is the identical
+    closed form; dev is rounded to 4 dp (ln is the one libm call — JVM vs
+    C differ by <=1 ulp, ~1e-14 absolute here, far inside the 5e-5
+    rounding guard). sqrt is IEEE-exact on both."""
+    d = _dense_hourly(spark, sf_dir)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("i")
+        .rowsBetween(-168, -1)
+    )
+    base = d.select(
+        "event_type", "i", "c",
+        F.sum("c").over(w).alias("s168"),
+        F.count(F.lit(1)).over(w).alias("n168"),
+    ).where("n168 = 168 AND s168 > 0")
+    lam = F.col("s168") / F.lit(168.0)
+    hl = (
+        F.when(F.col("c") > 0, F.col("c") * F.log(F.col("c") / lam)).otherwise(F.lit(0.0))
+        - (F.col("c") - lam)
+    )
+    return base.select(
+        "event_type",
+        F.col("i").cast("long").alias("i"),
+        "c",
+        F.round(lam, 6).alias("lam_r"),
+        F.round(
+            F.when(F.col("c") >= lam, F.lit(1.0)).otherwise(F.lit(-1.0))
+            * F.sqrt(F.lit(2.0) * hl),
+            4,
+        ).alias("dev_r"),
+    )
