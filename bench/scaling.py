@@ -123,6 +123,12 @@ def cpu_ceiling(lo: int, hi: int, reps: int = 2, work: int = 3_000_000) -> dict:
     ceilings at the same span."""
     import multiprocessing as mp
 
+    def _stat() -> tuple[int, int]:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        return int(parts[1]), int(parts[8])
+
+    u0, s0 = _stat()
     agg_c: dict[int, float] = {}
     agg_b: dict[int, float] = {}
     n_stream = 64_000_000
@@ -138,9 +144,12 @@ def cpu_ceiling(lo: int, hi: int, reps: int = 2, work: int = 3_000_000) -> dict:
                 best_b = max(best_b, sum(r))
         agg_c[procs] = procs * work / best_c
         agg_b[procs] = best_b
-    with open("/proc/stat") as f:
-        parts = f.readline().split()
-    user, steal = int(parts[1]), int(parts[8])
+    # steal/user as a DELTA over this control window, not cumulative since
+    # boot: the cumulative ratio is permanently poisoned by any earlier
+    # noisy period in the same boot (observed 0.34 cumulative vs 0.02
+    # delta on a quiet host), so only the window delta says anything
+    # about THIS measurement.
+    u1, s1 = _stat()
     factor = hi / lo
     return {
         "span": [lo, hi],
@@ -148,7 +157,8 @@ def cpu_ceiling(lo: int, hi: int, reps: int = 2, work: int = 3_000_000) -> dict:
         "agg_read_GBps": {str(k): round(v / 1e9, 1) for k, v in agg_b.items()},
         "compute_ceiling_eff": round((agg_c[hi] / agg_c[lo]) / factor, 3),
         "bandwidth_ceiling_eff": round((agg_b[hi] / agg_b[lo]) / factor, 3),
-        "proc_stat_steal_over_user": round(steal / max(user, 1), 2),
+        "proc_stat_steal_over_user": round((s1 - s0) / max(u1 - u0, 1), 3),
+        "steal_probe": "delta over control window",
     }
 
 
