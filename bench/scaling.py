@@ -214,10 +214,20 @@ def main() -> None:
     )
     warm_fx = write_fixture(os.path.join(cache, "fx_warm"), 20_000, 20, seed=1)
 
+    def _stat_uz() -> tuple[int, int]:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        return int(parts[1]), int(parts[8])
+
     results = {}
     for master in args.masters.split(","):
         out = os.path.join("/tmp", f"scaling_out_{master.replace('[','').replace(']','')}")
+        u0, s0 = _stat_uz()
         r = run_once(master, fixture, out, warm_fx, tag="all", runs=args.runs)
+        u1, s1 = _stat_uz()
+        # per-master window steal attribution: which measurement the
+        # neighbor noise actually landed on
+        r["steal_over_user_window"] = round((s1 - s0) / max(u1 - u0, 1), 3)
         walls = r["walls_s"]
         rows = r["input_rows"]
         print(f"{master} walls: {[round(w, 1) for w in walls]}", file=sys.stderr)
@@ -235,6 +245,7 @@ def main() -> None:
             "rows": rows,
             "seq_per_s": round(rows / med, 1),
             "phase_best_s": {k: round(v, 2) for k, v in sorted(phase_best.items())},
+            "steal_over_user_window": r["steal_over_user_window"],
         }
 
     factor = hi_n / lo_n
