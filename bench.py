@@ -294,6 +294,31 @@ def main() -> None:
         "tx_moore_lewis",
         "tx_dsir",
         "a11_pricing_summary",
+        # round-5 session additions
+        "c9_irate",
+        "c10_changes",
+        "b7_heatmap",
+        "ops2_completeness",
+        "w32_page_hinkley",
+        "x21_stickiness",
+        "dd_threshold_sweep",
+        "tx_dedup_impact",
+        "ann_recall_audit",
+        "emb_mmr_topk",
+        "x22_incident_durations",
+        "w33_seasonal_strength",
+        "w34_croston",
+        "w35_poisson_dev",
+        "sk_kll_pctl",
+        "k7_skew_join",
+        "w36_mann_kendall",
+        "w37_savgol",
+        "x23_benford",
+        "tx_hapax",
+        "sk_kmv_setops",
+        "dq_ref_integrity",
+        "tx_burstiness",
+        "fe_woe_encoding",
     ):
         t0 = time.monotonic()
         SPARK[name](spark, sf_dir).count()

@@ -544,6 +544,15 @@ def _fused_kernel(
         pdf = pdf.sort_values("bucket_start", kind="mergesort").reset_index(drop=True)
         src = pdf["source"].iloc[0]
         tier = pdf["tier"].iloc[0]
+        if pdf["bucket_start"].isna().any():
+            # NULL event time upstream (e.g. a mis-pointed scan reading an
+            # unrelated parquet under the declared schema) previously
+            # surfaced as an opaque datetime64 OverflowError here
+            raise ValueError(
+                f"derive kernel got NULL bucket_start rows for "
+                f"(source={src!r}, tier={tier!r}) — input rows with NULL "
+                f"event time; check the sequences scan path/schema"
+            )
         x = pdf[value_col].to_numpy(dtype="float64")
         bucket = pdf["bucket_start"]
         nb = len(pdf)

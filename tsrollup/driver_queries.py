@@ -10683,3 +10683,650 @@ def w35_poisson_dev(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("dev_r"),
     )
+
+
+# ------------- W36 Mann-Kendall + W37 Savitzky-Golay (round 5, session 3)
+
+@q(
+    "w36_mann_kendall",
+    """
+    WITH d AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             count(*)::BIGINT AS c
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT a.event_type,
+             sum(CASE WHEN b.c > a.c THEN 1
+                      WHEN b.c < a.c THEN -1 ELSE 0 END)::BIGINT AS s
+      FROM d a JOIN d b ON a.event_type = b.event_type AND a.day < b.day
+      GROUP BY 1
+    ),
+    n AS (SELECT event_type, count(*)::BIGINT AS n FROM d GROUP BY 1),
+    ties AS (
+      SELECT event_type,
+             coalesce(sum(t * (t - 1) * (2 * t + 5)), 0)::BIGINT AS tie18
+      FROM (SELECT event_type, c, count(*)::BIGINT AS t
+            FROM d GROUP BY 1, 2) g
+      WHERE t > 1 GROUP BY 1
+    )
+    SELECT n.event_type, n.n, s.s,
+           (n.n * (n.n - 1) * (2 * n.n + 5) - coalesce(ties.tie18, 0))::BIGINT
+             AS var18,
+           round((s.s - CASE WHEN s.s > 0 THEN 1
+                             WHEN s.s < 0 THEN -1 ELSE 0 END)
+                 / sqrt((n.n * (n.n - 1) * (2 * n.n + 5)
+                         - coalesce(ties.tie18, 0)) / 18.0), 6) AS z_r
+    FROM n JOIN s USING (event_type)
+    LEFT JOIN ties USING (event_type)
+    """,
+)
+def w36_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W36 — Mann-Kendall trend test (Mann '45, Kendall '75) per
+    event_type over the DAILY count series: S = sum over ordered day
+    pairs of sign(c_j - c_i), tie-corrected Var(S) =
+    [n(n-1)(2n+5) - sum_g t_g(t_g-1)(2t_g+5)] / 18, continuity-corrected
+    z = (S -/+ 1)/sqrt(Var). The standard nonparametric "is this source's
+    volume trending" test — robust to outliers and needs no distribution
+    assumption, which is exactly the monitoring regime.
+
+    Exactness: S, n, and the variance NUMERATOR var18 are pure integers
+    on both engines; z does one float division + sqrt (IEEE-identical),
+    rounded to 6 dp. Scale: the pairwise self-join is O(days^2) per
+    source on a CATALOG-sized daily series (30 days here; a production
+    window bounds it to e.g. the last 90 days, 4k pairs per source —
+    the join shuffles only (type, day, count) rows, never raw events)."""
+    d = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    a, b = d.alias("a"), d.alias("b")
+    s = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.day") < F.col("b.day")),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(
+            F.sum(F.signum(F.col("b.c") - F.col("a.c")).cast("long"))
+            .cast("long").alias("s")
+        )
+    )
+    n = d.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ties = (
+        d.groupBy("event_type", "c")
+        .agg(F.count(F.lit(1)).cast("long").alias("tcnt"))
+        .where("tcnt > 1")
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.col("tcnt") * (F.col("tcnt") - 1) * (2 * F.col("tcnt") + 5)
+            ).cast("long").alias("tie18")
+        )
+    )
+    var18 = (
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+        - F.coalesce(F.col("tie18"), F.lit(0))
+    ).cast("long")
+    return (
+        n.join(s, "event_type").join(ties, "event_type", "left")
+        .select(
+            "event_type", "n", "s",
+            var18.alias("var18"),
+            F.round(
+                (F.col("s") - F.signum(F.col("s")).cast("long"))
+                / F.sqrt(var18 / F.lit(18.0)),
+                6,
+            ).alias("z_r"),
+        )
+    )
+
+
+@q(
+    "w37_savgol",
+    """
+    WITH hb AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS i, count(*)::BIGINT AS c
+      FROM events GROUP BY 1, 2
+    ),
+    ext AS (SELECT event_type, min(i) AS mn, max(i) AS mx FROM hb GROUP BY 1),
+    spine AS (
+      SELECT event_type, unnest(generate_series(mn, mx)) AS i FROM ext
+    ),
+    g AS (
+      SELECT s.event_type, s.i, coalesce(hb.c, 0)::BIGINT AS c
+      FROM spine s LEFT JOIN hb ON s.event_type = hb.event_type AND s.i = hb.i
+    ),
+    w AS (
+      SELECT event_type, i, c,
+             lag(c, 3)  OVER pw AS m3, lag(c, 2)  OVER pw AS m2,
+             lag(c, 1)  OVER pw AS m1, lead(c, 1) OVER pw AS p1,
+             lead(c, 2) OVER pw AS p2, lead(c, 3) OVER pw AS p3
+      FROM g WINDOW pw AS (PARTITION BY event_type ORDER BY i)
+    )
+    SELECT event_type, i, c,
+           (-2 * m3 + 3 * m2 + 6 * m1 + 7 * c + 6 * p1 + 3 * p2 - 2 * p3)::BIGINT
+             AS sg_num,
+           round((-2 * m3 + 3 * m2 + 6 * m1 + 7 * c + 6 * p1 + 3 * p2 - 2 * p3)
+                 / 21.0, 6) AS smooth_r,
+           (-3 * m3 - 2 * m2 - m1 + p1 + 2 * p2 + 3 * p3)::BIGINT AS d1_num,
+           round((-3 * m3 - 2 * m2 - m1 + p1 + 2 * p2 + 3 * p3) / 28.0, 6)
+             AS deriv_r
+    FROM w
+    WHERE m3 IS NOT NULL AND p3 IS NOT NULL
+    """,
+)
+def w37_savgol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W37 — Savitzky-Golay smoothing (Savitzky & Golay '64) over the
+    dense hourly grid: the window-7 quadratic least-squares filter
+    (-2,3,6,7,6,3,-2)/21 plus its first-derivative companion
+    (-3,-2,-1,0,1,2,3)/28 — the standard peak-preserving smoother (a
+    moving average flattens peaks; SG fits a local parabola, so spike
+    SHAPE survives for the downstream detectors).
+
+    Exactness: the convolution NUMERATORS are pure BIGINT dot products of
+    integer counts with integer coefficients (exact on both engines); the
+    single division by the constant denominator is rounded to 6 dp.
+    Interior points only (full window). Scale: one window stage over the
+    per-source dense grid, partitioned by source — same shuffle shape as
+    every other W-row; coefficients live in the plan, not in a UDF."""
+    d = _dense_hourly(spark, sf_dir)
+    pw = Window.partitionBy("event_type").orderBy("i")
+    cols = {
+        "m3": F.lag("c", 3).over(pw), "m2": F.lag("c", 2).over(pw),
+        "m1": F.lag("c", 1).over(pw), "p1": F.lead("c", 1).over(pw),
+        "p2": F.lead("c", 2).over(pw), "p3": F.lead("c", 3).over(pw),
+    }
+    w = d.select("event_type", "i", "c", *[v.alias(k) for k, v in cols.items()])
+    sg = (
+        -2 * F.col("m3") + 3 * F.col("m2") + 6 * F.col("m1") + 7 * F.col("c")
+        + 6 * F.col("p1") + 3 * F.col("p2") - 2 * F.col("p3")
+    ).cast("long")
+    d1 = (
+        -3 * F.col("m3") - 2 * F.col("m2") - F.col("m1")
+        + F.col("p1") + 2 * F.col("p2") + 3 * F.col("p3")
+    ).cast("long")
+    return (
+        w.where("m3 IS NOT NULL AND p3 IS NOT NULL")
+        .select(
+            "event_type", "i", "c",
+            sg.alias("sg_num"),
+            F.round(sg / F.lit(21.0), 6).alias("smooth_r"),
+            d1.alias("d1_num"),
+            F.round(d1 / F.lit(28.0), 6).alias("deriv_r"),
+        )
+    )
+
+
+# ------------- X23 Benford + TX hapax (round 5, session 3)
+
+_BENFORD_MICRO = (
+    (1, 301030), (2, 176091), (3, 124939), (4, 96910), (5, 79181),
+    (6, 66947), (7, 57992), (8, 51153), (9, 45757),
+)
+_BENFORD_CASE = "CASE fd " + " ".join(
+    f"WHEN {d} THEN {p}" for d, p in _BENFORD_MICRO
+) + " END"
+
+
+@q(
+    "x23_benford",
+    f"""
+    WITH fdig AS (
+      SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                         AS VARCHAR), 1, 1) AS BIGINT) AS fd
+      FROM orders
+    ),
+    obs AS (SELECT fd, count(*)::BIGINT AS obs FROM fdig GROUP BY 1),
+    tot AS (SELECT sum(obs)::BIGINT AS total FROM obs)
+    SELECT fd, obs, ({_BENFORD_CASE})::BIGINT AS p_micro,
+           (tot.total * ({_BENFORD_CASE}))::BIGINT AS exp_micro,
+           round(
+             (1000000.0 * obs - tot.total * ({_BENFORD_CASE}))
+             * (1000000.0 * obs - tot.total * ({_BENFORD_CASE}))
+             / (tot.total * ({_BENFORD_CASE}) * 1000000.0), 6) AS chi2_term_r
+    FROM obs, tot
+    """,
+)
+def x23_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X23 — Benford first-digit conformance test (Newcomb 1881, Benford
+    1938) on order totals: observed first-significant-digit counts vs the
+    Benford expectation log10(1+1/d), per-digit chi-square contributions.
+    The classic fraud/synthetic-data screen — a pipeline ingesting
+    invented monetary values shows first-digit flatness instantly.
+
+    Exactness: digits come from the exact integer CENTS grid (round(x*100)
+    — prices are 2-dec values, never near a half-ulp boundary); the
+    Benford probabilities are shared MICRO-UNIT literals (sum = 1e6), so
+    obs, p_micro, exp_micro are integers on both engines and the single
+    float chi-square division is rounded to 6 dp. Scale: one scan + a
+    9-row aggregate; the total joins back as a 1-row broadcast."""
+    fd = t(spark, sf_dir, "orders").select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").cast("string"),
+            1, 1,
+        ).cast("long").alias("fd")
+    )
+    obs = fd.groupBy("fd").agg(F.count(F.lit(1)).cast("long").alias("obs"))
+    tot = obs.agg(F.sum("obs").cast("long").alias("total"))
+    p_micro = F.coalesce(
+        *[F.when(F.col("fd") == d, F.lit(p)) for d, p in _BENFORD_MICRO]
+    ).cast("long")
+    joined = obs.crossJoin(F.broadcast(tot))
+    exp_micro = (F.col("total") * p_micro).cast("long")
+    resid = F.lit(1000000.0) * F.col("obs") - exp_micro
+    return joined.select(
+        "fd", "obs",
+        p_micro.alias("p_micro"),
+        exp_micro.alias("exp_micro"),
+        F.round(resid * resid / (exp_micro * F.lit(1000000.0)), 6)
+        .alias("chi2_term_r"),
+    )
+
+
+@q(
+    "tx_hapax",
+    """
+    WITH wf AS (
+      SELECT source, word, count(*)::BIGINT AS f
+      FROM (SELECT source, unnest(string_split(lower(text), ' ')) AS word
+            FROM documents) x
+      WHERE word <> '' GROUP BY 1, 2
+    )
+    SELECT source,
+           count(*)::BIGINT AS n_types,
+           sum(f)::BIGINT AS n_tokens,
+           sum(CASE WHEN f = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax,
+           sum(CASE WHEN f = 2 THEN 1 ELSE 0 END)::BIGINT AS n_dis,
+           CAST((10000 * sum(CASE WHEN f = 1 THEN 1 ELSE 0 END)) // count(*)
+                AS BIGINT) AS hapax_bp,
+           CAST((10000 * count(*)) // sum(f) AS BIGINT) AS ttr_bp
+    FROM wf GROUP BY 1
+    """,
+)
+def tx_hapax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TX-HAPAX — hapax/dis legomena profile per source: vocabulary size
+    (types), token count, words occurring exactly once (hapax) and twice
+    (dis), hapax ratio and type-token ratio in basis points. Hapax rate
+    is a standard corpus-quality signal: boilerplate-heavy or
+    template-generated sources show an abnormally LOW hapax share, OCR
+    noise an abnormally high one (Baayen, Word Frequency Distributions
+    '01).
+
+    Exactness: pure integer counts + basis-point integer division on
+    both engines. Scale: one (source, word) aggregate — partial combine
+    collapses repeats map-side; only distinct pairs shuffle."""
+    wf = (
+        t(spark, sf_dir, "documents")
+        .select("source", F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .where("word <> ''")
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+    )
+    return wf.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum("f").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("f") == 1, 1).otherwise(0)).cast("long").alias("n_hapax"),
+        F.sum(F.when(F.col("f") == 2, 1).otherwise(0)).cast("long").alias("n_dis"),
+        F.expr(
+            "10000 * sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) div count(*)"
+        ).alias("hapax_bp"),
+        F.expr("10000 * count(*) div sum(f)").alias("ttr_bp"),
+    )
+
+
+# ------------- SK6 KMV distinct sketch + set-op estimates (round 5, s3)
+
+def _register_kmv() -> None:
+    from .duck_oracle import XXH64_PRELUDE
+
+    K = 64
+    # int64 min: XOR maps signed order -> unsigned order. Spelled as
+    # (-9223372036854775807 - 1) because the bare literal parses as unary
+    # minus over an overflowing positive literal on BOTH engines.
+    SGN = "(-9223372036854775807 - 1)"
+    # (k-1) * 2^64 numerator and the signed->unsigned offset, as literals
+    NUM = (K - 1) * 18446744073709551616
+    OFF = 9223372036854775808
+
+    oracle = XXH64_PRELUDE + f"""
+    WITH sk AS (
+      SELECT event_type, key, row_number() OVER (
+               PARTITION BY event_type ORDER BY key) AS rn
+      FROM (SELECT DISTINCT event_type,
+                   xor(xxh64(user_id::VARCHAR), {SGN}::BIGINT) AS key
+            FROM events) h
+      QUALIFY rn <= {K}
+    ),
+    per AS (
+      SELECT event_type, max(rn)::BIGINT AS m,
+             max(CASE WHEN rn = {K} THEN key END) AS kth
+      FROM sk GROUP BY 1
+    ),
+    est AS (
+      SELECT event_type, m,
+             CASE WHEN m < {K} THEN m
+                  ELSE CAST({NUM}::HUGEINT
+                            // (kth::HUGEINT + {OFF}::HUGEINT) AS BIGINT)
+             END AS est
+      FROM per
+    ),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b
+      FROM est a JOIN est b ON a.event_type < b.event_type
+    ),
+    mrg AS (
+      SELECT p.type_a, p.type_b, s.key,
+             row_number() OVER (PARTITION BY p.type_a, p.type_b
+                                ORDER BY s.key) AS rn
+      FROM pairs p JOIN (
+        SELECT DISTINCT ta.type_a, ta.type_b, u.key
+        FROM pairs ta JOIN sk u
+          ON u.event_type = ta.type_a OR u.event_type = ta.type_b
+      ) s ON s.type_a = p.type_a AND s.type_b = p.type_b
+      QUALIFY rn <= {K}
+    ),
+    uest AS (
+      SELECT type_a, type_b, max(rn)::BIGINT AS mu,
+             max(CASE WHEN rn = {K} THEN key END) AS kth
+      FROM mrg GROUP BY 1, 2
+    )
+    SELECT u.type_a, u.type_b, ea.est AS est_a, eb.est AS est_b,
+           CASE WHEN u.mu < {K} THEN u.mu
+                ELSE CAST({NUM}::HUGEINT
+                          // (u.kth::HUGEINT + {OFF}::HUGEINT) AS BIGINT)
+           END AS est_union,
+           ea.est + eb.est
+             - CASE WHEN u.mu < {K} THEN u.mu
+                    ELSE CAST({NUM}::HUGEINT
+                              // (u.kth::HUGEINT + {OFF}::HUGEINT) AS BIGINT)
+               END AS est_inter
+    FROM uest u
+    JOIN est ea ON ea.event_type = u.type_a
+    JOIN est eb ON eb.event_type = u.type_b
+    """
+
+    @q("sk_kmv_setops", oracle)
+    def sk_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """SK6 — KMV (k-minimum-values / bottom-k theta) distinct sketch
+        (Bar-Yossef et al. '02; Beyer et al. SIGMOD '07) with MERGEABLE
+        set operations: per event_type keep the k=64 smallest
+        xxhash64(user_id) values in UNSIGNED order; distinct-user
+        estimate = (k-1)*2^64 / kth_min (exact count when fewer than k
+        distinct values exist — the sketch is lossless below k). Union
+        sketch = k smallest of the two sketches' merged value sets;
+        intersection by inclusion-exclusion. The set-op capability is
+        what HLL (sk_hll) lacks: HLL unions but cannot intersect without
+        bias; KMV gives both from the same 64x8-byte state.
+
+        Exactness (the sketch itself is twinned, the sk_cms idiom): the
+        DuckDB twin recomputes the IDENTICAL hashes (xxh64 macro == Spark
+        xxhash64, seed 42), the identical unsigned order (XOR int64-min
+        keeps BIGINT order == unsigned order), and the identical
+        (k-1)*2^64 // u_kth integer division (DECIMAL(38) vs HUGEINT) —
+        value-exact, no float anywhere. Scale: partial-aggregates to k
+        values per (type, partition) map-side under groupBy, merges to k
+        per type; pairwise set-ops touch only the k-row sketches, never
+        the corpus."""
+        ev = t(spark, sf_dir, "events")
+        sk = (
+            ev.select(
+                "event_type",
+                F.expr(
+                    f"xxhash64(CAST(user_id AS STRING)) ^ {SGN}"
+                ).alias("key"),
+            )
+            .distinct()
+            .select(
+                "event_type", "key",
+                F.row_number().over(
+                    Window.partitionBy("event_type").orderBy("key")
+                ).alias("rn"),
+            )
+            .where(F.col("rn") <= K)
+        )
+        est_expr = (
+            f"CASE WHEN m < {K} THEN m ELSE CAST(CAST({NUM} AS DECIMAL(38,0))"
+            f" div (CAST(kth AS DECIMAL(38,0)) + {OFF}) AS BIGINT) END"
+        )
+        per = sk.groupBy("event_type").agg(
+            F.max("rn").cast("long").alias("m"),
+            F.max(F.when(F.col("rn") == K, F.col("key"))).alias("kth"),
+        ).select("event_type", F.expr(est_expr).alias("est"))
+        a, b = per.alias("a"), per.alias("b")
+        pairs = a.join(
+            b, F.col("a.event_type") < F.col("b.event_type")
+        ).select(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+            F.col("a.est").alias("est_a"),
+            F.col("b.est").alias("est_b"),
+        )
+        merged = (
+            pairs.select("type_a", "type_b")
+            .join(
+                sk.select("event_type", "key"),
+                (F.col("event_type") == F.col("type_a"))
+                | (F.col("event_type") == F.col("type_b")),
+            )
+            .select("type_a", "type_b", "key")
+            .distinct()
+            .select(
+                "type_a", "type_b", "key",
+                F.row_number().over(
+                    Window.partitionBy("type_a", "type_b").orderBy("key")
+                ).alias("rn"),
+            )
+            .where(F.col("rn") <= K)
+        )
+        uest = merged.groupBy("type_a", "type_b").agg(
+            F.max("rn").cast("long").alias("m"),
+            F.max(F.when(F.col("rn") == K, F.col("key"))).alias("kth"),
+        ).select("type_a", "type_b", F.expr(est_expr).alias("est_union"))
+        return (
+            pairs.join(uest, ["type_a", "type_b"])
+            .select(
+                "type_a", "type_b", "est_a", "est_b", "est_union",
+                (F.col("est_a") + F.col("est_b") - F.col("est_union"))
+                .cast("long").alias("est_inter"),
+            )
+        )
+
+
+_register_kmv()
+
+
+# ------------- DQ4 referential integrity + TX burstiness + FE4 WOE
+
+@q(
+    "dq_ref_integrity",
+    """
+    WITH checks AS (
+      SELECT 'lineitem->orders' AS fk, count(*)::BIGINT AS child_rows,
+             sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT
+               AS orphans,
+             count(DISTINCT CASE WHEN o.o_orderkey IS NULL
+                                 THEN l.l_orderkey END)::BIGINT
+               AS orphan_keys
+      FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+      UNION ALL
+      SELECT 'orders->customer', count(*)::BIGINT,
+             sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT,
+             count(DISTINCT CASE WHEN c.c_custkey IS NULL
+                                 THEN o.o_custkey END)::BIGINT
+      FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      UNION ALL
+      SELECT 'customer->nation', count(*)::BIGINT,
+             sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END)::BIGINT,
+             count(DISTINCT CASE WHEN n.n_nationkey IS NULL
+                                 THEN c.c_nationkey END)::BIGINT
+      FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+      UNION ALL
+      SELECT 'supplier->nation', count(*)::BIGINT,
+             sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END)::BIGINT,
+             count(DISTINCT CASE WHEN n.n_nationkey IS NULL
+                                 THEN s.s_nationkey END)::BIGINT
+      FROM supplier s LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+    )
+    SELECT fk, child_rows, orphans, orphan_keys,
+           CAST(10000 * orphans // child_rows AS BIGINT) AS orphan_bp
+    FROM checks
+    """,
+)
+def dq_ref_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ4 — referential-integrity audit across the star's FK edges:
+    orphan child rows (FK value with no parent) per relationship, as
+    counts and basis points. The first table-health check a warehouse
+    runs after every load; catches broken upstream joins before they
+    silently drop rows in inner-join reports.
+
+    Exactness: pure integer counts. Scale: each check is one left join
+    keyed on the FK — the parent side of every edge here is a dimension
+    (broadcastable); orphan counting aggregates map-side. The checks
+    union AFTER aggregation, so the result is four rows."""
+    def check(child: DataFrame, parent: DataFrame, ck, pk, label: str) -> DataFrame:
+        j = child.join(
+            F.broadcast(parent.select(F.col(pk))), child[ck] == F.col(pk), "left"
+        )
+        return j.agg(
+            F.lit(label).alias("fk"),
+            F.count(F.lit(1)).cast("long").alias("child_rows"),
+            F.sum(F.col(pk).isNull().cast("long")).cast("long").alias("orphans"),
+            F.countDistinct(
+                F.when(F.col(pk).isNull(), child[ck])
+            ).cast("long").alias("orphan_keys"),
+        )
+    li = t(spark, sf_dir, "lineitem")
+    od = t(spark, sf_dir, "orders")
+    cu = t(spark, sf_dir, "customer")
+    na = t(spark, sf_dir, "nation")
+    su = t(spark, sf_dir, "supplier")
+    out = (
+        check(li, od, "l_orderkey", "o_orderkey", "lineitem->orders")
+        .unionAll(check(od, cu, "o_custkey", "c_custkey", "orders->customer"))
+        .unionAll(check(cu, na, "c_nationkey", "n_nationkey", "customer->nation"))
+        .unionAll(check(su, na.select(F.col("n_nationkey").alias("n_nationkey2")),
+                        "s_nationkey", "n_nationkey2", "supplier->nation"))
+    )
+    return out.select(
+        "fk", "child_rows", "orphans", "orphan_keys",
+        F.expr("10000 * orphans div child_rows").alias("orphan_bp"),
+    )
+
+
+@q(
+    "tx_burstiness",
+    """
+    WITH occ AS (
+      SELECT word, doc_id, count(*)::BIGINT AS tf
+      FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+            FROM documents) x
+      WHERE word <> '' GROUP BY 1, 2
+    )
+    SELECT word,
+           sum(tf)::BIGINT AS cf,
+           count(*)::BIGINT AS df,
+           round(sum(tf) / (1.0 * count(*)), 6) AS burstiness_r
+    FROM occ GROUP BY 1
+    HAVING count(*) >= 5
+    """,
+)
+def tx_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TX-BURST — Church-Gale term burstiness (Church & Gale '95):
+    collection frequency / document frequency per word = mean occurrences
+    per CONTAINING document. Content words are bursty (appear many times
+    in the few docs that mention them), function words are not — a
+    burstiness profile separates topical vocabulary from glue and flags
+    template spam (whole vocabulary at burstiness ~= constant).
+
+    Exactness: cf and df are integers; the one division is rounded.
+    df >= 5 bounds output to established vocabulary. Scale: the
+    (word, doc) aggregate partial-combines map-side; the word-level
+    re-aggregate shuffles one row per distinct (word, doc) pair."""
+    occ = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .where("word <> ''")
+        .groupBy("word", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    return (
+        occ.groupBy("word")
+        .agg(
+            F.sum("tf").cast("long").alias("cf"),
+            F.count(F.lit(1)).cast("long").alias("df"),
+        )
+        .where("df >= 5")
+        .select(
+            "word", "cf", "df",
+            F.round(F.col("cf") / (F.lit(1.0) * F.col("df")), 6)
+            .alias("burstiness_r"),
+        )
+    )
+
+
+@q(
+    "fe_woe_encoding",
+    """
+    WITH lab AS (
+      SELECT o_orderpriority AS cat,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders
+    ),
+    tot AS (
+      SELECT sum(y)::BIGINT AS pos_all,
+             (count(*) - sum(y))::BIGINT AS neg_all
+      FROM lab
+    ),
+    per AS (
+      SELECT cat, sum(y)::BIGINT AS pos, (count(*) - sum(y))::BIGINT AS neg
+      FROM lab GROUP BY 1
+    )
+    SELECT per.cat, per.pos, per.neg,
+           round(ln(((per.pos + 0.5) / (tot.pos_all + 0.5))
+                    / ((per.neg + 0.5) / (tot.neg_all + 0.5))), 6) AS woe_r,
+           round((((per.pos + 0.5) / (tot.pos_all + 0.5))
+                  - ((per.neg + 0.5) / (tot.neg_all + 0.5)))
+                 * ln(((per.pos + 0.5) / (tot.pos_all + 0.5))
+                      / ((per.neg + 0.5) / (tot.neg_all + 0.5))), 6)
+             AS iv_term_r
+    FROM per, tot
+    """,
+)
+def fe_woe_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FE4 — Weight-of-Evidence categorical encoding + per-category
+    Information Value terms (the credit-scoring standard; Siddiqi,
+    Credit Risk Scorecards '06): WOE = ln(P(cat|pos)/P(cat|neg)) with
+    0.5 Laplace smoothing, IV term = (P(cat|pos) - P(cat|neg)) * WOE.
+    Complements fe_target_encoding (mean-target) with the
+    log-odds-scale encoder logistic models want.
+
+    Exactness: pos/neg are integers; the ratio chain is evaluated in the
+    IDENTICAL parenthesized order on both engines and ln differs by
+    <= 1 ulp (~1e-16 relative) vs the 1e-6 rounding guard. Scale: one
+    aggregate over the fact table + a 1-row broadcast total."""
+    lab = t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("cat"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+    tot = lab.agg(
+        F.sum("y").cast("long").alias("pos_all"),
+        (F.count(F.lit(1)) - F.sum("y")).cast("long").alias("neg_all"),
+    )
+    per = lab.groupBy("cat").agg(
+        F.sum("y").cast("long").alias("pos"),
+        (F.count(F.lit(1)) - F.sum("y")).cast("long").alias("neg"),
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    pr = (F.col("pos") + 0.5) / (F.col("pos_all") + 0.5)
+    nr = (F.col("neg") + 0.5) / (F.col("neg_all") + 0.5)
+    return j.select(
+        "cat", "pos", "neg",
+        F.round(F.log(pr / nr), 6).alias("woe_r"),
+        F.round((pr - nr) * F.log(pr / nr), 6).alias("iv_term_r"),
+    )
