@@ -319,6 +319,9 @@ def main() -> None:
         "dq_ref_integrity",
         "tx_burstiness",
         "fe_woe_encoding",
+        "w38_hurst",
+        "x24_overdispersion",
+        "ml_reliability",
     ):
         t0 = time.monotonic()
         SPARK[name](spark, sf_dir).count()

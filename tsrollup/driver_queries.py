@@ -11330,3 +11330,307 @@ def fe_woe_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.log(pr / nr), 6).alias("woe_r"),
         F.round((pr - nr) * F.log(pr / nr), 6).alias("iv_term_r"),
     )
+
+
+# ------------- W38 Hurst + X24 Fano + ML4 reliability (round 5, s3)
+
+_HURST_WS = (8, 16, 32, 64, 128)
+#: round(ln(w) * 1e6) for the OLS x-axis — SHARED literals on both engines
+_HURST_LNW = {8: 2079442, 16: 2772589, 32: 3465736, 64: 4158883, 128: 4852030}
+
+
+@q(
+    "w38_hurst",
+    f"""
+    WITH hb AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS i, count(*)::BIGINT AS c
+      FROM events GROUP BY 1, 2
+    ),
+    ext AS (SELECT event_type, min(i) AS mn, max(i) AS mx FROM hb GROUP BY 1),
+    g AS (
+      SELECT s.event_type, s.i - e.mn AS k, coalesce(hb.c, 0)::BIGINT AS c
+      FROM (SELECT event_type, unnest(generate_series(mn, mx)) AS i
+            FROM ext) s
+      JOIN ext e ON s.event_type = e.event_type
+      LEFT JOIN hb ON s.event_type = hb.event_type AND s.i = hb.i
+    ),
+    ws AS (SELECT unnest([{', '.join(str(w) for w in _HURST_WS)}]) AS w),
+    blk AS (
+      SELECT g.event_type, ws.w, g.k // ws.w AS b, g.k % ws.w AS r, g.c, g.k,
+             sum(g.c) OVER (PARTITION BY g.event_type, ws.w, g.k // ws.w
+                            ORDER BY g.k)::BIGINT AS cum
+      FROM g CROSS JOIN ws
+    ),
+    yv AS (
+      SELECT event_type, w, b, r, c,
+             (w * cum - (r + 1) * sum(c) OVER
+                (PARTITION BY event_type, w, b))::BIGINT AS y
+      FROM blk
+    ),
+    pb AS (
+      SELECT event_type, w, b,
+             count(*)::BIGINT AS nb,
+             sum(c)::BIGINT AS s,
+             sum(c * c)::BIGINT AS qq,
+             max(y)::BIGINT AS ymax,
+             min(y)::BIGINT AS ymin
+      FROM yv GROUP BY 1, 2, 3
+    ),
+    rs AS (
+      SELECT event_type, w,
+             CAST(round(1000000.0 * (ymax - ymin) / sqrt(w * qq - s * s))
+                  AS BIGINT) AS rs_micro
+      FROM pb WHERE nb = w AND w * qq - s * s > 0
+    ),
+    mrs AS (
+      SELECT event_type, w, count(*)::BIGINT AS n_blocks,
+             CAST(sum(rs_micro) // count(*) AS BIGINT) AS mean_rs_micro
+      FROM rs GROUP BY 1, 2
+    ),
+    pts AS (
+      SELECT event_type,
+             CASE w {' '.join(f'WHEN {w} THEN {v}' for w, v in _HURST_LNW.items())} END
+               ::BIGINT AS x,
+             CAST(round(1000000.0 * ln(mean_rs_micro / 1000000.0)) AS BIGINT)
+               AS y,
+             w, mean_rs_micro, n_blocks
+      FROM mrs
+    ),
+    slope AS (
+      SELECT event_type,
+             round((count(*) * sum(x * y) - sum(x) * sum(y))
+                   / (1.0 * (count(*) * sum(x * x) - sum(x) * sum(x))), 6)
+               AS hurst_r,
+             count(*)::BIGINT AS n_pts
+      FROM pts GROUP BY 1
+    )
+    SELECT p.event_type, p.w, p.n_blocks, p.mean_rs_micro,
+           s.hurst_r, s.n_pts
+    FROM pts p JOIN slope s USING (event_type)
+    """,
+)
+def w38_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W38 — Hurst exponent via rescaled-range analysis (Hurst '51;
+    Mandelbrot & Wallis '69) per event_type over the dense hourly grid:
+    for block sizes w in {8..128}, R/S per full block, mean R/S per w,
+    H = OLS slope of ln(R/S) on ln(w). H≈0.5 = memoryless, H>0.5 =
+    long-range dependence — the classic self-similarity diagnostic for
+    network/traffic series (Leland et al. '94), which decides whether
+    Poisson-based alert thresholds (w35) are even applicable.
+
+    Exactness: inside each block everything is INTEGER — the cumulative
+    deviation is scaled by w (w·cum_k − (k+1)·S), the variance numerator
+    is w·Σc² − S²; R/S = range/sqrt(vint) is ONE identical float op
+    rounded to micro-units, block means are integer floor-div, the OLS
+    x-axis is shared micro-ln literals and y re-rounds one ln. Scale:
+    the dense grid is per-source catalog-sized; the ×5 block-size
+    explode shuffles (type, w, block) partials only."""
+    d = _dense_hourly(spark, sf_dir)
+    mn = Window.partitionBy("event_type")
+    g = d.select(
+        "event_type",
+        (F.col("i") - F.min("i").over(mn)).alias("k"),
+        "c",
+    )
+    ws = spark.range(1).select(
+        F.explode(F.array(*[F.lit(w) for w in _HURST_WS])).alias("w")
+    )
+    blk = g.crossJoin(F.broadcast(ws)).select(
+        "event_type", "w",
+        (F.col("k") / F.col("w")).cast("long").alias("b"),
+        F.pmod("k", "w").alias("r"),
+        "c", "k",
+    )
+    cw = (
+        Window.partitionBy("event_type", "w", "b")
+        .orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bw = Window.partitionBy("event_type", "w", "b")
+    y = (
+        F.col("w") * F.sum("c").over(cw)
+        - (F.col("r") + 1) * F.sum("c").over(bw)
+    ).cast("long")
+    pb = (
+        blk.select("event_type", "w", "b", "c", y.alias("y"))
+        .groupBy("event_type", "w", "b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("nb"),
+            F.sum("c").cast("long").alias("s"),
+            F.sum(F.col("c") * F.col("c")).cast("long").alias("qq"),
+            F.max("y").cast("long").alias("ymax"),
+            F.min("y").cast("long").alias("ymin"),
+        )
+    )
+    vint = F.col("w") * F.col("qq") - F.col("s") * F.col("s")
+    rs = pb.where((F.col("nb") == F.col("w")) & (vint > 0)).select(
+        "event_type", "w",
+        F.round(
+            F.lit(1000000.0) * (F.col("ymax") - F.col("ymin")) / F.sqrt(vint)
+        ).cast("long").alias("rs_micro"),
+    )
+    mrs = rs.groupBy("event_type", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.expr("sum(rs_micro) div count(*)").alias("mean_rs_micro"),
+    )
+    lnw = F.coalesce(
+        *[F.when(F.col("w") == w, F.lit(v)) for w, v in _HURST_LNW.items()]
+    ).cast("long")
+    pts = mrs.select(
+        "event_type",
+        lnw.alias("x"),
+        F.round(
+            F.lit(1000000.0) * F.log(F.col("mean_rs_micro") / F.lit(1000000.0))
+        ).cast("long").alias("y"),
+        "w", "mean_rs_micro", "n_blocks",
+    )
+    slope = pts.groupBy("event_type").agg(
+        F.round(
+            (F.count(F.lit(1)) * F.sum(F.col("x") * F.col("y"))
+             - F.sum("x") * F.sum("y"))
+            / (F.lit(1.0) * (F.count(F.lit(1)) * F.sum(F.col("x") * F.col("x"))
+                             - F.sum("x") * F.sum("x"))),
+            6,
+        ).alias("hurst_r"),
+        F.count(F.lit(1)).cast("long").alias("n_pts"),
+    )
+    return pts.join(slope, "event_type").select(
+        "event_type", "w", "n_blocks", "mean_rs_micro", "hurst_r", "n_pts"
+    )
+
+
+@q(
+    "x24_overdispersion",
+    """
+    WITH hb AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS i, count(*)::BIGINT AS c
+      FROM events GROUP BY 1, 2
+    ),
+    ext AS (SELECT event_type, min(i) AS mn, max(i) AS mx FROM hb GROUP BY 1),
+    g AS (
+      SELECT s.event_type, s.i // 24 AS d, coalesce(hb.c, 0)::BIGINT AS c
+      FROM (SELECT event_type, unnest(generate_series(mn, mx)) AS i
+            FROM ext) s
+      LEFT JOIN hb ON s.event_type = hb.event_type AND s.i = hb.i
+    ),
+    pd AS (
+      SELECT event_type, d, count(*)::BIGINT AS n,
+             sum(c)::BIGINT AS s, sum(c * c)::BIGINT AS qq
+      FROM g GROUP BY 1, 2
+      HAVING count(*) = 24 AND sum(c) > 0
+    )
+    SELECT event_type, d, s,
+           (n * qq - s * s)::BIGINT AS var_num,
+           round((n * qq - s * s) / (1.0 * n * s), 6) AS fano_r,
+           CASE WHEN (n * qq - s * s) > 2 * n * s THEN 1 ELSE 0 END
+             AS overdispersed
+    FROM pd
+    """,
+)
+def x24_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X24 — Fano factor (index of dispersion) per (event_type, day) over
+    hourly counts: F = var_pop/mean = (nΣc² − S²)/(nS). F≈1 is Poisson;
+    F>2 flags overdispersion (bursty arrivals), which invalidates
+    Poisson thresholds (w35) and argues for the negative-binomial /
+    empirical envelope (w29) — the regime-selection diagnostic between
+    the two detector families.
+
+    Exactness: the variance NUMERATOR n·Σc² − S² is a pure BIGINT on
+    both engines; fano does one float division rounded 6 dp; the
+    overdispersion flag is an exact integer comparison (var > 2·mean
+    ⇔ var_num > 2·n·S — no float in the decision). Scale: one hash agg
+    over the per-source dense grid; full days only."""
+    d = _dense_hourly(spark, sf_dir)
+    pd_ = (
+        d.select("event_type", F.expr("i div 24").alias("d"), "c")
+        .groupBy("event_type", "d")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("c").cast("long").alias("s"),
+            F.sum(F.col("c") * F.col("c")).cast("long").alias("qq"),
+        )
+        .where("n = 24 AND s > 0")
+    )
+    var_num = (F.col("n") * F.col("qq") - F.col("s") * F.col("s")).cast("long")
+    return pd_.select(
+        "event_type", "d", "s",
+        var_num.alias("var_num"),
+        F.round(var_num / (F.lit(1.0) * F.col("n") * F.col("s")), 6)
+        .alias("fano_r"),
+        F.when(var_num > 2 * F.col("n") * F.col("s"), 1).otherwise(0)
+        .alias("overdispersed"),
+    )
+
+
+@q(
+    "ml_reliability",
+    """
+    WITH u AS (
+      SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+             CAST(count(CASE WHEN event_type = 'click' THEN 1 END)
+                  AS BIGINT) AS score,
+             CASE WHEN count(CASE WHEN event_type = 'purchase' THEN 1 END) > 0
+                  THEN 1 ELSE 0 END AS label
+      FROM events GROUP BY 1, 2
+    ),
+    b AS (
+      SELECT score, count(*)::BIGINT AS n, sum(label)::BIGINT AS pos
+      FROM u GROUP BY 1
+    ),
+    tot AS (
+      SELECT sum(n)::BIGINT AS n_all, sum(pos)::BIGINT AS pos_all FROM b
+    )
+    SELECT b.score, b.n, b.pos,
+           CAST(10000 * b.pos // b.n AS BIGINT) AS rate_bp,
+           CAST(10000 * tot.pos_all // tot.n_all AS BIGINT) AS base_bp,
+           CAST(round(1000000.0 * b.n
+                      * (1.0 * b.pos / b.n - 1.0 * tot.pos_all / tot.n_all)
+                      * (1.0 * b.pos / b.n - 1.0 * tot.pos_all / tot.n_all)
+                      / tot.n_all) AS BIGINT) AS resolution_micro
+    FROM b, tot
+    """,
+)
+def ml_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML4 — calibration/reliability table for the ml_auc score-label
+    framing (user-day click count vs same-day purchase), plus per-bucket
+    RESOLUTION terms of the Murphy ('73) Brier decomposition: n_k·(ȳ_k −
+    ȳ)²/N in micro-units. The reliability diagram is THE model-monitoring
+    readout that AUC hides (a perfectly-ranked but mis-scaled model shows
+    here); resolution says how much signal each score bucket carries.
+
+    Exactness: counts are integers, rates are basis-point floor-div; the
+    resolution term evaluates the IDENTICAL float expression both sides,
+    rounded to micro. Scale: score is a small discrete value — the bucket
+    table is catalog-sized; one (user, day) agg + one re-agg."""
+    ev = t(spark, sf_dir, "events")
+    u = ev.groupBy(
+        "user_id",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000").alias("day"),
+    ).agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).cast("long")
+        .alias("score"),
+        F.when(
+            F.count(F.when(F.col("event_type") == "purchase", 1)) > 0, 1
+        ).otherwise(0).alias("label"),
+    )
+    b = u.groupBy("score").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("label").cast("long").alias("pos"),
+    )
+    tot = b.agg(
+        F.sum("n").cast("long").alias("n_all"),
+        F.sum("pos").cast("long").alias("pos_all"),
+    )
+    j = b.crossJoin(F.broadcast(tot))
+    diff = (
+        F.lit(1.0) * F.col("pos") / F.col("n")
+        - F.lit(1.0) * F.col("pos_all") / F.col("n_all")
+    )
+    return j.select(
+        "score", "n", "pos",
+        F.expr("10000 * pos div n").alias("rate_bp"),
+        F.expr("10000 * pos_all div n_all").alias("base_bp"),
+        F.round(
+            F.lit(1000000.0) * F.col("n") * diff * diff / F.col("n_all")
+        ).cast("long").alias("resolution_micro"),
+    )
