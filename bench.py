@@ -322,6 +322,7 @@ def main() -> None:
         "w38_hurst",
         "x24_overdispersion",
         "ml_reliability",
+        "j13_absence_join",
     ):
         t0 = time.monotonic()
         SPARK[name](spark, sf_dir).count()

@@ -11634,3 +11634,84 @@ def ml_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1000000.0) * F.col("n") * diff * diff / F.col("n_all")
         ).cast("long").alias("resolution_micro"),
     )
+
+
+@q(
+    "j13_absence_join",
+    """
+    WITH v AS (
+      SELECT user_id, epoch_us(ts) AS t_us
+      FROM events WHERE event_type = 'view'
+    ),
+    p AS (
+      SELECT user_id, epoch_us(ts) AS t_us
+      FROM events WHERE event_type = 'purchase'
+    ),
+    flags AS (
+      SELECT v.user_id, v.t_us,
+             CASE WHEN EXISTS (
+               SELECT 1 FROM p
+               WHERE p.user_id = v.user_id
+                 AND p.t_us > v.t_us AND p.t_us <= v.t_us + 3600000000
+             ) THEN 1 ELSE 0 END AS converted
+      FROM v
+    )
+    SELECT user_id,
+           count(*)::BIGINT AS n_views,
+           sum(1 - converted)::BIGINT AS n_abandoned,
+           CAST(10000 * sum(1 - converted) // count(*) AS BIGINT)
+             AS abandon_bp
+    FROM flags GROUP BY 1
+    """,
+)
+def j13_absence_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J13 — temporal ABSENCE anti-join: views with NO purchase by the
+    same user within the following hour, per user. The complement of the
+    funnel join (j9 finds conversions; this finds abandonment) and the
+    shape behind every "did X happen without Y" alert — request without
+    response, write without fsync, page without beacon.
+
+    Spark-first realization: NOT a correlated subquery per row — ONE
+    window pass. Union-tag views and purchases per user, sort by time
+    once, and each view's "next purchase time" is a single reverse-
+    running MIN over the purchase timestamps; absence = next_purchase
+    outside (t, t+1h]. One shuffle on user_id, no join at all. The
+    DuckDB twin keeps the declarative EXISTS form (same semantics,
+    different plan — the point of the pair). Exactness: pure integer
+    µs comparisons and counts."""
+    ev = t(spark, sf_dir, "events")
+    tagged = ev.where(F.col("event_type").isin("view", "purchase")).select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+        (F.col("event_type") == "purchase").cast("int").alias("is_p"),
+    )
+    # reverse-running min over purchase times: for each row ordered by
+    # time, the earliest purchase in the rows after it; the STRICT
+    # next_p_us > t_us guard below keeps a simultaneous purchase from
+    # counting (the EXISTS twin uses strict p.t_us > v.t_us).
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("t_us").asc(), F.col("is_p").asc())
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    nxt = tagged.select(
+        "user_id", "t_us", "is_p",
+        F.min(F.when(F.col("is_p") == 1, F.col("t_us"))).over(w)
+        .alias("next_p_us"),
+    )
+    flags = nxt.where("is_p = 0").select(
+        "user_id",
+        F.when(
+            F.col("next_p_us").isNotNull()
+            & (F.col("next_p_us") > F.col("t_us"))
+            & (F.col("next_p_us") <= F.col("t_us") + 3600000000),
+            1,
+        ).otherwise(0).alias("converted"),
+    )
+    return flags.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_views"),
+        F.sum(1 - F.col("converted")).cast("long").alias("n_abandoned"),
+        F.expr(
+            "10000 * sum(1 - converted) div count(*)"
+        ).alias("abandon_bp"),
+    )
