@@ -401,3 +401,118 @@ def test_x3_markov_rare_path_scores_higher(spark, tmp_path):
            for r in SPARK["x3_markov"](spark, sf).collect()}
     common = max(v for u, v in out.items() if u != 99)
     assert out[99] > common, out
+
+
+def _plant_events(tmp_path, counts_by_type):
+    """Write an events.parquet with exactly `counts_by_type[t][h]` events
+    in hour h for each event_type t (hours start 2024-01-01)."""
+    import pandas as pd
+
+    rows, eid = [], 0
+    for etype, counts in counts_by_type.items():
+        for h, n in enumerate(counts):
+            for k in range(n):
+                rows.append(
+                    (eid,
+                     pd.Timestamp("2024-01-01") + pd.Timedelta(hours=h, seconds=k),
+                     1, etype, 1.0, "{}")
+                )
+                eid += 1
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    sf = str(tmp_path)
+    pdf.to_parquet(f"{sf}/events.parquet", index=False, coerce_timestamps="us")
+    return sf
+
+
+def test_w42_runs_alternating_vs_trending(spark, tmp_path):
+    """An alternating series flips sign every step (max runs, z > 0); a
+    strictly increasing series has no negative diffs and emits nothing."""
+    sf = _plant_events(
+        tmp_path,
+        {
+            "alt": [1, 2] * 24,                 # diffs +1,-1,... 47 runs
+            "trend": list(range(1, 25)),        # all diffs +1 -> n_neg=0
+        },
+    )
+    from tsrollup.driver_queries import SPARK
+
+    out = {r["event_type"]: r for r in SPARK["w42_runs_test"](spark, sf).collect()}
+    assert "trend" not in out
+    alt = out["alt"]
+    assert alt["n_runs"] == alt["n_pos"] + alt["n_neg"] == 47
+    assert alt["z_r"] > 0
+
+
+def test_w39_ar2_block_persistent(spark, tmp_path):
+    """A slow square wave (12 high hours, 12 low, repeated) is strongly
+    positively autocorrelated at lag 1 AND lag 2; Yule-Walker puts the
+    bulk of the weight on phi1 with phi1 + phi2 ~ r1 persistence."""
+    sf = _plant_events(tmp_path, {"sq": ([10] * 12 + [1] * 12) * 4})
+    from tsrollup.driver_queries import SPARK
+
+    row = SPARK["w39_ar2_yw"](spark, sf).collect()[0]
+    assert row["r1_r"] > 0.8 and row["r2_r"] > 0.5
+    assert row["phi1_r"] > 0.8
+    # lag-2 adds nothing beyond lag-1 persistence on a square wave
+    assert abs(row["phi2_r"]) < 0.5
+
+
+def test_w41_arch_planted_volatility_cluster(spark, tmp_path):
+    """Calm half (constant counts, zero squared diffs) followed by a
+    noisy half (alternating +/-9 diffs) clusters volatility: large z
+    follows large z, so the squared-diff autocorrelation is positive."""
+    sf = _plant_events(tmp_path, {"v": [5] * 24 + [1, 10] * 12})
+    from tsrollup.driver_queries import SPARK
+
+    row = SPARK["w41_arch_lm"](spark, sf).collect()[0]
+    assert row["r_r"] > 0.5
+    assert row["lm_r"] > 10.0
+
+
+def test_tx_gopher_rules_planted(spark, tmp_path):
+    """A 60-word normal doc passes; a 10-word doc fails on word count;
+    a stopword-free doc fails on stop_hits."""
+    import pandas as pd
+
+    good = "the quick brown fox jumps over a lazy dog near the river " * 5
+    short = "the quick brown fox jumps over a lazy dog now"
+    nostop = "alpha beta gamma delta epsilon zeta " * 10
+    pdf = pd.DataFrame(
+        {"doc_id": [1, 2, 3], "text": [good.strip(), short, nostop.strip()]}
+    )
+    sf = str(tmp_path)
+    pdf.to_parquet(f"{sf}/documents.parquet", index=False)
+    from tsrollup.driver_queries import SPARK
+
+    out = {r["doc_id"]: r for r in SPARK["tx_gopher_rules"](spark, sf).collect()}
+    assert out[1]["gopher_pass"] == 1 and out[1]["n_words"] == 60
+    assert out[2]["gopher_pass"] == 0 and out[2]["n_words"] == 10
+    assert out[3]["gopher_pass"] == 0 and out[3]["stop_hits"] == 0
+
+
+def test_tx_rrf_fusion_planted(spark, tmp_path):
+    """A doc matching BOTH arms outranks docs that win only one arm;
+    the fused score is the exact integer micro sum of 1/(60+rank)."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "spark spark spark join join join",  # wins BOTH arms
+                "spark spark zzz",                   # arm A runner-up
+                "join join zzz",                     # arm B runner-up
+                "zzz zzz zzz zzz",                   # neither
+            ],
+        }
+    )
+    sf = str(tmp_path)
+    pdf.to_parquet(f"{sf}/documents.parquet", index=False)
+    from tsrollup.driver_queries import SPARK
+
+    rows = SPARK["tx_rrf_fusion"](spark, sf).collect()
+    assert rows[0]["doc_id"] == 1
+    assert rows[0]["rank_a"] == rows[0]["rank_b"] == 1
+    assert rows[0]["rrf_micro"] == 2 * (1000000 // 61)

@@ -11715,3 +11715,512 @@ def j13_absence_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "10000 * sum(1 - converted) div count(*)"
         ).alias("abandon_bp"),
     )
+
+
+# ------------------- W39-W42: classical time-series diagnostics (round 5)
+#
+# Four named statistical tests over the dense hourly count spine, all on
+# the exact-integer-sums pattern (w6/w10): every sum that crosses rows is
+# a BIGINT over integers (order-free across engines/partitions), and the
+# float result is ONE identical closed-form expression evaluated on both
+# sides, rounded 1e-6. Scale: each is one spine build (one shuffle on
+# event_type) + per-key window lags + one hash agg — no joins, no
+# driver-side data.
+
+_SPINE_SQL = """
+    WITH hb AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS i,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    ext AS (SELECT event_type, min(i) AS mn, max(i) AS mx FROM hb GROUP BY 1),
+    spine AS (SELECT event_type, unnest(generate_series(mn, mx)) AS i FROM ext),
+    dense AS (
+      SELECT s.event_type, s.i, coalesce(hb.c, 0)::BIGINT AS c
+      FROM spine s LEFT JOIN hb ON hb.event_type = s.event_type AND hb.i = s.i
+    )
+"""
+
+
+@q(
+    "w39_ar2_yw",
+    _SPINE_SQL
+    + """,
+    dev AS (
+      SELECT event_type, i,
+             count(*) OVER (PARTITION BY event_type) * c
+               - sum(c) OVER (PARTITION BY event_type) AS d
+      FROM dense
+    ),
+    lagged AS (
+      SELECT event_type, d,
+             lag(d, 1) OVER (PARTITION BY event_type ORDER BY i) AS d1,
+             lag(d, 2) OVER (PARTITION BY event_type ORDER BY i) AS d2
+      FROM dev
+    ),
+    s AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             sum(d * d)::BIGINT AS d0,
+             sum(d * d1)::BIGINT AS n1,
+             sum(d * d2)::BIGINT AS n2
+      FROM lagged GROUP BY 1
+    )
+    SELECT event_type, n,
+           round(n1::DOUBLE / d0::DOUBLE, 6) AS r1_r,
+           round(n2::DOUBLE / d0::DOUBLE, 6) AS r2_r,
+           round((n1::DOUBLE / d0::DOUBLE)
+                 * (1.0 - n2::DOUBLE / d0::DOUBLE)
+                 / (1.0 - (n1::DOUBLE / d0::DOUBLE)
+                        * (n1::DOUBLE / d0::DOUBLE)), 6) AS phi1_r,
+           round((n2::DOUBLE / d0::DOUBLE
+                  - (n1::DOUBLE / d0::DOUBLE) * (n1::DOUBLE / d0::DOUBLE))
+                 / (1.0 - (n1::DOUBLE / d0::DOUBLE)
+                        * (n1::DOUBLE / d0::DOUBLE)), 6) AS phi2_r
+    FROM s
+    WHERE d0 > 0
+      AND 1.0 - (n1::DOUBLE / d0::DOUBLE) * (n1::DOUBLE / d0::DOUBLE) > 0
+    """,
+)
+def w39_ar2_yw(spark, sf_dir):
+    """W39 — Yule-Walker AR(2) fit per hourly count series: lag-1/lag-2
+    autocorrelations from exact global-mean deviations, then the closed
+    2x2 solve phi1 = r1(1-r2)/(1-r1^2), phi2 = (r2-r1^2)/(1-r1^2)
+    (Yule '27 / Walker '31 — the classical autoregressive forecaster and
+    the denominator behind PACF screening). Exactness: deviations are
+    scaled integers d_t = n*c_t - S (no float mean), so every cross-row
+    sum is BIGINT and order-free; r1/r2/phi are one identical IEEE
+    expression both engines, rounded 1e-6. Overflow bound: |d| <= n*max(c),
+    so sum(d*d) <= n^3*max(c)^2 — ~8e17 at sf0.1's 2k-hour/2k-count
+    spine, inside int64; document scale beyond that re-centers c first.
+    Scale: one shuffle (spine), two analytic windows, one agg."""
+    d = _dense_hourly(spark, sf_dir)
+    wf = Window.partitionBy("event_type")
+    wo = Window.partitionBy("event_type").orderBy("i")
+    dev = d.select(
+        "event_type", "i",
+        (F.count(F.lit(1)).over(wf) * F.col("c") - F.sum("c").over(wf))
+        .alias("d"),
+    )
+    lagged = dev.select(
+        "event_type", "d",
+        F.lag("d", 1).over(wo).alias("d1"),
+        F.lag("d", 2).over(wo).alias("d2"),
+    )
+    s = lagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("d") * F.col("d")).alias("d0"),
+        F.sum(F.col("d") * F.col("d1")).alias("n1"),
+        F.sum(F.col("d") * F.col("d2")).alias("n2"),
+    )
+    r1 = F.col("n1").cast("double") / F.col("d0").cast("double")
+    r2 = F.col("n2").cast("double") / F.col("d0").cast("double")
+    denom = F.lit(1.0) - r1 * r1
+    return s.where((F.col("d0") > 0) & (denom > 0)).select(
+        "event_type", "n",
+        F.round(r1, 6).alias("r1_r"),
+        F.round(r2, 6).alias("r2_r"),
+        F.round(r1 * (F.lit(1.0) - r2) / denom, 6).alias("phi1_r"),
+        F.round((r2 - r1 * r1) / denom, 6).alias("phi2_r"),
+    )
+
+
+@q(
+    "w40_variance_ratio",
+    _SPINE_SQL
+    + """,
+    diffs AS (
+      SELECT event_type,
+             c - lag(c, 1) OVER (PARTITION BY event_type ORDER BY i) AS x,
+             c - lag(c, 4) OVER (PARTITION BY event_type ORDER BY i) AS y
+      FROM dense
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(count(x) AS BIGINT) AS nx, CAST(count(y) AS BIGINT) AS ny,
+             coalesce(sum(x), 0)::BIGINT AS sx,
+             coalesce(sum(x * x), 0)::BIGINT AS sxx,
+             coalesce(sum(y), 0)::BIGINT AS sy,
+             coalesce(sum(y * y), 0)::BIGINT AS syy
+      FROM diffs GROUP BY 1
+    )
+    SELECT event_type, nx, ny,
+           round((nx::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                 / (nx::DOUBLE * nx::DOUBLE), 6) AS varx_r,
+           round((ny::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)
+                 / (ny::DOUBLE * ny::DOUBLE), 6) AS vary_r,
+           round(((ny::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)
+                  / (ny::DOUBLE * ny::DOUBLE) / 4.0)
+                 / ((nx::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                    / (nx::DOUBLE * nx::DOUBLE)), 6) AS vr_r
+    FROM s
+    WHERE nx > 0 AND ny > 0
+      AND nx::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE > 0
+    """,
+)
+def w40_variance_ratio(spark, sf_dir):
+    """W40 — Lo-MacKinlay variance-ratio test VR(4) per hourly count
+    series: population variance of 4-hour differences over 4x the
+    variance of 1-hour differences. VR ~= 1 for a random walk, > 1 for
+    trending/persistent series, < 1 for mean-reverting — the standard
+    martingale diagnostic (Lo & MacKinlay '88). Exactness: both diff
+    series are integers, all cross-row sums BIGINT; each variance is the
+    identical (n*Sxx - Sx^2)/n^2 double expression, rounded 1e-6.
+    Scale: spine shuffle + two lags + one agg, no joins."""
+    d = _dense_hourly(spark, sf_dir)
+    wo = Window.partitionBy("event_type").orderBy("i")
+    diffs = d.select(
+        "event_type",
+        (F.col("c") - F.lag("c", 1).over(wo)).alias("x"),
+        (F.col("c") - F.lag("c", 4).over(wo)).alias("y"),
+    )
+    s = diffs.groupBy("event_type").agg(
+        F.count("x").cast("long").alias("nx"),
+        F.count("y").cast("long").alias("ny"),
+        F.coalesce(F.sum("x"), F.lit(0)).alias("sx"),
+        F.coalesce(F.sum(F.col("x") * F.col("x")), F.lit(0)).alias("sxx"),
+        F.coalesce(F.sum("y"), F.lit(0)).alias("sy"),
+        F.coalesce(F.sum(F.col("y") * F.col("y")), F.lit(0)).alias("syy"),
+    )
+    nx = F.col("nx").cast("double")
+    ny = F.col("ny").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    varx = (nx * sxx - sx * sx) / (nx * nx)
+    vary = (ny * syy - sy * sy) / (ny * ny)
+    return s.where(
+        (F.col("nx") > 0) & (F.col("ny") > 0) & (nx * sxx - sx * sx > 0)
+    ).select(
+        "event_type", "nx", "ny",
+        F.round(varx, 6).alias("varx_r"),
+        F.round(vary, 6).alias("vary_r"),
+        F.round((vary / F.lit(4.0)) / varx, 6).alias("vr_r"),
+    )
+
+
+@q(
+    "w41_arch_lm",
+    _SPINE_SQL
+    + """,
+    z AS (
+      SELECT event_type, i,
+             (c - lag(c, 1) OVER (PARTITION BY event_type ORDER BY i))
+             * (c - lag(c, 1) OVER (PARTITION BY event_type ORDER BY i)) AS z
+      FROM dense
+    ),
+    pairs AS (
+      SELECT event_type, z AS zx,
+             lag(z, 1) OVER (PARTITION BY event_type ORDER BY i) AS zy
+      FROM z WHERE z IS NOT NULL
+    ),
+    s AS (
+      SELECT event_type, CAST(count(zy) AS BIGINT) AS n_pts,
+             coalesce(sum(CASE WHEN zy IS NOT NULL THEN zx END), 0)::BIGINT AS sx,
+             coalesce(sum(zy), 0)::BIGINT AS sy,
+             coalesce(sum(zx * zy), 0)::BIGINT AS sxy,
+             coalesce(sum(CASE WHEN zy IS NOT NULL THEN zx * zx END), 0)::BIGINT AS sxx,
+             coalesce(sum(zy * zy), 0)::BIGINT AS syy
+      FROM pairs GROUP BY 1
+    )
+    SELECT event_type, n_pts,
+           round((n_pts::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                 / (sqrt(n_pts::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                    * sqrt(n_pts::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)),
+                 6) AS r_r,
+           round(n_pts::DOUBLE
+                 * ((n_pts::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                    / (sqrt(n_pts::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                       * sqrt(n_pts::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)))
+                 * ((n_pts::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                    / (sqrt(n_pts::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                       * sqrt(n_pts::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE))),
+                 6) AS lm_r
+    FROM s
+    WHERE n_pts::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE > 0
+      AND n_pts::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE > 0
+    """,
+)
+def w41_arch_lm(spark, sf_dir):
+    """W41 — ARCH-effect screen (Engle '82 LM test, 1-lag form): Pearson
+    autocorrelation of SQUARED hourly first differences, plus the LM
+    statistic n*r^2 (~chi^2(1) under homoskedasticity). Detects
+    volatility clustering — calm/bursty regimes that a mean-based
+    detector misses even when the mean is flat. Exactness: z_t is an
+    exact integer (squared integer diff), all five cross-row sums are
+    BIGINT over aligned (z_t, z_{t-1}) pairs, and r/lm are one identical
+    closed-form double both engines, rounded 1e-6. Scale: spine shuffle
+    + two lags + one agg."""
+    d = _dense_hourly(spark, sf_dir)
+    wo = Window.partitionBy("event_type").orderBy("i")
+    x = F.col("c") - F.lag("c", 1).over(wo)
+    z = d.select("event_type", "i", (x * x).alias("z")).where(
+        F.col("z").isNotNull()
+    )
+    pairs = z.select(
+        "event_type",
+        F.col("z").alias("zx"),
+        F.lag("z", 1).over(wo).alias("zy"),
+    )
+    s = pairs.groupBy("event_type").agg(
+        F.count("zy").cast("long").alias("n_pts"),
+        F.coalesce(
+            F.sum(F.when(F.col("zy").isNotNull(), F.col("zx"))), F.lit(0)
+        ).alias("sx"),
+        F.coalesce(F.sum("zy"), F.lit(0)).alias("sy"),
+        F.coalesce(F.sum(F.col("zx") * F.col("zy")), F.lit(0)).alias("sxy"),
+        F.coalesce(
+            F.sum(F.when(F.col("zy").isNotNull(), F.col("zx") * F.col("zx"))),
+            F.lit(0),
+        ).alias("sxx"),
+        F.coalesce(F.sum(F.col("zy") * F.col("zy")), F.lit(0)).alias("syy"),
+    )
+    n = F.col("n_pts").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    r = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return s.where((n * sxx - sx * sx > 0) & (n * syy - sy * sy > 0)).select(
+        "event_type", "n_pts",
+        F.round(r, 6).alias("r_r"),
+        F.round(n * r * r, 6).alias("lm_r"),
+    )
+
+
+@q(
+    "w42_runs_test",
+    _SPINE_SQL
+    + """,
+    diffs AS (
+      SELECT event_type, i,
+             c - lag(c, 1) OVER (PARTITION BY event_type ORDER BY i) AS x
+      FROM dense
+    ),
+    signs AS (
+      SELECT event_type, i, CASE WHEN x > 0 THEN 1 ELSE -1 END AS s
+      FROM diffs WHERE x IS NOT NULL AND x <> 0
+    ),
+    flips AS (
+      SELECT event_type, s,
+             CASE WHEN lag(s) OVER (PARTITION BY event_type ORDER BY i)
+                       IS DISTINCT FROM s THEN 1 ELSE 0 END AS flip
+      FROM signs
+    ),
+    agg AS (
+      SELECT event_type,
+             CAST(sum(flip) AS BIGINT) AS n_runs,
+             CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+             CAST(sum(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
+      FROM flips GROUP BY 1
+    )
+    SELECT event_type, n_runs, n_pos, n_neg,
+           round((n_runs::DOUBLE
+                  - (2.0 * n_pos::DOUBLE * n_neg::DOUBLE
+                     / (n_pos + n_neg)::DOUBLE + 1.0))
+                 / sqrt(2.0 * n_pos::DOUBLE * n_neg::DOUBLE
+                        * (2.0 * n_pos::DOUBLE * n_neg::DOUBLE
+                           - (n_pos + n_neg)::DOUBLE)
+                        / ((n_pos + n_neg)::DOUBLE * (n_pos + n_neg)::DOUBLE
+                           * ((n_pos + n_neg)::DOUBLE - 1.0))), 6) AS z_r
+    FROM agg
+    WHERE n_pos > 0 AND n_neg > 0 AND n_pos + n_neg > 1
+      AND 2.0 * n_pos::DOUBLE * n_neg::DOUBLE
+          - (n_pos + n_neg)::DOUBLE > 0
+    """,
+)
+def w42_runs_test(spark, sf_dir):
+    """W42 — Wald-Wolfowitz runs test on the SIGNS of hourly first
+    differences (zeros dropped): counts maximal same-sign runs and the
+    normal-approximation z vs the randomness null (Wald & Wolfowitz '40).
+    Too few runs = sticky trends; too many = oscillation — a
+    distribution-free serial-dependence check that complements w39-w41's
+    moment-based ones. Exactness: run/sign counts are exact integers
+    (the first row of each key counts as a run start via IS DISTINCT
+    FROM NULL); mu/sigma/z are one identical double expression, rounded
+    1e-6. Scale: spine shuffle + two lags + one agg."""
+    d = _dense_hourly(spark, sf_dir)
+    wo = Window.partitionBy("event_type").orderBy("i")
+    diffs = d.select(
+        "event_type", "i",
+        (F.col("c") - F.lag("c", 1).over(wo)).alias("x"),
+    )
+    signs = diffs.where(F.col("x").isNotNull() & (F.col("x") != 0)).select(
+        "event_type", "i",
+        F.when(F.col("x") > 0, 1).otherwise(-1).alias("s"),
+    )
+    flips = signs.select(
+        "event_type", "s",
+        F.when(
+            ~F.lag("s").over(wo).eqNullSafe(F.col("s")), 1
+        ).otherwise(0).alias("flip"),
+    )
+    agg = flips.groupBy("event_type").agg(
+        F.sum("flip").cast("long").alias("n_runs"),
+        F.sum(F.when(F.col("s") == 1, 1).otherwise(0)).cast("long")
+        .alias("n_pos"),
+        F.sum(F.when(F.col("s") == -1, 1).otherwise(0)).cast("long")
+        .alias("n_neg"),
+    )
+    np_ = F.col("n_pos").cast("double")
+    nn = F.col("n_neg").cast("double")
+    nt = (F.col("n_pos") + F.col("n_neg")).cast("double")
+    two = F.lit(2.0) * np_ * nn
+    mu = two / nt + F.lit(1.0)
+    sig2 = two * (two - nt) / (nt * nt * (nt - F.lit(1.0)))
+    return agg.where(
+        (F.col("n_pos") > 0)
+        & (F.col("n_neg") > 0)
+        & (F.col("n_pos") + F.col("n_neg") > 1)
+        & (two - nt > 0)
+    ).select(
+        "event_type", "n_runs", "n_pos", "n_neg",
+        F.round((F.col("n_runs").cast("double") - mu) / F.sqrt(sig2), 6)
+        .alias("z_r"),
+    )
+
+
+# --------------------- round-5 text-pipeline additions (Gopher, RRF)
+
+@q(
+    "tx_gopher_rules",
+    """
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words, length(text) AS nc
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             CAST(len(words) AS BIGINT) AS n_words,
+             CAST(100 * (nc - (len(words) - 1)) // len(words) AS BIGINT)
+               AS mean_wl_c,
+             CAST(10000 * len(list_filter(words,
+                    x -> regexp_matches(x, '[a-z]'))) // len(words) AS BIGINT)
+               AS alpha_bp,
+             CAST(len(list_filter(words,
+                    x -> list_contains(
+                      ['the', 'a', 'and', 'of', 'to', 'in'], x)))
+               AS BIGINT) AS stop_hits
+      FROM w WHERE len(words) > 0
+    )
+    SELECT doc_id, n_words, mean_wl_c, alpha_bp, stop_hits,
+           CASE WHEN n_words BETWEEN 50 AND 100000
+                 AND mean_wl_c BETWEEN 300 AND 1000
+                 AND alpha_bp >= 8000 AND stop_hits >= 2
+                THEN 1 ELSE 0 END AS gopher_pass
+    FROM m
+    """,
+)
+def tx_gopher_rules(spark, sf_dir):
+    """Gopher quality-filter rules (Rae et al. '21 §A1.1, the public
+    heuristics later reused by MassiveText/FineWeb): per-document word
+    count in [50, 1e5], mean word length in [3, 10] chars, alphabetic-
+    word ratio >= 0.8, and >= 2 stopword hits — emitted as the exact
+    integers the thresholds read (centi-chars / basis points) plus the
+    fused pass flag. The fixture text is single-space-separated, so
+    split(' ') is the shared tokenizer on both engines (the bullet/
+    ellipsis line rules are vacuous here and omitted — no newlines in
+    the fixture). Exactness: pure integer counts and floor-divs.
+    Scale: one scan-stage projection per document — no shuffle at all;
+    the flag feeds a pushdown-able filter upstream of any corpus job."""
+    d = t(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    nw = F.size(words).cast("long")
+    m = d.where(F.size(F.split("text", " ")) > 0).select(
+        "doc_id",
+        nw.alias("n_words"),
+        F.expr(
+            "100 * (length(text) - (size(split(text, ' ')) - 1))"
+            " div size(split(text, ' '))"
+        ).alias("mean_wl_c"),
+        F.expr(
+            "10000 * size(filter(split(text, ' '), x -> x rlike '[a-z]'))"
+            " div size(split(text, ' '))"
+        ).alias("alpha_bp"),
+        F.expr(
+            "cast(size(filter(split(text, ' '),"
+            " x -> array_contains(array('the','a','and','of','to','in'), x)))"
+            " as bigint)"
+        ).alias("stop_hits"),
+    )
+    return m.select(
+        "doc_id", "n_words", "mean_wl_c", "alpha_bp", "stop_hits",
+        F.when(
+            F.col("n_words").between(50, 100000)
+            & F.col("mean_wl_c").between(300, 1000)
+            & (F.col("alpha_bp") >= 8000)
+            & (F.col("stop_hits") >= 2),
+            1,
+        ).otherwise(0).alias("gopher_pass"),
+    )
+
+
+@q(
+    "tx_rrf_fusion",
+    """
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ),
+    tf AS (
+      SELECT doc_id,
+             CAST(len(list_filter(words, x -> x = 'spark')) AS BIGINT) AS tf_a,
+             CAST(len(list_filter(words, x -> x = 'join')) AS BIGINT) AS tf_b
+      FROM w
+    ),
+    ranked AS (
+      SELECT doc_id, tf_a, tf_b,
+             row_number() OVER (ORDER BY tf_a DESC, doc_id) AS rank_a,
+             row_number() OVER (ORDER BY tf_b DESC, doc_id) AS rank_b
+      FROM tf
+    ),
+    fused AS (
+      SELECT doc_id, rank_a, rank_b,
+             CAST(1000000 // (60 + rank_a)
+                  + 1000000 // (60 + rank_b) AS BIGINT) AS rrf_micro
+      FROM ranked
+    )
+    SELECT doc_id, rank_a, rank_b, rrf_micro
+    FROM fused
+    ORDER BY rrf_micro DESC, doc_id
+    LIMIT 20
+    """,
+)
+def tx_rrf_fusion(spark, sf_dir):
+    """Reciprocal-rank fusion (Cormack et al. SIGIR'09): fuse two
+    retrieval arms — term-frequency rankings for 'spark' and 'join' —
+    with score = sum over arms of 1/(60 + rank), the k=60 form every
+    hybrid (BM25 + dense) retrieval stack uses. Integer-exact: each
+    arm's rank is a total order on (tf DESC, doc_id), and the fused
+    score is kept in floor-div micro-units so no float crosses engines.
+    Scale note: the global row_number here ranks the CANDIDATE set (at
+    corpus scale each arm pre-trims to its own top-N per partition
+    before the single-reducer rank — the o1 top-k shape); fusion itself
+    is per-doc arithmetic plus one top-k."""
+    d = t(spark, sf_dir, "documents")
+    tf = d.select(
+        "doc_id",
+        F.expr(
+            "cast(size(filter(split(text, ' '), x -> x = 'spark')) as bigint)"
+        ).alias("tf_a"),
+        F.expr(
+            "cast(size(filter(split(text, ' '), x -> x = 'join')) as bigint)"
+        ).alias("tf_b"),
+    )
+    wa = Window.orderBy(F.col("tf_a").desc(), F.col("doc_id"))
+    wb = Window.orderBy(F.col("tf_b").desc(), F.col("doc_id"))
+    ranked = tf.select(
+        "doc_id", "tf_a", "tf_b",
+        F.row_number().over(wa).cast("long").alias("rank_a"),
+        F.row_number().over(wb).cast("long").alias("rank_b"),
+    )
+    fused = ranked.select(
+        "doc_id", "rank_a", "rank_b",
+        (
+            F.expr("1000000 div (60 + rank_a)")
+            + F.expr("1000000 div (60 + rank_b)")
+        ).cast("long").alias("rrf_micro"),
+    )
+    return fused.orderBy(F.col("rrf_micro").desc(), "doc_id").limit(20)
