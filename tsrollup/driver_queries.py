@@ -12224,3 +12224,299 @@ def tx_rrf_fusion(spark, sf_dir):
         ).cast("long").alias("rrf_micro"),
     )
     return fused.orderBy(F.col("rrf_micro").desc(), "doc_id").limit(20)
+
+
+# ------------- round-5 batch 2: PromQL deriv, EVT, vocab tail, MRL
+
+@q(
+    "c12_deriv",
+    """
+    WITH s AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket,
+             (epoch_us(ts) - epoch_us(date_trunc('hour', ts))) // 1000000
+               AS t_s,
+             CAST(round(value * 100, 0) AS BIGINT) AS y_c
+      FROM events WHERE value IS NOT NULL
+    ),
+    agg AS (
+      SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS n,
+             sum(t_s)::BIGINT AS st, sum(y_c)::BIGINT AS sy,
+             sum(t_s * y_c)::BIGINT AS sty, sum(t_s * t_s)::BIGINT AS stt
+      FROM s GROUP BY 1, 2
+    )
+    SELECT event_type, epoch(bucket)::BIGINT AS bucket_s, n,
+           round((n::DOUBLE * sty::DOUBLE - st::DOUBLE * sy::DOUBLE)
+                 / (n::DOUBLE * stt::DOUBLE - st::DOUBLE * st::DOUBLE)
+                 / 100.0, 6) AS deriv_r,
+           round((sy::DOUBLE * stt::DOUBLE - st::DOUBLE * sty::DOUBLE
+                  + (n::DOUBLE * sty::DOUBLE - st::DOUBLE * sy::DOUBLE)
+                    * 7200.0)
+                 / (n::DOUBLE * stt::DOUBLE - st::DOUBLE * st::DOUBLE)
+                 / 100.0, 6) AS predict_1h_r
+    FROM agg
+    WHERE n >= 2 AND n::DOUBLE * stt::DOUBLE - st::DOUBLE * st::DOUBLE > 0
+    """,
+)
+def c12_deriv(spark, sf_dir):
+    """PromQL deriv() + predict_linear() per (event_type, hour): the OLS
+    slope of the gauge over each hour's samples and its extrapolation to
+    one hour past the window start + 1h (t = 7200 s) — the alerting
+    primitive behind "disk will fill in 4h". Exactness: t is exact
+    seconds-from-hour-start (BIGINT), y is exact centi-units, all five
+    sums BIGINT; slope and prediction are the identical closed-form
+    double expression both engines (operands exact ints < 2^53),
+    rounded 1e-6. Scale: one shuffle on (event_type, hour), map-side
+    partial sums, no windows at all — cheaper than irate's sort."""
+    ev = t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    s = ev.select(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("bucket"),
+        F.expr(
+            "(unix_micros(CAST(ts AS TIMESTAMP))"
+            " - unix_micros(date_trunc('hour', ts))) div 1000000"
+        ).alias("t_s"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("y_c"),
+    )
+    agg = s.groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("t_s").alias("st"),
+        F.sum("y_c").alias("sy"),
+        F.sum(F.col("t_s") * F.col("y_c")).alias("sty"),
+        F.sum(F.col("t_s") * F.col("t_s")).alias("stt"),
+    )
+    n = F.col("n").cast("double")
+    st = F.col("st").cast("double")
+    sy = F.col("sy").cast("double")
+    sty = F.col("sty").cast("double")
+    stt = F.col("stt").cast("double")
+    den = n * stt - st * st
+    num_a = n * sty - st * sy
+    return agg.where((F.col("n") >= 2) & (den > 0)).select(
+        "event_type",
+        F.unix_timestamp("bucket").alias("bucket_s"),
+        "n",
+        F.round(num_a / den / F.lit(100.0), 6).alias("deriv_r"),
+        F.round(
+            (sy * stt - st * sty + num_a * F.lit(7200.0))
+            / den / F.lit(100.0),
+            6,
+        ).alias("predict_1h_r"),
+    )
+
+
+@q(
+    "w43_extremal_index",
+    _SPINE_SQL
+    + """,
+    thresh AS (
+      SELECT event_type, (sum(c) // count(*)) * 2 AS u
+      FROM dense GROUP BY 1
+    ),
+    exc AS (
+      SELECT d.event_type, d.i
+      FROM dense d JOIN thresh t ON t.event_type = d.event_type
+      WHERE d.c > t.u
+    ),
+    marked AS (
+      SELECT event_type, i,
+             CASE WHEN i - lag(i) OVER (PARTITION BY event_type ORDER BY i)
+                       > 2
+                   OR lag(i) OVER (PARTITION BY event_type ORDER BY i)
+                       IS NULL
+                  THEN 1 ELSE 0 END AS new_cluster
+      FROM exc
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_exc,
+           CAST(sum(new_cluster) AS BIGINT) AS n_clusters,
+           CAST(10000 * sum(new_cluster) // count(*) AS BIGINT) AS theta_bp
+    FROM marked GROUP BY 1
+    """,
+)
+def w43_extremal_index(spark, sf_dir):
+    """W43 — extremal index via the runs estimator (Leadbetter '83;
+    Smith-Weissman '94): do extreme hours arrive alone (theta ~= 1) or
+    in clusters (theta << 1)? Exceedances of u = 2x the integer mean
+    count, merged into clusters when separated by <= 2 quiet hours;
+    theta_hat = clusters/exceedances. Decides whether a per-hour alert
+    threshold fires once or pages all night — the EVT complement to
+    w38's Hurst diagnostic. Exactness: threshold, cluster starts and
+    theta are all integer arithmetic (theta in basis points). Scale:
+    spine shuffle + broadcastable per-key threshold + one lag."""
+    d = _dense_hourly(spark, sf_dir)
+    thresh = d.groupBy("event_type").agg(
+        (F.expr("sum(c) div count(*)") * 2).alias("u")
+    )
+    exc = d.join(F.broadcast(thresh), "event_type").where(
+        F.col("c") > F.col("u")
+    ).select("event_type", "i")
+    wo = Window.partitionBy("event_type").orderBy("i")
+    marked = exc.select(
+        "event_type",
+        F.when(
+            F.lag("i").over(wo).isNull()
+            | (F.col("i") - F.lag("i").over(wo) > 2),
+            1,
+        ).otherwise(0).alias("new_cluster"),
+    )
+    return marked.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exc"),
+        F.sum("new_cluster").cast("long").alias("n_clusters"),
+        F.expr("10000 * sum(new_cluster) div count(*)").alias("theta_bp"),
+    )
+
+
+@q(
+    "tx_vocab_tail",
+    """
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS w
+      FROM documents
+    ),
+    wc AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY 1),
+    topk AS (
+      SELECT w FROM (
+        SELECT w, row_number() OVER (ORDER BY cnt DESC, w) AS rnk FROM wc
+      ) WHERE rnk <= 32
+    ),
+    per_src AS (
+      SELECT t.source,
+             CAST(count(*) AS BIGINT) AS n_tok,
+             CAST(sum(CASE WHEN k.w IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov
+      FROM tok t LEFT JOIN topk k ON k.w = t.w
+      GROUP BY 1
+    )
+    SELECT source, n_tok, n_oov,
+           CAST(10000 * n_oov // n_tok AS BIGINT) AS oov_bp
+    FROM per_src
+    """,
+)
+def tx_vocab_tail(spark, sf_dir):
+    """Vocabulary-truncation tail mass: train a top-K=32 vocabulary on
+    the GLOBAL corpus, then measure each source's out-of-vocabulary
+    token mass — the tokenizer-sizing readout (what fraction of
+    occurrences fall to <unk>/byte-fallback if the vocab stops at K).
+    Complements tx_coverage (global curve) with the per-source skew
+    that decides whether one tokenizer fits all sources. Exactness:
+    pure integer counts and floor-div basis points; top-K ties broken
+    (cnt DESC, word). Scale: the vocabulary is catalog-sized and
+    BROADCAST back against the token stream — the corpus-side token
+    explode partial-aggregates map-side on (source, word) grain."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(F.split("text", " ")).alias("w"))
+    wc = tok.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    wr = Window.orderBy(F.col("cnt").desc(), "w")
+    topk = wc.select("w", F.row_number().over(wr).alias("rnk")).where(
+        F.col("rnk") <= 32
+    ).select("w", F.lit(1).alias("in_vocab"))
+    per = (
+        tok.join(F.broadcast(topk), "w", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tok"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("long").alias("n_oov"),
+        )
+    )
+    return per.select(
+        "source", "n_tok", "n_oov",
+        F.expr("10000 * n_oov div n_tok").alias("oov_bp"),
+    )
+
+
+@q(
+    "emb_mrl_recall",
+    """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 20),
+    full_top AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q.q_id, e.vec_id,
+               row_number() OVER (
+                 PARTITION BY q.q_id
+                 ORDER BY round(list_cosine_similarity(q.qv, e.v), 4) DESC,
+                          e.vec_id) AS rnk
+        FROM q CROSS JOIN e WHERE e.vec_id != q.q_id
+      ) WHERE rnk <= 5
+    ),
+    trunc_top AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q.q_id, e.vec_id,
+               row_number() OVER (
+                 PARTITION BY q.q_id
+                 ORDER BY round(list_cosine_similarity(
+                            q.qv[1:16], e.v[1:16]), 4) DESC,
+                          e.vec_id) AS rnk
+        FROM q CROSS JOIN e WHERE e.vec_id != q.q_id
+      ) WHERE rnk <= 5
+    )
+    SELECT f.q_id,
+           CAST(count(t.vec_id) AS BIGINT) AS n_overlap,
+           CAST(10000 * count(t.vec_id) // 5 AS BIGINT) AS recall_bp
+    FROM full_top f
+    LEFT JOIN trunc_top t ON t.q_id = f.q_id AND t.vec_id = f.vec_id
+    GROUP BY 1
+    """,
+)
+def emb_mrl_recall(spark, sf_dir):
+    """Matryoshka-truncation recall audit (Kusupati et al. '22): how much
+    of the exact 64-dim cosine top-5 survives when vectors are truncated
+    to their first 16 dims — the measurement behind "can we serve the
+    cheap prefix and rerank with the full vector". Same engine-exactness
+    discipline as ann_cosine_topk: fold-order-identical double dots,
+    ranking on the 1e-4-ROUNDED similarity with vec_id tie-breaks, so
+    the two top-5 SETS are deterministic; the overlap count is then pure
+    integers. Scale: query side broadcasts; at corpus scale each arm is
+    the ann_lsh/ann_ivf bucketed path — this is the paired-audit query
+    (the dd_lsh_quality idiom applied to dimension truncation)."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    qv = e.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+
+    def cos(a, b):
+        dot = F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        nrm = lambda c: F.sqrt(  # noqa: E731
+            F.aggregate(
+                F.transform(c, lambda x: x * x), F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+        return F.round(dot / (nrm(a) * nrm(b)), 4)
+
+    pairs = qv.crossJoin(e).where(F.col("vec_id") != F.col("q_id"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+
+    def top5(sim_col):
+        return (
+            pairs.select("q_id", "vec_id", sim_col.alias("sim"))
+            .select("q_id", "vec_id", F.row_number().over(w).alias("rnk"))
+            .where(F.col("rnk") <= 5)
+            .select("q_id", "vec_id")
+        )
+
+    full_top = top5(cos(F.col("qv"), F.col("v")))
+    trunc_top = top5(
+        cos(F.slice(F.col("qv"), 1, 16), F.slice(F.col("v"), 1, 16))
+    ).withColumnRenamed("vec_id", "t_vec_id")
+    return (
+        full_top.join(
+            trunc_top.withColumnRenamed("q_id", "t_q_id"),
+            (F.col("q_id") == F.col("t_q_id"))
+            & (F.col("vec_id") == F.col("t_vec_id")),
+            "left",
+        )
+        .groupBy("q_id")
+        .agg(
+            F.count("t_vec_id").cast("long").alias("n_overlap"),
+            F.expr("10000 * count(t_vec_id) div 5").alias("recall_bp"),
+        )
+    )
