@@ -12520,3 +12520,288 @@ def emb_mrl_recall(spark, sf_dir):
             F.expr("10000 * count(t_vec_id) div 5").alias("recall_bp"),
         )
     )
+
+
+# ------------- round-5 batch 3: novelty rank, feature hashing, Q3, NDCG
+
+@q(
+    "w44_novelty_rank",
+    _SPINE_SQL
+    + """,
+    win AS (
+      SELECT event_type, i, c,
+             list(c) OVER (PARTITION BY event_type ORDER BY i
+                           ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+               AS prior
+      FROM dense
+    )
+    SELECT event_type, i, c,
+           CAST(len(list_filter(prior, x -> x < c)) AS BIGINT) AS n_lower,
+           CAST(10000 * len(list_filter(prior, x -> x < c)) // 24
+                AS BIGINT) AS novelty_bp
+    FROM win WHERE len(prior) = 24
+    """,
+)
+def w44_novelty_rank(spark, sf_dir):
+    """Trailing percentile-rank novelty score: each hour's count scored
+    by WHERE IT RANKS against its own trailing 24 hours (novelty_bp =
+    10000 * |{prior < c}| / 24) — the distribution-free detector that
+    needs no mean/stddev assumptions, the empirical-CDF complement to
+    w1's z-score and w7's MAD score. Only full 24-hour histories are
+    scored. Exactness: rank counts and basis points are pure integers;
+    the frame's element ORDER never matters (only a < comparison), so
+    collect_list nondeterminism is harmless by construction. Scale:
+    one spine shuffle + one bounded ROWS frame per key — the 24-element
+    list is O(1) per row, never a range self-join."""
+    d = _dense_hourly(spark, sf_dir)
+    wf = (
+        Window.partitionBy("event_type").orderBy("i").rowsBetween(-24, -1)
+    )
+    win = d.select(
+        "event_type", "i", "c", F.collect_list("c").over(wf).alias("prior")
+    ).where(F.size("prior") == 24)
+    n_lower = F.size(
+        F.filter("prior", lambda x: x < F.col("c"))
+    ).cast("long")
+    return win.select(
+        "event_type", "i", "c",
+        n_lower.alias("n_lower"),
+        F.expr(
+            "CAST(10000 * size(filter(prior, x -> x < c)) div 24 AS BIGINT)"
+        ).alias("novelty_bp"),
+    )
+
+
+def _register_feature_hash():
+    """fe_feature_hash: the hashing-trick feature encoder (Weinberger et
+    al. ICML'09): every word hashes into one of 64 buckets, a second
+    hash BIT supplies a +/-1 sign so collisions cancel in expectation,
+    and each source's signed bucket sums form its fixed-width feature
+    vector — the encoder that needs NO vocabulary table at 100 TB (the
+    contrast with tx_dsir's explicit 1024-bucket LM tables: here even
+    the model is stateless). Bucket and sign are two disjoint bit
+    fields of the engine's one xxhash64 (h mod 128: low 6 bits bucket,
+    bit 7 sign), re-evaluated by the oracle through the xxh64 SQL
+    macros. Exactness: everything is BIGINT counts and signed sums.
+    Scale: one token explode -> one (source, bucket) hash agg with
+    map-side partials; output is 5 x 64 rows, no joins at all."""
+    from .duck_oracle import XXH64_PRELUDE
+
+    sql = XXH64_PRELUDE + """
+    WITH wh AS (
+      SELECT source, xxpmod(xxh64(word), 128) AS hb
+      FROM (SELECT source, unnest(string_split(lower(text), ' ')) AS word
+            FROM documents)
+    )
+    SELECT source, hb % 64 AS b,
+           CAST(count(*) AS BIGINT) AS n_terms,
+           CAST(sum(1 - 2 * (hb // 64)) AS BIGINT) AS feat
+    FROM wh GROUP BY 1, 2
+    """
+
+    @q("fe_feature_hash", sql)
+    def fe_feature_hash(spark, sf_dir):
+        docs = t(spark, sf_dir, "documents")
+        wh = docs.select(
+            "source", F.explode(F.split(F.lower("text"), " ")).alias("word")
+        ).select(
+            "source", F.pmod(F.xxhash64("word"), F.lit(128)).alias("hb")
+        )
+        return wh.groupBy(
+            "source", (F.col("hb") % 64).alias("b")
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.sum(F.lit(1) - 2 * F.expr("hb div 64"))
+            .cast("long").alias("feat"),
+        )
+
+
+_register_feature_hash()
+
+
+@q(
+    "a13_q3_shipping",
+    """
+    WITH l AS (
+      SELECT l_orderkey,
+             CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS price_c,
+             CAST(round(l_discount * 100, 0) AS BIGINT) AS disc_pct
+      FROM lineitem WHERE l_shipdate > TIMESTAMP '1998-06-01'
+    )
+    SELECT l_orderkey, epoch(o_orderdate)::BIGINT AS orderdate_s,
+           o_orderpriority,
+           CAST(sum(price_c * (100 - disc_pct)) AS BIGINT) AS revenue_micro
+    FROM l
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-06-01'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue_micro DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def a13_q3_shipping(spark, sf_dir):
+    """TPC-H Q3 — shipping-priority: top-10 unshipped BUILDING-segment
+    orders by discounted revenue as of the 1998-06-01 cutoff. The
+    canonical 3-table selective-join benchmark shape: the filtered
+    customer dim BROADCASTS, the orders filter pushes to parquet, and
+    lineitem (the fact) joins once on orderkey, then one grouped agg
+    and a TakeOrderedAndProject (no global sort materialization).
+    Exactness: a11's integer money grid (price_c x (100 - disc_pct)
+    BIGINT micro-revenue); the top-10 order is total because
+    l_orderkey is in the group key (revenue DESC, orderkey ASC).
+    Cites TPC-H spec Q3 with o_orderpriority standing in for the
+    schema's absent o_shippriority."""
+    cust = (
+        t(spark, sf_dir, "customer")
+        .where("c_mktsegment = 'BUILDING'")
+        .select("c_custkey")
+    )
+    orders = t(spark, sf_dir, "orders").where(
+        "o_orderdate < TIMESTAMP '1998-06-01'"
+    )
+    li = t(spark, sf_dir, "lineitem").where(
+        "l_shipdate > TIMESTAMP '1998-06-01'"
+    ).select(
+        "l_orderkey",
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+        .alias("price_c"),
+        F.round(F.col("l_discount") * 100, 0).cast("long")
+        .alias("disc_pct"),
+    )
+    j = li.join(
+        orders, li.l_orderkey == orders.o_orderkey
+    ).join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    return (
+        j.groupBy(
+            "l_orderkey",
+            F.unix_timestamp("o_orderdate").alias("orderdate_s"),
+            "o_orderpriority",
+        )
+        .agg(
+            F.sum(F.col("price_c") * (100 - F.col("disc_pct")))
+            .alias("revenue_micro")
+        )
+        .orderBy(F.desc("revenue_micro"), "l_orderkey")
+        .limit(10)
+    )
+
+
+_NDCG_W = (
+    "CASE {r} WHEN 1 THEN 1000000 WHEN 2 THEN 630930 WHEN 3 THEN 500000"
+    " WHEN 4 THEN 430677 WHEN 5 THEN 386853 WHEN 6 THEN 356207"
+    " WHEN 7 THEN 333333 WHEN 8 THEN 315465 WHEN 9 THEN 301030"
+    " WHEN 10 THEN 289065 END"
+)
+
+
+@q(
+    "ml_ndcg",
+    f"""
+    WITH per AS (
+      SELECT event_type, user_id,
+             CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0
+                      END) AS BIGINT) AS pred_n,
+             CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0
+                      END) AS BIGINT) AS rel
+      FROM events GROUP BY 1, 2
+      HAVING sum(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0
+                 END) > 0
+    ),
+    ranked AS (
+      SELECT event_type, rel,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY pred_n DESC, user_id) AS rk
+      FROM per
+    ),
+    ideal AS (
+      SELECT event_type, rel,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY rel DESC, user_id) AS ik
+      FROM per
+    ),
+    dcg AS (
+      SELECT event_type,
+             CAST(sum(rel * ({_NDCG_W.format(r='rk')})) AS BIGINT)
+               AS dcg_micro
+      FROM ranked WHERE rk <= 10 GROUP BY 1
+    ),
+    idcg AS (
+      SELECT event_type,
+             CAST(sum(rel * ({_NDCG_W.format(r='ik')})) AS BIGINT)
+               AS idcg_micro
+      FROM ideal WHERE ik <= 10 GROUP BY 1
+    )
+    SELECT d.event_type, d.dcg_micro, i.idcg_micro,
+           CAST(10000 * d.dcg_micro // i.idcg_micro AS BIGINT) AS ndcg_bp
+    FROM dcg d JOIN idcg i USING (event_type)
+    WHERE i.idcg_micro > 0
+    """,
+)
+def ml_ndcg(spark, sf_dir):
+    """NDCG@10 ranking-quality readout (Jarvelin & Kekalainen TOIS'02):
+    per event type, rank users by first-half-of-month activity (the
+    "model score") and grade the top-10 against their SECOND-half
+    activity (the realized relevance), normalized by the ideal
+    ordering. The offline eval primitive for any learned ranker.
+    Exactness: the 1/log2(rank+1) discounts are PRE-ROUNDED integer
+    micro-weights embedded literally in both engines (the tx_zipf
+    micro-unit contract), so DCG/IDCG are exact BIGINT dot products
+    and ndcg is floor-div basis points; both rankings tie-break on
+    user_id. Scale: one (type, user) hash agg, two top-10 windows on
+    catalog-sized grain, zero joins against the raw stream."""
+    ev = t(spark, sf_dir, "events")
+    per = (
+        ev.groupBy("event_type", "user_id")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END"
+                )
+            ).cast("long").alias("pred_n"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0"
+                    " END"
+                )
+            ).cast("long").alias("rel"),
+        )
+        .where("pred_n > 0")
+    )
+    per = per.localCheckpoint()  # feeds both ranking arms
+    wr = Window.partitionBy("event_type").orderBy(
+        F.desc("pred_n"), "user_id"
+    )
+    wi = Window.partitionBy("event_type").orderBy(F.desc("rel"), "user_id")
+    dcg = (
+        per.select(
+            "event_type", "rel", F.row_number().over(wr).alias("rk")
+        )
+        .where("rk <= 10")
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.col("rel") * F.expr(_NDCG_W.format(r="rk")))
+            .cast("long").alias("dcg_micro")
+        )
+    )
+    idcg = (
+        per.select(
+            "event_type", "rel", F.row_number().over(wi).alias("ik")
+        )
+        .where("ik <= 10")
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.col("rel") * F.expr(_NDCG_W.format(r="ik")))
+            .cast("long").alias("idcg_micro")
+        )
+    )
+    return (
+        dcg.join(idcg, "event_type")
+        .where("idcg_micro > 0")
+        .select(
+            "event_type", "dcg_micro", "idcg_micro",
+            F.expr("CAST(10000 * dcg_micro div idcg_micro AS BIGINT)")
+            .alias("ndcg_bp"),
+        )
+    )
