@@ -12805,3 +12805,388 @@ def ml_ndcg(spark, sf_dir):
             .alias("ndcg_bp"),
         )
     )
+
+
+# ---- round-5 batch 4: Allan variance, Dickey-Fuller, Ljung-Box, Cramér V
+
+_ALLAN_MS = (1, 4, 16)
+
+
+def _allan_arm_sql(m: int) -> str:
+    return f"""
+    s{m} AS (
+      SELECT event_type, i, rn, n,
+             sum(c) OVER (PARTITION BY event_type ORDER BY i
+                          ROWS BETWEEN CURRENT ROW AND {m - 1} FOLLOWING)
+               AS s
+      FROM base
+    ),
+    d{m} AS (
+      SELECT event_type, rn, n, s,
+             lead(s, {m}) OVER (PARTITION BY event_type ORDER BY i) AS s2
+      FROM s{m}
+    ),
+    a{m} AS (
+      SELECT event_type, CAST({m} AS BIGINT) AS m,
+             CAST(count(*) AS BIGINT) AS k,
+             CAST(sum((s2 - s) * (s2 - s)) AS BIGINT) AS ssd
+      FROM d{m} WHERE rn <= n - 2 * {m} + 1
+      GROUP BY 1
+    )"""
+
+
+@q(
+    "w45_allan",
+    _SPINE_SQL
+    + """,
+    base AS (
+      SELECT event_type, i, c,
+             row_number() OVER (PARTITION BY event_type ORDER BY i) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM dense
+    ),"""
+    + ",".join(_allan_arm_sql(m) for m in _ALLAN_MS)
+    + """
+    SELECT event_type, m, k, ssd,
+           round(ssd::DOUBLE / (2.0 * m * m * k), 6) AS avar_r
+    FROM (SELECT * FROM a1 UNION ALL SELECT * FROM a4
+          UNION ALL SELECT * FROM a16)
+    WHERE k > 0
+    """,
+)
+def w45_allan(spark, sf_dir):
+    """W45 — overlapping Allan variance (Allan '66; the clock-stability
+    statistic, equally the standard drift-vs-noise separator for ops
+    counters) of each hourly count series at cluster sizes m in
+    {1,4,16}: AVAR(m) = sum_i (S_{i+m} - S_i)^2 / (2 m^2 K) where S_i
+    is the m-hour window sum and K = N - 2m + 1 the overlapping-diff
+    count. White noise shows AVAR ~ 1/m; drift keeps it flat — the
+    m-profile is the readout. Exactness: S and the squared diffs are
+    pure BIGINT (ssd <= K*(m*max_c)^2, ~1e15 at sf0.1 — inside int64),
+    and only the final one-expression division is float, rounded 1e-6.
+    Scale: one spine shuffle; each arm is a bounded ROWS frame + lead —
+    no self-joins, no driver data."""
+    d = _dense_hourly(spark, sf_dir)
+    wo = Window.partitionBy("event_type").orderBy("i")
+    base = d.select(
+        "event_type", "i", "c",
+        F.row_number().over(wo).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    )
+    arms = []
+    for m in _ALLAN_MS:
+        s = base.select(
+            "event_type", "i", "rn", "n",
+            F.sum("c").over(wo.rowsBetween(0, m - 1)).alias("s"),
+        )
+        dm = s.select(
+            "event_type", "rn", "n", "s",
+            F.lead("s", m).over(wo).alias("s2"),
+        )
+        arms.append(
+            dm.where(F.col("rn") <= F.col("n") - 2 * m + 1)
+            .groupBy("event_type")
+            .agg(
+                F.lit(m).cast("long").alias("m"),
+                F.count(F.lit(1)).cast("long").alias("k"),
+                F.sum((F.col("s2") - F.col("s")) * (F.col("s2") - F.col("s")))
+                .cast("long").alias("ssd"),
+            )
+            .select("event_type", "m", "k", "ssd")
+        )
+    u = arms[0].unionByName(arms[1]).unionByName(arms[2])
+    return u.where("k > 0").select(
+        "event_type", "m", "k", "ssd",
+        F.round(
+            F.col("ssd").cast("double")
+            / (2.0 * F.col("m") * F.col("m") * F.col("k")),
+            6,
+        ).alias("avar_r"),
+    )
+
+
+@q(
+    "w46_adf",
+    _SPINE_SQL
+    + """,
+    lagged AS (
+      SELECT event_type,
+             c - lag(c) OVER w AS y,
+             lag(c) OVER w AS x
+      FROM dense
+      WINDOW w AS (PARTITION BY event_type ORDER BY i)
+    ),
+    s AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+             sum(x * x)::BIGINT AS sxx, sum(x * y)::BIGINT AS sxy,
+             sum(y * y)::BIGINT AS syy
+      FROM lagged WHERE x IS NOT NULL GROUP BY 1
+    ),
+    abc AS (
+      SELECT event_type, n,
+             n * sxy - sx * sy AS a,
+             n * sxx - sx * sx AS b,
+             n * syy - sy * sy AS c
+      FROM s
+    )
+    SELECT event_type, n,
+           round(a::DOUBLE / b::DOUBLE, 6) AS gamma_r,
+           round(a::DOUBLE * sqrt((n - 2.0)
+                 / (b::DOUBLE * c::DOUBLE - a::DOUBLE * a::DOUBLE)), 6)
+             AS df_t_r
+    FROM abc
+    WHERE n > 2 AND b > 0
+      AND b::DOUBLE * c::DOUBLE - a::DOUBLE * a::DOUBLE > 0
+    """,
+)
+def w46_adf(spark, sf_dir):
+    """W46 — Dickey-Fuller unit-root test (Dickey & Fuller '79, lag
+    order 0, with intercept) per hourly count series: regress the first
+    difference y_t = c_t - c_{t-1} on the level x_t = c_{t-1}; gamma
+    near 0 (df_t above the ~-2.86 critical value) means a unit root /
+    random-walk series, strongly negative df_t means mean-reverting —
+    the stationarity gate that decides whether w1/w7's rolling-mean
+    detectors are even applicable. Exactness: all five cross-row sums
+    are BIGINT over integers (order-free); the centered moments
+    A = n*Sxy - Sx*Sy, B = n*Sxx - Sx^2, C = n*Syy - Sy^2 stay BIGINT
+    (~1e15 worst at sf0.1), and gamma = A/B, t = A*sqrt((n-2)/(BC-A^2))
+    are each ONE identical IEEE expression both engines, rounded 1e-6
+    (BC-A^2 crosses into DOUBLE identically on both sides). Scale: one
+    spine shuffle + one lag window + one hash agg."""
+    d = _dense_hourly(spark, sf_dir)
+    wo = Window.partitionBy("event_type").orderBy("i")
+    lagged = d.select(
+        "event_type",
+        (F.col("c") - F.lag("c").over(wo)).alias("y"),
+        F.lag("c").over(wo).alias("x"),
+    ).where(F.col("x").isNotNull())
+    s = lagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    abc = s.select(
+        "event_type", "n",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("a"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("b"),
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).alias("c"),
+    )
+    ad = F.col("a").cast("double")
+    bd = F.col("b").cast("double")
+    cd = F.col("c").cast("double")
+    return abc.where(
+        (F.col("n") > 2) & (F.col("b") > 0) & (bd * cd - ad * ad > 0)
+    ).select(
+        "event_type", "n",
+        F.round(ad / bd, 6).alias("gamma_r"),
+        F.round(ad * F.sqrt((F.col("n") - 2.0) / (bd * cd - ad * ad)), 6)
+        .alias("df_t_r"),
+    )
+
+
+_LB_H = 8
+
+
+def _lb_q_sql() -> str:
+    terms = " + ".join(
+        f"(n{k}::DOUBLE / d0::DOUBLE) * (n{k}::DOUBLE / d0::DOUBLE)"
+        f" / (n - {k})"
+        for k in range(1, _LB_H + 1)
+    )
+    return f"round(n * (n + 2.0) * ({terms}), 6)"
+
+
+@q(
+    "w47_ljung_box",
+    _SPINE_SQL
+    + """,
+    dev AS (
+      SELECT event_type, i,
+             count(*) OVER (PARTITION BY event_type) * c
+               - sum(c) OVER (PARTITION BY event_type) AS d
+      FROM dense
+    ),
+    lagged AS (
+      SELECT event_type, d,
+    """
+    + ",".join(
+        f"lag(d, {k}) OVER (PARTITION BY event_type ORDER BY i) AS d{k}"
+        for k in range(1, _LB_H + 1)
+    )
+    + """
+      FROM dev
+    ),
+    s AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             sum(d * d)::BIGINT AS d0,
+    """
+    + ",".join(
+        f"sum(d * d{k})::BIGINT AS n{k}" for k in range(1, _LB_H + 1)
+    )
+    + f"""
+      FROM lagged GROUP BY 1
+    )
+    SELECT event_type, n, d0,
+           {_lb_q_sql()} AS q{_LB_H}_r
+    FROM s WHERE d0 > 0 AND n > {_LB_H}
+    """,
+)
+def w47_ljung_box(spark, sf_dir):
+    """W47 — Ljung-Box portmanteau whiteness test (Ljung & Box '78) at
+    h=8 lags per hourly count series: Q = n(n+2) sum_k r_k^2/(n-k) with
+    r_k the lag-k autocorrelation. Large Q (vs chi-square_8) rejects
+    "white noise" — the standard residual-diagnostic after any of the
+    repo's forecasters (w16 backtests, c7 Holt-Winters, w39 AR fits).
+    Exactness: the w39 idiom — deviations are the scaled integers
+    d_t = n*c_t - S so every autocovariance numerator n_k and the
+    denominator d0 are order-free BIGINTs, and Q is ONE identical IEEE
+    expression of those 9 integers both engines, rounded 1e-6. Scale:
+    one spine shuffle, one 8-lag window pass, one hash agg."""
+    d = _dense_hourly(spark, sf_dir)
+    wf = Window.partitionBy("event_type")
+    wo = Window.partitionBy("event_type").orderBy("i")
+    dev = d.select(
+        "event_type", "i",
+        (F.count(F.lit(1)).over(wf) * F.col("c") - F.sum("c").over(wf))
+        .alias("d"),
+    )
+    lag_cols = [
+        F.lag("d", k).over(wo).alias(f"d{k}") for k in range(1, _LB_H + 1)
+    ]
+    lagged = dev.select("event_type", "d", *lag_cols)
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("d") * F.col("d")).alias("d0"),
+    ] + [
+        F.sum(F.col("d") * F.col(f"d{k}")).alias(f"n{k}")
+        for k in range(1, _LB_H + 1)
+    ]
+    s = lagged.groupBy("event_type").agg(*aggs)
+    rsum = None
+    for k in range(1, _LB_H + 1):
+        rk = F.col(f"n{k}").cast("double") / F.col("d0").cast("double")
+        term = rk * rk / (F.col("n") - k)
+        rsum = term if rsum is None else rsum + term
+    return s.where((F.col("d0") > 0) & (F.col("n") > _LB_H)).select(
+        "event_type", "n", "d0",
+        F.round(F.col("n") * (F.col("n") + 2.0) * rsum, 6)
+        .alias(f"q{_LB_H}_r"),
+    )
+
+
+@q(
+    "x25_cramers_v",
+    """
+    WITH cells0 AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) // 86400000000 % 7 AS BIGINT) AS dow,
+             CAST(count(*) AS BIGINT) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    spine AS (
+      SELECT r.event_type, c.dow
+      FROM (SELECT DISTINCT event_type FROM cells0) r
+      CROSS JOIN (SELECT DISTINCT dow FROM cells0) c
+    ),
+    cells AS (
+      SELECT s.event_type, s.dow, coalesce(c.o, 0)::BIGINT AS o
+      FROM spine s LEFT JOIN cells0 c
+        ON c.event_type = s.event_type AND c.dow = s.dow
+    ),
+    tot AS (
+      SELECT sum(o)::BIGINT AS n,
+             count(DISTINCT event_type)::BIGINT AS r,
+             count(DISTINCT dow)::BIGINT AS k
+      FROM cells
+    ),
+    rc AS (
+      SELECT event_type, dow, o,
+             sum(o) OVER (PARTITION BY event_type) AS rt,
+             sum(o) OVER (PARTITION BY dow) AS ct
+      FROM cells
+    ),
+    terms AS (
+      SELECT CAST(round(
+               1000000.0 * ((t.n * o - rt * ct)::DOUBLE
+                            * (t.n * o - rt * ct)::DOUBLE)
+               / (t.n::DOUBLE * rt::DOUBLE * ct::DOUBLE), 0) AS BIGINT)
+               AS term_micro
+      FROM rc, tot t WHERE rt > 0 AND ct > 0
+    )
+    SELECT t.r, t.k, t.n,
+           (SELECT sum(term_micro)::BIGINT FROM terms) AS chi2_micro,
+           round(sqrt(((SELECT sum(term_micro) FROM terms) / 1000000.0)
+                 / (t.n * least(t.r - 1, t.k - 1))), 6) AS v_r
+    FROM tot t
+    """,
+)
+def x25_cramers_v(spark, sf_dir):
+    """X25 — Cramér's V association (Cramér '46) between event_type and
+    day-of-week: the chi-square contingency statistic normalized to
+    [0,1] — V = sqrt(chi2 / (N*min(r-1,k-1))) — the canonical "are
+    these two categoricals related" readout (complements x15's mutual
+    information with the effect-size-normalized test form). The full
+    r x k spine is materialized so empty cells contribute their
+    expected-count term. Exactness: dow is the engine-neutral integer
+    epoch-day mod 7 (no locale weekday functions); each cell's
+    chi-square term is (N*O - R*C)^2/(N*R*C) in identical IEEE doubles
+    (the BIGINT N*O - R*C difference is exact; only its square crosses
+    2^53), pre-rounded to micro-units so the cross-cell sum is a pure
+    BIGINT; V is one final float expression rounded 1e-6. Scale: one
+    (type,dow) hash agg off the scan; everything after is the
+    catalog-sized r x k frame — broadcast totals, zero wide shuffles."""
+    ev = t(spark, sf_dir, "events")
+    cells0 = ev.groupBy(
+        "event_type",
+        F.expr(
+            "CAST(unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000 % 7"
+            " AS BIGINT)"
+        ).alias("dow"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("o"))
+    cells0 = cells0.localCheckpoint()  # feeds spine arms + cells
+    rows = cells0.select("event_type").distinct()
+    cols = cells0.select("dow").distinct()
+    spine = rows.crossJoin(cols)
+    cells = spine.join(cells0, ["event_type", "dow"], "left").select(
+        "event_type", "dow", F.coalesce("o", F.lit(0)).cast("long").alias("o")
+    )
+    tot = cells.agg(
+        F.sum("o").cast("long").alias("n"),
+        F.countDistinct("event_type").cast("long").alias("r"),
+        F.countDistinct("dow").cast("long").alias("k"),
+    )
+    rc = cells.select(
+        "o",
+        F.sum("o").over(Window.partitionBy("event_type")).alias("rt"),
+        F.sum("o").over(Window.partitionBy("dow")).alias("ct"),
+    )
+    diff = (
+        F.col("n") * F.col("o") - F.col("rt") * F.col("ct")
+    ).cast("double")
+    terms = rc.crossJoin(F.broadcast(tot)).where(
+        (F.col("rt") > 0) & (F.col("ct") > 0)
+    ).select(
+        F.round(
+            F.lit(1000000.0) * diff * diff
+            / (
+                F.col("n").cast("double")
+                * F.col("rt").cast("double")
+                * F.col("ct").cast("double")
+            ),
+            0,
+        ).cast("long").alias("term_micro")
+    )
+    chi2 = terms.agg(F.sum("term_micro").cast("long").alias("chi2_micro"))
+    return tot.crossJoin(F.broadcast(chi2)).select(
+        "r", "k", "n", "chi2_micro",
+        F.round(
+            F.sqrt(
+                (F.col("chi2_micro") / 1000000.0)
+                / (F.col("n") * F.least(F.col("r") - 1, F.col("k") - 1))
+            ),
+            6,
+        ).alias("v_r"),
+    )
