@@ -193,7 +193,7 @@ class TestRound4Layouts:
         from tsrollup.codec import _dec_unpack, _reconstruct_dec
 
         base = 1_700_000_000_000_000 // 86_400_000_000 * 86_400_000_000
-        for n, want_magic in ((1, 0xD4), (3, 0xD4), (5, 0xD2), (300, 0xD2)):
+        for n, want_magic in ((1, 0xD4), (3, 0xD4), (5, 0xD5), (300, 0xD5)):
             blk = self._mk_block(n)
             p = try_decompose_block(*blk)
             assert p is not None and p[0] == want_magic, n
@@ -212,6 +212,61 @@ class TestRound4Layouts:
         p = try_decompose_block(*blk)
         assert p is not None
         ts2, (c2, n2, t2, td2) = _dec_unpack(p, base)
+        rc, rn, rt = _reconstruct_dec(c2, n2, t2, n2 + td2)
+        assert np.array_equal(rc, blk[0])
+        assert np.array_equal(rn, blk[1], equal_nan=True)
+        assert np.array_equal(rt, blk[2], equal_nan=True)
+
+    def test_legacy_v2_payload_still_decodes(self):
+        """Round-4/5 stores carry 0xD2 blocks (length-prefixed streams);
+        the encoder moved to the headerless 0xD5 container but the
+        retention horizon keeps v2 readable. The blob is assembled
+        byte-by-byte to the frozen v2 layout."""
+        import struct
+
+        from tsrollup.codec import (
+            _dec_unpack,
+            _encode_ts_stream,
+            _locf_obs,
+            _reconstruct_dec,
+            _varint,
+            _zzvarint,
+            encode_intzz,
+        )
+
+        base = 1_700_000_000_000_000 // 86_400_000_000 * 86_400_000_000
+        blk = self._mk_block(40, gaps=0.2)
+        p = try_decompose_block(*blk)
+        assert p is not None and p[0] == 0xD5
+        ts, (cnt, ntoksum, toksum, tokdiff) = _dec_unpack(p, base)
+        tokcnt = ntoksum + tokdiff
+        locf = _locf_obs(cnt, cnt > 0)
+        k1 = int(ntoksum.sum()) // int(locf.sum())
+        r1 = ntoksum - k1 * locf
+        k2 = int(toksum.sum()) // int(tokcnt.sum())
+        r2 = toksum - k2 * tokcnt
+        streams = [
+            _encode_ts_stream(ts, base),
+            encode_intzz(cnt),
+            b"" if not r1.any() else encode_intzz(r1),
+            b"" if not r2.any() else encode_intzz(r2),
+            b"" if not tokdiff.any() else encode_intzz(tokdiff),
+        ]
+        legacy = b"".join(
+            [
+                struct.pack("<B", 0xD2),
+                _zzvarint(k1),
+                _zzvarint(k2),
+                *[_varint(len(s)) for s in streams],
+                *streams,
+            ]
+        )
+        ts2, (c2, n2, t2, td2) = _dec_unpack(legacy, base)
+        assert np.array_equal(ts2, ts)
+        assert np.array_equal(c2, cnt)
+        assert np.array_equal(n2, ntoksum)
+        assert np.array_equal(t2, toksum)
+        assert np.array_equal(td2, tokdiff)
         rc, rn, rt = _reconstruct_dec(c2, n2, t2, n2 + td2)
         assert np.array_equal(rc, blk[0])
         assert np.array_equal(rn, blk[1], equal_nan=True)

@@ -860,6 +860,11 @@ _DEC_MAGIC = 0xD1       # legacy round-3 layout (decode-only)
 _DEC_MAGIC_V2 = 0xD2    # predictor-residual streams, varint lengths
 _DEC_MAGIC_TINY = 0xD3  # legacy n <= 4 bare-varint blocks (decode-only)
 _DEC_MAGIC_V4 = 0xD4    # n <= 4 packed header: n+flags byte, minute-grid
+_DEC_MAGIC_V5 = 0xD5    # n > 4 headerless stream bodies (round 5): one
+#                         shared varint n, no per-stream <H n> fields or
+#                         length varints — every intzz mode's consumed
+#                         length is derivable during decode, so bodies
+#                         lay end-to-end (~15 B/block off the v2 layout)
 #                         ts varints, all-zero streams omitted
 _MINUTE_US = 60_000_000
 _U64_ALL = np.uint64(0xFFFFFFFFFFFFFFFF)
@@ -946,8 +951,9 @@ def _mb_pack(u: np.ndarray, wmb: np.ndarray, cnts: np.ndarray) -> list[bytes]:
     return parts
 
 
-def _mb_unpack(blob: bytes, off: int, m: int) -> np.ndarray:
-    """Read nmb width bytes + byte-aligned miniblock payloads -> uint64[m]."""
+def _mb_unpack(blob: bytes, off: int, m: int) -> tuple[np.ndarray, int]:
+    """Read nmb width bytes + byte-aligned miniblock payloads ->
+    (uint64[m], end offset)."""
     nmb = (m + _MB - 1) // _MB
     wmb = np.frombuffer(blob, dtype=np.uint8, count=nmb, offset=off)
     off += nmb
@@ -968,7 +974,7 @@ def _mb_unpack(blob: bytes, off: int, m: int) -> np.ndarray:
             u[pos : pos + c] = (bits * pw).sum(axis=1, dtype=np.uint64)
             off += nb
         pos += c
-    return u
+    return u, off
 
 
 def _rice_plan(u: np.ndarray) -> tuple[int, int]:
@@ -1011,7 +1017,7 @@ def _rice_pack(u: np.ndarray, k: int) -> bytes:
 
 
 def _rice_unpack(blob: bytes, off: int, m: int) -> np.ndarray:
-    """Inverse of _rice_pack -> uint64[m]."""
+    """Inverse of _rice_pack -> (uint64[m], end offset)."""
     k = blob[off]
     nub, off = _unvarint(blob, off + 1)
     ones = np.flatnonzero(
@@ -1019,8 +1025,8 @@ def _rice_unpack(blob: bytes, off: int, m: int) -> np.ndarray:
     )[:m]
     q = np.diff(ones, prepend=-1) - 1  # q[i] = zeros before the i-th '1'
     u = q.astype(np.uint64) << np.uint64(k)
+    off += nub
     if k:
-        off += nub
         nrb = (m * k + 7) // 8
         bits = np.unpackbits(
             np.frombuffer(blob, dtype=np.uint8, count=nrb, offset=off),
@@ -1028,7 +1034,8 @@ def _rice_unpack(blob: bytes, off: int, m: int) -> np.ndarray:
         ).reshape(m, k).astype(np.uint64)
         pw = np.uint64(1) << np.arange(k - 1, -1, -1, dtype=np.uint64)
         u |= (bits * pw).sum(axis=1, dtype=np.uint64)
-    return u
+        off += nrb
+    return u, off
 
 
 def encode_intzz(a: np.ndarray) -> bytes:
@@ -1157,36 +1164,53 @@ def decode_intzz(blob: bytes) -> np.ndarray:
     n, w = struct.unpack_from("<HB", blob, 0)
     if n == 0:
         return np.empty(0, dtype=np.int64)
+    a, _end = _intzz_body_decode(blob, 2, n)
+    return a
+
+
+def _intzz_body(a: np.ndarray) -> bytes:
+    """encode_intzz payload without the <H n> count field (mode byte kept):
+    for container layouts (v5 blocks) that share one n across streams."""
+    return encode_intzz(a)[2:]
+
+
+def _intzz_body_decode(blob: bytes, off: int, n: int) -> tuple[np.ndarray, int]:
+    """Decode an intzz body (mode byte at `off`, count supplied) ->
+    (int64[n], end offset). Every mode's consumed length is derivable
+    during the decode, so bodies can be laid end-to-end with no length
+    prefixes — the v5 block layout depends on that."""
+    w = blob[off]
+    off += 1
     if w == _VAL_MODE:  # no v0 varint in this mode — values stand alone
-        az, off = _unvarint(blob, 3)
+        az, off = _unvarint(blob, off)
         min_a = (az >> 1) ^ -(az & 1)
-        ua = _mb_unpack(blob, off, n)
-        return (ua + np.uint64(min_a & _U64)).view(np.int64)
+        ua, off = _mb_unpack(blob, off, n)
+        return (ua + np.uint64(min_a & _U64)).view(np.int64), off
     if w == _RICE_V_MODE:
-        az, off = _unvarint(blob, 3)
+        az, off = _unvarint(blob, off)
         min_a = (az >> 1) ^ -(az & 1)
-        ua = _rice_unpack(blob, off, n)
-        return (ua + np.uint64(min_a & _U64)).view(np.int64)
+        ua, off = _rice_unpack(blob, off, n)
+        return (ua + np.uint64(min_a & _U64)).view(np.int64), off
     if w == _RICE_ZV_MODE:
-        czz, off = _unvarint(blob, 3)
+        czz, off = _unvarint(blob, off)
         center = (czz >> 1) ^ -(czz & 1)
-        u = _rice_unpack(blob, off, n)
+        u, off = _rice_unpack(blob, off, n)
         a = ((u >> _ONE) ^ (np.uint64(0) - (u & _ONE))).view(np.int64)
-        return a + np.int64(center)
-    v0z, off = _unvarint(blob, 3)
+        return a + np.int64(center), off
+    v0z, off = _unvarint(blob, off)
     v0 = (v0z >> 1) ^ -(v0z & 1)
     out = np.empty(n, dtype=np.int64)
     out[0] = v0
     if n == 1:
-        return out
+        return out, off
     if w == 0:
         out[1:] = v0
-        return out
+        return out, off
     m = n - 1
     if w in (_MB_MODE, _RICE_D_MODE):
         mz, off = _unvarint(blob, off)
         min_d = (mz >> 1) ^ -(mz & 1)
-        ud = (
+        ud, off = (
             _mb_unpack(blob, off, m)
             if w == _MB_MODE
             else _rice_unpack(blob, off, m)
@@ -1194,23 +1218,23 @@ def decode_intzz(blob: bytes) -> np.ndarray:
         d = (ud + np.uint64(min_d & _U64)).view(np.int64)
         np.cumsum(d, out=out[1:])
         out[1:] += v0
-        return out
+        return out, off
     if w == _RICE_ZD_MODE:
-        u = _rice_unpack(blob, off, m)
+        u, off = _rice_unpack(blob, off, m)
         d = ((u >> _ONE) ^ (np.uint64(0) - (u & _ONE))).view(np.int64)
         np.cumsum(d, out=out[1:])
         out[1:] += v0
-        return out
-    else:
-        bits = np.unpackbits(
-            np.frombuffer(blob, dtype=np.uint8, offset=off), count=m * w
-        ).reshape(m, w).astype(np.uint64)
-        pw = np.uint64(1) << np.arange(w - 1, -1, -1, dtype=np.uint64)
-        z = (bits * pw).sum(axis=1, dtype=np.uint64)
+        return out, off
+    nb = (m * w + 7) // 8
+    bits = np.unpackbits(
+        np.frombuffer(blob, dtype=np.uint8, count=nb, offset=off), count=m * w
+    ).reshape(m, w).astype(np.uint64)
+    pw = np.uint64(1) << np.arange(w - 1, -1, -1, dtype=np.uint64)
+    z = (bits * pw).sum(axis=1, dtype=np.uint64)
     d = ((z >> np.uint64(1)) ^ (np.uint64(0) - (z & np.uint64(1)))).view(np.int64)
     np.cumsum(d, out=out[1:])
     out[1:] += v0
-    return out
+    return out, off + nb
 
 
 def _encode_ts_stream(ts_us: np.ndarray, base_us: int) -> bytes:
@@ -1303,7 +1327,38 @@ def _dec_encode(
         ]
     )
     if n > 4:
-        return v2
+        # v5: same streams, headerless — drop the five <H n> count fields
+        # (one shared varint n) and the five length varints (bodies are
+        # self-delimiting). Strictly smaller than v2 except degenerate
+        # varint-n edge cases, but min() keeps selection content-pure.
+        flags5 = (
+            int(r1.any()) | (int(r2.any()) << 1) | (int(tokdiff.any()) << 2)
+        )
+        v5 = b"".join(
+            [
+                struct.pack("<BB", _DEC_MAGIC_V5, flags5),
+                _varint(n),
+                _zzvarint(k1),
+                _zzvarint(k2),
+                _varint(int(ts_us[0]) - base_us),
+                _intzz_body(np.diff(ts_us)),
+                _intzz_body(cnt_i),
+                b"" if not r1.any() else _intzz_body(r1),
+                b"" if not r2.any() else _intzz_body(r2),
+                b"" if not tokdiff.any() else _intzz_body(tokdiff),
+            ]
+        )
+        out = v5 if len(v5) < len(v2) else v2
+        ts2, (c2, n2, t2, td2) = _dec_unpack(out, base_us)
+        if not (
+            np.array_equal(ts2, ts_us)
+            and np.array_equal(c2, cnt_i)
+            and np.array_equal(n2, ntoksum)
+            and np.array_equal(t2, toksum)
+            and np.array_equal(td2, tokdiff)
+        ):  # pragma: no cover - defensive: never expected to fire
+            raise AssertionError("decomposed payload failed encode-time round-trip")
+        return out
     rel = ts_us - base_us  # >= 0: base_us is the day floor of ts_us[0]
     aligned = bool((rel % _MINUTE_US == 0).all())
     streams = (cnt_i, ntoksum, toksum, tokdiff)
@@ -1399,6 +1454,31 @@ def _dec_unpack(blob: bytes, base_us: int) -> tuple[np.ndarray, list[np.ndarray]
                 s[i] = s[i - 1] + dv
             streams.append(s)
         return ts, streams
+    if magic == _DEC_MAGIC_V5:
+        flags = blob[1]
+        n, off = _unvarint(blob, 2)
+        k1, off = _unzzvarint(blob, off)
+        k2, off = _unzzvarint(blob, off)
+        rel, off = _unvarint(blob, off)
+        ts = np.empty(n, dtype=np.int64)
+        ts[0] = base_us + rel
+        if n > 1:
+            d, off = _intzz_body_decode(blob, off, n - 1)
+            np.cumsum(d, out=ts[1:])
+            ts[1:] += ts[0]
+        cnt, off = _intzz_body_decode(blob, off, n)
+        rs = []
+        for bit in range(3):
+            if flags & (1 << bit):
+                r, off = _intzz_body_decode(blob, off, n)
+            else:
+                r = np.zeros(n, dtype=np.int64)
+            rs.append(r)
+        locf_cnt = _locf_obs(cnt, cnt > 0)
+        ntoksum = rs[0] + k1 * locf_cnt
+        tokdiff = rs[2]
+        toksum = rs[1] + k2 * (ntoksum + tokdiff)
+        return ts, [cnt, ntoksum, toksum, tokdiff]
     if magic == _DEC_MAGIC_V2:
         k1, off = _unzzvarint(blob, 1)
         k2, off = _unzzvarint(blob, off)
