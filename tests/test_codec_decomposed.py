@@ -193,7 +193,7 @@ class TestRound4Layouts:
         from tsrollup.codec import _dec_unpack, _reconstruct_dec
 
         base = 1_700_000_000_000_000 // 86_400_000_000 * 86_400_000_000
-        for n, want_magic in ((1, 0xD4), (3, 0xD4), (5, 0xD5), (300, 0xD5)):
+        for n, want_magic in ((1, 0xD6), (3, 0xD6), (5, 0xD5), (300, 0xD5)):
             blk = self._mk_block(n)
             p = try_decompose_block(*blk)
             assert p is not None and p[0] == want_magic, n
@@ -271,6 +271,54 @@ class TestRound4Layouts:
         assert np.array_equal(rc, blk[0])
         assert np.array_equal(rn, blk[1], equal_nan=True)
         assert np.array_equal(rt, blk[2], equal_nan=True)
+
+    def test_legacy_v4_minute_aligned_payload_still_decodes(self):
+        """Round-5 stores written before the v6 revision carry 0xD4 tiny
+        blocks (minute flag, zigzag first values); built byte-by-byte to
+        the frozen v4 layout."""
+        import struct
+
+        from tsrollup.codec import _dec_unpack, _varint, _zzvarint
+
+        base = 1_700_000_000_000_000 // 86_400_000_000 * 86_400_000_000
+        ts = np.array([base + 120_000_000, base + 300_000_000], dtype=np.int64)
+        cnt = np.array([3, 5], dtype=np.int64)
+        ntoksum = np.array([700, 1200], dtype=np.int64)
+        toksum = np.array([90_000, 140_000], dtype=np.int64)
+        hdr = (2 - 1) | (1 << 2) | (0b0111 << 3)  # n=2, aligned, tokdiff absent
+        parts = [struct.pack("<BB", 0xD4, hdr), _varint(2), _varint(3)]
+        for s in (cnt, ntoksum, toksum):
+            parts.append(_zzvarint(int(s[0])))
+            parts.append(_zzvarint(int(s[1] - s[0])))
+        ts2, (c2, n2, t2, td2) = _dec_unpack(b"".join(parts), base)
+        assert np.array_equal(ts2, ts)
+        assert np.array_equal(c2, cnt)
+        assert np.array_equal(n2, ntoksum)
+        assert np.array_equal(t2, toksum)
+        assert not td2.any()
+
+    def test_v6_grid_and_plain_varint_layout(self):
+        """The v6 tiny layout must pick the coarsest grid that fits (day
+        for 1d-tier stamps) and round-trip streams bit-exact."""
+        from tsrollup.codec import _dec_encode, _dec_unpack
+
+        base = 1_700_000_000_000_000 // 86_400_000_000 * 86_400_000_000
+        day = 86_400_000_000
+        ts = np.array([base, base + 2 * day, base + 3 * day], dtype=np.int64)
+        cnt = np.array([4000, 3900, 4100], dtype=np.int64)
+        ntoksum = np.array([900_000, 870_000, 930_000], dtype=np.int64)
+        toksum = np.array(
+            [22_000_000_000, 21_000_000_000, 23_000_000_000], dtype=np.int64
+        )
+        tokdiff = np.zeros(3, dtype=np.int64)
+        p = _dec_encode(ts, base, cnt, ntoksum, toksum, tokdiff)
+        assert p[0] == 0xD6 and ((p[1] >> 2) & 0b11) == 3  # day grid
+        ts2, (c2, n2, t2, td2) = _dec_unpack(p, base)
+        assert np.array_equal(ts2, ts)
+        assert np.array_equal(c2, cnt)
+        assert np.array_equal(n2, ntoksum)
+        assert np.array_equal(t2, toksum)
+        assert not td2.any()
 
     def test_legacy_v3_tiny_payload_still_decodes(self):
         """Round-4 stores carry 0xD3 tiny blocks; the encoder moved to

@@ -860,6 +860,12 @@ _DEC_MAGIC = 0xD1       # legacy round-3 layout (decode-only)
 _DEC_MAGIC_V2 = 0xD2    # predictor-residual streams, varint lengths
 _DEC_MAGIC_TINY = 0xD3  # legacy n <= 4 bare-varint blocks (decode-only)
 _DEC_MAGIC_V4 = 0xD4    # n <= 4 packed header: n+flags byte, minute-grid
+_DEC_MAGIC_V6 = 0xD6    # n <= 4 revision of v4 (round 5): 2-bit grid
+#                         granularity (unaligned/minute/hour/day) instead
+#                         of the single minute flag — 1h/1d bucket stamps
+#                         cost 1 byte — and PLAIN varints for the first
+#                         values of the non-negative cnt/ntok/tok streams
+#                         (zigzag doubled them for nothing)
 _DEC_MAGIC_V5 = 0xD5    # n > 4 headerless stream bodies (round 5): one
 #                         shared varint n, no per-stream <H n> fields or
 #                         length varints — every intzz mode's consumed
@@ -1383,7 +1389,40 @@ def _dec_encode(
         for dv in np.diff(s):
             parts.append(_zzvarint(int(dv)))
     v4 = b"".join(parts)
-    out = v4 if len(v4) <= len(v2) else v2
+    # v6 candidate: 2-bit grid (0 unaligned / 1 minute / 2 hour / 3 day)
+    # replaces the minute flag, and the known-non-negative streams
+    # (cnt, ntoksum, toksum) store their first value as a plain varint.
+    # tokdiff keeps zigzag (it can be negative); deltas keep zigzag.
+    grid = 0
+    for gi, g_us in ((3, 86_400_000_000), (2, 3_600_000_000), (1, _MINUTE_US)):
+        if (rel % g_us == 0).all():
+            grid = gi
+            break
+    g_us = {1: _MINUTE_US, 2: 3_600_000_000, 3: 86_400_000_000}.get(grid, 1)
+    hdr6 = (n - 1) | (grid << 2) | (flags << 4)
+    parts = [struct.pack("<BB", _DEC_MAGIC_V6, hdr6)]
+    if grid:
+        parts.append(_varint(int(rel[0]) // g_us))
+        for dv in np.diff(rel):
+            parts.append(_varint(int(dv) // g_us))
+    else:
+        parts.append(_varint(int(rel[0])))
+        for dv in np.diff(ts_us):
+            parts.append(_zzvarint(int(dv)))
+    for bit, s in enumerate(streams):
+        if not s.any():
+            continue
+        first = int(s[0])
+        if bit < 3 and first >= 0:
+            parts.append(_varint(first))
+        else:  # tokdiff, or a (contract-violating) negative first value
+            parts.append(_zzvarint(first))
+        for dv in np.diff(s):
+            parts.append(_zzvarint(int(dv)))
+    v6 = b"".join(parts)
+    if any(int(s[0]) < 0 for s in streams[:3] if s.any()):
+        v6 = v4  # zigzag/plain ambiguity — refuse v6 for this content
+    out = min((v2, v4, v6), key=len)  # ties: v2 > v4 > v6 (byte stability)
     # encode-time round-trip: the decomposed contract is "bitwise-verified
     # at encode"; the residual transform lives on this side of
     # try_decompose_block's stream verification, so verify THROUGH the
@@ -1405,6 +1444,38 @@ def _dec_unpack(blob: bytes, base_us: int) -> tuple[np.ndarray, list[np.ndarray]
     Dispatches on the layout magic: 0xD1 (legacy), 0xD2 (predictor
     residuals), 0xD3 (tiny varint blocks)."""
     magic = blob[0]
+    if magic == _DEC_MAGIC_V6:
+        hdr = blob[1]
+        n = (hdr & 0b11) + 1
+        grid = (hdr >> 2) & 0b11
+        flags = (hdr >> 4) & 0b1111
+        g_us = {1: _MINUTE_US, 2: 3_600_000_000, 3: 86_400_000_000}.get(grid, 1)
+        ts = np.empty(n, dtype=np.int64)
+        u, off = _unvarint(blob, 2)
+        ts[0] = base_us + u * g_us
+        for i in range(1, n):
+            if grid:
+                dv, off = _unvarint(blob, off)
+                ts[i] = ts[i - 1] + dv * g_us
+            else:
+                dv, off = _unzzvarint(blob, off)
+                ts[i] = ts[i - 1] + dv
+        streams = []
+        for bit in range(4):
+            if not flags & (1 << bit):
+                streams.append(np.zeros(n, dtype=np.int64))
+                continue
+            s = np.empty(n, dtype=np.int64)
+            if bit < 3:
+                v, off = _unvarint(blob, off)
+            else:
+                v, off = _unzzvarint(blob, off)
+            s[0] = v
+            for i in range(1, n):
+                dv, off = _unzzvarint(blob, off)
+                s[i] = s[i - 1] + dv
+            streams.append(s)
+        return ts, streams
     if magic == _DEC_MAGIC_V4:
         hdr = blob[1]
         n = (hdr & 0b11) + 1
