@@ -1422,7 +1422,9 @@ def _dec_encode(
     v6 = b"".join(parts)
     if any(int(s[0]) < 0 for s in streams[:3] if s.any()):
         v6 = v4  # zigzag/plain ambiguity — refuse v6 for this content
-    out = min((v2, v4, v6), key=len)  # ties: v2 > v4 > v6 (byte stability)
+    # tie order v4 > v2 > v6: v4-vs-v2 keeps the pre-v6 preference, so any
+    # block a round-5 store already encoded at equal size stays byte-stable
+    out = min((v4, v2, v6), key=len)
     # encode-time round-trip: the decomposed contract is "bitwise-verified
     # at encode"; the residual transform lives on this side of
     # try_decompose_block's stream verification, so verify THROUGH the
