@@ -163,9 +163,28 @@ def synthesize(
         flat_sorted[pos : pos + ln] = flat_tokens[st : st + ln]
         pos += ln
     del flat_tokens
-    tok_sorted = pa.LargeListArray.from_arrays(pa.array(new_offsets), pa.array(flat_sorted))
-    # cast large_list<int32> -> list<element: int32 not null>
-    tok_sorted = tok_sorted.cast(pa.list_(pa.field("element", pa.int32(), nullable=False)))
+    # list<int32> offsets are 32-bit, so one monolithic array caps the
+    # fixture at 2^31 flat tokens (an 8M-row dense fixture holds ~2.2e9).
+    # Chunk rows so every chunk's token count fits, building each chunk
+    # directly as list<int32> — same bytes on disk, no row-count ceiling.
+    lst_type = pa.list_(pa.field("element", pa.int32(), nullable=False))
+    n_kept = idx_keep.size
+    chunks = []
+    row_lo = 0
+    lim = (1 << 31) - 8
+    while row_lo < n_kept:
+        row_hi = int(
+            np.searchsorted(new_offsets, new_offsets[row_lo] + lim, side="right")
+        ) - 1
+        row_hi = min(max(row_hi, row_lo + 1), n_kept)
+        off32 = (
+            new_offsets[row_lo : row_hi + 1] - new_offsets[row_lo]
+        ).astype(np.int32)
+        vals = flat_sorted[new_offsets[row_lo] : new_offsets[row_hi]]
+        arr = pa.ListArray.from_arrays(pa.array(off32), pa.array(vals))
+        chunks.append(arr.cast(lst_type))
+        row_lo = row_hi
+    tok_sorted = pa.chunked_array(chunks, type=lst_type)
 
     table = pa.Table.from_arrays(
         [
