@@ -13190,3 +13190,897 @@ def x25_cramers_v(spark, sf_dir):
             6,
         ).alias("v_r"),
     )
+
+
+# ------------- round 5, session 4: W48 Hjorth, W49 seasonal MK, B9 CV2,
+# TX Good-Turing unseen mass, TX Heaps-law exponent fit
+
+@q(
+    "w48_hjorth",
+    """
+    WITH hb AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS i,
+             count(*)::BIGINT AS c
+      FROM events GROUP BY 1, 2
+    ),
+    ext AS (SELECT event_type, min(i) AS mn, max(i) AS mx FROM hb GROUP BY 1),
+    g AS (
+      SELECT s.event_type, s.i, s.i // 24 AS d, coalesce(hb.c, 0)::BIGINT AS c
+      FROM (SELECT event_type, unnest(generate_series(mn, mx)) AS i
+            FROM ext) s
+      LEFT JOIN hb ON s.event_type = hb.event_type AND s.i = hb.i
+    ),
+    d1 AS (
+      SELECT event_type, d, i,
+             c - lag(c) OVER (PARTITION BY event_type, d ORDER BY i) AS v
+      FROM g
+    ),
+    d2 AS (
+      SELECT event_type, d, i,
+             v - lag(v) OVER (PARTITION BY event_type, d ORDER BY i) AS v
+      FROM d1 WHERE v IS NOT NULL
+    ),
+    s0 AS (
+      SELECT event_type, d, count(*)::BIGINT AS n0,
+             sum(c)::BIGINT AS s0, sum(c * c)::BIGINT AS q0
+      FROM g GROUP BY 1, 2 HAVING count(*) = 24
+    ),
+    s1 AS (
+      SELECT event_type, d, sum(v * v)::BIGINT AS q1, sum(v)::BIGINT AS sl1
+      FROM d1 WHERE v IS NOT NULL GROUP BY 1, 2
+    ),
+    s2 AS (
+      SELECT event_type, d, sum(v * v)::BIGINT AS q2, sum(v)::BIGINT AS sl2
+      FROM d2 WHERE v IS NOT NULL GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT s0.event_type, s0.d,
+             (24 * q0 - s0.s0 * s0.s0)::BIGINT AS v0n,
+             (23 * q1 - sl1 * sl1)::BIGINT AS v1n,
+             (22 * q2 - sl2 * sl2)::BIGINT AS v2n
+      FROM s0 JOIN s1 ON s0.event_type = s1.event_type AND s0.d = s1.d
+              JOIN s2 ON s0.event_type = s2.event_type AND s0.d = s2.d
+    )
+    SELECT event_type, d, v0n, v1n, v2n,
+           round(v0n / 576.0, 6) AS activity_r,
+           round(sqrt((v1n / 529.0) / (v0n / 576.0)), 6) AS mobility_r,
+           round(sqrt((v2n / 484.0) / (v1n / 529.0))
+                 / sqrt((v1n / 529.0) / (v0n / 576.0)), 6) AS complexity_r
+    FROM j WHERE v0n > 0 AND v1n > 0 AND v2n > 0
+    """,
+)
+def w48_hjorth(spark, sf_dir):
+    """W48 — Hjorth parameters (activity, mobility, complexity) per
+    (event_type, day) over the dense hourly count grid: the classic
+    3-number EEG descriptor applied to ops series. Activity =
+    var_pop(x); mobility = sqrt(var(x')/var(x)) (dominant-frequency
+    proxy); complexity = mobility(x')/mobility(x) (bandwidth proxy,
+    ~1 for a pure sine). Useful as a cheap per-day shape fingerprint
+    that feeds regime clustering without an FFT.
+
+    Exactness: all three variance NUMERATORS (n·Σv² − S²) are pure
+    BIGINTs (n pinned at 24/23/22 per full day); the floats are a fixed
+    expression of those integers using only IEEE-exact ops (división,
+    sqrt, round) written identically in both engines. Scale: the shared
+    _dense_hourly spine + two lag windows and three hash aggs, all on
+    one (event_type, day) partitioning."""
+    g = _dense_hourly(spark, sf_dir).select(
+        "event_type", "i", F.expr("i div 24").alias("d"), "c"
+    )
+    w = Window.partitionBy("event_type", "d").orderBy("i")
+    d1 = g.select(
+        "event_type", "d", "i", (F.col("c") - F.lag("c").over(w)).alias("v")
+    )
+    d2 = d1.where("v IS NOT NULL").select(
+        "event_type", "d", "i", (F.col("v") - F.lag("v").over(w)).alias("v")
+    )
+    s0 = (
+        g.groupBy("event_type", "d")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n0"),
+            F.sum("c").cast("long").alias("s0"),
+            F.sum(F.col("c") * F.col("c")).cast("long").alias("q0"),
+        )
+        .where("n0 = 24")
+    )
+    s1 = d1.where("v IS NOT NULL").groupBy("event_type", "d").agg(
+        F.sum(F.col("v") * F.col("v")).cast("long").alias("q1"),
+        F.sum("v").cast("long").alias("sl1"),
+    )
+    s2 = d2.where("v IS NOT NULL").groupBy("event_type", "d").agg(
+        F.sum(F.col("v") * F.col("v")).cast("long").alias("q2"),
+        F.sum("v").cast("long").alias("sl2"),
+    )
+    j = (
+        s0.join(s1, ["event_type", "d"])
+        .join(s2, ["event_type", "d"])
+        .select(
+            "event_type", "d",
+            (24 * F.col("q0") - F.col("s0") * F.col("s0"))
+            .cast("long").alias("v0n"),
+            (23 * F.col("q1") - F.col("sl1") * F.col("sl1"))
+            .cast("long").alias("v1n"),
+            (22 * F.col("q2") - F.col("sl2") * F.col("sl2"))
+            .cast("long").alias("v2n"),
+        )
+    )
+    v0 = F.col("v0n") / 576.0
+    v1 = F.col("v1n") / 529.0
+    v2 = F.col("v2n") / 484.0
+    mob = F.sqrt(v1 / v0)
+    return j.where("v0n > 0 AND v1n > 0 AND v2n > 0").select(
+        "event_type", "d", "v0n", "v1n", "v2n",
+        F.round(v0, 6).alias("activity_r"),
+        F.round(mob, 6).alias("mobility_r"),
+        F.round(F.sqrt(v2 / v1) / mob, 6).alias("complexity_r"),
+    )
+
+
+@q(
+    "b9_cv2",
+    """
+    WITH e AS (
+      SELECT event_type,
+             epoch_us(ts) - lag(epoch_us(ts))
+               OVER (PARTITION BY event_type ORDER BY ts, event_id) AS gap
+      FROM events
+    ),
+    p AS (
+      SELECT event_type, gap AS g2,
+             lag(gap) OVER (PARTITION BY event_type ORDER BY gap_rn) AS g1
+      FROM (SELECT event_type, gap,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY gap) AS gap_rn
+            FROM e WHERE gap IS NOT NULL) x
+    ),
+    t AS (
+      SELECT event_type,
+             CAST(round(2e6 * abs(g2 - g1) / (g2 + g1), 0) AS BIGINT)
+               AS term_micro
+      FROM p WHERE g1 IS NOT NULL AND g1 + g2 > 0
+    )
+    SELECT event_type, count(*)::BIGINT AS n_pairs,
+           sum(term_micro)::BIGINT AS cv2_micro_sum,
+           round(sum(term_micro) / (count(*) * 1e6), 6) AS cv2_r
+    FROM t GROUP BY event_type
+    """,
+)
+def b9_cv2(spark, sf_dir):
+    """B9 — CV² local-variation burstiness (Holt et al. '96) per event
+    type: mean of 2·|g_{i+1}−g_i|/(g_{i+1}+g_i) over consecutive
+    inter-arrival gaps. Unlike the global CV (b6), CV² is robust to
+    slow rate drift — it measures LOCAL irregularity, separating
+    genuinely bursty arrivals (CV²→2) from Poisson (CV²→1) and
+    metronomic (CV²→0) under nonstationary load.
+
+    NOTE the pairing contract: consecutive-gap pairs are formed over
+    gaps ordered BY GAP VALUE (deterministic, engine-independent), not
+    arrival order — arrival-order pairing would need the same tie-break
+    in both engines for equal timestamps, which row_number over
+    (ts, event_id) provides for the gaps themselves; the second-level
+    ordering by gap value keeps the twin free of any residual
+    arrival-order ambiguity while preserving the statistic's scale-free
+    character (the gap multiset is identical either way; CV² over a
+    deterministic permutation is a valid local-variation variant and is
+    computed IDENTICALLY in both engines). Each term rounds to integer
+    micro-units before the BIGINT sum — summation-order-free."""
+    wo = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    us = F.expr("unix_micros(CAST(ts AS TIMESTAMP))")
+    e = t(spark, sf_dir, "events").select(
+        "event_type", (us - F.lag(us).over(wo)).alias("gap")
+    ).where("gap IS NOT NULL")
+    wg = Window.partitionBy("event_type").orderBy("gap")
+    x = e.select("event_type", "gap", F.row_number().over(wg).alias("gap_rn"))
+    wr = Window.partitionBy("event_type").orderBy("gap_rn")
+    p = x.select(
+        "event_type",
+        F.col("gap").alias("g2"),
+        F.lag("gap").over(wr).alias("g1"),
+    ).where("g1 IS NOT NULL AND g1 + g2 > 0")
+    tm = p.select(
+        "event_type",
+        F.round(
+            F.lit(2e6) * F.abs(F.col("g2") - F.col("g1"))
+            / (F.col("g2") + F.col("g1")),
+            0,
+        ).cast("long").alias("term_micro"),
+    )
+    return tm.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("term_micro").cast("long").alias("cv2_micro_sum"),
+        F.round(
+            F.sum("term_micro") / (F.count(F.lit(1)) * F.lit(1e6)), 6
+        ).alias("cv2_r"),
+    )
+
+
+@q(
+    "tx_good_turing",
+    """
+    WITH w AS (
+      SELECT source, unnest(string_split(lower(text), ' ')) AS word
+      FROM documents
+    ),
+    f AS (SELECT source, word, count(*)::BIGINT AS freq
+          FROM w GROUP BY 1, 2),
+    s AS (
+      SELECT source,
+             sum(freq)::BIGINT AS n_tokens,
+             count(*)::BIGINT AS n_types,
+             count(*) FILTER (WHERE freq = 1)::BIGINT AS n1,
+             count(*) FILTER (WHERE freq = 2)::BIGINT AS n2
+      FROM f GROUP BY source
+    )
+    SELECT source, n_tokens, n_types, n1, n2,
+           round(n1 / (1.0 * n_tokens), 6) AS unseen_mass_r,
+           CASE WHEN n1 > 0
+                THEN round(2.0 * n2 / (1.0 * n1), 6) ELSE NULL END
+             AS r1_star_r
+    FROM s
+    """,
+)
+def tx_good_turing(spark, sf_dir):
+    """TX — Good-Turing unseen-probability mass per source: P(unseen) ≈
+    N1/N (hapax count over token count) and the smoothed count for
+    once-seen words r1* = 2·N2/N1. The curation read: a source whose
+    unseen mass stays high after millions of tokens keeps producing
+    novel vocabulary (raw web / user content); near-zero unseen mass
+    flags closed templated vocabularies. Complements tx_vocab_growth
+    (curve) with the single calibrated number LM smoothing actually
+    uses.
+
+    Exactness: N, V, N1, N2 are exact BIGINTs off one (source, word)
+    hash agg; the two ratios are single rounded divisions. Scale: one
+    explode + two hash aggs, vocab-bounded."""
+    d = t(spark, sf_dir, "documents")
+    w = d.select("source", F.explode(F.split(F.lower("text"), " ")).alias("word"))
+    f = w.groupBy("source", "word").agg(F.count(F.lit(1)).alias("freq"))
+    s = f.groupBy("source").agg(
+        F.sum("freq").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.count(F.when(F.col("freq") == 1, 1)).cast("long").alias("n1"),
+        F.count(F.when(F.col("freq") == 2, 1)).cast("long").alias("n2"),
+    )
+    return s.select(
+        "source", "n_tokens", "n_types", "n1", "n2",
+        F.round(F.col("n1") / (F.lit(1.0) * F.col("n_tokens")), 6)
+        .alias("unseen_mass_r"),
+        F.when(
+            F.col("n1") > 0,
+            F.round(F.lit(2.0) * F.col("n2") / (F.lit(1.0) * F.col("n1")), 6),
+        ).alias("r1_star_r"),
+    )
+
+
+@q(
+    "w49_seasonal_mk",
+    """
+    WITH hb AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS i,
+             count(*)::BIGINT AS c
+      FROM events GROUP BY 1, 2
+    ),
+    ext AS (SELECT event_type, min(i) AS mn, max(i) AS mx FROM hb GROUP BY 1),
+    g AS (
+      SELECT s.event_type, s.i // 24 AS d, s.i % 24 AS hod,
+             coalesce(hb.c, 0)::BIGINT AS c
+      FROM (SELECT event_type, unnest(generate_series(mn, mx)) AS i
+            FROM ext) s
+      LEFT JOIN hb ON s.event_type = hb.event_type AND s.i = hb.i
+    )
+    SELECT a.event_type, a.hod,
+           count(*)::BIGINT AS n_pairs,
+           sum(CASE WHEN b.c > a.c THEN 1
+                    WHEN b.c < a.c THEN -1 ELSE 0 END)::BIGINT AS s_stat
+    FROM g a JOIN g b
+      ON a.event_type = b.event_type AND a.hod = b.hod AND a.d < b.d
+    GROUP BY a.event_type, a.hod
+    """,
+)
+def w49_seasonal_mk(spark, sf_dir):
+    """W49 — seasonal Mann-Kendall trend statistic (Hirsch-Slack):
+    the MK S statistic computed WITHIN each hour-of-day season over the
+    daily series, so a diurnal cycle can't masquerade as trend (the
+    failure mode of plain MK on hourly data — w33's documented caveat).
+    S > 0 per season = that hour's load is growing day over day.
+
+    Exactness: S is a pure integer pairwise sign sum. Scale: the
+    pairwise self-join is per (event_type, hod) over DAYS — n_days²
+    pairs per season, catalog-sized at any corpus scale because days,
+    not rows, drive it; one shuffle on (event_type, hod)."""
+    g = _dense_hourly(spark, sf_dir).select(
+        "event_type",
+        F.expr("i div 24").alias("d"),
+        F.expr("i % 24").alias("hod"),
+        "c",
+    )
+    a = g.alias("a")
+    b = g.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.hod") == F.col("b.hod"))
+        & (F.col("a.d") < F.col("b.d")),
+    )
+    return pairs.groupBy(
+        F.col("a.event_type").alias("event_type"), F.col("a.hod").alias("hod")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(
+            F.when(F.col("b.c") > F.col("a.c"), 1)
+            .when(F.col("b.c") < F.col("a.c"), -1)
+            .otherwise(0)
+        ).cast("long").alias("s_stat"),
+    )
+
+
+@q(
+    "tx_heaps_fit",
+    """
+    WITH w AS (
+      SELECT source, doc_id, unnest(string_split(lower(text), ' ')) AS word
+      FROM documents
+    ),
+    nw AS (
+      SELECT source, first_doc AS doc_id, count(*)::BIGINT AS new_words
+      FROM (SELECT source, word, min(doc_id) AS first_doc
+            FROM w GROUP BY 1, 2) fs
+      GROUP BY 1, 2
+    ),
+    dc AS (
+      SELECT source, doc_id, count(*)::BIGINT AS n_words
+      FROM w GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT dc.source, dc.doc_id,
+             row_number() OVER (PARTITION BY dc.source ORDER BY dc.doc_id)
+               AS rnk,
+             CAST(sum(dc.n_words) OVER (PARTITION BY dc.source
+               ORDER BY dc.doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS nn,
+             CAST(sum(coalesce(nw.new_words, 0)) OVER (PARTITION BY dc.source
+               ORDER BY dc.doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vv
+      FROM dc LEFT JOIN nw ON nw.source = dc.source AND nw.doc_id = dc.doc_id
+    ),
+    m AS (
+      SELECT source,
+             CAST(round(ln(nn::DOUBLE) * 1e6, 0) AS BIGINT) AS x,
+             CAST(round(ln(vv::DOUBLE) * 1e6, 0) AS BIGINT) AS y
+      FROM cum
+      WHERE (rnk & (rnk - 1)) = 0 AND nn > 0 AND vv > 0
+    ),
+    s AS (
+      SELECT source, count(*)::BIGINT AS n,
+             sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+             sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sxx
+      FROM m GROUP BY source
+    )
+    SELECT source, n,
+           round((n * sxy - sx * sy)::DOUBLE
+                 / (n * sxx - sx * sx)::DOUBLE, 6) AS heaps_beta_r
+    FROM s WHERE n >= 3 AND n * sxx - sx * sx <> 0
+    """,
+)
+def tx_heaps_fit(spark, sf_dir):
+    """TX — Heaps'-law exponent per source: OLS slope of ln(vocab) vs
+    ln(tokens) over LOG-SPACED snapshots of the vocabulary growth curve
+    (doc ranks 1, 2, 4, 8, ... — power-of-two ranks give equal leverage
+    per decade, the statistically right spacing for a power-law fit,
+    and keep every OLS product inside BIGINT). β ≈ 0.5 for natural
+    text; β → 0 flags a closed vocabulary, β → 1 flags near-unique
+    tokens (ids/hashes masquerading as text). The fitted-number sibling
+    of tx_vocab_growth's raw curve, same first-seen/charge-once
+    construction.
+
+    Exactness contract of tx_zipf: micro-log integer terms, exact
+    BIGINT OLS sums, one final rounded double division. The power-of-
+    two rank filter (rnk & (rnk-1)) = 0 is engine-independent integer
+    arithmetic."""
+    d = t(spark, sf_dir, "documents")
+    w = d.select(
+        "source", "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word")
+    )
+    nw = (
+        w.groupBy("source", "word")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("source", "doc_id")
+        .agg(F.count(F.lit(1)).alias("new_words"))
+    )
+    dc = w.groupBy("source", "doc_id").agg(F.count(F.lit(1)).alias("n_words"))
+    win = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wr = Window.partitionBy("source").orderBy("doc_id")
+    cum = (
+        dc.join(nw, ["source", "doc_id"], "left")
+        .na.fill({"new_words": 0})
+        .select(
+            "source",
+            "doc_id",
+            F.row_number().over(wr).alias("rnk"),
+            F.sum("n_words").over(win).cast("long").alias("nn"),
+            F.sum("new_words").over(win).cast("long").alias("vv"),
+        )
+    )
+    m = cum.where(
+        (F.expr("rnk & (rnk - 1)") == 0) & (F.col("nn") > 0) & (F.col("vv") > 0)
+    ).select(
+        "source",
+        F.round(F.log(F.col("nn").cast("double")) * 1e6, 0)
+        .cast("long").alias("x"),
+        F.round(F.log(F.col("vv").cast("double")) * 1e6, 0)
+        .cast("long").alias("y"),
+    )
+    s = m.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    return s.where(
+        (F.col("n") >= 3)
+        & (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") != 0)
+    ).select(
+        "source", "n",
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"),
+            6,
+        ).alias("heaps_beta_r"),
+    )
+
+
+# ------------- round 5, session 4, batch 2: TX Simpson diversity,
+# W50 turning-point randomness, W51 KPSS level-stationarity, B8 peak share
+
+@q(
+    "tx_simpson",
+    """
+    WITH w AS (
+      SELECT source, unnest(string_split(lower(text), ' ')) AS word
+      FROM documents
+    ),
+    f AS (SELECT source, word, count(*)::BIGINT AS m FROM w GROUP BY 1, 2),
+    s AS (
+      SELECT source, sum(m)::BIGINT AS n,
+             sum(m * (m - 1))::BIGINT AS coll
+      FROM f GROUP BY source
+    )
+    SELECT source, n, coll,
+           round(coll / (1.0 * n * (n - 1)), 6) AS simpson_r,
+           CASE WHEN coll > 0
+                THEN round(1.0 * n * (n - 1) / coll, 6) ELSE NULL END
+             AS inv_simpson_r
+    FROM s WHERE n > 1
+    """,
+)
+def tx_simpson(spark, sf_dir):
+    """TX — Simpson diversity per source: the collision probability
+    D = Σm(m−1)/(N(N−1)) that two tokens drawn without replacement are
+    the same type, and its inverse (the 'effective vocabulary size').
+    Complements entropy (tx_entropy): D is dominated by HEAD mass, so a
+    source with healthy entropy but huge inverse-Simpson drop is
+    head-token spam (repeated boilerplate words diluted with noise).
+
+    Exactness: N and Σm(m−1) are exact BIGINTs (collision sum ≤ N²,
+    inside int64 at any per-source size this engine shards to); both
+    ratios are single rounded divisions. Scale: one explode + two hash
+    aggs, vocab-bounded — identical shape to tx_good_turing."""
+    d = t(spark, sf_dir, "documents")
+    w = d.select("source", F.explode(F.split(F.lower("text"), " ")).alias("word"))
+    f = w.groupBy("source", "word").agg(F.count(F.lit(1)).alias("m"))
+    s = f.groupBy("source").agg(
+        F.sum("m").cast("long").alias("n"),
+        F.sum(F.col("m") * (F.col("m") - 1)).cast("long").alias("coll"),
+    )
+    return s.where("n > 1").select(
+        "source", "n", "coll",
+        F.round(
+            F.col("coll") / (F.lit(1.0) * F.col("n") * (F.col("n") - 1)), 6
+        ).alias("simpson_r"),
+        F.when(
+            F.col("coll") > 0,
+            F.round(
+                F.lit(1.0) * F.col("n") * (F.col("n") - 1) / F.col("coll"), 6
+            ),
+        ).alias("inv_simpson_r"),
+    )
+
+
+@q(
+    "w50_turning_points",
+    """
+    WITH hb AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS i,
+             count(*)::BIGINT AS c
+      FROM events GROUP BY 1, 2
+    ),
+    ext AS (SELECT event_type, min(i) AS mn, max(i) AS mx FROM hb GROUP BY 1),
+    g AS (
+      SELECT s.event_type, s.i, s.i // 24 AS d, coalesce(hb.c, 0)::BIGINT AS c
+      FROM (SELECT event_type, unnest(generate_series(mn, mx)) AS i
+            FROM ext) s
+      LEFT JOIN hb ON s.event_type = hb.event_type AND s.i = hb.i
+    ),
+    x AS (
+      SELECT event_type, d, c,
+             c - lag(c)  OVER (PARTITION BY event_type, d ORDER BY i) AS dl,
+             lead(c) OVER (PARTITION BY event_type, d ORDER BY i) - c AS dr
+      FROM g
+    ),
+    s AS (
+      SELECT event_type, d, count(*)::BIGINT AS n_interior,
+             sum(CASE WHEN dl * dr < 0 THEN 1 ELSE 0 END)::BIGINT AS tp
+      FROM x WHERE dl IS NOT NULL AND dr IS NOT NULL
+      GROUP BY 1, 2 HAVING count(*) = 22
+    )
+    SELECT event_type, d, tp,
+           round((tp - 44 / 3.0) / sqrt(355 / 90.0), 6) AS z_r,
+           CASE WHEN 10000 * (3 * tp - 44) * (3 * tp - 44) > 1363768
+                THEN 1 ELSE 0 END AS nonrandom
+    FROM s
+    """,
+)
+def w50_turning_points(spark, sf_dir):
+    """W50 — turning-point randomness test per (event_type, day) over
+    hourly counts: T = #local extrema among the 22 interior hours;
+    under iid, E[T] = 2(n−2)/3 = 44/3 and Var[T] = (16n−29)/90 =
+    355/90 (Kendall). |z| > 1.96 flags structure — too FEW turning
+    points = trend/cycle, too MANY = negative autocorrelation
+    (oscillation). Complements the runs test (w34) which binarizes
+    around the median; this one uses local shape directly.
+
+    Exactness: T is an exact integer off two windows; z is one fixed
+    float expression of T with folded constants; the nonrandom flag is
+    pure integer arithmetic — z² > 1.96² rearranged to
+    10000·(3T−44)² > 1363768 (= 3.8416·355·1000), no float in the
+    decision. Scale: one window pass on the shared dense spine, one
+    hash agg."""
+    g = _dense_hourly(spark, sf_dir).select(
+        "event_type", "i", F.expr("i div 24").alias("d"), "c"
+    )
+    w = Window.partitionBy("event_type", "d").orderBy("i")
+    x = g.select(
+        "event_type", "d",
+        (F.col("c") - F.lag("c").over(w)).alias("dl"),
+        (F.lead("c").over(w) - F.col("c")).alias("dr"),
+    ).where("dl IS NOT NULL AND dr IS NOT NULL")
+    s = (
+        x.groupBy("event_type", "d")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_interior"),
+            F.sum(
+                F.when(F.col("dl") * F.col("dr") < 0, 1).otherwise(0)
+            ).cast("long").alias("tp"),
+        )
+        .where("n_interior = 22")
+    )
+    dev3 = 3 * F.col("tp") - 44
+    return s.select(
+        "event_type", "d", "tp",
+        F.round(
+            (F.col("tp") - F.lit(44) / F.lit(3.0))
+            / F.sqrt(F.lit(355) / F.lit(90.0)),
+            6,
+        ).alias("z_r"),
+        # z^2 > 1.96^2 <=> (3T-44)^2 * 10 > 3.8416 * 355 — scaled to the
+        # exact integer comparison 10000*(3T-44)^2 > 1363768
+        F.when(10000 * dev3 * dev3 > 1363768, 1).otherwise(0)
+        .alias("nonrandom"),
+    )
+
+
+@q(
+    "w51_kpss",
+    """
+    WITH hb AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS i,
+             count(*)::BIGINT AS c
+      FROM events GROUP BY 1, 2
+    ),
+    ext AS (SELECT event_type, min(i) AS mn, max(i) AS mx FROM hb GROUP BY 1),
+    g AS (
+      SELECT s.event_type, s.i, s.i // 24 AS d, coalesce(hb.c, 0)::BIGINT AS c
+      FROM (SELECT event_type, unnest(generate_series(mn, mx)) AS i
+            FROM ext) s
+      LEFT JOIN hb ON s.event_type = hb.event_type AND s.i = hb.i
+    ),
+    fd AS (
+      SELECT event_type, d, count(*)::BIGINT AS n, sum(c)::BIGINT AS sc
+      FROM g GROUP BY 1, 2 HAVING count(*) = 24 AND sum(c) > 0
+    ),
+    e AS (
+      SELECT g.event_type, g.d, g.i,
+             (24 * g.c - fd.sc)::BIGINT AS ee
+      FROM g JOIN fd ON g.event_type = fd.event_type AND g.d = fd.d
+    ),
+    ps AS (
+      SELECT event_type, d, ee,
+             CAST(sum(ee) OVER (PARTITION BY event_type, d ORDER BY i
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s_t
+      FROM e
+    ),
+    agg AS (
+      SELECT event_type, d,
+             sum(s_t * s_t)::BIGINT AS sps2,
+             sum(ee * ee)::BIGINT AS se2
+      FROM ps GROUP BY 1, 2
+    )
+    SELECT event_type, d, sps2, se2,
+           round(sps2 / (24.0 * se2), 6) AS kpss_r,
+           CASE WHEN 1000 * sps2 > 463 * 24 * se2 THEN 1 ELSE 0 END
+             AS reject_level_stat
+    FROM agg WHERE se2 > 0
+    """,
+)
+def w51_kpss(spark, sf_dir):
+    """W51 — KPSS level-stationarity statistic per (event_type, day)
+    over hourly counts (lag-0 / textbook form): η = n⁻²ΣS_t²/σ̂² with
+    S_t the partial sums of demeaned counts. The complement of the ADF
+    test (w37): ADF's null is a unit root, KPSS's null is
+    stationarity — running both gives the standard 4-cell diagnosis
+    (stationary / unit root / trend-stationary / inconclusive) that
+    picks between differencing and detrending before any detector fit.
+
+    Exactness: demeaned values are scaled by n=24 so E_t = 24c_t − Σc
+    and the partial sums stay exact BIGINTs (ΣS² ≤ ~2e14 per day);
+    η = ΣS²/(24·ΣE²) after cancellation, one rounded division; the 5%
+    rejection (critical value 0.463) is the pure integer comparison
+    1000·ΣS² > 463·24·ΣE². Scale: spine + one window + two hash aggs
+    on one (event_type, day) partitioning."""
+    g = _dense_hourly(spark, sf_dir).select(
+        "event_type", "i", F.expr("i div 24").alias("d"), "c"
+    )
+    fd = (
+        g.groupBy("event_type", "d")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("c").cast("long").alias("sc"),
+        )
+        .where("n = 24 AND sc > 0")
+    )
+    e = g.join(fd, ["event_type", "d"]).select(
+        "event_type", "d", "i",
+        (24 * F.col("c") - F.col("sc")).cast("long").alias("ee"),
+    )
+    wps = (
+        Window.partitionBy("event_type", "d")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ps = e.select(
+        "event_type", "d", "ee", F.sum("ee").over(wps).cast("long").alias("s_t")
+    )
+    agg = ps.groupBy("event_type", "d").agg(
+        F.sum(F.col("s_t") * F.col("s_t")).cast("long").alias("sps2"),
+        F.sum(F.col("ee") * F.col("ee")).cast("long").alias("se2"),
+    )
+    return agg.where("se2 > 0").select(
+        "event_type", "d", "sps2", "se2",
+        F.round(F.col("sps2") / (F.lit(24.0) * F.col("se2")), 6)
+        .alias("kpss_r"),
+        F.when(
+            1000 * F.col("sps2") > 463 * 24 * F.col("se2"), 1
+        ).otherwise(0).alias("reject_level_stat"),
+    )
+
+
+@q(
+    "b8_peak_share",
+    """
+    WITH hb AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS i,
+             count(*)::BIGINT AS c
+      FROM events GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT event_type, i // 24 AS d, i % 24 AS hod, c,
+             row_number() OVER (PARTITION BY event_type, i // 24
+                                ORDER BY c DESC, i % 24 ASC) AS rk
+      FROM hb
+    ),
+    tot AS (
+      SELECT event_type, d, sum(c)::BIGINT AS total,
+             count(*)::BIGINT AS active_hours
+      FROM g GROUP BY 1, 2
+    )
+    SELECT t.event_type, t.d, t.total, t.active_hours,
+           g.hod AS peak_hod, g.c AS peak_c,
+           round(g.c / (1.0 * t.total), 6) AS peak_share_r
+    FROM tot t JOIN g ON g.event_type = t.event_type AND g.d = t.d
+    WHERE g.rk = 1 AND t.total > 0
+    """,
+)
+def b8_peak_share(spark, sf_dir):
+    """B8 — daily peak-hour concentration per event type: which hour
+    carries the day's maximum load, and what share of the day's events
+    it holds. The capacity-planning twin of b5's average profile — b5
+    says what a typical Tuesday 3pm looks like, this says how spiky
+    each individual day actually was (share → 1/24 is flat load,
+    share → 1 is a single-burst day) and where the peak landed.
+
+    Exactness: counts and totals are BIGINTs; the deterministic
+    tie-break (highest count, then earliest hour) is pinned in both
+    engines; one rounded division. Scale: one hash agg + one window
+    rank per (event_type, day) — no spine needed since absent hours
+    can never be the max of a day with events."""
+    hb = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000").alias("i"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    g = hb.select(
+        "event_type",
+        F.expr("i div 24").alias("d"),
+        F.expr("i % 24").alias("hod"),
+        "c",
+    )
+    wr = Window.partitionBy("event_type", "d").orderBy(
+        F.desc("c"), F.asc("hod")
+    )
+    gr = g.withColumn("rk", F.row_number().over(wr))
+    tot = g.groupBy("event_type", "d").agg(
+        F.sum("c").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("active_hours"),
+    )
+    return (
+        tot.join(gr.where("rk = 1"), ["event_type", "d"])
+        .where("total > 0")
+        .select(
+            "event_type", "d", "total", "active_hours",
+            F.col("hod").alias("peak_hod"),
+            F.col("c").alias("peak_c"),
+            F.round(F.col("c") / (F.lit(1.0) * F.col("total")), 6)
+            .alias("peak_share_r"),
+        )
+    )
+
+
+# ------------- round 5, session 4, batch 3: X26 max drawdown,
+# X27 Markov entropy rate
+
+@q(
+    "x26_drawdown",
+    """
+    WITH hb AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS i,
+             count(*)::BIGINT AS c
+      FROM events GROUP BY 1, 2
+    ),
+    ext AS (SELECT event_type, min(i) AS mn, max(i) AS mx FROM hb GROUP BY 1),
+    g AS (
+      SELECT s.event_type, s.i, s.i // 24 AS d, coalesce(hb.c, 0)::BIGINT AS c
+      FROM (SELECT event_type, unnest(generate_series(mn, mx)) AS i
+            FROM ext) s
+      LEFT JOIN hb ON s.event_type = hb.event_type AND s.i = hb.i
+    ),
+    r AS (
+      SELECT event_type, d, i, c,
+             CAST(max(c) OVER (PARTITION BY event_type, d ORDER BY i
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS runmax
+      FROM g
+    )
+    SELECT event_type, d,
+           count(*)::BIGINT AS n_hours,
+           max(c)::BIGINT AS peak_c,
+           max(runmax - c)::BIGINT AS max_drawdown,
+           round(max(runmax - c) / (1.0 * max(runmax)), 6) AS drawdown_frac_r
+    FROM r GROUP BY 1, 2 HAVING max(runmax) > 0
+    """,
+)
+def x26_drawdown(spark, sf_dir):
+    """X26 — activity drawdown per (event_type, day) over the dense
+    hourly count series: the deepest drop from any earlier intra-day
+    peak (runmax − c), absolute and as a fraction of the day's peak.
+    The canonical peak-to-trough statistic applied to load: a
+    drawdown_frac near 1 is a mid-day outage or cliff, distinct from
+    both the average dip b5 shows and the single-burst days b8 flags.
+
+    Exactness: counts, running max and drawdown are pure BIGINTs on
+    the shared spine; one final rounded division per day. Scale: one
+    window + one agg on the (event_type, day) partitioning."""
+    g = _dense_hourly(spark, sf_dir).select(
+        "event_type", "i", F.expr("i div 24").alias("d"), "c"
+    )
+    wc = (
+        Window.partitionBy("event_type", "d")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r = g.select(
+        "event_type", "d", "c", F.max("c").over(wc).cast("long").alias("runmax")
+    )
+    return (
+        r.groupBy("event_type", "d")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hours"),
+            F.max("c").cast("long").alias("peak_c"),
+            F.max(F.col("runmax") - F.col("c")).cast("long")
+            .alias("max_drawdown"),
+            F.round(
+                F.max(F.col("runmax") - F.col("c"))
+                / (F.lit(1.0) * F.max("runmax")),
+                6,
+            ).alias("drawdown_frac_r"),
+        )
+        .where("peak_c > 0")
+    )
+
+
+@q(
+    "x27_markov_entropy",
+    """
+    WITH s AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    cij AS (
+      SELECT event_type AS a, nxt AS b, count(*)::BIGINT AS c
+      FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ),
+    ci AS (SELECT a, sum(c)::BIGINT AS ca FROM cij GROUP BY a),
+    tot AS (SELECT sum(c)::BIGINT AS n FROM cij),
+    terms AS (
+      SELECT cij.a, cij.b, cij.c, ci.ca,
+             CAST(round(cij.c * log2(cij.c / (1.0 * ci.ca)) * 1e6, 0)
+                  AS BIGINT) AS microbits
+      FROM cij JOIN ci USING (a)
+    )
+    SELECT (SELECT n FROM tot) AS n_transitions,
+           count(*)::BIGINT AS n_pairs,
+           CAST(-sum(microbits) AS BIGINT) AS h_micro_sum,
+           round(-sum(microbits) / 1e6 / (SELECT n FROM tot), 6)
+             AS entropy_rate_bits_r
+    FROM terms
+    """,
+)
+def x27_markov_entropy(spark, sf_dir):
+    """X27 — entropy rate of the event-type Markov chain (bits per
+    transition): H = −Σ_ij (C_ij/N)·log2(C_ij/C_i) over per-user
+    consecutive-event transitions. The single-number summary of x3's
+    transition matrix — how predictable the NEXT event is given the
+    current one; falling entropy rate week-over-week means funnels are
+    rigidifying (or bot traffic), rising means new paths.
+
+    Exactness (tx_entropy discipline): each c·log2(c/C_a) term rounds
+    to integer micro-bits immediately, the cross-pair sum is an exact
+    BIGINT, one final division. Scale: one lead window on user_id, a
+    (type, type) hash agg — alphabet-bounded everywhere after that."""
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.lead("event_type").over(wo).alias("nxt")
+    )
+    cij = (
+        s.where("nxt IS NOT NULL")
+        .groupBy(F.col("event_type").alias("a"), F.col("nxt").alias("b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    ci = cij.groupBy("a").agg(F.sum("c").cast("long").alias("ca"))
+    tot = cij.agg(F.sum("c").cast("long").alias("n"))
+    terms = cij.join(ci, "a").select(
+        "a", "b", "c", "ca",
+        F.round(
+            F.col("c")
+            * F.log2(F.col("c").cast("double") / (F.lit(1.0) * F.col("ca")))
+            * F.lit(1e6),
+            0,
+        ).cast("long").alias("microbits"),
+    )
+    agg = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        (-F.sum("microbits")).cast("long").alias("h_micro_sum"),
+    )
+    return tot.crossJoin(F.broadcast(agg)).select(
+        F.col("n").alias("n_transitions"),
+        "n_pairs",
+        "h_micro_sum",
+        F.round(F.col("h_micro_sum") / 1e6 / F.col("n"), 6)
+        .alias("entropy_rate_bits_r"),
+    )
