@@ -171,6 +171,49 @@ class TestRound4Layouts:
         ext = np.array([2**62, -(2**62), 2**62, -(2**62)], dtype=np.int64)
         assert np.array_equal(decode_intzz(encode_intzz(ext)), ext)
 
+    def test_intzz_centered_zigzag_rice_modes(self):
+        """Round-5 modes 250/251: zero-centered Gaussian-ish residuals
+        (the r1/r2 predictor-residual shape) must pick the centered-
+        zigzag Rice value mode (250) — the FOR modes pay ~1 extra
+        bit/value re-biasing them — and an offset-mean noise stream
+        must center on its median. Both round-trip bit-exact,
+        including int64 extremes through the zigzag."""
+        rng = np.random.default_rng(7)
+        centered = rng.normal(0, 3e6, 1440).astype(np.int64)
+        blob = encode_intzz(centered)
+        assert blob[2] == 250
+        assert np.array_equal(decode_intzz(blob), centered)
+        # offset-mean noise: median centering must not LOSE to plain zz
+        offset = (rng.normal(0, 40, 1440) + 5000).astype(np.int64)
+        blob_off = encode_intzz(offset)
+        assert np.array_equal(decode_intzz(blob_off), offset)
+        assert len(blob_off) <= len(encode_intzz(offset - 5000)) + 3
+        # full-range int64 zigzag wrap-around survives the new modes
+        ext = np.array([-(2**63), 2**63 - 1, 0, -1, 2**62], dtype=np.int64)
+        assert np.array_equal(decode_intzz(encode_intzz(ext)), ext)
+
+    def test_intzz_body_consumed_length_exact(self):
+        """_intzz_body_decode must report the exact end offset for every
+        mode — the v5 container lays bodies end-to-end with no length
+        prefixes, so an off-by-one here corrupts every later stream.
+        Trailing junk after the body must be ignored."""
+        from tsrollup.codec import _intzz_body, _intzz_body_decode
+
+        rng = np.random.default_rng(13)
+        cases = [
+            np.arange(100, dtype=np.int64) * 60,            # fixed w=0/slope
+            rng.normal(0, 3e6, 300).astype(np.int64),       # rice zv
+            np.array([5] * 299 + [10**12], dtype=np.int64),  # miniblock
+            rng.integers(50, 80, 257).astype(np.int64),     # val/rice
+            np.array([42], dtype=np.int64),                 # n=1
+            np.full(64, -7, dtype=np.int64),                # constant
+        ]
+        for a in cases:
+            body = _intzz_body(a)
+            got, end = _intzz_body_decode(body + b"\xab\xcd\xef", 0, a.shape[0])
+            assert end == len(body), (a.shape, end, len(body))
+            assert np.array_equal(got, a)
+
     def _mk_block(self, n, gaps=0.0, seed=11):
         rng = np.random.default_rng(seed)
         cnt = rng.integers(80, 200, n).astype(np.float64)
