@@ -14138,3 +14138,147 @@ def x27_markov_entropy(spark, sf_dir):
         F.round(F.col("h_micro_sum") / 1e6 / F.col("n"), 6)
         .alias("entropy_rate_bits_r"),
     )
+
+
+# ------------- round 5, session 4, batch 4: TX char-trigram entropy,
+# X28 temporal activity concentration (Gini over hours)
+
+@q(
+    "tx_char_entropy",
+    """
+    WITH ch AS (
+      SELECT source,
+             substring(lower(text), i, 3) AS tri
+      FROM documents,
+           LATERAL (SELECT unnest(generate_series(1, length(text) - 2)) AS i)
+      WHERE length(text) >= 3
+    ),
+    f AS (SELECT source, tri, count(*)::BIGINT AS m FROM ch GROUP BY 1, 2),
+    n AS (SELECT source, sum(m)::BIGINT AS n FROM f GROUP BY source),
+    terms AS (
+      SELECT f.source, n.n,
+             CAST(round(f.m * log2(f.m / (1.0 * n.n)) * 1e6, 0) AS BIGINT)
+               AS microbits
+      FROM f JOIN n USING (source)
+    )
+    SELECT source, n AS n_trigrams,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           round(-sum(microbits) / 1e6 / n, 4) AS char_entropy_bits
+    FROM terms GROUP BY source, n
+    """,
+)
+def tx_char_entropy(spark, sf_dir):
+    """TX — character-trigram entropy per source (bits/trigram): the
+    script/language-level quality signal under the word layer. Natural
+    language sits in a tight band (~7-9 bits for English trigrams);
+    base64/hex blobs push toward the uniform limit, template boilerplate
+    collapses low. Catches encoding junk that WORD-level entropy
+    (tx_entropy) misses because every base64 'word' is unique.
+
+    Exactness (tx_entropy discipline): trigram counts are exact off one
+    (source, tri) hash agg; each m·log2(m/N) term rounds to integer
+    micro-bits before the cross-trigram BIGINT sum — order-free; one
+    final division. Scale: the explode is length(text) rows/doc but
+    collapses immediately into the map-side combine of the hash agg —
+    alphabet³-bounded state per partition."""
+    d = t(spark, sf_dir, "documents").where(F.length("text") >= 3)
+    ch = d.select(
+        "source",
+        F.explode(F.expr("sequence(1, length(text) - 2)")).alias("i"),
+        F.lower("text").alias("lt"),
+    ).select("source", F.expr("substring(lt, i, 3)").alias("tri"))
+    f = ch.groupBy("source", "tri").agg(F.count(F.lit(1)).alias("m"))
+    n = f.groupBy("source").agg(F.sum("m").cast("long").alias("n"))
+    terms = f.join(n, "source").select(
+        "source", "n",
+        F.round(
+            F.col("m")
+            * F.log2(F.col("m").cast("double") / (F.lit(1.0) * F.col("n")))
+            * F.lit(1e6),
+            0,
+        ).cast("long").alias("microbits"),
+    )
+    return terms.groupBy("source", "n").agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.round(-F.sum("microbits").cast("double") / 1e6 / F.col("n"), 4)
+        .alias("char_entropy_bits"),
+    ).select(
+        "source", F.col("n").alias("n_trigrams"), "n_distinct",
+        "char_entropy_bits",
+    )
+
+
+@q(
+    "x28_temporal_gini",
+    """
+    WITH hb AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS i,
+             count(*)::BIGINT AS c
+      FROM events GROUP BY 1, 2
+    ),
+    ext AS (SELECT event_type, min(i) AS mn, max(i) AS mx FROM hb GROUP BY 1),
+    g AS (
+      SELECT s.event_type, s.i // 24 AS d, s.i % 24 AS hod,
+             coalesce(hb.c, 0)::BIGINT AS c
+      FROM (SELECT event_type, unnest(generate_series(mn, mx)) AS i
+            FROM ext) s
+      LEFT JOIN hb ON s.event_type = hb.event_type AND s.i = hb.i
+    ),
+    r AS (
+      SELECT event_type, d, c,
+             row_number() OVER (PARTITION BY event_type, d
+                                ORDER BY c, hod) AS rk,
+             count(*) OVER (PARTITION BY event_type, d) AS n
+      FROM g
+    ),
+    s AS (
+      SELECT event_type, d, n,
+             sum(c)::BIGINT AS tot,
+             sum((2 * rk - n - 1) * c)::BIGINT AS gini_num
+      FROM r GROUP BY 1, 2, 3 HAVING count(*) = 24 AND sum(c) > 0
+    )
+    SELECT event_type, d, tot, gini_num,
+           round(gini_num / (1.0 * n * tot), 6) AS gini_r
+    FROM s
+    """,
+)
+def x28_temporal_gini(spark, sf_dir):
+    """X28 — temporal concentration of daily load (Gini over the 24
+    hourly counts): 0 = perfectly flat day, →1 = all events in one
+    hour. The whole-distribution complement of b8's single-peak share
+    (two days with the same peak share can have very different mid
+    mass) and the within-day sibling of x16's revenue Gini, sharing
+    its exact sorted-rank numerator Σ(2i−n−1)·c_(i).
+
+    Exactness: ranks are pinned (c asc, hod asc tie-break) and the
+    numerator is a pure BIGINT; one rounded division. Scale: one rank
+    window + one agg on the (event_type, day) partitioning."""
+    g = _dense_hourly(spark, sf_dir).select(
+        "event_type",
+        F.expr("i div 24").alias("d"),
+        F.expr("i % 24").alias("hod"),
+        "c",
+    )
+    wr = Window.partitionBy("event_type", "d").orderBy("c", "hod")
+    wn = Window.partitionBy("event_type", "d")
+    r = g.select(
+        "event_type", "d", "c",
+        F.row_number().over(wr).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    s = (
+        r.groupBy("event_type", "d", "n")
+        .agg(
+            F.count(F.lit(1)).alias("nh"),
+            F.sum("c").cast("long").alias("tot"),
+            F.sum((2 * F.col("rk") - F.col("n") - 1) * F.col("c"))
+            .cast("long").alias("gini_num"),
+        )
+        .where("nh = 24 AND tot > 0")
+    )
+    return s.select(
+        "event_type", "d", "tot", "gini_num",
+        F.round(
+            F.col("gini_num") / (F.lit(1.0) * F.col("n") * F.col("tot")), 6
+        ).alias("gini_r"),
+    )
