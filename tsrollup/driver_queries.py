@@ -14282,3 +14282,152 @@ def x28_temporal_gini(spark, sf_dir):
             F.col("gini_num") / (F.lit(1.0) * F.col("n") * F.col("tot")), 6
         ).alias("gini_r"),
     )
+
+
+# ------------- round 5, session 4, batch 5: W52 Cox-Stuart trend,
+# MX k-fold assignment audit
+
+@q(
+    "w52_cox_stuart",
+    """
+    WITH hb AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS d,
+             count(*)::BIGINT AS c
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT event_type, c,
+             row_number() OVER (PARTITION BY event_type ORDER BY d) AS rk,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM hb
+    ),
+    p AS (
+      SELECT a.event_type,
+             CASE WHEN b.c > a.c THEN 1 ELSE 0 END AS plus,
+             CASE WHEN b.c = a.c THEN 1 ELSE 0 END AS tie
+      FROM r a JOIN r b
+        ON a.event_type = b.event_type
+       AND b.rk = a.rk + (a.n + 1) // 2
+      WHERE a.rk <= a.n // 2
+    ),
+    s AS (
+      SELECT event_type,
+             sum(plus)::BIGINT AS s_plus,
+             (count(*) - sum(tie))::BIGINT AS n_eff
+      FROM p GROUP BY event_type
+    )
+    SELECT event_type, s_plus, n_eff,
+           round((2.0 * s_plus - n_eff) / sqrt(CAST(n_eff AS DOUBLE)), 6)
+             AS z_r,
+           CASE WHEN 10000 * (2 * s_plus - n_eff) * (2 * s_plus - n_eff)
+                     > 38416 * n_eff THEN 1 ELSE 0 END AS trending
+    FROM s WHERE n_eff > 0
+    """,
+)
+def w52_cox_stuart(spark, sf_dir):
+    """W52 — Cox-Stuart trend test per event type: pair each day in the
+    first half with its partner half-a-series later; S+ = #(later >
+    earlier) is Binomial(n', 1/2) under no-trend. The coarsest, most
+    assumption-free member of the trend family (w36 MK uses all pairs,
+    w49 per-season, this uses n/2) — and the one that stays exact and
+    cheap at ANY series length because the pair set is linear, not
+    quadratic.
+
+    Exactness: S+ and the tie-dropped n' are pure integers off one
+    rank-shifted self-join; z is one fixed IEEE expression; the trend
+    flag folds z² > 1.96² to the integer comparison
+    10000·(2S−n')² > 38416·n'. Scale: one window + one equi-join on
+    (event_type, rank) — linear pair count."""
+    hb = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000")
+            .alias("d"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    wr = Window.partitionBy("event_type").orderBy("d")
+    wn = Window.partitionBy("event_type")
+    r = hb.select(
+        "event_type", "c",
+        F.row_number().over(wr).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    a = r.alias("a")
+    b = r.alias("b")
+    p = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("b.rk") == F.col("a.rk") + ((F.col("a.n") + 1) / 2).cast("long")),
+    ).where(F.col("a.rk") <= (F.col("a.n") / 2).cast("long")).select(
+        F.col("a.event_type").alias("event_type"),
+        F.when(F.col("b.c") > F.col("a.c"), 1).otherwise(0).alias("plus"),
+        F.when(F.col("b.c") == F.col("a.c"), 1).otherwise(0).alias("tie"),
+    )
+    s = p.groupBy("event_type").agg(
+        F.sum("plus").cast("long").alias("s_plus"),
+        (F.count(F.lit(1)) - F.sum("tie")).cast("long").alias("n_eff"),
+    )
+    dev = 2 * F.col("s_plus") - F.col("n_eff")
+    return s.where("n_eff > 0").select(
+        "event_type", "s_plus", "n_eff",
+        F.round(
+            (F.lit(2.0) * F.col("s_plus") - F.col("n_eff"))
+            / F.sqrt(F.col("n_eff").cast("double")),
+            6,
+        ).alias("z_r"),
+        F.when(10000 * dev * dev > 38416 * F.col("n_eff"), 1)
+        .otherwise(0).alias("trending"),
+    )
+
+
+def _register_mx_kfold():
+    """MX — deterministic k-fold assignment audit, twinned through the
+    duck_oracle XXH64 macros like dd_split_leakage's split column."""
+    from .duck_oracle import XXH64_PRELUDE
+
+    sql = XXH64_PRELUDE + """
+    WITH f AS (
+      SELECT doc_id, lang,
+             xxpmod(xxh64(doc_id::VARCHAR || '#7'), 5) AS fold,
+             n_chars
+      FROM documents
+    )
+    SELECT fold::BIGINT AS fold, lang,
+           count(*)::BIGINT AS n_docs,
+           sum(n_chars)::BIGINT AS n_chars
+    FROM f GROUP BY 1, 2
+    """
+
+    @q("mx_kfold", sql)
+    def mx_kfold(spark, sf_dir):
+        """MX — deterministic k-fold assignment (fold = xxh64(id#seed)
+        mod k) with the per-(fold, lang) balance readout: the
+        cross-validation sibling of mx_split's train/val/test. Stateless
+        and reproducible at any scale — a row's fold never depends on
+        the rest of the corpus, so folds stay stable under appends
+        (the property sklearn-style positional KFold loses the moment
+        the corpus grows). The output is the audit a pipeline owner
+        checks before trusting CV numbers: fold sizes within
+        multinomial noise and language mix constant across folds.
+
+        Exactness: the fold is the SAME xxhash64-of-"id#seed" bucket
+        construction as mx_split, re-derived bit-for-bit by the DuckDB
+        XXH64 macros; counts/sums exact BIGINTs off one hash agg."""
+        d = t(spark, sf_dir, "documents")
+        f = d.select(
+            F.pmod(
+                F.xxhash64(F.concat(F.col("doc_id").cast("string"), F.lit("#7"))),
+                F.lit(5),
+            ).cast("long").alias("fold"),
+            "lang",
+            "n_chars",
+        )
+        return f.groupBy("fold", "lang").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+        )
+
+
+_register_mx_kfold()
