@@ -363,6 +363,30 @@ class TestRound4Layouts:
         assert np.array_equal(t2, toksum)
         assert not td2.any()
 
+    def test_v6_negative_tokdiff_takes_zigzag_branch(self):
+        """tokdiff (bit 3) is the one v6 stream that can be negative:
+        its first value must stay zigzag while cnt/ntok/tok use plain
+        varints, and the whole block must round-trip."""
+        from tsrollup.codec import _dec_encode, _dec_unpack
+
+        base = 1_700_000_000_000_000 // 86_400_000_000 * 86_400_000_000
+        ts = np.array([base, base + 3_600_000_000], dtype=np.int64)
+        cnt = np.array([10, 12], dtype=np.int64)
+        ntoksum = np.array([2000, 2400], dtype=np.int64)
+        # first toksum is 2^27: its plain varint is 4 bytes but the
+        # zigzag doubling needs 5 — v6 must WIN the size race, not tie
+        toksum = np.array([134_217_728, 150_000_000], dtype=np.int64)
+        tokdiff = np.array([-3, 5], dtype=np.int64)
+        p = _dec_encode(ts, base, cnt, ntoksum, toksum, tokdiff)
+        assert p[0] == 0xD6 and ((p[1] >> 2) & 0b11) == 2  # hour grid
+        assert (p[1] >> 4) & 0b1000  # tokdiff present
+        ts2, (c2, n2, t2, td2) = _dec_unpack(p, base)
+        assert np.array_equal(ts2, ts)
+        assert np.array_equal(c2, cnt)
+        assert np.array_equal(n2, ntoksum)
+        assert np.array_equal(t2, toksum)
+        assert np.array_equal(td2, tokdiff)
+
     def test_legacy_v3_tiny_payload_still_decodes(self):
         """Round-4 stores carry 0xD3 tiny blocks; the encoder moved to
         0xD4 in round 5 but the retention horizon keeps v3 readable.
