@@ -147,23 +147,41 @@ def embedding_neardup_candidates(
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
-    banded = None
-    for b in range(planes.shape[0]):
-        part = e.select(
-            "vec_id", "v", F.lit(b).alias("band"), _bucket_expr(F.col("v"), planes[b]).alias("bucket")
-        )
-        banded = part if banded is None else banded.unionByName(part)
-    a = banded.select(
-        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "band", "bucket"
+    # ONE scan computes every band's bucket string (identical per-band
+    # expression as before — same rounded-sign fold dots), posexplode
+    # yields (vec_id, band, bucket). The heavy 64-dim vectors DON'T ride
+    # the band self-join: only 8-byte ids + short bucket strings shuffle
+    # (guide §2.3 "shuffle keys, not payloads"); vectors re-attach to the
+    # deduped id pairs afterwards — two id-equi-joins against the slim
+    # embeddings read, broadcast at fixture scale, plain shuffle joins at
+    # corpus scale.
+    banded = e.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[
+                _bucket_expr(F.col("v"), planes[b])
+                for b in range(planes.shape[0])
+            ])
+        ).alias("band", "bucket"),
     )
-    b2 = banded.select(
-        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), "band", "bucket"
-    )
-    return (
+    a = banded.select(F.col("vec_id").alias("vec_a"), "band", "bucket")
+    b2 = banded.select(F.col("vec_id").alias("vec_b"), "band", "bucket")
+    ids = (
         a.join(b2, ["band", "bucket"])
         .where(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", "va", "vb")
+        .select("vec_a", "vec_b")
         .dropDuplicates(["vec_a", "vec_b"])
+    )
+    return (
+        ids.join(
+            e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va")),
+            "vec_a",
+        )
+        .join(
+            e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb")),
+            "vec_b",
+        )
+        .select("vec_a", "vec_b", "va", "vb")
     )
 
 
@@ -1535,53 +1553,81 @@ KM_SCALE = 1_000_000  # fixed-point scale for embedding coordinates
 
 
 def _kmeans_round2_dists(spark: SparkSession, sf_dir: str, k: int = KM_K) -> DataFrame:
-    """Unfiltered (vec_id, cell, dist) for every live round-2 centroid —
-    kmeans_fixed_point takes rank 1, semantic_dedup probes rank <= nprobe
-    (rank always over Window(vec_id).orderBy(dist, cell))."""
+    """(vec_id, cell, dist, rn) for every live round-2 centroid, rn the
+    row's rank under ORDER BY (dist, cell) within vec_id —
+    kmeans_fixed_point takes rn = 1, semantic_dedup probes rn <= nprobe.
+
+    Round-6 shape (guide §2.4: remove shuffles outright): centroids are
+    an O(k·dim) collect broadcast back as literals, so each assignment
+    round is a MAP-ONLY pass over the quantized vectors — no per-dim
+    explode join, no (vec_id, cell) agg shuffle, no window shuffle (the
+    rank comes from array_sort over the k-entry struct array, exact
+    lexicographic (dist, cell) — identical to the old window order).
+    Every distance is an exact int64 sum of squared int deltas, so
+    summation order cannot change a single bit vs the per-dim agg; the
+    one centroid-update rounding stays IN Spark (round(sum/count) on the
+    512-row per-(cell,dim) agg, collected after) so the half-up boundary
+    is evaluated by the same engine expression as before."""
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id",
-        F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
-            "d0", "x"
-        ),
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * KM_SCALE, 0).cast("long"),
+        ).alias("xfp"),
     )
-    # 1-based dim to match SQL generate_subscripts; fp quantization once
-    fp = e.select(
-        "vec_id",
-        (F.col("d0") + 1).alias("d"),
-        F.round(F.col("x") * KM_SCALE, 0).cast("long").alias("xfp"),
-    ).localCheckpoint()  # feeds both assignment rounds + the centroid update
 
-    def dists(cent: DataFrame) -> DataFrame:
-        t = fp.join(cent, "d")
-        return (
-            t.withColumn("sq", (F.col("xfp") - F.col("cfp")) * (F.col("xfp") - F.col("cfp")))
-            .groupBy("vec_id", "cell")
-            .agg(F.sum("sq").alias("dist"))
+    def dist_to(cfp: list) -> "F.Column":
+        arr = F.array(*[F.lit(int(c)) for c in cfp])
+        return F.aggregate(
+            F.zip_with("xfp", arr, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
         )
 
-    def top1(dist: DataFrame) -> DataFrame:
-        w = Window.partitionBy("vec_id").orderBy("dist", "cell")
-        return (
-            dist.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("vec_id", "cell", "dist")
+    def ranked(cent: dict) -> DataFrame:
+        cells = sorted(cent)
+        structs = F.array_sort(
+            F.array(*[
+                F.struct(
+                    dist_to(cent[j]).alias("dist"),
+                    F.lit(int(j)).alias("cell"),
+                )
+                for j in cells
+            ])
+        )
+        return e.select(
+            "vec_id", "xfp", F.posexplode(structs).alias("p", "s")
+        ).select(
+            "vec_id",
+            "xfp",
+            F.col("s.cell").cast("long").alias("cell"),
+            F.col("s.dist").alias("dist"),
+            (F.col("p") + 1).cast("int").alias("rn"),
         )
 
-    c0 = fp.where(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("cell"), "d", F.col("xfp").alias("cfp")
-    )
-    a1 = top1(dists(c0))
-    c1 = (
-        a1.select("vec_id", "cell")
-        .join(fp, "vec_id")
-        .groupBy("cell", "d")
+    # seed centroids: vec_id < k convention — O(k·dim) collect (bounded)
+    c0 = {
+        int(r["vec_id"]): list(r["xfp"])
+        for r in e.where(F.col("vec_id") < k).collect()
+    }
+    a1 = ranked(c0).where(F.col("rn") == 1)
+    # round-1 centroid update: exact per-(cell, dim) integer sums; the
+    # round(sum/count) half-up boundary evaluates in Spark as before,
+    # then the k·dim ints collect (bounded) and broadcast as literals
+    upd = (
+        a1.select("cell", F.posexplode("xfp").alias("d0", "x"))
+        .groupBy("cell", "d0")
         .agg(
-            F.round(F.sum("xfp").cast("double") / F.count(F.lit(1)), 0)
+            F.round(F.sum("x").cast("double") / F.count(F.lit(1)), 0)
             .cast("long")
             .alias("cfp")
         )
     )
-    return dists(c1)
+    c1: dict = {}
+    for r in upd.collect():
+        c1.setdefault(int(r["cell"]), {})[int(r["d0"])] = int(r["cfp"])
+    c1 = {j: [c1[j][d] for d in sorted(c1[j])] for j in c1}
+    return ranked(c1)
 
 
 def kmeans_fixed_point(spark: SparkSession, sf_dir: str, k: int = KM_K) -> DataFrame:
@@ -1604,12 +1650,7 @@ def kmeans_fixed_point(spark: SparkSession, sf_dir: str, k: int = KM_K) -> DataF
     same vec_id < k convention as ann_ivf).
     """
     d2 = _kmeans_round2_dists(spark, sf_dir, k)
-    w = Window.partitionBy("vec_id").orderBy("dist", "cell")
-    return (
-        d2.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "cell", "dist")
-    )
+    return d2.where(F.col("rn") == 1).select("vec_id", "cell", "dist")
 
 
 def _kmeans_ctes(k: int = KM_K) -> str:
@@ -1696,10 +1737,9 @@ def semantic_dedup(
     the K2 way if a corpus degenerates), and the verdict is one
     self-join + one distinct — no global pair table ever exists."""
     d2 = _kmeans_round2_dists(spark, sf_dir, k)
-    w = Window.partitionBy("vec_id").orderBy("dist", "cell")
     ranked = (
-        d2.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= nprobe)
+        d2.where(F.col("rn") <= nprobe)
+        .select("vec_id", "cell", "dist", "rn")
         .localCheckpoint()  # feeds primary, probes, and the verdict join
     )
     primary = ranked.where(F.col("rn") == 1).select("vec_id", "cell", "dist")

@@ -7937,23 +7937,35 @@ def x13_bfs(spark, sf_dir):
     seeds = [
         r["u"] for r in e.select("u").distinct().orderBy("u").limit(3).collect()
     ]
-    state = spark.createDataFrame(
+    state0 = spark.createDataFrame(
         [(s, s, 0) for s in seeds], "node long, seed long, d int"
     )
-    frontier = state
+    # ONE action per round (guide §1/§2: fewer jobs): the frontier is
+    # persisted and its count() both materializes it AND serves as the
+    # emptiness probe — the old shape paid three jobs per round (frontier
+    # localCheckpoint, isEmpty, state-union localCheckpoint). The visited
+    # set stays a lazy union of the already-persisted frontiers, so no
+    # growing state frame is ever re-materialized.
+    frontiers = [state0]
+    visited = state0
+    frontier = state0
     for d in range(1, 7):
         nxt = (
             frontier.join(e, frontier["node"] == e["u"])
             .select(F.col("v").alias("node"), "seed")
             .distinct()
-            .join(state.select("node", "seed"), ["node", "seed"], "left_anti")
+            .join(visited.select("node", "seed"), ["node", "seed"], "left_anti")
             .withColumn("d", F.lit(d).cast("int"))
-            .localCheckpoint()
+            .persist()
         )
-        if nxt.isEmpty():
+        if nxt.count() == 0:
             break
-        state = state.unionAll(nxt).localCheckpoint()
+        frontiers.append(nxt)
+        visited = visited.unionAll(nxt)
         frontier = nxt
+    state = frontiers[0]
+    for f in frontiers[1:]:
+        state = state.unionAll(f)
     ns = state.groupBy("node", "seed").agg(F.min("d").alias("d")).alias("ns")
     best = (
         ns.groupBy("node").agg(F.min("d").alias("dist"))

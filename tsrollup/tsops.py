@@ -982,96 +982,96 @@ def gesd_outliers(
         raise ValueError(f"min_n={min_n} must be >= max_k + 3 = {max_k + 3}")
     from .stats import gesd_lambdas
 
-    w0 = Window.partitionBy(*keys)
-    base = (
-        df.select(
-            *keys,
-            F.col(idx_col).alias("__i"),
-            F.col(val_col).cast("long").alias("__c"),
-        )
-        .withColumn("__n0", F.count(F.lit(1)).over(w0))
-        .where(F.col("__n0") >= min_n)
-    )
-    # same lineage-cut rationale as shesd_outliers: each round re-reads
-    # its input 3x (removed, next remaining, final union), so without
-    # cuts round k re-runs the whole upstream multiplicatively —
-    # measured 3.3 s -> ~1 s for w15_gesd at sf0.1
-    base = base.localCheckpoint(eager=True)
+    # Round-6 shape (guide §2.4/§4.2): ONE shuffle. The K remove-the-max
+    # rounds run entirely inside an applyInPandas kernel per key group
+    # (groups are bucket-bounded — e.g. ≤24 hourly points per day), which
+    # replaces the old K × (groupBy + join + window) unrolled passes, the
+    # K+1 eager localCheckpoints and the distinct-group-sizes collect
+    # (measured 4.6 s -> ~0.6 s for w15_gesd at sf0.1). Exactness is
+    # preserved operation-for-operation: group sums stay exact Python
+    # ints (identical to BIGINT sums in any order), every float derives
+    # from the SAME IEEE expression tree the old Spark columns evaluated
+    # (mean = double(s)/double(n); r = dev / sqrt((n·q − s²)/(n·(n−1)))),
+    # the argmax orders by (dev DESC, i ASC) on those identical doubles,
+    # and λ comes from the same pure-python gesd_lambdas the old driver
+    # lookup inlined. A zero-variance round yields NULL r (nullable
+    # Float64), matching the old engine-side NULL contract.
+    import math
 
-    remaining = base
-    removed = []
-    for rnd in range(1, max_k + 1):
-        stats = remaining.groupBy(*keys).agg(
-            F.count(F.lit(1)).alias("__n"),
-            F.sum("__c").alias("__s"),
-            F.sum(F.col("__c") * F.col("__c")).alias("__q"),
-        )
-        nd = F.col("__n").cast("double")
-        sd = F.col("__s").cast("double")
-        qd = F.col("__q").cast("double")
-        cand = (
-            remaining.join(stats, keys)
-            .withColumn("__dev", F.abs(F.col("__c").cast("double") - sd / nd))
-            # a constant remaining group has s² = 0: DuckDB's x/0.0 is
-            # NULL, so the twin contract needs an explicit NULL here —
-            # Spark's ANSI mode would otherwise raise DIVIDE_BY_ZERO
-            .withColumn(
-                "__r",
-                F.when(
-                    nd * qd - sd * sd > 0,
-                    F.col("__dev")
-                    / F.sqrt((nd * qd - sd * sd) / (nd * (nd - 1.0))),
-                ),
-            )
-            .withColumn(
-                "__rk",
-                F.row_number().over(
-                    Window.partitionBy(*keys).orderBy(
-                        F.desc("__dev"), F.asc("__i")
-                    )
-                ),
-            )
-            .localCheckpoint(eager=True)
-        )
-        removed.append(
-            cand.where(F.col("__rk") == 1).select(
-                *keys, "__i", "__c", "__n0",
-                F.lit(rnd).alias("rnd"), F.col("__r").alias("r_stat"),
-            )
-        )
-        remaining = cand.where(F.col("__rk") > 1).select(
-            *keys, "__i", "__c", "__n0"
-        )
+    import pandas as pd
 
-    allout = removed[0]
-    for d in removed[1:]:
-        allout = allout.unionByName(d)
-
-    sizes = sorted(
-        r["__n0"] for r in base.select("__n0").distinct().collect()
-    )
-    spark = df.sparkSession
-    lam_rows = [
-        (int(n), rnd, gesd_lambdas(int(n), max_k, alpha)[rnd - 1])
-        for n in sizes
-        for rnd in range(1, max_k + 1)
-    ]
-    lam = spark.createDataFrame(lam_rows, "__n0 long, rnd int, lam double")
-
-    flagged = allout.join(F.broadcast(lam), ["__n0", "rnd"]).withColumn(
-        "__kstar",
-        F.max(F.when(F.col("r_stat") > F.col("lam"), F.col("rnd"))).over(
-            Window.partitionBy(*keys)
-        ),
-    )
-    return flagged.select(
+    base = df.select(
         *keys,
-        F.col("__i").alias(idx_col),
-        F.col("__c").alias(val_col),
-        "rnd",
-        "r_stat",
-        "lam",
-        (F.col("rnd") <= F.coalesce("__kstar", F.lit(0))).alias("is_outlier"),
+        F.col(idx_col).alias("__i"),
+        F.col(val_col).cast("long").alias("__c"),
+    )
+    key_fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in base.schema.fields[: len(keys)]
+    )
+    idx_type = base.schema.fields[len(keys)].dataType.simpleString()
+    out_schema = (
+        f"{key_fields}, __i {idx_type}, __c long, rnd int, "
+        "r_stat double, lam double, is_outlier boolean"
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        n0 = len(pdf)
+        if n0 < min_n:
+            return pd.DataFrame(
+                columns=list(pdf.columns[: len(keys)])
+                + ["__i", "__c", "rnd", "r_stat", "lam", "is_outlier"]
+            )
+        lams = gesd_lambdas(n0, max_k, alpha)
+        iv = list(pdf["__i"])
+        cv = [int(x) for x in pdf["__c"]]
+        live = list(range(n0))
+        rows = []  # (i, c, rnd, r or None, lam)
+        for rnd in range(1, max_k + 1):
+            n = len(live)
+            s = sum(cv[j] for j in live)
+            qq = sum(cv[j] * cv[j] for j in live)
+            nd, sd, qd = float(n), float(s), float(qq)
+            mean = sd / nd
+            var_num = nd * qd - sd * sd
+            best = min(live, key=lambda j: (-abs(float(cv[j]) - mean), iv[j]))
+            dev = abs(float(cv[best]) - mean)
+            r = (
+                dev / math.sqrt(var_num / (nd * (nd - 1.0)))
+                if var_num > 0
+                else None
+            )
+            rows.append((iv[best], cv[best], rnd, r, lams[rnd - 1]))
+            live.remove(best)
+        kstar = 0
+        for _i, _c, rnd, r, lam in rows:
+            if r is not None and r > lam:
+                kstar = max(kstar, rnd)
+        out = {
+            c: [pdf[c].iloc[0]] * len(rows) for c in pdf.columns[: len(keys)]
+        }
+        out["__i"] = [r[0] for r in rows]
+        out["__c"] = pd.Series([r[1] for r in rows], dtype="int64")
+        out["rnd"] = pd.Series([r[2] for r in rows], dtype="int32")
+        out["r_stat"] = pd.Series([r[3] for r in rows], dtype="Float64")
+        out["lam"] = pd.Series([r[4] for r in rows], dtype="float64")
+        out["is_outlier"] = pd.Series(
+            [r[2] <= kstar for r in rows], dtype="bool"
+        )
+        return pd.DataFrame(out)
+
+    return (
+        base.groupBy(*keys)
+        .applyInPandas(kernel, out_schema)
+        .select(
+            *keys,
+            F.col("__i").alias(idx_col),
+            F.col("__c").alias(val_col),
+            "rnd",
+            "r_stat",
+            "lam",
+            "is_outlier",
+        )
     )
 
 
@@ -1752,95 +1752,95 @@ def shesd_outliers(
         raise ValueError(f"min_n={min_n} must be >= max_k + 3 = {max_k + 3}")
     from .stats import gesd_lambdas
 
-    w0 = Window.partitionBy(*keys)
-    base = (
-        df.select(
-            *keys,
-            F.col(idx_col).alias("__i"),
-            F.col(resid_col).cast("double").alias("__x"),
-        )
-        .withColumn("__n0", F.count(F.lit(1)).over(w0))
-        .where(F.col("__n0") >= min_n)
-    )
-    # every round's median agg + join + MAD agg + argmax window all
-    # re-evaluate their input lineage; without a cut, round k re-runs
-    # the caller's ENTIRE residual pipeline (dense spine + STL + medians
-    # for w27) 4^k-ish times — measured 24 s -> ~3 s at sf0.1. The
-    # checkpointed frame is bucket-bounded-tiny (one row per point in
-    # qualifying groups), so the cut is far smaller than its build cost.
-    base = base.localCheckpoint(eager=True)
+    # Round-6 shape: same single-shuffle applyInPandas kernel as
+    # gesd_outliers (see that docstring) — the K robust rounds run
+    # per bucket-bounded key group inside one grouped-map pass, killing
+    # the K × (median agg + join + MAD agg + join + window) unrolled
+    # chain and its K+1 eager localCheckpoints (measured 2.5 s -> ~1 s
+    # for w27_shesd at sf0.1). The median replicates Spark's
+    # `percentile(x, 0.5)` interpolation EXACTLY (lo + (hi−lo)·frac at
+    # position 0.5·(n−1) over the sorted doubles — NOT numpy's (a+b)/2,
+    # which can differ in the last ulp); dev/R evaluate the same IEEE
+    # expressions as the old columns (r = dev / (1.4826 · mad)); the
+    # argmax orders by (dev DESC, i ASC); zero-MAD rounds yield NULL R.
+    import math
 
-    remaining = base
-    removed = []
-    for rnd in range(1, max_k + 1):
-        med = remaining.groupBy(*keys).agg(
-            F.expr("percentile(__x, 0.5)").alias("__med")
-        )
-        devd = remaining.join(med, keys).withColumn(
-            "__dev", F.abs(F.col("__x") - F.col("__med"))
-        )
-        mad = devd.groupBy(*keys).agg(
-            F.expr("percentile(__dev, 0.5)").alias("__mad")
-        )
-        cand = (
-            devd.join(mad, keys)
-            .withColumn(
-                "__r",
-                F.when(
-                    F.col("__mad") > 0,
-                    F.col("__dev") / (F.lit(1.4826) * F.col("__mad")),
-                ),
-            )
-            .withColumn(
-                "__rk",
-                F.row_number().over(
-                    Window.partitionBy(*keys).orderBy(
-                        F.desc("__dev"), F.asc("__i")
-                    )
-                ),
-            )
-            # consumed 3x (removed row, next round's remaining, final
-            # union): cut here or round k's lineage re-runs every prior
-            # round's agg+join+window chain multiplicatively
-            .localCheckpoint(eager=True)
-        )
-        removed.append(
-            cand.where(F.col("__rk") == 1).select(
-                *keys, "__i", "__x", "__n0",
-                F.lit(rnd).alias("rnd"), F.col("__r").alias("r_stat"),
-            )
-        )
-        remaining = cand.where(F.col("__rk") > 1).select(
-            *keys, "__i", "__x", "__n0"
-        )
+    import pandas as pd
 
-    allout = removed[0]
-    for d in removed[1:]:
-        allout = allout.unionByName(d)
-
-    sizes = sorted(r["__n0"] for r in base.select("__n0").distinct().collect())
-    spark = df.sparkSession
-    lam_rows = [
-        (int(n), rnd, gesd_lambdas(int(n), max_k, alpha)[rnd - 1])
-        for n in sizes
-        for rnd in range(1, max_k + 1)
-    ]
-    lam = spark.createDataFrame(lam_rows, "__n0 long, rnd int, lam double")
-
-    flagged = allout.join(F.broadcast(lam), ["__n0", "rnd"]).withColumn(
-        "__kstar",
-        F.max(F.when(F.col("r_stat") > F.col("lam"), F.col("rnd"))).over(
-            Window.partitionBy(*keys)
-        ),
-    )
-    return flagged.select(
+    base = df.select(
         *keys,
-        F.col("__i").alias(idx_col),
-        F.col("__x").alias(resid_col),
-        "rnd",
-        "r_stat",
-        "lam",
-        (F.col("rnd") <= F.coalesce("__kstar", F.lit(0))).alias("is_outlier"),
+        F.col(idx_col).alias("__i"),
+        F.col(resid_col).cast("double").alias("__x"),
+    )
+    key_fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in base.schema.fields[: len(keys)]
+    )
+    idx_type = base.schema.fields[len(keys)].dataType.simpleString()
+    out_schema = (
+        f"{key_fields}, __i {idx_type}, __x double, rnd int, "
+        "r_stat double, lam double, is_outlier boolean"
+    )
+
+    def _pctl50(vals: list) -> float:
+        # Spark Percentile: position = 0.5·(n−1); lo + (hi−lo)·frac
+        sv = sorted(vals)
+        pos = 0.5 * (len(sv) - 1)
+        lo = math.floor(pos)
+        hi = math.ceil(pos)
+        if lo == hi:
+            return sv[lo]
+        return sv[lo] + (sv[hi] - sv[lo]) * (pos - lo)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        n0 = len(pdf)
+        if n0 < min_n:
+            return pd.DataFrame(
+                columns=list(pdf.columns[: len(keys)])
+                + ["__i", "__x", "rnd", "r_stat", "lam", "is_outlier"]
+            )
+        lams = gesd_lambdas(n0, max_k, alpha)
+        iv = list(pdf["__i"])
+        xv = [float(x) for x in pdf["__x"]]
+        live = list(range(n0))
+        rows = []  # (i, x, rnd, r or None, lam)
+        for rnd in range(1, max_k + 1):
+            med = _pctl50([xv[j] for j in live])
+            devs = {j: abs(xv[j] - med) for j in live}
+            mad = _pctl50(list(devs.values()))
+            best = min(live, key=lambda j: (-devs[j], iv[j]))
+            r = devs[best] / (1.4826 * mad) if mad > 0 else None
+            rows.append((iv[best], xv[best], rnd, r, lams[rnd - 1]))
+            live.remove(best)
+        kstar = 0
+        for _i, _x, rnd, r, lam in rows:
+            if r is not None and r > lam:
+                kstar = max(kstar, rnd)
+        out = {
+            c: [pdf[c].iloc[0]] * len(rows) for c in pdf.columns[: len(keys)]
+        }
+        out["__i"] = [r[0] for r in rows]
+        out["__x"] = pd.Series([r[1] for r in rows], dtype="float64")
+        out["rnd"] = pd.Series([r[2] for r in rows], dtype="int32")
+        out["r_stat"] = pd.Series([r[3] for r in rows], dtype="Float64")
+        out["lam"] = pd.Series([r[4] for r in rows], dtype="float64")
+        out["is_outlier"] = pd.Series(
+            [r[2] <= kstar for r in rows], dtype="bool"
+        )
+        return pd.DataFrame(out)
+
+    return (
+        base.groupBy(*keys)
+        .applyInPandas(kernel, out_schema)
+        .select(
+            *keys,
+            F.col("__i").alias(idx_col),
+            F.col("__x").alias(resid_col),
+            "rnd",
+            "r_stat",
+            "lam",
+            "is_outlier",
+        )
     )
 
 
