@@ -1442,14 +1442,34 @@ def tx_novelty(spark, sf_dir):
     grams = F.expr(
         "array_distinct(transform(sequence(1, length(t) - 4), i -> substring(t, i, 5)))"
     )
-    g = d.select("doc_id", F.explode(grams).alias("gram"))
-    df_ = g.groupBy("gram").agg(F.count(F.lit(1)).alias("dfreq"))
-    return (
-        g.join(df_, "gram")
-        .groupBy("doc_id")
+    # Round-6 shape (guide §2.3/§2.4): the old plan joined the 5M-row
+    # posting list BACK against the gram document-frequency table (two
+    # more data-sized shuffles). But a dfreq = 1 gram has exactly ONE
+    # owner, so min(doc_id) in the same agg names it — n_unique per doc
+    # is a tiny second agg over the singleton grams, and n_grams is just
+    # size(grams) computed map-only (identical to counting the exploded
+    # rows, since grams are array_distinct per doc). One explode + one
+    # gram-keyed agg total; results provably identical.
+    per_doc = d.select("doc_id", F.size(grams).alias("n_grams"))
+    own = (
+        d.select("doc_id", F.explode(grams).alias("gram"))
+        .groupBy("gram")
         .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum(F.when(F.col("dfreq") == 1, 1).otherwise(0)).alias("n_unique"),
+            F.count(F.lit(1)).alias("dfreq"),
+            F.min("doc_id").alias("doc_id"),
+        )
+    )
+    uniq = (
+        own.where(F.col("dfreq") == 1)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_unique"))
+    )
+    return (
+        per_doc.join(uniq, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.coalesce("n_unique", F.lit(0)).cast("long").alias("n_unique"),
         )
         .select(
             "doc_id",
@@ -1505,13 +1525,45 @@ def tx_overlap_matrix(spark, sf_dir):
     grams = F.expr(
         "array_distinct(transform(sequence(1, length(t) - 4), i -> substring(t, i, 5)))"
     )
-    g = d.select("source", F.explode(grams).alias("gram")).distinct()
-    tot = g.groupBy("source").agg(F.count(F.lit(1)).alias("n_a"))
-    a = g.select(F.col("source").alias("src_a"), "gram")
-    b = g.select(F.col("source").alias("src_b"), "gram")
+    # Round-6 shape (guide §2.3/§2.4): ONE gram-keyed agg with
+    # collect_set replaces the old distinct shuffle + gram self-join
+    # (three data-sized shuffles → one): each gram's ≤|sources| distinct
+    # source set generates its ordered pairs locally, and the per-source
+    # distinct-gram totals fall out of the same grouped frame. Pair
+    # counts and totals partial-aggregate map-side; set order doesn't
+    # matter because ALL ordered pairs are emitted. localCheckpoint
+    # shares the grouped postings between both consumers.
+    pl = (
+        d.select("source", F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.collect_set("source").alias("ss"))
+        .localCheckpoint()
+    )
+    tot = (
+        pl.select(F.explode("ss").alias("source"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_a"))
+    )
     pair = (
-        a.join(b, "gram")
-        .where(F.col("src_a") != F.col("src_b"))
+        pl.select(
+            F.explode(
+                F.filter(
+                    F.flatten(
+                        F.transform(
+                            "ss",
+                            lambda a: F.transform(
+                                "ss",
+                                lambda b: F.struct(
+                                    a.alias("src_a"), b.alias("src_b")
+                                ),
+                            ),
+                        )
+                    ),
+                    lambda p: p["src_a"] != p["src_b"],
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.src_a").alias("src_a"), F.col("p.src_b").alias("src_b"))
         .groupBy("src_a", "src_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
@@ -1582,19 +1634,47 @@ def dd_containment(spark, sf_dir):
     grams = F.expr(
         "array_distinct(transform(sequence(1, length(t) - 4), i -> substring(t, i, 5)))"
     )
+    # Round-6 shape (guide §2.3/§2.4): group the postings ONCE by gram
+    # into doc-id lists (one data-sized shuffle) and generate the ordered
+    # pairs locally from each ≤50-doc list — the old plan shuffled the
+    # filtered posting list three more times (df semi-join + both sides
+    # of the gram self-join). The pair fan-out Σ df² is unchanged (the
+    # stop-gram cap still bounds it); pair counts partial-aggregate
+    # map-side before the only remaining small shuffle. localCheckpoint
+    # keeps the grouped postings shared by the sizes agg and the pair
+    # explode without recomputing the explode+agg.
     g0 = d.select("doc_id", F.explode(grams).alias("gram"))
-    df_ok = g0.groupBy("gram").count().where(F.col("count") <= 50).select("gram")
-    # EAGER localCheckpoint: the filtered postings feed THREE consumers
-    # (both join sides and the denominator sizes) — left lazy, their
-    # concurrent first-action stages each recompute the explode + df
-    # join redundantly (measured ~3x slower at sf0.1)
-    g = g0.join(df_ok, "gram").localCheckpoint()
-    sz = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = g.select(F.col("doc_id").alias("doc_a"), "gram")
-    b = g.select(F.col("doc_id").alias("doc_b"), "gram")
+    pl = (
+        g0.groupBy("gram")
+        .agg(F.collect_list("doc_id").alias("docs"))
+        .where(F.size("docs") <= 50)
+        .localCheckpoint()
+    )
+    sz = (
+        pl.select(F.explode("docs").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
     sh = (
-        a.join(b, "gram")
-        .where(F.col("doc_a") != F.col("doc_b"))
+        pl.select(
+            F.explode(
+                F.filter(
+                    F.flatten(
+                        F.transform(
+                            "docs",
+                            lambda a: F.transform(
+                                "docs",
+                                lambda b: F.struct(
+                                    a.alias("doc_a"), b.alias("doc_b")
+                                ),
+                            ),
+                        )
+                    ),
+                    lambda p: p["doc_a"] != p["doc_b"],
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("shared"))
     )
@@ -4456,8 +4536,15 @@ def dd_fuzzy(spark, sf_dir):
     return (
         a.join(b, "blk")
         .where(F.col("doc_a") < F.col("doc_b"))
-        .withColumn("dist", F.levenshtein("ka", "kb").cast("long"))
-        .where(F.col("dist") <= _FUZZY_MAX_DIST)
+        # threshold-banded Levenshtein (guide §1.2 per-task work): the
+        # O(len·threshold) band returns the EXACT distance when it is
+        # <= the threshold and -1 otherwise, so the kept rows are
+        # bit-identical to the unbanded evaluation
+        .withColumn(
+            "dist",
+            F.levenshtein("ka", "kb", _FUZZY_MAX_DIST).cast("long"),
+        )
+        .where((F.col("dist") >= 0) & (F.col("dist") <= _FUZZY_MAX_DIST))
         .select("doc_a", "doc_b", "dist")
     )
 
@@ -4784,11 +4871,16 @@ def tx_bm25(spark, sf_dir):
         )
     )
     ranked = scored.groupBy("doc_id").agg(F.sum("micro").cast("long").alias("micro_score"))
+    # Round-6: top-20 via orderBy().limit() — compiles to
+    # TakeOrderedAndProject (per-partition heaps, no global window sort;
+    # VERDICT r5 scale-killer). rnk re-derives over the 20-row result, a
+    # catalog-sized frame; the (micro_score DESC, doc_id) order is total
+    # so rows and ranks are identical to the old global row_number.
+    top = ranked.orderBy(F.desc("micro_score"), F.asc("doc_id")).limit(20)
     rw = Window.orderBy(F.desc("micro_score"), F.asc("doc_id"))
-    return (
-        ranked.withColumn("rnk", F.row_number().over(rw).cast("long"))
-        .where(F.col("rnk") <= 20)
-        .select("doc_id", "micro_score", "rnk")
+    return top.select(
+        "doc_id", "micro_score",
+        F.row_number().over(rw).cast("long").alias("rnk"),
     )
 
 
@@ -5831,11 +5923,35 @@ def x4_rfm(spark, sf_dir):
         )
         .drop("now_us")
     )
+    # Round-6: the three global ntile(5) windows were one-partition sorts
+    # over ALL users (the scale-killer VERDICT r5 flagged). Each quintile
+    # now comes from the range-bucketed global rank (_bucketed_rank_n —
+    # O(buckets) collect + per-bucket windows) and the EXACT ntile
+    # formula (_ntile_from_rank), proven row-identical in
+    # fe_quantile_norm/k5. Buckets are range-aligned with each order:
+    # recency_days asc, -frequency (desc), -(cents div 1e5) (desc,
+    # coarse bands keep the collect O(value-range), never O(users)).
+    u = u.localCheckpoint()  # three rank passes + the final select share it
+
+    def _score(df, bucket, order_cols, out):
+        ranked, n = _bucketed_rank_n(df, bucket, order_cols)
+        return ranked.withColumn(
+            out, _ntile_from_rank(F.col("__rank"), n, 5)
+        ).drop("__b", "__off", "__rank")
+
+    u = _score(
+        u, F.col("recency_days"), ["recency_days", "user_id"], "r_score"
+    )
+    u = _score(u, -F.col("frequency"), ["frequency DESC", "user_id"], "f_score")
+    u = _score(
+        u,
+        -F.expr("monetary_cents div 100000"),
+        ["monetary_cents DESC", "user_id"],
+        "m_score",
+    )
     return u.select(
         "user_id", "recency_days", "frequency", "monetary_cents",
-        F.ntile(5).over(Window.orderBy(F.asc("recency_days"), F.asc("user_id"))).cast("long").alias("r_score"),
-        F.ntile(5).over(Window.orderBy(F.desc("frequency"), F.asc("user_id"))).cast("long").alias("f_score"),
-        F.ntile(5).over(Window.orderBy(F.desc("monetary_cents"), F.asc("user_id"))).cast("long").alias("m_score"),
+        "r_score", "f_score", "m_score",
     )
 
 
@@ -6633,11 +6749,15 @@ def mx_interleave(spark, sf_dir):
         .withColumn("rnk", F.row_number().over(wr).cast("long"))
         .withColumn("vkey", F.expr(f"rnk * {_IL_SCALE} div wt"))
     )
+    # Round-6: first-N positions via orderBy().limit() —
+    # TakeOrderedAndProject heaps instead of a one-partition row_number
+    # over the ENTIRE epoch schedule (VERDICT r5 scale-killer); pos
+    # re-derives over the 50-row result. (vkey, source, rnk) is a total
+    # order, so rows and positions are identical.
+    top = r.orderBy(F.asc("vkey"), F.asc("source"), F.asc("rnk")).limit(_IL_TOP)
     wg = Window.orderBy(F.asc("vkey"), F.asc("source"), F.asc("rnk"))
-    return (
-        r.withColumn("pos", F.row_number().over(wg).cast("long"))
-        .where(F.col("pos") <= _IL_TOP)
-        .select("pos", "source", "doc_id")
+    return top.select(
+        F.row_number().over(wg).cast("long").alias("pos"), "source", "doc_id"
     )
 
 
@@ -7624,14 +7744,17 @@ def _morton_terms(x: str, y: str, duck: bool) -> str:
     return " + ".join(terms)
 
 
-def _bucketed_rank(df, bucket_expr, order_cols):
+def _bucketed_rank_n(df, bucket_expr, order_cols):
     """Global 0-based rank over ORDER BY order_cols WITHOUT a
     one-partition sort — the mixing.shuffle_rank range-bucket
     discipline generalized to any sort key: `bucket_expr` must be
     range-aligned with the order (monotone non-decreasing along it).
     Bucket counts are an O(buckets) collect, never O(rows); the
     within-bucket row_numbers run as independent window partitions.
-    Adds column `__rank` (BIGINT). Two-pass: df must be deterministic."""
+    Adds column `__rank` (BIGINT). Two-pass: df must be deterministic.
+    Returns (ranked_df, total_row_count) — the total falls out of the
+    same counts collect, so rank-derived quantile cuts (ntile) cost no
+    extra job."""
     wb = df.withColumn("__b", bucket_expr)
     counts = wb.groupBy("__b").count().collect()
     off, acc = {}, 0
@@ -7641,13 +7764,41 @@ def _bucketed_rank(df, bucket_expr, order_cols):
     offsets = df.sparkSession.createDataFrame(
         list(off.items()) or [(0, 0)], "__b long, __off long"
     )
-    return wb.join(F.broadcast(offsets), "__b").withColumn(
+    ranked = wb.join(F.broadcast(offsets), "__b").withColumn(
         "__rank",
         F.expr(
             f"__off + (row_number() OVER (PARTITION BY __b "
             f"ORDER BY {', '.join(order_cols)})) - 1"
         ).cast("long"),
     )
+    return ranked, acc
+
+
+def _bucketed_rank(df, bucket_expr, order_cols):
+    """See _bucketed_rank_n — kept as the single-value interface."""
+    return _bucketed_rank_n(df, bucket_expr, order_cols)[0]
+
+
+def _ntile_from_rank(rank_col, n: int, k: int):
+    """EXACT ntile(k) from a global 0-based rank and the total row count:
+    Spark/DuckDB assign the first (n mod k) tiles floor(n/k)+1 rows and
+    the rest floor(n/k) — a pure integer function of (rank, n, k), so a
+    range-bucketed rank replaces the one-partition ntile window
+    bit-for-bit (n comes free from _bucketed_rank_n's counts collect)."""
+    q, rem = divmod(int(n), k)
+    cut = rem * (q + 1)
+    if q == 0:
+        # fewer rows than tiles: every row gets its own tile (rank+1)
+        return (rank_col + 1).cast("long")
+    # floor(a/b) on doubles is exact for a < 2^53 (the error can only
+    # cross an integer boundary when a > 2^53), so this is bit-identical
+    # to integer floor division at any realistic row count
+    return (
+        F.when(rank_col < cut, F.floor(rank_col / F.lit(q + 1)))
+        .otherwise(rem + F.floor((rank_col - cut) / F.lit(q)))
+        .cast("long")
+        + 1
+    ).cast("long")
 
 
 def _register_layout_skipping():
@@ -8509,11 +8660,17 @@ def x16_gini(spark, sf_dir):
         .groupBy("user_id")
         .agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"))
     )
-    wo = Window.orderBy("cents", "user_id")
-    r = u.select(
+    # Round-6: global rank + decile WITHOUT the one-partition window
+    # (VERDICT r5 scale-killer): range-bucketed rank on coarse cents
+    # bands (collect is O(value-range), not O(users)) + the exact ntile
+    # formula; row-identical to row_number/ntile over (cents, user_id).
+    ranked, n = _bucketed_rank_n(
+        u, F.expr("cents div 100000"), ["cents", "user_id"]
+    )
+    r = ranked.select(
         "user_id", "cents",
-        F.row_number().over(wo).cast("long").alias("rnk"),
-        F.ntile(10).over(wo).cast("long").alias("decile"),
+        (F.col("__rank") + 1).cast("long").alias("rnk"),
+        _ntile_from_rank(F.col("__rank"), n, 10).alias("decile"),
     )
     tot = r.agg(
         F.count(F.lit(1)).alias("n"),
@@ -9012,8 +9169,16 @@ def ml_gains(spark, sf_dir):
         (F.count(F.when(F.col("event_type") == "purchase", 1)) > 0)
         .cast("long").alias("label"),
     )
-    wr = Window.orderBy(F.desc("score"), "user_id", "day")
-    r = u.select("label", F.ntile(10).over(wr).cast("long").alias("decile"))
+    # Round-6: decile cut via range-bucketed rank + exact ntile formula
+    # instead of the global one-partition ntile window (VERDICT r5
+    # scale-killer); -score is range-aligned with the DESC order and the
+    # bucket collect is O(score-range), never O(user-days)
+    ranked, n = _bucketed_rank_n(
+        u, -F.col("score"), ["score DESC", "user_id", "day"]
+    )
+    r = ranked.select(
+        "label", _ntile_from_rank(F.col("__rank"), n, 10).alias("decile")
+    )
     d = r.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n"), F.sum("label").alias("pos")
     )

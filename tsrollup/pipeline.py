@@ -109,8 +109,13 @@ def rollup_build(
 
     if metrics:
         tiers = {"1m": r1m.select(*ROLLUP_COLS)}
+        # no eager materialization between cascades (round 6, guide §1.2
+        # fewer jobs): the write job materializes both persisted cascade
+        # tiers; the 1h subtree appearing under both the union branch and
+        # the 1d cascade is an 8k-row agg over the cached 1m tier, so the
+        # worst-case duplicate evaluation inside that one job is far
+        # cheaper than the extra scheduling round the old count() paid
         tiers["1h"] = cascade(tiers["1m"], "1h").persist()
-        tiers["1h"].count()  # materialize before 1d branches off it
         tiers["1d"] = cascade(tiers["1h"], "1d").persist()
         tp = _mark("cascade", tp)
         tagged = None
@@ -142,7 +147,16 @@ def rollup_build(
         summary["input_rows"] = sum(m["input_rows"] for m in metrics.values())
         if "rows_skipped_committed" in summary:
             summary["rows_skipped_committed"] -= summary["input_rows"]
-        if derived and cfg.incremental and not cfg.detector.shard_buckets:
+        if (
+            derived
+            and cfg.incremental
+            and not cfg.detector.shard_buckets
+            # only pay the bounds job when the incremental path can run:
+            # without per-(source, tier) state checkpoints derive() falls
+            # back to the full recompute and never reads `bounds` (first
+            # build of a store — the bench shape — saved one eager job)
+            and os.path.exists(os.path.join(out_base, increment_mod().STATE_DIR))
+        ):
             # the batch's per-(source, tier) bounds feed the incremental
             # derived phase; checkpointed eagerly while `tagged` is cached
             # (O(sources x tiers) rows, stays distributed)
