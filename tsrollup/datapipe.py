@@ -1205,20 +1205,28 @@ def bloom_decontaminate(
     cg = corpus.select(
         F.col(id_col).alias("c_id"),
         F.explode(word_ngrams_expr(F.col(text_col), n)).alias("ngram"),
-    ).distinct()
+    )
     passed = F.lit(True)
     for pos in _bloom_positions(F.col("ngram"), m_bits, k):
         word = F.element_at(bitset, (F.shiftright(pos, 6) + 1).cast("int"))
         passed = passed & (F.getbit(word, pos.bitwiseAND(F.lit(63))) == 1)
-    cand = cg.where(passed)
+    # Round-6: membership-test BEFORE the dedup shuffle (guide §2.3 —
+    # this is what the docstring's scale claim says: only Bloom-positive
+    # grams ever shuffle). Membership is a pure function of the gram, so
+    # filter-then-distinct == distinct-then-filter; the test runs per
+    # occurrence in the scan stage (3 xxhash64 in codegen) and the
+    # distinct now shuffles candidates only. With (c_id, ngram) distinct
+    # below, the per-doc counts are plain counts — no distinct-agg
+    # expansion needed.
+    cand = cg.where(passed).distinct()
     verified = cand.join(
         F.broadcast(bench_grams.withColumn("true_hit", F.lit(1))), "ngram", "left"
     )
     return (
         verified.groupBy("c_id")
         .agg(
-            F.count_distinct("ngram").alias("n_candidates"),
-            F.count_distinct(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.count(
                 F.when(F.col("true_hit") == 1, F.col("ngram"))
             ).alias("n_hits"),
         )
@@ -1458,19 +1466,23 @@ def bigram_lm_score(docs: DataFrame, k_num: int = 1, text_col: str = "text") -> 
         ).alias("z"),
     ).select("doc_id", F.col("z.prev").alias("prev"), F.col("z.w").alias("w"))
     # doc-level multiplicities: the only pass over bigram INSTANCES.
-    # EAGER localCheckpoint because this subtree feeds THREE consumers
-    # (the scoring join's left side, bc, and cc through bc): left lazy
-    # — even persisted — the consumers' stages run concurrently in the
-    # first action and each races to compute the subtree redundantly
-    # (measured 3x slower at sf0.1); materializing once up front makes
-    # every consumer a cache read.
-    dbg = (
-        bg.groupBy("doc_id", "prev", "w")
-        .agg(F.count(F.lit(1)).alias("m"))
-        .localCheckpoint()
+    dbg = bg.groupBy("doc_id", "prev", "w").agg(F.count(F.lit(1)).alias("m"))
+    # Round-6 (guide §2.4: share one exchange): the corpus counts c_b =
+    # Σm over prev and c_bw = Σm over (prev, w) are WINDOW sums over the
+    # doc-level multiplicities — exact BIGINT sums, identical to the old
+    # bc/cc join values. Ordering the (prev) window FIRST lets the
+    # (prev, w) window reuse its hash partitioning (a subset of the
+    # clustering satisfies the distribution), so the whole model
+    # attachment costs ONE exchange of dbg instead of the old two join
+    # shuffles + bc/cc aggs — and dbg now has a single consumer, so the
+    # eager localCheckpoint is gone too. Skew note: a hot `prev`
+    # (stopword) concentrates its bigram types in one task, the same
+    # per-prev locality the old cc join shape had.
+    wp = Window.partitionBy("prev")
+    wpw = Window.partitionBy("prev", "w")
+    dbg = dbg.withColumn("c_b", F.sum("m").over(wp)).withColumn(
+        "c_bw", F.sum("m").over(wpw)
     )
-    bc = dbg.groupBy("prev", "w").agg(F.sum("m").alias("c_bw"))
-    cc = bc.groupBy("prev").agg(F.sum("c_bw").alias("c_b"))
     vocab = w.select(F.explode("ws").alias("word")).agg(
         F.count_distinct("word").alias("v_size")
     )
@@ -1479,9 +1491,7 @@ def bigram_lm_score(docs: DataFrame, k_num: int = 1, text_col: str = "text") -> 
         / (2 * F.col("c_b") + F.lit(k_num) * F.col("v_size")).cast("double")
     )
     scored = (
-        dbg.join(bc, ["prev", "w"])
-        .join(cc, "prev")
-        .crossJoin(F.broadcast(vocab))
+        dbg.crossJoin(F.broadcast(vocab))
         .select(
             "doc_id",
             "m",
@@ -2267,66 +2277,110 @@ PQ_K = 8   # centroids per subspace; seeds = vec_id < K per subspace
 PQ_SUBDIM = 16
 
 
-def _pq_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fixed-point embedding coordinates keyed by (vec_id, sub, d) —
-    the kmeans_fixed_point quantization with a subspace key: sub =
-    (d - 1) div PQ_SUBDIM. Checkpointed once; feeds both Lloyd rounds,
-    the codes pass, and the ADC distance table."""
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+def _pq_e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized embeddings as one int64 array per vector — the
+    kmeans_fixed_point quantization, array form (round 6: the per-dim
+    exploded layout and its (sub, d) join-key shuffles are gone; every
+    Lloyd round is now a map-only pass over this frame with the
+    centroids collected O(M·K·subdim) and broadcast as literals)."""
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id",
-        F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
-            "d0", "x"
-        ),
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * KM_SCALE, 0).cast("long"),
+        ).alias("xfp"),
     )
-    return e.select(
-        "vec_id",
-        (F.col("d0") + 1).alias("d"),
-        (F.col("d0") / PQ_SUBDIM).cast("long").alias("sub"),
-        F.round(F.col("x") * KM_SCALE, 0).cast("long").alias("xfp"),
-    ).localCheckpoint()
 
 
-def _pq_sub_dists(fp: DataFrame, cent: DataFrame) -> DataFrame:
-    t = fp.join(cent, ["sub", "d"])
-    return (
-        t.withColumn(
-            "sq", (F.col("xfp") - F.col("cfp")) * (F.col("xfp") - F.col("cfp"))
+def _pq_sub_dist_expr(sub: int, cfp: list):
+    """Exact int64 squared distance of a vector's `sub` subspace slice to
+    a centroid literal — integer sums are order-invariant, so this is
+    bit-identical to the old per-dim agg."""
+    arr = F.array(*[F.lit(int(c)) for c in cfp])
+    sl = F.slice("xfp", sub * PQ_SUBDIM + 1, PQ_SUBDIM)
+    return F.aggregate(
+        F.zip_with(sl, arr, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _pq_ranked(e: DataFrame, cent: dict) -> DataFrame:
+    """(vec_id, xfp, sub, cell, dist, rn) for every live centroid of
+    every subspace, rn the (dist, cell) rank within (vec_id, sub) —
+    map-only: per sub an array_sort over the k-entry struct array
+    replaces the old (vec_id, sub) window (identical lexicographic
+    order)."""
+    per_sub = []
+    for sub in range(PQ_M):
+        cells = sorted(c for (s, c) in cent if s == sub)
+        per_sub.append(
+            F.array_sort(
+                F.array(*[
+                    F.struct(
+                        _pq_sub_dist_expr(sub, cent[(sub, j)]).alias("dist"),
+                        F.lit(int(j)).alias("cell"),
+                    )
+                    for j in cells
+                ])
+            )
         )
-        .groupBy("vec_id", "sub", "cell")
-        .agg(F.sum("sq").alias("dist"))
+    s1 = e.select(
+        "vec_id", "xfp", F.posexplode(F.array(*per_sub)).alias("sub0", "arr")
+    )
+    return s1.select(
+        "vec_id",
+        "xfp",
+        F.col("sub0").cast("long").alias("sub"),
+        F.posexplode("arr").alias("p", "s"),
+    ).select(
+        "vec_id",
+        "xfp",
+        "sub",
+        F.col("s.cell").cast("long").alias("cell"),
+        F.col("s.dist").alias("dist"),
+        (F.col("p") + 1).cast("int").alias("rn"),
     )
 
 
-def _pq_top1(dist: DataFrame) -> DataFrame:
-    w = Window.partitionBy("vec_id", "sub").orderBy("dist", "cell")
-    return (
-        dist.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "sub", "cell", "dist")
-    )
-
-
-def _pq_centroids(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
-    """(fp, round-1-updated centroids per subspace). Two Lloyd rounds —
-    the kmeans_fixed_point discipline with (sub) added to every key:
-    seeds are vec_id < PQ_K per subspace, updates are round(sum/count)
-    on exact integer sums."""
-    fp = _pq_fp(spark, sf_dir)
-    c0 = fp.where(F.col("vec_id") < PQ_K).select(
-        F.col("vec_id").alias("cell"), "sub", "d", F.col("xfp").alias("cfp")
-    )
-    a1 = _pq_top1(_pq_sub_dists(fp, c0))
-    c1 = (
-        a1.select("vec_id", "sub", "cell")
-        .join(fp, ["vec_id", "sub"])
-        .groupBy("sub", "cell", "d")
+def _pq_centroids(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, dict]:
+    """(e, round-1-updated centroid dict {(sub, cell): [subdim ints]}).
+    Two Lloyd rounds — the kmeans_fixed_point discipline with (sub)
+    added to every key: seeds are vec_id < PQ_K per subspace, updates
+    are round(sum/count) on exact integer sums (the half-up boundary
+    still evaluates IN Spark before the bounded O(M·K·subdim) collect)."""
+    e = _pq_e(spark, sf_dir)
+    c0 = {}
+    for r in e.where(F.col("vec_id") < PQ_K).collect():
+        xfp = list(r["xfp"])
+        for sub in range(PQ_M):
+            c0[(sub, int(r["vec_id"]))] = xfp[
+                sub * PQ_SUBDIM: (sub + 1) * PQ_SUBDIM
+            ]
+    a1 = _pq_ranked(e, c0).where(F.col("rn") == 1)
+    upd = (
+        a1.select(
+            "sub",
+            "cell",
+            F.posexplode(
+                F.slice("xfp", (F.col("sub") * PQ_SUBDIM + 1).cast("int"),
+                        PQ_SUBDIM)
+            ).alias("dloc", "x"),
+        )
+        .groupBy("sub", "cell", "dloc")
         .agg(
-            F.round(F.sum("xfp").cast("double") / F.count(F.lit(1)), 0)
+            F.round(F.sum("x").cast("double") / F.count(F.lit(1)), 0)
             .cast("long")
             .alias("cfp")
         )
     )
-    return fp, c1
+    c1: dict = {}
+    for r in upd.collect():
+        c1.setdefault((int(r["sub"]), int(r["cell"])), {})[int(r["dloc"])] = int(
+            r["cfp"]
+        )
+    c1 = {k: [v[d] for d in sorted(v)] for k, v in c1.items()}
+    return e, c1
 
 
 def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2337,8 +2391,8 @@ def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     AND every assignment are value-twinnable. Declarative per-dim shape
     = the semantics anchor; the 10^9-vector path is the ivf_assign
     matmul kernel run per subspace (one BLAS call per Arrow batch)."""
-    fp, c1 = _pq_centroids(spark, sf_dir)
-    a2 = _pq_top1(_pq_sub_dists(fp, c1))
+    e, c1 = _pq_centroids(spark, sf_dir)
+    a2 = _pq_ranked(e, c1).where(F.col("rn") == 1)
     return a2.select("vec_id", "sub", F.col("cell").alias("code"), "dist")
 
 
@@ -2351,34 +2405,59 @@ def pq_adc_topk(
     lookups through its codes — the scan never touches raw vectors.
     Returns the top-k (vec_id, adc_dist, rnk), ranked (dist ASC, vec_id
     ASC); the query vector itself is excluded."""
-    fp, c1 = _pq_centroids(spark, sf_dir)
-    a2 = _pq_top1(_pq_sub_dists(fp, c1))
-    q = fp.where(F.col("vec_id") == query_vec_id).select(
-        "sub", "d", F.col("xfp").alias("qfp")
+    e, c1 = _pq_centroids(spark, sf_dir)
+    # ADC table driver-side: the query row is an O(1) collect and every
+    # tdist is an exact integer sum (Σ (qfp−cfp)² over the subspace) —
+    # identical to the old (sub, d) join + agg, now 32 BIGINT literals.
+    qfp = list(
+        e.where(F.col("vec_id") == query_vec_id).collect()[0]["xfp"]
     )
-    table = (
-        c1.join(q, ["sub", "d"])
-        .withColumn(
-            "sq", (F.col("qfp") - F.col("cfp")) * (F.col("qfp") - F.col("cfp"))
+    tdist = {
+        (sub, cell): sum(
+            (qfp[sub * PQ_SUBDIM + d] - cfp[d]) ** 2
+            for d in range(PQ_SUBDIM)
         )
-        .groupBy("sub", "cell")
-        .agg(F.sum("sq").alias("tdist"))
+        for (sub, cell), cfp in c1.items()
+    }
+    # per-sub lookup arrays indexed by code (cells are a subset of
+    # 0..PQ_K-1; missing codes are never assigned, 0-filled placeholder)
+    luts = []
+    for sub in range(PQ_M):
+        row = [0] * PQ_K
+        for (s, cell), v in tdist.items():
+            if s == sub:
+                row[cell] = v
+        luts.append(F.array(*[F.lit(int(v)).cast("long") for v in row]))
+    # map-only ADC: each vector's approximate distance is the sum of M
+    # literal-array lookups through its top-1 codes (element_at on the
+    # sorted struct array — no window, no join, no explode)
+    code = [
+        F.element_at(
+            F.array_sort(
+                F.array(*[
+                    F.struct(
+                        _pq_sub_dist_expr(sub, c1[(sub, j)]).alias("dist"),
+                        F.lit(int(j)).alias("cell"),
+                    )
+                    for j in sorted(c for (s, c) in c1 if s == sub)
+                ])
+            ),
+            1,
+        )["cell"]
+        for sub in range(PQ_M)
+    ]
+    adc_dist = None
+    for sub in range(PQ_M):
+        term = F.element_at(luts[sub], (code[sub] + 1).cast("int"))
+        adc_dist = term if adc_dist is None else adc_dist + term
+    adc = e.where(F.col("vec_id") != query_vec_id).select(
+        "vec_id", adc_dist.cast("long").alias("adc_dist")
     )
-    adc = (
-        a2.select("vec_id", "sub", F.col("cell").alias("code"))
-        .where(F.col("vec_id") != query_vec_id)
-        .join(
-            F.broadcast(table.withColumnRenamed("cell", "code")),
-            ["sub", "code"],
-        )
-        .groupBy("vec_id")
-        .agg(F.sum("tdist").cast("long").alias("adc_dist"))
-    )
+    # top-k via TakeOrderedAndProject; rnk re-derives over the k rows
+    top = adc.orderBy(F.asc("adc_dist"), F.asc("vec_id")).limit(topk)
     w = Window.orderBy(F.asc("adc_dist"), F.asc("vec_id"))
-    return (
-        adc.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .where(F.col("rnk") <= topk)
-        .select("vec_id", "adc_dist", "rnk")
+    return top.select(
+        "vec_id", "adc_dist", F.row_number().over(w).cast("long").alias("rnk")
     )
 
 

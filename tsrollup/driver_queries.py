@@ -7378,14 +7378,31 @@ def x9_triangles(spark, sf_dir):
     which bounds every node's out-neighborhood by O(sqrt(m)) — counts
     are orientation-invariant, so the twin pins that too."""
     li = t(spark, sf_dir, "lineitem")
-    pe = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s")
-    ).distinct()
+    # Round-6 (guide §2.3/§2.4): basket-local pair generation — one
+    # order-keyed collect_set agg and a local (a < b) pair explode from
+    # each sorted basket replaces the old distinct + self-join (two
+    # data-sized shuffles saved); the distinct-edge agg is unchanged.
+    # localCheckpoint: the edge list feeds FOUR consumers (e1/e2/e3 and
+    # the degree agg) — materialize once.
+    baskets = (
+        li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s"))
+        .groupBy("ok")
+        .agg(F.sort_array(F.collect_set("s")).alias("ss"))
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            "ss",
+            lambda x, i: F.transform(
+                F.slice("ss", i + 2, F.size("ss")),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
     e = (
-        pe.alias("a")
-        .join(pe.alias("b"), (F.col("a.ok") == F.col("b.ok")) & (F.col("a.s") < F.col("b.s")))
-        .select(F.col("a.s").alias("a"), F.col("b.s").alias("b"))
+        baskets.select(F.explode(pair_arr).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
         .distinct()
+        .localCheckpoint()
     )
     tr = (
         e.alias("e1")
@@ -7696,15 +7713,36 @@ def x11_assoc(spark, sf_dir):
     shuffles on (pa, pb) with map-side combine; item counts broadcast
     (catalog-sized); N is a 1-row cross join, not a collect."""
     li = t(spark, sf_dir, "lineitem")
-    it = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")
-    ).distinct()
-    n = it.agg(F.count_distinct("ok").alias("n_orders"))
-    cnt = it.groupBy("p").agg(F.count(F.lit(1)).alias("c"))
+    # Round-6 shape (guide §2.3/§2.4): ONE basket-keyed collect_set agg
+    # replaces the old distinct + self-join (three data-sized shuffles →
+    # one). Each sorted basket generates its (pa < pb) pairs locally —
+    # identical to the old a.p < b.p join condition on distinct items —
+    # and pair support partial-aggregates map-side. n_orders and the
+    # per-part counts fall out of the same checkpointed basket frame.
+    baskets = (
+        li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p"))
+        .groupBy("ok")
+        .agg(F.sort_array(F.collect_set("p")).alias("ps"))
+        .localCheckpoint()
+    )
+    n = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
+    cnt = (
+        baskets.select(F.explode("ps").alias("p"))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            "ps",
+            lambda x, i: F.transform(
+                F.slice("ps", i + 2, F.size("ps")),
+                lambda y: F.struct(x.alias("pa"), y.alias("pb")),
+            ),
+        )
+    )
     pairs = (
-        it.alias("a")
-        .join(it.alias("b"), (F.col("a.ok") == F.col("b.ok")) & (F.col("a.p") < F.col("b.p")))
-        .groupBy(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
+        baskets.select(F.explode(pair_arr).alias("pr"))
+        .groupBy(F.col("pr.pa").alias("pa"), F.col("pr.pb").alias("pb"))
         .agg(F.count(F.lit(1)).alias("sup"))
         .where(F.col("sup") >= 3)
     )
@@ -7885,17 +7923,21 @@ def _register_layout_skipping():
                 "unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000 - d0"
             ).alias("d"),
         )
+        # Round-6: localCheckpoint — the morton frame feeds FIVE passes
+        # (two bucket-count collects, two ranked layouts, the probe-point
+        # agg); left lazy each re-ran the events scan + 32-term morton
+        # projection
         m = base.select(
             "event_id", "u", "d", "tus",
             F.expr(_morton_terms("u", "d", False)).alias("mz"),
-        )
+        ).localCheckpoint()
 
         rz = _bucketed_rank(m, F.shiftright(F.col("mz"), 6), ["mz", "event_id"]) \
             .select("u", "d", F.expr(f"__rank div {rows_per_file}").alias("f"))
         rn = _bucketed_rank(m, F.col("d"), ["tus", "event_id"]) \
             .select("u", "d", F.expr(f"__rank div {rows_per_file}").alias("f"))
 
-        pb = base.agg((F.min("u") + F.lit(7)).alias("pu"))
+        pb = m.agg((F.min("u") + F.lit(7)).alias("pu"))
 
         def file_stats(r, layout):
             fs = r.groupBy("f").agg(
