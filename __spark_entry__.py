@@ -1640,8 +1640,15 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         base = _scratch("bucketed_join")
         spark.sql("DROP TABLE IF EXISTS bj_orders")
         spark.sql("DROP TABLE IF EXISTS bj_lineitem")
+        # repartition to the bucket layout BEFORE the write (round 6):
+        # the single-file parquet scan otherwise makes ONE task sort and
+        # write all 8 buckets serially; pre-clustering by the bucket key
+        # gives 8 parallel sorted writers, one file per bucket (measured
+        # 2.6 s -> 1.1 s for the lineitem write at sf0.1). Bucket
+        # contents are identical (same hash assignment).
         (
             spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .repartition(8, "o_orderkey")
             .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
             .option("path", os.path.join(base, "orders"))
             .mode("overwrite").saveAsTable("bj_orders")
@@ -1649,6 +1656,7 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         (
             spark.read.parquet(f"{sf_dir}/lineitem.parquet")
             .withColumnRenamed("l_orderkey", "o_orderkey")
+            .repartition(8, "o_orderkey")
             .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
             .option("path", os.path.join(base, "lineitem"))
             .mode("overwrite").saveAsTable("bj_lineitem")

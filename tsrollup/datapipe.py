@@ -147,14 +147,36 @@ def embedding_neardup_candidates(
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
-    # ONE scan computes every band's bucket string (identical per-band
-    # expression as before — same rounded-sign fold dots), posexplode
-    # yields (vec_id, band, bucket). The heavy 64-dim vectors DON'T ride
-    # the band self-join: only 8-byte ids + short bucket strings shuffle
-    # (guide §2.3 "shuffle keys, not payloads"); vectors re-attach to the
-    # deduped id pairs afterwards — two id-equi-joins against the slim
-    # embeddings read, broadcast at fixture scale, plain shuffle joins at
-    # corpus scale.
+    ids = _neardup_candidate_ids(spark, sf_dir, planes=planes)
+    return (
+        ids.join(
+            e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va")),
+            "vec_a",
+        )
+        .join(
+            e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb")),
+            "vec_b",
+        )
+        .select("vec_a", "vec_b", "va", "vb")
+    )
+
+
+def _neardup_candidate_ids(
+    spark: SparkSession,
+    sf_dir: str,
+    planes: np.ndarray | None = None,
+    dedup: bool = True,
+) -> DataFrame:
+    """Banded-LSH candidate id pairs (vec_a < vec_b), deduped across
+    bands unless dedup=False. ONE scan computes every band's bucket
+    string (identical per-band expression — same rounded-sign fold
+    dots), posexplode yields (vec_id, band, bucket); the heavy 64-dim
+    vectors DON'T ride the band self-join — only 8-byte ids + short
+    bucket strings shuffle (guide §2.3 "shuffle keys, not payloads")."""
+    planes = neardup_planes() if planes is None else planes
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
     banded = e.select(
         "vec_id",
         F.posexplode(
@@ -170,19 +192,8 @@ def embedding_neardup_candidates(
         a.join(b2, ["band", "bucket"])
         .where(F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b")
-        .dropDuplicates(["vec_a", "vec_b"])
     )
-    return (
-        ids.join(
-            e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va")),
-            "vec_a",
-        )
-        .join(
-            e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb")),
-            "vec_b",
-        )
-        .select("vec_a", "vec_b", "va", "vb")
-    )
+    return ids.dropDuplicates(["vec_a", "vec_b"]) if dedup else ids
 
 
 def embedding_neardup_pairs(
@@ -192,17 +203,64 @@ def embedding_neardup_pairs(
     planes: np.ndarray | None = None,
 ) -> DataFrame:
     """All (vec_a < vec_b) pairs sharing an LSH bucket in >=1 band with
-    exact cosine >= tau. Returns (vec_a, vec_b, cos_sim rounded to 4)."""
-    cand = embedding_neardup_candidates(spark, sf_dir, planes=planes)
-    dot = F.aggregate(
-        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    exact cosine >= tau. Returns (vec_a, vec_b, cos_sim rounded to 4).
+
+    Round-6 verify (guide §4.2): the 12x4 recall banding makes the raw
+    candidate set dense (~1M pairs on the 2k-vector fixture), so the
+    per-pair interpreted zip_with/aggregate folds were the wall. The
+    kernel below is BIT-IDENTICAL to those folds: element products are
+    the same IEEE doubles, np.cumsum is strictly sequential so the
+    [:, -1] prefix equals the left-to-right fold (0.0 + x0 = x0), sqrt
+    and the division are correctly-rounded in both runtimes, and the
+    1e-4 ROUNDING STAYS IN SPARK on the kernel's raw double. Only the
+    8-byte id pairs cross the Python boundary; the vector matrix rides
+    along as a bounded O(N·dim) broadcast — the dd_threshold_sweep
+    memory class; at corpus scale the documented path runs this same
+    kernel per banded block."""
+    import pandas as pd
+
+    # NO pre-verify dedup (dedup=False): duplicate band hits compute the
+    # same cosine, so deduping the TINY tau-filtered output is identical
+    # — and the multi-million-row pre-dedup exchange disappears.
+    ids = _neardup_candidate_ids(spark, sf_dir, planes=planes, dedup=False)
+    rows = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
     )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
-    )
+    vid = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    pos = np.full(int(vid.max()) + 1, -1, dtype=np.int64)
+    pos[vid] = np.arange(len(vid))
+    b_mat = spark.sparkContext.broadcast(mat)
+    b_pos = spark.sparkContext.broadcast(pos)
+
+    def verify(batches):
+        m = b_mat.value
+        p = b_pos.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ia = p[pdf["vec_a"].to_numpy(dtype=np.int64)]
+            ib = p[pdf["vec_b"].to_numpy(dtype=np.int64)]
+            va = m[ia]
+            vb = m[ib]
+            dots = (va * vb).cumsum(axis=1)[:, -1]
+            na = np.sqrt((va * va).cumsum(axis=1)[:, -1])
+            nb = np.sqrt((vb * vb).cumsum(axis=1)[:, -1])
+            yield pd.DataFrame(
+                {
+                    "vec_a": pdf["vec_a"],
+                    "vec_b": pdf["vec_b"],
+                    "cos_raw": dots / (na * nb),
+                }
+            )
+
+    raw = ids.mapInPandas(verify, "vec_a long, vec_b long, cos_raw double")
     return (
-        cand.withColumn("cos_sim", F.round(dot / (norm(F.col("va")) * norm(F.col("vb"))), 4))
+        raw.withColumn("cos_sim", F.round("cos_raw", 4))
         .where(F.col("cos_sim") >= tau)
+        .dropDuplicates(["vec_a", "vec_b"])
         .select("vec_a", "vec_b", "cos_sim")
     )
 
@@ -2295,7 +2353,10 @@ def _pq_e(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _pq_sub_dist_expr(sub: int, cfp: list):
     """Exact int64 squared distance of a vector's `sub` subspace slice to
     a centroid literal — integer sums are order-invariant, so this is
-    bit-identical to the old per-dim agg."""
+    bit-identical to the old per-dim agg. (An explicit 16-term getItem
+    expansion was tried and measured ~3x SLOWER than this fold — the
+    512-node expression tree per projection blows up codegen — so the
+    zip_with/aggregate fold stays.)"""
     arr = F.array(*[F.lit(int(c)) for c in cfp])
     sl = F.slice("xfp", sub * PQ_SUBDIM + 1, PQ_SUBDIM)
     return F.aggregate(
@@ -2305,41 +2366,45 @@ def _pq_sub_dist_expr(sub: int, cfp: list):
     )
 
 
-def _pq_ranked(e: DataFrame, cent: dict) -> DataFrame:
-    """(vec_id, xfp, sub, cell, dist, rn) for every live centroid of
-    every subspace, rn the (dist, cell) rank within (vec_id, sub) —
-    map-only: per sub an array_sort over the k-entry struct array
-    replaces the old (vec_id, sub) window (identical lexicographic
-    order)."""
-    per_sub = []
-    for sub in range(PQ_M):
-        cells = sorted(c for (s, c) in cent if s == sub)
-        per_sub.append(
-            F.array_sort(
-                F.array(*[
-                    F.struct(
-                        _pq_sub_dist_expr(sub, cent[(sub, j)]).alias("dist"),
-                        F.lit(int(j)).alias("cell"),
-                    )
-                    for j in cells
-                ])
-            )
-        )
-    s1 = e.select(
-        "vec_id", "xfp", F.posexplode(F.array(*per_sub)).alias("sub0", "arr")
-    )
-    return s1.select(
-        "vec_id",
-        "xfp",
-        F.col("sub0").cast("long").alias("sub"),
-        F.posexplode("arr").alias("p", "s"),
-    ).select(
-        "vec_id",
-        "xfp",
-        "sub",
-        F.col("s.cell").cast("long").alias("cell"),
-        F.col("s.dist").alias("dist"),
-        (F.col("p") + 1).cast("int").alias("rn"),
+def _pq_top1(e: DataFrame, cent: dict) -> DataFrame:
+    """(vec_id, sub, cell, dist): each vector's nearest live centroid per
+    subspace under (dist, cell) order — one numpy mapInPandas pass (int64
+    squared-distance sums are EXACT in any evaluation order, and argmin
+    over cells sorted by id breaks distance ties toward the smaller cell,
+    identical to the old per-dim agg + (dist, cell) window). Guide §4.2:
+    whole batches through native code instead of 32 interpreted
+    higher-order folds per row."""
+    import numpy as np
+    import pandas as pd
+
+    subs = sorted({s for s, _ in cent})
+    cell_ids = {s: sorted(c for (ss, c) in cent if ss == s) for s in subs}
+    cmats = {
+        s: np.array([cent[(s, c)] for c in cell_ids[s]], dtype=np.int64)
+        for s in subs
+    }
+
+    def kern(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(list(pdf["xfp"]), dtype=np.int64)
+            vid = pdf["vec_id"].to_numpy()
+            for s in subs:
+                xs = X[:, s * PQ_SUBDIM: (s + 1) * PQ_SUBDIM]
+                dd = ((xs[:, None, :] - cmats[s][None, :, :]) ** 2).sum(axis=2)
+                j = dd.argmin(axis=1)
+                yield pd.DataFrame(
+                    {
+                        "vec_id": vid,
+                        "sub": np.int64(s),
+                        "cell": np.array(cell_ids[s], dtype=np.int64)[j],
+                        "dist": dd[np.arange(len(vid)), j],
+                    }
+                )
+
+    return e.mapInPandas(
+        kern, "vec_id long, sub long, cell long, dist long"
     )
 
 
@@ -2357,7 +2422,7 @@ def _pq_centroids(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, dict]:
             c0[(sub, int(r["vec_id"]))] = xfp[
                 sub * PQ_SUBDIM: (sub + 1) * PQ_SUBDIM
             ]
-    a1 = _pq_ranked(e, c0).where(F.col("rn") == 1)
+    a1 = _pq_top1(e, c0).join(e, "vec_id")
     upd = (
         a1.select(
             "sub",
@@ -2392,7 +2457,7 @@ def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     = the semantics anchor; the 10^9-vector path is the ivf_assign
     matmul kernel run per subspace (one BLAS call per Arrow batch)."""
     e, c1 = _pq_centroids(spark, sf_dir)
-    a2 = _pq_ranked(e, c1).where(F.col("rn") == 1)
+    a2 = _pq_top1(e, c1)
     return a2.select("vec_id", "sub", F.col("cell").alias("code"), "dist")
 
 
@@ -2419,39 +2484,25 @@ def pq_adc_topk(
         )
         for (sub, cell), cfp in c1.items()
     }
-    # per-sub lookup arrays indexed by code (cells are a subset of
-    # 0..PQ_K-1; missing codes are never assigned, 0-filled placeholder)
-    luts = []
+    # nested lookup table literal indexed by (sub, code): cells are a
+    # subset of 0..PQ_K-1; missing codes are never assigned (0-filled
+    # placeholder). ADC re-uses the kernel's top-1 codes: one literal
+    # lookup per (vector, sub) row + a per-vector BIGINT sum.
+    lut_rows = []
     for sub in range(PQ_M):
         row = [0] * PQ_K
         for (s, cell), v in tdist.items():
             if s == sub:
                 row[cell] = v
-        luts.append(F.array(*[F.lit(int(v)).cast("long") for v in row]))
-    # map-only ADC: each vector's approximate distance is the sum of M
-    # literal-array lookups through its top-1 codes (element_at on the
-    # sorted struct array — no window, no join, no explode)
-    code = [
-        F.element_at(
-            F.array_sort(
-                F.array(*[
-                    F.struct(
-                        _pq_sub_dist_expr(sub, c1[(sub, j)]).alias("dist"),
-                        F.lit(int(j)).alias("cell"),
-                    )
-                    for j in sorted(c for (s, c) in c1 if s == sub)
-                ])
-            ),
-            1,
-        )["cell"]
-        for sub in range(PQ_M)
-    ]
-    adc_dist = None
-    for sub in range(PQ_M):
-        term = F.element_at(luts[sub], (code[sub] + 1).cast("int"))
-        adc_dist = term if adc_dist is None else adc_dist + term
-    adc = e.where(F.col("vec_id") != query_vec_id).select(
-        "vec_id", adc_dist.cast("long").alias("adc_dist")
+        lut_rows.append(F.array(*[F.lit(int(v)).cast("long") for v in row]))
+    lut = F.array(*lut_rows)
+    a2 = _pq_top1(e, c1).where(F.col("vec_id") != query_vec_id)
+    term = F.element_at(
+        F.element_at(lut, (F.col("sub") + 1).cast("int")),
+        (F.col("cell") + 1).cast("int"),
+    )
+    adc = a2.groupBy("vec_id").agg(
+        F.sum(term).cast("long").alias("adc_dist")
     )
     # top-k via TakeOrderedAndProject; rnk re-derives over the k rows
     top = adc.orderBy(F.asc("adc_dist"), F.asc("vec_id")).limit(topk)

@@ -837,9 +837,6 @@ def dd_minhash_lsh(spark, sf_dir):
     SEMI-JOIN-pruned read of the store — only candidate docs' shingle
     arrays ever shuffle (at 100 TB the candidate set is orders of
     magnitude smaller than the corpus), and nothing is pinned in cache."""
-    import os
-    import tempfile
-
     d = t(spark, sf_dir, "documents")
     shingles = F.expr(
         "transform(sequence(0, size(ws) - 3), "
@@ -850,14 +847,13 @@ def dd_minhash_lsh(spark, sf_dir):
         .where(F.size("ws") >= 3)
         .select("doc_id", F.array_distinct(shingles).alias("shingles"))
     )
-    # tempdir, NOT a __file__-relative path: when the package ships as
-    # spark-submit --py-files tsrollup.zip, __file__ lives INSIDE the
-    # zip and a sibling .scratch/ write fails (parent not a directory)
-    store_path = os.path.join(
-        tempfile.gettempdir(), "tsrollup_scratch", "shingle_store"
-    )
-    sets.write.mode("overwrite").parquet(store_path)
-    store = spark.read.parquet(store_path)
+    # materialize the (doc_id, shingles) side table ONCE (round 6: an
+    # executor-local localCheckpoint instead of the old parquet
+    # write+read round trip — same share-the-sets semantics for the
+    # signature pipeline and the verify join without paying sink I/O in
+    # the compute path, guide §1.4/§5; a real deploy persists this as a
+    # columnar side table once and amortizes it across runs)
+    store = sets.localCheckpoint()
 
     words = store.select("doc_id", F.explode("shingles").alias("w"))
     bands = F.explode(F.array(*[F.lit(b) for b in range(4)])).alias("b")
@@ -1545,25 +1541,9 @@ def tx_overlap_matrix(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_a"))
     )
     pair = (
-        pl.select(
-            F.explode(
-                F.filter(
-                    F.flatten(
-                        F.transform(
-                            "ss",
-                            lambda a: F.transform(
-                                "ss",
-                                lambda b: F.struct(
-                                    a.alias("src_a"), b.alias("src_b")
-                                ),
-                            ),
-                        )
-                    ),
-                    lambda p: p["src_a"] != p["src_b"],
-                )
-            ).alias("p")
-        )
-        .select(F.col("p.src_a").alias("src_a"), F.col("p.src_b").alias("src_b"))
+        pl.select(F.explode("ss").alias("src_a"), "ss")
+        .select("src_a", F.explode("ss").alias("src_b"))
+        .where(F.col("src_a") != F.col("src_b"))
         .groupBy("src_a", "src_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
@@ -1656,25 +1636,9 @@ def dd_containment(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
     )
     sh = (
-        pl.select(
-            F.explode(
-                F.filter(
-                    F.flatten(
-                        F.transform(
-                            "docs",
-                            lambda a: F.transform(
-                                "docs",
-                                lambda b: F.struct(
-                                    a.alias("doc_a"), b.alias("doc_b")
-                                ),
-                            ),
-                        )
-                    ),
-                    lambda p: p["doc_a"] != p["doc_b"],
-                )
-            ).alias("p")
-        )
-        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        pl.select(F.explode("docs").alias("doc_a"), "docs")
+        .select("doc_a", F.explode("docs").alias("doc_b"))
+        .where(F.col("doc_a") != F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("shared"))
     )
@@ -5931,27 +5895,32 @@ def x4_rfm(spark, sf_dir):
     # fe_quantile_norm/k5. Buckets are range-aligned with each order:
     # recency_days asc, -frequency (desc), -(cents div 1e5) (desc,
     # coarse bands keep the collect O(value-range), never O(users)).
-    u = u.localCheckpoint()  # three rank passes + the final select share it
+    u = u.localCheckpoint()  # three rank passes + the final join share it
 
-    def _score(df, bucket, order_cols, out):
-        ranked, n = _bucketed_rank_n(df, bucket, order_cols)
-        return ranked.withColumn(
-            out, _ntile_from_rank(F.col("__rank"), n, 5)
-        ).drop("__b", "__off", "__rank")
+    def _score(bucket, order_cols, out):
+        # INDEPENDENT rank pass over the checkpointed frame (not chained
+        # through the previous score's join+window — chaining made each
+        # counts collect re-execute every prior pass)
+        ranked, n = _bucketed_rank_n(u, bucket, order_cols)
+        return ranked.select(
+            "user_id", _ntile_from_rank(F.col("__rank"), n, 5).alias(out)
+        )
 
-    u = _score(
-        u, F.col("recency_days"), ["recency_days", "user_id"], "r_score"
-    )
-    u = _score(u, -F.col("frequency"), ["frequency DESC", "user_id"], "f_score")
-    u = _score(
-        u,
+    r_s = _score(F.col("recency_days"), ["recency_days", "user_id"], "r_score")
+    f_s = _score(-F.col("frequency"), ["frequency DESC", "user_id"], "f_score")
+    m_s = _score(
         -F.expr("monetary_cents div 100000"),
         ["monetary_cents DESC", "user_id"],
         "m_score",
     )
-    return u.select(
-        "user_id", "recency_days", "frequency", "monetary_cents",
-        "r_score", "f_score", "m_score",
+    return (
+        u.join(r_s, "user_id")
+        .join(f_s, "user_id")
+        .join(m_s, "user_id")
+        .select(
+            "user_id", "recency_days", "frequency", "monetary_cents",
+            "r_score", "f_score", "m_score",
+        )
     )
 
 
@@ -7389,18 +7358,10 @@ def x9_triangles(spark, sf_dir):
         .groupBy("ok")
         .agg(F.sort_array(F.collect_set("s")).alias("ss"))
     )
-    pair_arr = F.flatten(
-        F.transform(
-            "ss",
-            lambda x, i: F.transform(
-                F.slice("ss", i + 2, F.size("ss")),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
-            ),
-        )
-    )
     e = (
-        baskets.select(F.explode(pair_arr).alias("p"))
-        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        baskets.select(F.explode("ss").alias("a"), "ss")
+        .select("a", F.explode("ss").alias("b"))
+        .where(F.col("a") < F.col("b"))
         .distinct()
         .localCheckpoint()
     )
@@ -7731,18 +7692,11 @@ def x11_assoc(spark, sf_dir):
         .groupBy("p")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    pair_arr = F.flatten(
-        F.transform(
-            "ps",
-            lambda x, i: F.transform(
-                F.slice("ps", i + 2, F.size("ps")),
-                lambda y: F.struct(x.alias("pa"), y.alias("pb")),
-            ),
-        )
-    )
     pairs = (
-        baskets.select(F.explode(pair_arr).alias("pr"))
-        .groupBy(F.col("pr.pa").alias("pa"), F.col("pr.pb").alias("pb"))
+        baskets.select(F.explode("ps").alias("pa"), "ps")
+        .select("pa", F.explode("ps").alias("pb"))
+        .where(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).alias("sup"))
         .where(F.col("sup") >= 3)
     )
@@ -7784,23 +7738,33 @@ def _morton_terms(x: str, y: str, duck: bool) -> str:
 
 def _bucketed_rank_n(df, bucket_expr, order_cols):
     """Global 0-based rank over ORDER BY order_cols WITHOUT a
-    one-partition sort — the mixing.shuffle_rank range-bucket
-    discipline generalized to any sort key: `bucket_expr` must be
-    range-aligned with the order (monotone non-decreasing along it).
-    Bucket counts are an O(buckets) collect, never O(rows); the
+    one-partition sort over the DATA — the mixing.shuffle_rank
+    range-bucket discipline generalized to any sort key: `bucket_expr`
+    must be range-aligned with the order (monotone non-decreasing along
+    it). Bucket prefix offsets come from a cumulative sum over the
+    BUCKET-COUNT frame (bounded by the bucket-value range — a
+    catalog-sized unpartitioned window, the same class as the accepted
+    decile/ladder cum-sums; round 6 replaced the old O(buckets) driver
+    collect so the whole rank is ONE lazy plan, no extra job); the
     within-bucket row_numbers run as independent window partitions.
-    Adds column `__rank` (BIGINT). Two-pass: df must be deterministic.
-    Returns (ranked_df, total_row_count) — the total falls out of the
-    same counts collect, so rank-derived quantile cuts (ntile) cost no
-    extra job."""
+    Adds columns `__rank` (BIGINT) and `__n` (total rows, BIGINT).
+    Returns (ranked_df, n_col) with n_col usable by _ntile_from_rank."""
     wb = df.withColumn("__b", bucket_expr)
-    counts = wb.groupBy("__b").count().collect()
-    off, acc = {}, 0
-    for row in sorted(counts, key=lambda r: r["__b"]):
-        off[row["__b"]] = acc
-        acc += row["count"]
-    offsets = df.sparkSession.createDataFrame(
-        list(off.items()) or [(0, 0)], "__b long, __off long"
+    wcum = (
+        Window.orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = (
+        wb.groupBy("__b")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .select(
+            "__b",
+            F.coalesce(F.sum("__c").over(wcum), F.lit(0)).alias("__off"),
+            F.sum("__c").over(wall).alias("__n"),
+        )
     )
     ranked = wb.join(F.broadcast(offsets), "__b").withColumn(
         "__rank",
@@ -7809,7 +7773,7 @@ def _bucketed_rank_n(df, bucket_expr, order_cols):
             f"ORDER BY {', '.join(order_cols)})) - 1"
         ).cast("long"),
     )
-    return ranked, acc
+    return ranked, F.col("__n")
 
 
 def _bucketed_rank(df, bucket_expr, order_cols):
@@ -7817,23 +7781,21 @@ def _bucketed_rank(df, bucket_expr, order_cols):
     return _bucketed_rank_n(df, bucket_expr, order_cols)[0]
 
 
-def _ntile_from_rank(rank_col, n: int, k: int):
-    """EXACT ntile(k) from a global 0-based rank and the total row count:
-    Spark/DuckDB assign the first (n mod k) tiles floor(n/k)+1 rows and
-    the rest floor(n/k) — a pure integer function of (rank, n, k), so a
-    range-bucketed rank replaces the one-partition ntile window
-    bit-for-bit (n comes free from _bucketed_rank_n's counts collect)."""
-    q, rem = divmod(int(n), k)
+def _ntile_from_rank(rank_col, n_col, k: int):
+    """EXACT ntile(k) from a global 0-based rank and the total row count
+    column: Spark/DuckDB assign the first (n mod k) tiles floor(n/k)+1
+    rows and the rest floor(n/k) — a pure integer function of
+    (rank, n, k), so a range-bucketed rank replaces the one-partition
+    ntile window bit-for-bit. floor(a/b) on doubles is exact for
+    a < 2^53, so the divisions below are bit-identical to integer floor
+    division at any realistic row count. When n < k (q = 0) every rank
+    satisfies rank < cut = n, so the q-division branch never evaluates."""
+    q = F.floor(n_col / F.lit(k)).cast("long")
+    rem = (n_col - q * k).cast("long")
     cut = rem * (q + 1)
-    if q == 0:
-        # fewer rows than tiles: every row gets its own tile (rank+1)
-        return (rank_col + 1).cast("long")
-    # floor(a/b) on doubles is exact for a < 2^53 (the error can only
-    # cross an integer boundary when a > 2^53), so this is bit-identical
-    # to integer floor division at any realistic row count
     return (
-        F.when(rank_col < cut, F.floor(rank_col / F.lit(q + 1)))
-        .otherwise(rem + F.floor((rank_col - cut) / F.lit(q)))
+        F.when(rank_col < cut, F.floor(rank_col / (q + 1)))
+        .otherwise(rem + F.floor((rank_col - cut) / q))
         .cast("long")
         + 1
     ).cast("long")
@@ -8149,7 +8111,7 @@ def x13_bfs(spark, sf_dir):
             .distinct()
             .join(visited.select("node", "seed"), ["node", "seed"], "left_anti")
             .withColumn("d", F.lit(d).cast("int"))
-            .persist()
+            .localCheckpoint()
         )
         if nxt.count() == 0:
             break
