@@ -43,6 +43,19 @@ def test_intzz_roundtrip(vals):
     assert np.array_equal(decode_intzz(encode_intzz(a)), a)
 
 
+def test_intzz_int64_max_median_roundtrips():
+    # ADVICE r5: a stream whose float64 median rounds to exactly 2**63
+    # used to crash the centered-zigzag candidate (`a - med` fails numpy
+    # int64 promotion); the center now clamps into int64 and the blob
+    # must still round-trip bit-exactly
+    a = np.array(
+        [2**63 - 1, 2**63 - 1, 2**63 - 2, 2**63 - 3], dtype=np.int64
+    )
+    assert np.array_equal(decode_intzz(encode_intzz(a)), a)
+    full = np.array([-(2**63), 2**63 - 1, 2**63 - 1, 2**63 - 1], dtype=np.int64)
+    assert np.array_equal(decode_intzz(encode_intzz(full)), full)
+
+
 def test_intzz_constant_stream_is_header_only():
     a = np.full(1440, 123456789, dtype=np.int64)
     blob = encode_intzz(a)

@@ -1106,7 +1106,12 @@ def encode_intzz(a: np.ndarray) -> bytes:
     center = 0
     zv = (a << 1) ^ (a >> 63)
     rk_zv, rice_zv_bytes = _rice_plan(zv.view(np.uint64))
-    med = int(np.median(a))
+    # clamp the center into int64: for streams hugging int64-max the
+    # float64 median rounds to exactly 2**63 and `a - med` would fail
+    # numpy's int64 promotion (ADVICE r5). 2**63-1 keeps the centered
+    # candidate valid — wrapping int64 subtraction round-trips exactly
+    # under mod-2^64, same as any other wide-range center.
+    med = min(int(np.median(a)), (1 << 63) - 1)
     if med != 0:
         ac = a - med
         zvm = (ac << 1) ^ (ac >> 63)

@@ -1245,17 +1245,23 @@ def bloom_decontaminate(
     bench_grams = benchmark.select(
         F.explode(word_ngrams_expr(F.col(text_col), n)).alias("ngram")
     ).distinct()
-    pos_rows = (
-        bench_grams.select(
-            F.explode(F.array(*_bloom_positions(F.col("ngram"), m_bits, k))).alias("pos")
-        )
-        .distinct()
-        .collect()
-    )
+    # ONE bench-side job (round 6): each distinct gram's k positions ride
+    # the same collect that the filter build needs, and the exact-verify
+    # side is rebuilt locally from the collected grams — the old shape
+    # scanned the benchmark a second time to build the broadcast join
+    # side. The collect stays bounded by the eval-set gram budget.
+    gram_rows = bench_grams.select(
+        "ngram",
+        F.array(*_bloom_positions(F.col("ngram"), m_bits, k)).alias("pp"),
+    ).collect()
     words = [0] * (m_bits // 64)
-    for r in pos_rows:
-        p = r[0]
-        words[p >> 6] |= 1 << (p & 63)
+    for r in gram_rows:
+        for p in r["pp"]:
+            words[p >> 6] |= 1 << (p & 63)
+    spark = benchmark.sparkSession
+    bench_grams = spark.createDataFrame(
+        [(r["ngram"],) for r in gram_rows] or [(None,)], "ngram string"
+    ).where(F.col("ngram").isNotNull())
     # two's-complement view: BIGINT literals must be signed 64-bit
     words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
     bitset = F.array(*[F.lit(w).cast("long") for w in words])

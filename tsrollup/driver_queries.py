@@ -3955,9 +3955,11 @@ def dd_snm(spark, sf_dir):
 
     Scale note: the global row_number here is the small-scale form; at
     corpus scale the rank comes from a range-partitioned sort + prefix
-    offsets (the mixing.py shuffle-rank discipline) and the neighbor
-    join stays within/adjacent partitions — SNM's defining property is
-    that the heavy comparison is LOCAL in sort order."""
+    offsets (the mixing.py shuffle-rank discipline — _bucketed_rank on
+    the key's own 2-char prefix, A/B-measured in round 6: +0.5-1 s at
+    sf0.1, so the simple sort stays the default at fixture scale) and
+    the neighbor join stays within/adjacent partitions — SNM's defining
+    property is that the heavy comparison is LOCAL in sort order."""
     d = (
         t(spark, sf_dir, "documents")
         .select("doc_id", F.lower("text").alias("t"))
@@ -8092,35 +8094,30 @@ def x13_bfs(spark, sf_dir):
     seeds = [
         r["u"] for r in e.select("u").distinct().orderBy("u").limit(3).collect()
     ]
-    state0 = spark.createDataFrame(
+    state = spark.createDataFrame(
         [(s, s, 0) for s in seeds], "node long, seed long, d int"
     )
-    # ONE action per round (guide §1/§2: fewer jobs): the frontier is
-    # persisted and its count() both materializes it AND serves as the
-    # emptiness probe — the old shape paid three jobs per round (frontier
-    # localCheckpoint, isEmpty, state-union localCheckpoint). The visited
-    # set stays a lazy union of the already-persisted frontiers, so no
-    # growing state frame is ever re-materialized.
-    frontiers = [state0]
-    visited = state0
-    frontier = state0
+    # Round-6 note: two job-diet variants were measured here and BOTH
+    # lost to this original shape at sf0.1 — persist()+count (8.0 s vs
+    # 6.2 s: AQE re-planning over cached frames) and localCheckpoint +
+    # lazy visited-union (8.1 s: the k-frame union scan pays k×64
+    # scheduled tasks per anti-join). The rolling single-checkpoint
+    # state keeps every round's anti-join a ONE-frame scan; the
+    # emptiness probe on an already-materialized checkpoint is cheap.
+    frontier = state
     for d in range(1, 7):
         nxt = (
             frontier.join(e, frontier["node"] == e["u"])
             .select(F.col("v").alias("node"), "seed")
             .distinct()
-            .join(visited.select("node", "seed"), ["node", "seed"], "left_anti")
+            .join(state.select("node", "seed"), ["node", "seed"], "left_anti")
             .withColumn("d", F.lit(d).cast("int"))
             .localCheckpoint()
         )
-        if nxt.count() == 0:
+        if nxt.isEmpty():
             break
-        frontiers.append(nxt)
-        visited = visited.unionAll(nxt)
+        state = state.unionAll(nxt).localCheckpoint()
         frontier = nxt
-    state = frontiers[0]
-    for f in frontiers[1:]:
-        state = state.unionAll(f)
     ns = state.groupBy("node", "seed").agg(F.min("d").alias("d")).alias("ns")
     best = (
         ns.groupBy("node").agg(F.min("d").alias("dist"))
