@@ -1529,23 +1529,31 @@ def tx_overlap_matrix(spark, sf_dir):
     # counts and totals partial-aggregate map-side; set order doesn't
     # matter because ALL ordered pairs are emitted. localCheckpoint
     # shares the grouped postings between both consumers.
-    pl = (
+    # second collapse: many grams share the SAME source set, so group the
+    # per-gram sets (sorted — collect_set order is nondeterministic) into
+    # distinct sets with multiplicities BEFORE the pair explode; the pair
+    # fan-out then runs over distinct source-sets (bounded by 2^|sources|
+    # but practically tiny) instead of per gram, and both outputs are
+    # weighted sums — provably identical counts.
+    grp = (
         d.select("source", F.explode(grams).alias("gram"))
         .groupBy("gram")
-        .agg(F.collect_set("source").alias("ss"))
+        .agg(F.sort_array(F.collect_set("source")).alias("ss"))
+        .groupBy("ss")
+        .agg(F.count(F.lit(1)).alias("m"))
         .localCheckpoint()
     )
     tot = (
-        pl.select(F.explode("ss").alias("source"))
+        grp.select(F.explode("ss").alias("source"), "m")
         .groupBy("source")
-        .agg(F.count(F.lit(1)).alias("n_a"))
+        .agg(F.sum("m").alias("n_a"))
     )
     pair = (
-        pl.select(F.explode("ss").alias("src_a"), "ss")
-        .select("src_a", F.explode("ss").alias("src_b"))
+        grp.select(F.explode("ss").alias("src_a"), "ss", "m")
+        .select("src_a", F.explode("ss").alias("src_b"), "m")
         .where(F.col("src_a") != F.col("src_b"))
         .groupBy("src_a", "src_b")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .agg(F.sum("m").alias("n_shared"))
     )
     return (
         pair.join(
