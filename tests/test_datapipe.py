@@ -1344,3 +1344,49 @@ def test_video_scene_cuts_planted_boundaries(spark):
     # at least half the docs show a genuine cut at frame 3
     cut3 = sum(1 for rows in by_doc.values() if rows[3]["is_cut"])
     assert cut3 >= len(by_doc) // 2
+
+
+def test_word_ngram_kernel_matches_expr(spark):
+    """Round-6 focused pin: the mapInPandas word-n-gram kernel (the
+    bloom_decontaminate corpus path) emits EXACTLY the rows
+    explode(word_ngrams_expr(text, n)) emits — including multi-space
+    splits (empty words), short/empty docs, repeated grams (first-
+    occurrence dedup), and non-ASCII code points. lower+split happen in
+    Spark on BOTH paths, so the kernel's ' '.join is the only Python
+    step under test."""
+    from tsrollup.datapipe import _word_ngram_kernel, word_ngrams_expr
+
+    texts = [
+        "a b c d e",
+        "a  b c",          # double space -> empty word token
+        "x y",              # shorter than n
+        "",                 # empty doc
+        "a b c a b c a b",  # repeated grams, dedup to first occurrence
+        "İ stanbul ı I i Straße é café naïve",
+        "tab\tnot a space separator",
+        " leading and trailing ",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    for n in (2, 3):
+        expr_side = (
+            df.select(
+                F.col("doc_id").alias("c_id"),
+                F.explode(word_ngrams_expr(F.col("text"), n)).alias("ngram"),
+            )
+            .toPandas()
+            .sort_values(["c_id", "ngram"])
+            .reset_index(drop=True)
+        )
+        kern_side = (
+            df.select(
+                F.col("doc_id").alias("c_id"),
+                F.split(F.lower("text"), " ").alias("ws"),
+            )
+            .mapInPandas(_word_ngram_kernel(n), "c_id long, ngram string")
+            .toPandas()
+            .sort_values(["c_id", "ngram"])
+            .reset_index(drop=True)
+        )
+        assert expr_side.equals(kern_side), f"n={n}: kernel != expr path"

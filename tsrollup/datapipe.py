@@ -174,18 +174,51 @@ def _neardup_candidate_ids(
     vectors DON'T ride the band self-join — only 8-byte ids + short
     bucket strings shuffle (guide §2.3 "shuffle keys, not payloads")."""
     planes = neardup_planes() if planes is None else planes
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    # Round-6 (guide §4.2): the bands*planes interpreted zip_with/
+    # aggregate dot folds per vector were the candidate path's wall
+    # (measured 2.5 s for 24k banded rows at sf0.1 — and the self-join
+    # evaluated them TWICE, once per side). The numpy kernel computes the
+    # SAME left-to-right float64 fold (elementwise products, then
+    # sequential np.cumsum — 0.0 + x0 = x0), so every raw dot is
+    # bit-identical to _bucket_expr's; the sign-pinning round(dot, 6)
+    # and the bucket-string assembly STAY IN SPARK on the kernel's raw
+    # doubles. float32 parquet values widen to float64 exactly, matching
+    # the cast-to-double the expression path performed.
+    import pandas as pd
+
+    n_bands, n_planes, _dim = planes.shape
+    flat = planes.reshape(n_bands * n_planes, -1)
+
+    def dot_kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.array(pdf["embedding"].to_list(), dtype=np.float64)
+            dots = (mat[:, None, :] * flat[None, :, :]).cumsum(axis=2)[:, :, -1]
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "d": list(dots)}
+            )
+
+    dotted = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .mapInPandas(dot_kernel, "vec_id long, d array<double>")
     )
-    banded = e.select(
-        "vec_id",
-        F.posexplode(
-            F.array(*[
-                _bucket_expr(F.col("v"), planes[b])
-                for b in range(planes.shape[0])
-            ])
-        ).alias("band", "bucket"),
-    )
+    bits = [
+        F.concat(*[
+            F.when(
+                F.round(F.col("d").getItem(b * n_planes + p), 6) >= 0,
+                F.lit("1"),
+            ).otherwise(F.lit("0"))
+            for p in range(n_planes)
+        ])
+        for b in range(n_bands)
+    ]
+    # eager checkpoint: TINY (n_vectors x bands) frame; without it both
+    # sides of the band self-join replay the scan + kernel
+    banded = dotted.select(
+        "vec_id", F.posexplode(F.array(*bits)).alias("band", "bucket")
+    ).localCheckpoint()
     a = banded.select(F.col("vec_id").alias("vec_a"), "band", "bucket")
     b2 = banded.select(F.col("vec_id").alias("vec_b"), "band", "bucket")
     ids = (
@@ -257,11 +290,19 @@ def embedding_neardup_pairs(
             )
 
     raw = ids.mapInPandas(verify, "vec_a long, vec_b long, cos_raw double")
+    # Eager checkpoint of the TINY verified pair list (post-tau, deduped):
+    # every consumer references this frame >=2x inside one action
+    # (keeper fwd+rev union, split-leakage pair/member branches, CC edge
+    # symmetrization), and without truncation each reference replays the
+    # WHOLE banded join + verify kernel — dd_split_leakage's round-start
+    # plan ran MapInPandas 3x. Within-query reuse only: re-computed from
+    # parquet on every invocation.
     return (
         raw.withColumn("cos_sim", F.round("cos_raw", 4))
         .where(F.col("cos_sim") >= tau)
         .dropDuplicates(["vec_a", "vec_b"])
         .select("vec_a", "vec_b", "cos_sim")
+        .localCheckpoint()
     )
 
 
@@ -1192,6 +1233,37 @@ def ngram_decontaminate(
     )
 
 
+def _word_ngram_kernel(n: int):
+    """mapInPandas kernel: per-doc DISTINCT word n-grams from PRE-SPLIT
+    (and already lowercased) word arrays — ' '.join of adjacent words +
+    first-occurrence set dedup, byte-identical to
+    array_distinct(transform(concat_ws)) over the same array (no case
+    mapping, slicing, or tokenization happens in Python). Input rows
+    (c_id long, ws array<string>), output rows (c_id long, ngram
+    string)."""
+    import pandas as pd
+
+    def kern(batches):
+        for pdf in batches:
+            ids: list = []
+            grams: list = []
+            for cid, ws in zip(pdf["c_id"], pdf["ws"]):
+                if ws is None or len(ws) < n:
+                    continue
+                seen = set()
+                for i in range(len(ws) - n + 1):
+                    g = " ".join(ws[i:i + n])
+                    if g not in seen:
+                        seen.add(g)
+                        ids.append(cid)
+                        grams.append(g)
+            yield pd.DataFrame(
+                {"c_id": pd.array(ids, dtype="int64"), "ngram": grams}
+            )
+
+    return kern
+
+
 def _bloom_positions(gram_col, m_bits: int, k: int) -> list:
     """The k Bloom bit positions of a gram, by Kirsch-Mitzenmacher
     double hashing over ONE xxhash64 evaluation: with u the unsigned
@@ -1266,10 +1338,20 @@ def bloom_decontaminate(
     words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
     bitset = F.array(*[F.lit(w).cast("long") for w in words])
 
+    # Round-6 corpus-side gram build (guide §4.2): the interpreted
+    # transform/concat_ws/array_distinct HOF chain measured 2.1 s for
+    # 254k grams at sf0.1 — the query's single largest phase. The
+    # locale-sensitive steps (lower, single-space split) STAY IN SPARK;
+    # the kernel only joins adjacent ALREADY-SPLIT words with a space and
+    # set-dedups per doc, which is byte-exact for any code points (no
+    # case mapping, no slicing, no tokenization in Python) — identical
+    # to array_distinct(transform(concat_ws)) by construction (pinned on
+    # adversarial strings in tests/test_datapipe.py). Grams then flow
+    # back for the JVM-side Bloom membership test as before.
     cg = corpus.select(
         F.col(id_col).alias("c_id"),
-        F.explode(word_ngrams_expr(F.col(text_col), n)).alias("ngram"),
-    )
+        F.split(F.lower(F.col(text_col)), " ").alias("ws"),
+    ).mapInPandas(_word_ngram_kernel(n), "c_id long, ngram string")
     passed = F.lit(True)
     for pos in _bloom_positions(F.col("ngram"), m_bits, k):
         word = F.element_at(bitset, (F.shiftright(pos, 6) + 1).cast("int"))
@@ -1650,33 +1732,49 @@ def _kmeans_round2_dists(spark: SparkSession, sf_dir: str, k: int = KM_K) -> Dat
         ).alias("xfp"),
     )
 
-    def dist_to(cfp: list) -> "F.Column":
-        arr = F.array(*[F.lit(int(c)) for c in cfp])
-        return F.aggregate(
-            F.zip_with("xfp", arr, lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
+    # Round-6 (guide §4.2): the per-cell interpreted zip_with/aggregate
+    # integer folds (k cells x dim terms per vector, evaluated for BOTH
+    # Lloyd rounds) were the remaining wall of the kmeans family. The
+    # kernel below involves NO float arithmetic at all: distances are
+    # exact int64 sums of squared int deltas (|xfp| <~ 5e6 -> sums
+    # <~ 2^62, no overflow), so numpy and Catalyst produce the SAME
+    # integers regardless of summation order, and the (dist, cell) rank
+    # comes from a stable argsort over ascending cell ids — exactly the
+    # lexicographic (dist, cell) order array_sort produced. The 1e6
+    # quantization (Spark half-up round) STAYS IN SPARK — only already-
+    # quantized ints cross the Python boundary.
+    import pandas as pd
 
     def ranked(cent: dict) -> DataFrame:
         cells = sorted(cent)
-        structs = F.array_sort(
-            F.array(*[
-                F.struct(
-                    dist_to(cent[j]).alias("dist"),
-                    F.lit(int(j)).alias("cell"),
+        C = np.array([cent[j] for j in cells], dtype=np.int64)
+        cell_ids = np.array(cells, dtype=np.int64)
+
+        def kern(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.array(pdf["xfp"].to_list(), dtype=np.int64)
+                diff = X[:, None, :] - C[None, :, :]
+                d = (diff * diff).sum(axis=2)
+                order = np.argsort(d, axis=1, kind="stable")
+                n, k = d.shape
+                rows = np.arange(n)[:, None]
+                yield pd.DataFrame(
+                    {
+                        "vec_id": np.repeat(
+                            pdf["vec_id"].to_numpy(dtype=np.int64), k
+                        ),
+                        "cell": cell_ids[order].ravel(),
+                        "dist": d[rows, order].ravel(),
+                        "rn": np.tile(
+                            np.arange(1, k + 1, dtype=np.int32), n
+                        ),
+                    }
                 )
-                for j in cells
-            ])
-        )
-        return e.select(
-            "vec_id", "xfp", F.posexplode(structs).alias("p", "s")
-        ).select(
-            "vec_id",
-            "xfp",
-            F.col("s.cell").cast("long").alias("cell"),
-            F.col("s.dist").alias("dist"),
-            (F.col("p") + 1).cast("int").alias("rn"),
+
+        return e.mapInPandas(
+            kern, "vec_id long, cell long, dist long, rn int"
         )
 
     # seed centroids: vec_id < k convention — O(k·dim) collect (bounded)
@@ -1688,8 +1786,11 @@ def _kmeans_round2_dists(spark: SparkSession, sf_dir: str, k: int = KM_K) -> Dat
     # round-1 centroid update: exact per-(cell, dim) integer sums; the
     # round(sum/count) half-up boundary evaluates in Spark as before,
     # then the k·dim ints collect (bounded) and broadcast as literals
+    # (the kernelized `ranked` no longer carries xfp — join it back from
+    # the quantized frame; map-only scan, assignment rows are id+cell)
     upd = (
-        a1.select("cell", F.posexplode("xfp").alias("d0", "x"))
+        a1.select("vec_id", "cell").join(e, "vec_id")
+        .select("cell", F.posexplode("xfp").alias("d0", "x"))
         .groupBy("cell", "d0")
         .agg(
             F.round(F.sum("x").cast("double") / F.count(F.lit(1)), 0)
@@ -1818,28 +1919,74 @@ def semantic_dedup(
     )
     primary = ranked.where(F.col("rn") == 1).select("vec_id", "cell", "dist")
     probes = ranked.select("vec_id", F.col("cell").alias("pcell"))
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    # Round-6 verify kernel (guide §4.2, the embedding_neardup_pairs
+    # discipline): the co-probed pair fan-out is ~cell_size² per cell, and
+    # the per-pair interpreted zip_with/aggregate cosine folds were the
+    # wall — and the 64-dim arrays rode the pcell self-join. Now only
+    # (id, dist) pairs cross the join and the Python boundary; the vector
+    # matrix is a bounded O(N·dim) broadcast (the dd_threshold_sweep
+    # memory class; per banded block at corpus scale). The numpy kernel
+    # is BIT-IDENTICAL to the folds it replaces: element products are the
+    # same IEEE doubles, np.cumsum is strictly sequential so [:, -1]
+    # equals the left-to-right fold (0.0 + x0 = x0), sqrt/division are
+    # correctly rounded in both runtimes, and the 1e-4 rounding stays in
+    # Spark on the kernel's raw double.
+    import pandas as pd
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
     )
-    m = primary.select("vec_id", "dist").join(probes, "vec_id").join(e, "vec_id")
+    vid = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    pos = np.full(int(vid.max()) + 1, -1, dtype=np.int64)
+    pos[vid] = np.arange(len(vid))
+    b_mat = spark.sparkContext.broadcast(mat)
+    b_pos = spark.sparkContext.broadcast(pos)
+
+    m = primary.select("vec_id", "dist").join(probes, "vec_id")
     a = m.select(
         F.col("vec_id").alias("vec_a"), F.col("pcell"),
-        F.col("dist").alias("dist_a"), F.col("v").alias("va"),
+        F.col("dist").alias("dist_a"),
     )
     b = m.select(
         F.col("vec_id").alias("vec_b"), F.col("pcell"),
-        F.col("dist").alias("dist_b"), F.col("v").alias("vb"),
+        F.col("dist").alias("dist_b"),
     )
-    dot = F.aggregate(
-        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
-    )
+
+    def cos_kernel(batches):
+        mm = b_mat.value
+        pp = b_pos.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ia = pp[pdf["vec_a"].to_numpy(dtype=np.int64)]
+            ib = pp[pdf["vec_b"].to_numpy(dtype=np.int64)]
+            va = mm[ia]
+            vb = mm[ib]
+            dots = (va * vb).cumsum(axis=1)[:, -1]
+            na = np.sqrt((va * va).cumsum(axis=1)[:, -1])
+            nb = np.sqrt((vb * vb).cumsum(axis=1)[:, -1])
+            yield pd.DataFrame(
+                {
+                    "vec_a": pdf["vec_a"],
+                    "dist_a": pdf["dist_a"],
+                    "vec_b": pdf["vec_b"],
+                    "dist_b": pdf["dist_b"],
+                    "cos_raw": dots / (na * nb),
+                }
+            )
+
     pairs = (
         a.join(b, "pcell")
         .where(F.col("vec_a") != F.col("vec_b"))
-        .withColumn("cos_sim", F.round(dot / (norm(F.col("va")) * norm(F.col("vb"))), 4))
+        .select("vec_a", "dist_a", "vec_b", "dist_b")
+        .mapInPandas(
+            cos_kernel,
+            "vec_a long, dist_a long, vec_b long, dist_b long, cos_raw double",
+        )
+        .withColumn("cos_sim", F.round("cos_raw", 4))
         .where(F.col("cos_sim") >= eps)
     )
     # removed iff a co-probed neighbor above eps sits FARTHER from its

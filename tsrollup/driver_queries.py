@@ -880,6 +880,11 @@ def dd_minhash_lsh(spark, sf_dir):
         .where(F.col("s1.doc_id") < F.col("s2.doc_id"))
         .select(F.col("s1.doc_id").alias("doc_a"), F.col("s2.doc_id").alias("doc_b"))
         .distinct()
+        # eager checkpoint: the candidate list (~700 pairs on the fixture,
+        # corpus-sublinear by construction) feeds cand_ids TWICE and the
+        # verify join once — without truncation the explode+sig-agg+band
+        # self-join replayed 5x in the round-start plan
+        .localCheckpoint()
     )
     # verify reads the slim store: semi-join prune to candidate ids FIRST,
     # so shingle arrays shuffle only for docs that are in some candidate
