@@ -16,7 +16,11 @@ SF = "/root/testdata/sf0.001"
 #: multi-consumer subtrees / iterative loops) — still linted, just noted
 #: for the reader; none are excluded.
 _EAGER = {"dd_containment", "dd_components", "dd_components_star",
-          "dd_semantic", "tx_bigram_lm", "emb_kmeans"}
+          "dd_semantic", "tx_bigram_lm", "emb_kmeans",
+          # round-6 second pass: the shared neardup pair list and the
+          # minhash candidate list are eager checkpoints now
+          "dd_minhash_lsh", "dd_split_leakage", "dd_embedding_neardup_lsh",
+          "dd_embedding_keeper", "dd_lsh_quality"}
 
 
 @pytest.mark.parametrize("name", sorted(SPARK))
