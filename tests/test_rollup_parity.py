@@ -144,3 +144,42 @@ def test_partitioning_invariance(spark, seq_fixture_small):
         ["source", "detector", "bucket_start"],
         msg="partitioning invariance",
     )
+
+
+def test_token_fold_kernel_matches_expression(spark):
+    """The Arrow fold kernel (batch scan path) is bit-identical to the
+    expression fold streaming uses (`token_reduce_cols`) — the pin that
+    keeps the two prereduce paths from drifting. Covers the adversarial
+    shapes: empty array (sentinel contract), single element, negatives,
+    int32 extremes, and a long mixed array."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from tsrollup.rollup import bucketize, token_prereduce, token_reduce_cols
+
+    ts = datetime.datetime(2031, 3, 1, 12, 34, 56, tzinfo=datetime.timezone.utc)
+    rows = [
+        ("d0", [], 0, "s0", ts),
+        ("d1", [7], 1, "s0", ts),
+        ("d2", [-5, 3, -2147483648, 2147483647], 4, "s1", ts),
+        ("d3", [2147483647, 2147483647, 2147483647], 3, "s1", ts),
+        ("d4", list(range(-500, 500)), 1000, "s2", ts),
+        ("d5", [0, 0, 0], 3, "s2", ts),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string, "
+              "event_ts timestamp"
+    )
+    b = bucketize(df, "1m")
+    kern = token_prereduce(b, with_hash=True).toPandas()
+    expr = b.select(
+        "doc_id", "source", "bucket_start", *token_reduce_cols(),
+        F.xxhash64("tokens").alias("row_hash"),
+    ).toPandas()
+    kern = kern.sort_values("doc_id").reset_index(drop=True)
+    expr = expr.sort_values("doc_id").reset_index(drop=True)
+    assert list(kern.columns) == list(expr.columns)
+    for col in expr.columns:
+        for a, e in zip(kern[col], expr[col]):
+            assert a == e, f"{col}: kernel {a!r} != expression {e!r}"

@@ -78,23 +78,101 @@ def token_reduce_cols() -> list:
     ]
 
 
+def _token_fold_arrow(with_hash: bool):
+    """Arrow-native (sum, min, max, size) fold over the `tokens` list column.
+
+    `F.aggregate` is a higher-order function: Catalyst evaluates the lambda
+    per element in INTERPRETED mode (no whole-stage codegen), and at ~291
+    tokens/row the fold — not the parquet decode — was the scan_agg wall.
+    Measured at sf0.1 (1M rows, noop sink, median of 3): HOF prereduce
+    6.67 s vs this kernel 2.23 s, with scan-and-discard of the raw token
+    column alone at 2.18 s — i.e. the kernel folds at the decode floor.
+    numpy reduceat over the list offsets does the whole batch in three
+    vectorized passes; sums accumulate in int64 (exact — max |token| * max
+    len is far under 2^63), min/max are exact int32, so every output value
+    is bit-identical to the interpreted fold (PARITY-checked incl. the
+    sentinel empty-array contract, and pinned in tests/test_rollup_parity).
+
+    xxhash64(tokens) stays a JVM expression computed BEFORE the kernel
+    (Catalyst's array hashing is not worth replicating in Python); the
+    kernel only passes it through. Schema contract (schemas.py): `tokens`
+    is non-null with non-null elements, so only the empty-array shape
+    needs the sentinel path here — matching `_token_fold`'s accumulator
+    seeds exactly."""
+    import numpy as np
+    import pyarrow as pa
+
+    def fold(it):
+        for b in it:
+            tok = b.column("tokens")
+            off = tok.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            vals = tok.values.to_numpy(zero_copy_only=False)
+            n = len(tok)
+            starts, ends = off[:-1], off[1:]
+            sizes = ends - starts
+            nonempty = sizes > 0
+            s = np.zeros(n, dtype=np.int64)
+            mn = np.full(n, _TOK_SENTINEL_MIN, dtype=np.int32)
+            mx = np.full(n, _TOK_SENTINEL_MAX, dtype=np.int32)
+            if vals.size:
+                idx = starts[nonempty]
+                v64 = vals.astype(np.int64)
+                s[nonempty] = np.add.reduceat(v64, idx)
+                mn[nonempty] = np.minimum.reduceat(vals, idx)
+                mx[nonempty] = np.maximum.reduceat(vals, idx)
+            red = pa.StructArray.from_arrays(
+                [pa.array(s, type=pa.int64()),
+                 pa.array(mn, type=pa.int32()),
+                 pa.array(mx, type=pa.int32())],
+                names=["s", "mn", "mx"],
+            )
+            cols = [
+                b.column("doc_id"), b.column("source"), b.column("bucket_start"),
+                b.column("n_tok_l"), b.column("n_tok_i"), red,
+                pa.array(sizes, type=pa.int64()),
+            ]
+            names = ["doc_id", "source", "bucket_start", "n_tok_l", "n_tok_i",
+                     "row_red", "row_tok_cnt"]
+            if with_hash:
+                cols.append(b.column("row_hash"))
+                names.append("row_hash")
+            yield pa.RecordBatch.from_arrays(cols, names=names)
+
+    return fold
+
+
 def token_prereduce(df: DataFrame, with_hash: bool = False) -> DataFrame:
-    """A2 pre-step — collapse the tokens array to per-row scalars inside
-    codegen (no explode, no Python). tok_cnt uses `size(tokens)` rather than
+    """A2 pre-step — collapse the tokens array to per-row scalars without
+    exploding (no 10^14-row blowup). tok_cnt uses the list size rather than
     trusting the denormalized n_tok, so the stats stay honest even if an
     upstream writer let them drift; n_tok itself is aggregated separately.
 
     with_hash adds xxhash64(tokens) so the lineage token-checksum rides the
-    SAME scan as the aggregation — one pass over the raw corpus, not two."""
+    SAME scan as the aggregation — one pass over the raw corpus, not two.
+
+    The fold itself runs in an Arrow kernel (`_token_fold_arrow`) — only
+    the columns the fold needs cross the Python boundary, and the heavy
+    token bytes never shuffle: the kernel's scalars feed the map-side
+    partial aggregation in the same stage. Streaming keeps the expression
+    fold (`token_reduce_cols`) — structured-streaming aggs can't host a
+    mapInArrow — and tests/test_rollup_parity pins the two bit-identical."""
     cols = [
         F.col("doc_id"),
         F.col("source"),
         F.col("bucket_start"),
-        *token_reduce_cols(),
+        F.col("n_tok").cast("long").alias("n_tok_l"),
+        F.col("n_tok").alias("n_tok_i"),
+        F.col("tokens"),
     ]
+    schema = (
+        "doc_id string, source string, bucket_start timestamp, "
+        "n_tok_l long, n_tok_i int, "
+        "row_red struct<s: bigint, mn: int, mx: int>, row_tok_cnt long"
+    )
     if with_hash:
         cols.append(F.xxhash64("tokens").alias("row_hash"))
-    return df.select(*cols)
+        schema += ", row_hash long"
+    return df.select(*cols).mapInArrow(_token_fold_arrow(with_hash), schema)
 
 
 def _partial_aggs(with_hash: bool = False):
