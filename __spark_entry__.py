@@ -23,6 +23,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from tsrollup.driver_queries import ORACLE, SPARK  # noqa: E402
 
+def _read_table(spark, sf_dir, name, spread=False):
+    """Driver-table read through storage.read_table (scan-parallelism
+    guard for unsplittable single-file inputs, guide §2.5); spread is
+    opt-in where the scan stage carries heavy per-row work."""
+    from tsrollup.storage import read_table
+
+    return read_table(spark, sf_dir, name, spread=spread)
+
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship on /root/testdata/sf0.001: full-engine anomaly scores."""
@@ -1384,7 +1393,7 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         the same hash."""
         from tsrollup.mixing import hash_split
 
-        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        d = _read_table(spark, sf_dir, "documents")
         return hash_split(d, "doc_id", 500, 500, seed=0).select("doc_id", "split")
 
     def mx_sample(spark, sf_dir):
@@ -1394,7 +1403,7 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         membership doc-by-doc."""
         from tsrollup.mixing import stratified_sample
 
-        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        d = _read_table(spark, sf_dir, "documents")
         return stratified_sample(
             d, {"src0": 5000, "src5": 2500}, "source", "doc_id",
             default_per10k=1000, seed=1,
@@ -1406,7 +1415,7 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         twin proves the whole permutation, not just membership."""
         from tsrollup.mixing import shuffle_rank
 
-        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        d = _read_table(spark, sf_dir, "documents")
         return shuffle_rank(d, "doc_id", epoch=2).select("doc_id", "shuffle_rank")
 
     def mx_reservoir(spark, sf_dir):
@@ -1417,7 +1426,7 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         the whole draw — not just membership — is value-checked."""
         from tsrollup.mixing import reservoir_topk
 
-        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        d = _read_table(spark, sf_dir, "documents")
         return reservoir_topk(d, "source", "doc_id", k=5, seed=7).select(
             "source", "doc_id", "rnk"
         )
@@ -1431,7 +1440,7 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         tiebreak, so ln() last-ulp drift can't flip an order)."""
         from tsrollup.mixing import weighted_sample_topk
 
-        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        d = _read_table(spark, sf_dir, "documents")
         return weighted_sample_topk(d, "n_chars", k=5, seed=3).select(
             "source", "doc_id", "es_key", "rnk"
         )
@@ -1445,7 +1454,7 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         the budget arithmetic, not just membership."""
         from tsrollup.mixing import quota_sample
 
-        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        d = _read_table(spark, sf_dir, "documents")
         return quota_sample(d, 100, "source", "doc_id", seed=9).select(
             "source", "doc_id", "alloc", "rnk"
         )
@@ -1506,7 +1515,7 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         exactly-verified hit counts both match bit-for-bit."""
         from tsrollup.datapipe import bloom_decontaminate
 
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        docs = _read_table(spark, sf_dir, "documents")
         return bloom_decontaminate(
             docs.where(F.col("doc_id") % 37 != 0),
             docs.where(F.col("doc_id") % 37 == 0),
@@ -1573,7 +1582,7 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         import numpy as np
         import pandas as pd
 
-        d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        d = _read_table(spark, sf_dir, "documents").select(
             F.col("doc_id").cast("long").alias("doc_id"),
             F.lower("text").alias("text"),
         )
@@ -1647,14 +1656,14 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 2.6 s -> 1.1 s for the lineitem write at sf0.1). Bucket
         # contents are identical (same hash assignment).
         (
-            spark.read.parquet(f"{sf_dir}/orders.parquet")
+            _read_table(spark, sf_dir, "orders")
             .repartition(8, "o_orderkey")
             .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
             .option("path", os.path.join(base, "orders"))
             .mode("overwrite").saveAsTable("bj_orders")
         )
         (
-            spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+            _read_table(spark, sf_dir, "lineitem")
             .withColumnRenamed("l_orderkey", "o_orderkey")
             .repartition(8, "o_orderkey")
             .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
@@ -1741,7 +1750,7 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         engines and rounded 1e-6; the significance verdict compares the
         ROUNDED z against 1.959964 so it is a pure function of the
         twinned value."""
-        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        ev = _read_table(spark, sf_dir, "events")
         u = (
             ev.select("user_id")
             .distinct()

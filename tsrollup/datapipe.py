@@ -22,6 +22,16 @@ from pyspark.sql import functions as F
 
 # ------------------------------------------------------------------ ANN/LSH
 
+def _rt(spark, sf_dir, name, spread=False):
+    """Driver-table read through storage.read_table (scan-parallelism
+    guard for unsplittable single-file inputs, guide §2.5) — spread is
+    OPT-IN at the few sites whose scan stage carries heavy per-row work
+    (see driver_queries.t for the blanket-spread A/B that set this)."""
+    from .storage import read_table
+
+    return read_table(spark, sf_dir, name, spread=spread)
+
+
 
 def _planes(n_planes: int, dim: int) -> np.ndarray:
     """Deterministic random hyperplanes (seeded; same on driver & workers)."""
@@ -59,7 +69,7 @@ def ann_lsh_topk(
 ) -> DataFrame:
     """ANN: candidates share an LSH bucket with the query; exact cosine
     re-rank within the bucket. Returns (q_id, vec_id, cos_sim, rnk)."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+    emb = _rt(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
     emb = with_lsh_bucket(emb, n_planes=n_planes, vec_col="v")
@@ -144,7 +154,7 @@ def embedding_neardup_candidates(
     Exposed separately so the dd_lsh_quality audit can report the honest
     candidate fan-out alongside recall."""
     planes = neardup_planes() if planes is None else planes
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+    e = _rt(spark, sf_dir, "embeddings", spread=True).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
     ids = _neardup_candidate_ids(spark, sf_dir, planes=planes)
@@ -200,7 +210,7 @@ def _neardup_candidate_ids(
             )
 
     dotted = (
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        _rt(spark, sf_dir, "embeddings", spread=True)
         .select("vec_id", "embedding")
         .mapInPandas(dot_kernel, "vec_id long, d array<double>")
     )
@@ -257,7 +267,7 @@ def embedding_neardup_pairs(
     # — and the multi-million-row pre-dedup exchange disappears.
     ids = _neardup_candidate_ids(spark, sf_dir, planes=planes, dedup=False)
     rows = (
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        _rt(spark, sf_dir, "embeddings", spread=True)
         .select("vec_id", "embedding")
         .collect()
     )
@@ -364,7 +374,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str, feat_dim: int = 8) -> 
     struct, batch iteration, declared output schema, partition-parallel
     execution) is exactly what a real decoder plugs into: swap
     `_decode_stub` for PIL/ffmpeg and nothing else changes."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    d = _rt(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("string").alias("doc_id"),
         F.encode("text", "utf-8").alias("payload"),
         F.struct(
@@ -601,7 +611,7 @@ def multimodal_features_mixed(
     Arrow-batched decode path as multimodal_features, now exercising
     four decoders incl. the three real parsers. Everything is
     deterministic, so the driver entry is stable run to run."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    d = _rt(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("string").alias("doc_id"),
         "text",
     )
@@ -699,7 +709,7 @@ def image_phash_neardup(
     doc_a < doc_b."""
     if not 0 <= ham <= 3:
         raise ValueError(f"banding is complete only for ham in [0,3], got {ham}")
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    d = _rt(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("long").alias("doc_id"), "text"
     )
 
@@ -793,7 +803,7 @@ def audio_fp_neardup(
     # normalize with the SAME lower() the tokenizer applies (JVM-side, so
     # the cross-engine lower() equivalence is the one every tx_* twin
     # already proves — not Python str.lower vs SQL lower)
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    d = _rt(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.lower("text").alias("text"),
     )
@@ -874,7 +884,7 @@ _HEX = "0123456789abcdef"
 
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, b0..b3) over the fixture's documents table."""
-    return simhash_of(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return simhash_of(_rt(spark, sf_dir, "documents"))
 
 
 def simhash_of(docs: DataFrame) -> DataFrame:
@@ -1028,7 +1038,7 @@ def ann_planes() -> np.ndarray:
 def ann_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(q_id, vec_id, cos_sim, rnk): top-k among same-bucket candidates."""
     planes = ann_planes()
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+    e = _rt(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
     e = e.withColumn("bucket", _bucket_expr(F.col("v"), planes[0]))
@@ -1127,7 +1137,7 @@ def ann_ivf_topk_kernel(
     """Kernel-path IVF ANN: matmul cell assignment + probe + exact
     re-rank. Same parameters and semantics as the ann_ivf driver query —
     tests assert the result sets agree on the fixture."""
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+    e = _rt(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
     cent_rows = (
@@ -1724,7 +1734,7 @@ def _kmeans_round2_dists(spark: SparkSession, sf_dir: str, k: int = KM_K) -> Dat
     one centroid-update rounding stays IN Spark (round(sum/count) on the
     512-row per-(cell,dim) agg, collected after) so the half-up boundary
     is evaluated by the same engine expression as before."""
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+    e = _rt(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform(
             "embedding",
@@ -1934,7 +1944,7 @@ def semantic_dedup(
     import pandas as pd
 
     rows = (
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        _rt(spark, sf_dir, "embeddings")
         .select("vec_id", "embedding")
         .collect()
     )
@@ -2094,7 +2104,7 @@ def video_frame_features(
     per (doc, sampled frame): the fan-out shape a video training
     pipeline feeds downstream. Returns (doc_id, frame_idx, width,
     height, px_mean)."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    d = _rt(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("string").alias("doc_id"), "text"
     )
 
@@ -2441,7 +2451,7 @@ def multimodal_thumbnails(
     the real shape of a thumbnailing pass over an image lake. Emits the
     thumb payload plus both geometries; everything is exact-integer so
     the output bytes are stable run to run (pinned by tests)."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    d = _rt(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("string").alias("doc_id"), "text"
     )
 
@@ -2494,7 +2504,7 @@ def _pq_e(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded layout and its (sub, d) join-key shuffles are gone; every
     Lloyd round is now a map-only pass over this frame with the
     centroids collected O(M·K·subdim) and broadcast as literals)."""
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+    return _rt(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform(
             "embedding",
@@ -2781,7 +2791,7 @@ def multimodal_audio_resample(
     — binary in, binary out. Emits both geometries (sample counts and
     rates) plus the resampled payload; everything is integer-exact so
     the output bytes are stable run to run (pinned by tests)."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    d = _rt(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("string").alias("doc_id"), "text"
     )
 
@@ -2831,7 +2841,7 @@ def video_scene_cuts(
     differences. is_cut = 100·diff ≥ n_px (mean pixel delta ≥ 0.01) —
     a pure integer inequality, so the verdict is bit-deterministic.
     Emits one row per (doc, transition)."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    d = _rt(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("string").alias("doc_id"), "text"
     )
 

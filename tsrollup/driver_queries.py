@@ -42,8 +42,19 @@ def q(name: str, sql: str | None = None):
     return reg
 
 
-def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+def t(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = False
+) -> DataFrame:
+    # spread=True routes through storage.read_table's scan-parallelism
+    # guard (guide §2.5) — OPT-IN per query: only where the scan stage
+    # carries heavy per-row expression work (the char-n-gram family). A
+    # blanket spread was A/B-measured: it won 1.3-2 s on each gram query
+    # but taxed ~99 cheap queries ~0.45 s each (one extra AQE shuffle
+    # stage per query), a 48 s net LOSS at sf0.1 — so the default stays
+    # the bare scan. No-op at corpus scale either way.
+    from .storage import read_table
+
+    return read_table(spark, sf_dir, name, spread=spread)
 
 
 def _dense_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -837,7 +848,7 @@ def dd_minhash_lsh(spark, sf_dir):
     SEMI-JOIN-pruned read of the store — only candidate docs' shingle
     arrays ever shuffle (at 100 TB the candidate set is orders of
     magnitude smaller than the corpus), and nothing is pinned in cache."""
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents", spread=True)
     shingles = F.expr(
         "transform(sequence(0, size(ws) - 3), "
         "i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"
@@ -1352,7 +1363,7 @@ def dd_ngram_jaccard(spark, sf_dir):
     n-gram-Jaccard twin of dd_embedding_neardup — the exact small-scale
     oracle; at corpus scale candidate generation is the MinHash band join
     (dd_minhash_lsh), never the blocked quadratic verify run here."""
-    d = t(spark, sf_dir, "documents").select(
+    d = t(spark, sf_dir, "documents", spread=True).select(
         "doc_id", "lang", F.lower("text").alias("t")
     ).where(F.length("t") >= 5)
     grams = F.expr("array_distinct(transform(sequence(1, length(t) - 4), i -> substring(t, i, 5)))")
@@ -1436,7 +1447,7 @@ def tx_novelty(spark, sf_dir):
     agg + one join back), all-integer output (rate as exact per-10k
     integer division)."""
     d = (
-        t(spark, sf_dir, "documents")
+        t(spark, sf_dir, "documents", spread=True)
         .select("doc_id", F.lower("text").alias("t"))
         .where(F.length("t") >= 5)
     )
@@ -1519,7 +1530,7 @@ def tx_overlap_matrix(spark, sf_dir):
     tiny (sources²)-row agg; per-source totals broadcast back. All-integer
     output (exact per-10k division), value-exact twin."""
     d = (
-        t(spark, sf_dir, "documents")
+        t(spark, sf_dir, "documents", spread=True)
         .select("source", F.lower("text").alias("t"))
         .where(F.length("t") >= 5)
     )
@@ -1620,7 +1631,7 @@ def dd_containment(spark, sf_dir):
     scale); the containment denominator is A's FILTERED gram count, so a
     fully-boilerplate doc can still reach 1.0 against its duplicate."""
     d = (
-        t(spark, sf_dir, "documents")
+        t(spark, sf_dir, "documents", spread=True)
         .select("doc_id", F.lower("text").alias("t"))
         .where(F.length("t") >= 5)
     )
@@ -3974,7 +3985,7 @@ def dd_snm(spark, sf_dir):
     the neighbor join stays within/adjacent partitions — SNM's defining
     property is that the heavy comparison is LOCAL in sort order."""
     d = (
-        t(spark, sf_dir, "documents")
+        t(spark, sf_dir, "documents", spread=True)
         .select("doc_id", F.lower("text").alias("t"))
         .where(F.length("t") >= 5)
     )
@@ -4494,7 +4505,7 @@ def dd_fuzzy(spark, sf_dir):
     JVM built-in on both engines — the true edit distance, so the twin
     is exact integers end-to-end).  At corpus scale the block key
     would widen (first token + length band) before the cap bites."""
-    d = t(spark, sf_dir, "documents").select(
+    d = t(spark, sf_dir, "documents", spread=True).select(
         "doc_id",
         F.substring(F.lower("text"), 1, _FUZZY_KEY_LEN).alias("key"),
         F.substring_index(F.lower("text"), " ", 1).alias("blk"),
@@ -8093,15 +8104,29 @@ def x13_bfs(spark, sf_dir):
     visited set is the dominant shuffle and is exactly the CC state
     shape. Seeds are an O(3) collect."""
     li = t(spark, sf_dir, "lineitem")
-    pe = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s")
-    ).distinct()
+    # Basket-local pair generation (the x9/x11 discipline): ONE groupBy to
+    # (order -> supplier set), ordered pairs via chained explodes. Replaces
+    # distinct(ok, s) + self-join on ok + distinct(u, v) — 4 data-sized
+    # exchanges and a join -> 2 exchanges, no join.
+    baskets = (
+        li.groupBy(F.col("l_orderkey").alias("ok"))
+        .agg(F.collect_set("l_suppkey").alias("ss"))
+        .where(F.size("ss") >= 2)
+    )
     e = (
-        pe.alias("a")
-        .join(pe.alias("b"), (F.col("a.ok") == F.col("b.ok"))
-              & (F.col("a.s") != F.col("b.s")))
-        .select(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        baskets.select(F.explode("ss").alias("u"), "ss")
+        .select("u", F.explode("ss").alias("v"))
+        .where(F.col("u") != F.col("v"))
         .distinct()
+        # Partition-once discipline (guide §2.4): every BFS round probes e
+        # on u, so hash-partition + sort by u BEFORE the checkpoint —
+        # localCheckpoint preserves outputPartitioning/outputOrdering, so
+        # each round's sort-merge join reuses this layout and only the
+        # tiny frontier side shuffles. Without this, every round paid an
+        # Exchange + Sort of the full edge frame (LogicalRDD has no size
+        # stats, so nothing auto-broadcasts here).
+        .repartition("u")
+        .sortWithinPartitions("u")
         .localCheckpoint()
     )
     seeds = [
@@ -8131,22 +8156,17 @@ def x13_bfs(spark, sf_dir):
             break
         state = state.unionAll(nxt).localCheckpoint()
         frontier = nxt
-    ns = state.groupBy("node", "seed").agg(F.min("d").alias("d")).alias("ns")
-    best = (
-        ns.groupBy("node").agg(F.min("d").alias("dist"))
-        .select(F.col("node").alias("bnode"), "dist")
-        .alias("bb")
-    )
-    return (
-        ns.join(
-            best,
-            (F.col("ns.node") == F.col("bb.bnode"))
-            & (F.col("ns.d") == F.col("bb.dist")),
-        )
-        .groupBy(F.col("ns.node").alias("node"),
-                 F.col("bb.dist").cast("long").alias("dist"))
-        .agg(F.min("ns.seed").cast("long").alias("nearest_seed"))
-        .select("node", "dist", "nearest_seed")
+    # Finale: min(struct(d, seed)) per node IS the argmin join — struct
+    # ordering compares d first, then seed, so the lexicographic min is
+    # (best dist, min seed among argmin-distance seeds), exactly the
+    # ns ⋈ best ⋈ group-min chain this replaces (state holds one row per
+    # (node, seed), the anti-join guarantees first-touch = min d). One
+    # exchange instead of three plus a sort-merge join.
+    b = state.groupBy("node").agg(F.min(F.struct("d", "seed")).alias("b"))
+    return b.select(
+        "node",
+        F.col("b.d").cast("long").alias("dist"),
+        F.col("b.seed").cast("long").alias("nearest_seed"),
     )
 
 

@@ -33,6 +33,60 @@ def n_source_buckets() -> int:
     return int(os.environ.get("TSROLLUP_SOURCE_BUCKETS", "64"))
 
 
+#: per-path decision cache for `read_table` (metadata only — partition
+#: count and file size; never query results)
+_SCAN_SPREAD: dict[str, bool] = {}
+
+
+def read_table(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = False
+) -> DataFrame:
+    """Read one driver testdata table, restoring scan parallelism when the
+    input arrives unsplittable (optimization guide §2.5).
+
+    The driver's tables are single parquet files, so every one scans as
+    1-3 partitions regardless of session cores — and then EVERY scan-stage
+    expression (char-n-gram builds, lower/regex, JSON extraction,
+    levenshtein bands) runs nearly serially: the documents char-5-gram
+    build measured 1.8-2.1 s on the 1-partition scan vs 0.31 s after a
+    round-robin spread at sf0.1. The spread only fires when the scan has
+    at least 4x fewer partitions than the session has cores AND the file
+    is big enough to matter (>=256 KB — dimension tables like region/
+    nation stay as-is so broadcast-join plans are untouched); a real
+    corpus scans as thousands of splits, so this is a no-op at scale.
+    Column pruning and predicate pushdown both traverse Repartition, so
+    the exchange carries only the projected columns and PushedFilters
+    still reach the scan (verified in-plan). The decision is cached per
+    path — partition-count and file-size METADATA, never results."""
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
+    if not spread:
+        return df
+    do = _SCAN_SPREAD.get(path)
+    if do is None:
+        try:
+            size = (
+                os.path.getsize(path)
+                if os.path.isfile(path)
+                else sum(
+                    os.path.getsize(os.path.join(r, f))
+                    for r, _d, fs in os.walk(path)
+                    for f in fs
+                )
+            )
+            do = (
+                size >= 262_144
+                and 4 * df.rdd.getNumPartitions()
+                <= spark.sparkContext.defaultParallelism
+            )
+        except OSError:
+            do = False
+        _SCAN_SPREAD[path] = do
+    if do:
+        return df.repartition(spark.sparkContext.defaultParallelism)
+    return df
+
+
 def read_sequences(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
     """S1 — scan of the sequence table.
 
