@@ -28,8 +28,18 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SPARK_SUBMIT = os.environ.get("SPARK_SUBMIT", "/opt/spark/bin/spark-submit")
 
 RUNNER = r"""
-import json, shutil, sys, time
+import json, os, shutil, sys, time
 sys.path.insert(0, "@REPO@")
+# same sandbox partition-size targeting as bench.py: source_bucket is a
+# SIZE target (storage.n_source_buckets docstring) — 64+ when each
+# (tier, day, bucket) dir holds hundreds of MB at production scale, 8 for
+# sandbox fixtures whose whole derived store is tens of MB. Aligning the
+# scaling runs with the bench posture cuts the store file count ~2x
+# (1771 -> 886 on the 24M fixture); the write-phase WALL barely moves
+# (sink_writes ~7 s at local[8] either way) — the residual is per-write
+# job/commit machinery, not directory count (see OPTIMIZATION_r06.md
+# scaling addendum).
+os.environ.setdefault("TSROLLUP_SOURCE_BUCKETS", "8")
 from tsrollup.session import get_spark
 from tsrollup.pipeline import rollup_build
 from tsrollup.config import RollupConfig
