@@ -1655,21 +1655,33 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # gives 8 parallel sorted writers, one file per bucket (measured
         # 2.6 s -> 1.1 s for the lineitem write at sf0.1). Bucket
         # contents are identical (same hash assignment).
-        (
-            _read_table(spark, sf_dir, "orders")
-            .repartition(8, "o_orderkey")
-            .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-            .option("path", os.path.join(base, "orders"))
-            .mode("overwrite").saveAsTable("bj_orders")
-        )
-        (
-            _read_table(spark, sf_dir, "lineitem")
-            .withColumnRenamed("l_orderkey", "o_orderkey")
-            .repartition(8, "o_orderkey")
-            .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-            .option("path", os.path.join(base, "lineitem"))
-            .mode("overwrite").saveAsTable("bj_lineitem")
-        )
+        # the two layout writes are independent jobs — submit them from a
+        # thread pool (guide §2.6) so the one-time layout cost is
+        # max(write walls), not their sum
+        def _write_orders():
+            (
+                _read_table(spark, sf_dir, "orders")
+                .repartition(8, "o_orderkey")
+                .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+                .option("path", os.path.join(base, "orders"))
+                .mode("overwrite").saveAsTable("bj_orders")
+            )
+
+        def _write_lineitem():
+            (
+                _read_table(spark, sf_dir, "lineitem")
+                .withColumnRenamed("l_orderkey", "o_orderkey")
+                .repartition(8, "o_orderkey")
+                .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+                .option("path", os.path.join(base, "lineitem"))
+                .mode("overwrite").saveAsTable("bj_lineitem")
+            )
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            for f in [pool.submit(_write_orders), pool.submit(_write_lineitem)]:
+                f.result()
         prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         try:
