@@ -131,19 +131,32 @@ def rollup_build(
         # per-unit output-row counts from the persisted (in-memory) tiers —
         # never rescan the store (it grows with history, a batch doesn't);
         # one job over the already-built union instead of one per tier.
-        out_counts = (
-            tagged.select(res.unit_id_col().alias("unit_id"), "tier")
-            .groupBy("unit_id", "tier")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        )
-        wall_ms = int((time.monotonic() - t0) * 1000)
-        for r in out_counts:
-            if r["unit_id"] in metrics:
-                metrics[r["unit_id"]][f"out_rows_{r['tier']}"] = r["n"]
-        for m in metrics.values():
-            m["wall_ms"] = wall_ms
-        res.commit_ledger(out_base, list(metrics.values()), run_id)
+        # Runs in a thread OVERLAPPED with the derived phase (guide §2.6):
+        # the derive jobs read the just-written store from disk, never the
+        # ledger, and the current ordering already commits the ledger
+        # before derive — so crash semantics are unchanged while the
+        # count job + ledger I/O back-fill the derive stages' tail. The
+        # tier caches stay pinned until the thread finishes (the join is
+        # before unpersist below).
+        def _ledger_commit():
+            out_counts = (
+                tagged.select(res.unit_id_col().alias("unit_id"), "tier")
+                .groupBy("unit_id", "tier")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            wall_ms = int((time.monotonic() - t0) * 1000)
+            for r in out_counts:
+                if r["unit_id"] in metrics:
+                    metrics[r["unit_id"]][f"out_rows_{r['tier']}"] = r["n"]
+            for m in metrics.values():
+                m["wall_ms"] = wall_ms
+            res.commit_ledger(out_base, list(metrics.values()), run_id)
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        ledger_pool = ThreadPoolExecutor(max_workers=1)
+        ledger_fut = ledger_pool.submit(_ledger_commit)
         summary["input_rows"] = sum(m["input_rows"] for m in metrics.values())
         if "rows_skipped_committed" in summary:
             summary["rows_skipped_committed"] -= summary["input_rows"]
@@ -168,25 +181,33 @@ def rollup_build(
                 )
                 .localCheckpoint(eager=True)
             )
-        for df in tiers.values():
-            df.unpersist()
-        r1m.unpersist()
     else:
         r1m.unpersist()
         summary["input_rows"] = 0
         summary["skipped"] = True
+        ledger_fut = ledger_pool = None
 
     summary["wall_agg_s"] = time.monotonic() - t0
 
-    if derived:
-        t1 = time.monotonic()
-        touched = sorted({int(u.split("/")[0]) for u in metrics}) if metrics else []
-        summary["touched_buckets"] = len(touched)
-        summary["rows_per_tier"] = derive(
-            spark, out_base, cfg, touched_buckets=touched, phases=phases,
-            batch_bounds=bounds,
-        )
-        summary["wall_derived_s"] = time.monotonic() - t1
+    try:
+        if derived:
+            t1 = time.monotonic()
+            touched = sorted({int(u.split("/")[0]) for u in metrics}) if metrics else []
+            summary["touched_buckets"] = len(touched)
+            summary["rows_per_tier"] = derive(
+                spark, out_base, cfg, touched_buckets=touched, phases=phases,
+                batch_bounds=bounds,
+            )
+            summary["wall_derived_s"] = time.monotonic() - t1
+    finally:
+        # ledger thread joins before the tier caches it reads go away
+        if ledger_fut is not None:
+            ledger_fut.result()
+            ledger_pool.shutdown()
+        if metrics:
+            for df in tiers.values():
+                df.unpersist()
+            r1m.unpersist()
     summary["phases"] = phases
     return summary
 
